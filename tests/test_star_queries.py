@@ -1,0 +1,36 @@
+"""Differential tests: every registered star query vs its DuckDB oracle.
+
+Runs at sf0.001 by default (fast); the driver runs the same comparison
+at sf0.01. Set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to match
+the driver exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from weatherapi_data_engineering_project_spark.plans import star
+from tests.conftest import SF_DIR, compare_query_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(star.QUERIES))
+def test_star_query_matches_oracle(spark, name):
+    if name not in star.ORACLE:
+        pytest.skip("rows-only query")
+    compare_query_to_oracle(spark, name, star.QUERIES[name], star.ORACLE[name], SF_DIR)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "sum_qty", "count_order"}
+
+
+def test_registry_consistency():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs), "oracle for unregistered query"

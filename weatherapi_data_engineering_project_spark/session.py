@@ -1,0 +1,67 @@
+"""SparkSession construction.
+
+One place to encode the engine's execution-model decisions so every
+entry point (tests, bench, driver harness) runs with the same plan
+characteristics:
+
+- AQE on (runtime re-plan: skew-join splitting, partition coalescing,
+  dynamic broadcast) — the knob that makes one logical plan survive a
+  100x scale-up without retuning.
+- ``spark.sql.shuffle.partitions`` defaults low for local/bench scale
+  but is overridable via env for cluster runs; AQE coalescing makes a
+  too-high setting cheap, a too-low one is what actually hurts at 100 TB.
+- Arrow enabled so any Pandas-UDF fallback paths are batch-vectorized,
+  never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "weatherapi-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters are env-overridable so the same code path serves
+    local[32] testing and a real cluster (where ``master`` is supplied
+    by spark-submit and must NOT be forced here).
+    """
+    builder = SparkSession.builder.appName(app_name)
+
+    env_master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if env_master:
+        builder = builder.master(env_master)
+    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        builder = builder.master(f"local[{cpus}]")
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Nested-schema pruning: the weather transform reads deep structs; only
+        # the selected paths should reach the scan (SURVEY.md §4).
+        "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+        # Stable session timezone so date_format/window results are
+        # deterministic across environments (tests + oracle comparison).
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
