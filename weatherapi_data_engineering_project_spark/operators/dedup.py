@@ -1,0 +1,151 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference (SURVEY.md §2.I): exact dedup,
+n-gram Jaccard near-dup, and MinHash+LSH near-dup. All pure DataFrame
+compositions — no Python in the hot path.
+
+Scale design (the 100 TB story):
+- exact_dedup shuffles 16-byte md5 keys, never document bodies.
+- jaccard_pairs is the *verifier*: quadratic in the worst case, so it
+  must only ever see candidate pairs. Running it standalone (as the
+  oracle does at sf0.01) is for correctness only.
+- minhash_lsh_pairs is the scale path: signatures are a fixed-width
+  aggregation over exploded shingles (map-side partial min), candidate
+  generation is an equi-join on band keys (shuffle on small band-key
+  strings), and only candidates reach the Jaccard verifier. This is
+  the standard shingle→minhash→band→bucket-join pipeline, expressed so
+  Catalyst/AQE handle skewed buckets (hot bands) with skew-join
+  splitting.
+
+The MinHash family here is md5-keyed: sig_i = MIN(md5(i || '§' ||
+shingle)). md5 acts as the random permutation; min over hex strings is
+total-ordered and engine-independent, which makes the whole pipeline
+differentially testable against ANSI SQL (no engine-specific hash()).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by content fingerprint; keep min-id representative.
+
+    Returns (fingerprint, representative id, duplicate count).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle rows + per-doc set size."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(tokens(text_col), k).alias("sh")
+    )
+    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """All-pairs (or candidate-restricted) shingle-set Jaccard ≥ threshold.
+
+    Output: (id1, id2, jaccard). With ``candidates`` (id1, id2) given,
+    only those pairs are scored — the LSH fast path.
+    """
+    ex = shingle_sets(df, text_col, id_col, k)
+    a = ex.select(
+        F.col("doc").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc").alias("id2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    joined = a.join(b, on="shingle").filter(F.col("id1") < F.col("id2"))
+    if candidates is not None:
+        joined = joined.join(
+            F.broadcast(candidates.select("id1", "id2").distinct()),
+            on=["id1", "id2"],
+            how="left_semi",
+        )
+    inter = joined.groupBy("id1", "id2", "n1", "n2").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    return (
+        inter.select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = MIN(md5(i || '§' || shingle)).
+
+    One explode + one groupBy with n_hashes MIN aggregates — partial
+    (map-side) min makes the shuffle carry only n_hashes × 32-byte
+    strings per doc regardless of document size.
+    """
+    ex = shingle_sets(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat_ws("§", F.lit(str(i)), F.col("shingle")))).alias(
+            f"sig{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return ex.groupBy("doc").agg(*aggs)
+
+
+def minhash_band_candidates(
+    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """LSH banding: hash each band's signature rows into a key; docs
+    sharing any band key become candidate pairs (id1 < id2, distinct).
+    """
+    rows_per_band = n_hashes // n_bands
+    per_band = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band = sigs.select(
+            F.col("doc"), F.md5(F.concat_ws("|", *cols)).alias("band_key")
+        )
+        lhs = band.select(F.col("doc").alias("id1"), "band_key")
+        rhs = band.select(F.col("doc").alias("id2"), "band_key")
+        per_band.append(
+            lhs.join(rhs, on="band_key").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+        )
+    return reduce(DataFrame.unionByName, per_band).distinct()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → band → candidate join
+    → exact Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    cands = minhash_band_candidates(sigs)
+    return jaccard_pairs(df, text_col, id_col, threshold, k, candidates=cands)

@@ -1,0 +1,275 @@
+"""LLM-data-pipeline queries: text analysis, dedup, similarity search.
+
+First-class engine extensions (SURVEY.md §2.I / BASELINE.json north
+star) over the driver ``documents`` and ``embeddings`` tables, each
+with an exact ANSI-SQL oracle twin. The heavy lifting lives in
+operators/dedup.py, operators/similarity.py, functions/text.py; this
+module binds them to the harness contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..schemas import load_table
+
+JACCARD_THRESHOLD = 0.4  # catches exactly the planted near-dup pairs
+
+
+def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token count, token length, punctuation
+    and stopword ratios — the standard pre-training quality filters."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok
+        ).alias("avg_token_len"),
+        (TX.punct_count("text").cast("double") / F.length("text")).alias("punct_ratio"),
+        (TX.stopword_count(toks).cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+def q20_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column (confusion counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.lang_id_heuristic("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q21_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: total tokens + distinct vocab."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("source", F.explode(TX.tokens("text")).alias("w"))
+    return ex.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens_total"),
+        F.countDistinct("w").alias("vocab_size"),
+    )
+
+
+def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + collision count."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .withColumn("n_same", F.count(F.lit(1)).over(w))
+    )
+
+
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id representative per content fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(d, "text", "doc_id")
+
+
+def q24_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs (all-pairs verifier)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+
+
+def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → md5-minhash → band → candidate
+    join → exact Jaccard verify (the 100 TB-scale dedup path)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+
+
+def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 to the vec_id=0 embedding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(e, query_id=0, k=10)
+
+
+def q27_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: top-3 same-bucket neighbors for queries
+    vec_id < 20 (deterministic md5 hyperplanes)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.signlsh_topk(e, k=3, n_bits=8, max_query_id=20)
+
+
+QUERIES = {
+    "q19_text_stats": q19_text_stats,
+    "q20_lang_id": q20_lang_id,
+    "q21_token_count": q21_token_count,
+    "q22_fingerprint": q22_fingerprint,
+    "q23_exact_dedup": q23_exact_dedup,
+    "q24_jaccard_pairs": q24_jaccard_pairs,
+    "q25_minhash_lsh": q25_minhash_lsh,
+    "q26_cosine_topk": q26_cosine_topk,
+    "q27_ann_signlsh": q27_ann_signlsh,
+}
+
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES_CTE = f"""
+tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                   ELSE [] END AS s
+       FROM tok),
+ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh)
+"""
+
+_SIG_MIN = ", ".join(
+    f"MIN(md5('{i}' || '§' || shingle)) AS sig{i}" for i in range(DD.N_HASHES)
+)
+_BAND_LIST = ", ".join(
+    f"md5(sig{2*b} || '|' || sig{2*b+1})" for b in range(DD.N_BANDS)
+)
+
+ORACLE = {
+    "q19_text_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                   / len(string_split_regex(lower(trim(text)), '\\s+')) AS avg_token_len,
+               CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                   / len(string_split_regex(lower(trim(text)), '\\s+')) AS stopword_ratio
+        FROM documents
+    """,
+    "q20_lang_id": """
+        SELECT lang,
+               CASE WHEN regexp_matches(lower(text), '(^|\\s)the(\\s|$)')
+                      OR regexp_matches(lower(text), '(^|\\s)and(\\s|$)') THEN 'en'
+                    WHEN regexp_matches(lower(text), '(^|\\s)el(\\s|$)')
+                      OR regexp_matches(lower(text), '(^|\\s)los(\\s|$)') THEN 'es'
+                    WHEN regexp_matches(lower(text), '(^|\\s)le(\\s|$)')
+                      OR regexp_matches(lower(text), '(^|\\s)les(\\s|$)') THEN 'fr'
+                    WHEN regexp_matches(lower(text), '(^|\\s)der(\\s|$)')
+                      OR regexp_matches(lower(text), '(^|\\s)und(\\s|$)') THEN 'de'
+                    ELSE 'unk' END AS lang_pred,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "q21_token_count": """
+        SELECT source,
+               COUNT(*) AS n_tokens_total,
+               COUNT(DISTINCT w) AS vocab_size
+        FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+        GROUP BY source
+    """,
+    "q22_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   AS n_same
+        FROM documents
+    """,
+    "q23_exact_dedup": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               MIN(doc_id) AS representative,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+    "q24_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT id1, id2, jaccard FROM (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q25_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT s.id1, s.id2, s.jaccard
+        FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
+        WHERE s.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q26_cosine_topk": """
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+        dots AS (SELECT e.vec_id,
+                        SUM(CAST(e.v * q.qv AS DECIMAL(38,25))) AS dot,
+                        SUM(CAST(e.v * e.v AS DECIMAL(38,25))) AS n2
+                 FROM e JOIN q USING (pos)
+                 GROUP BY e.vec_id),
+        qn AS (SELECT SUM(CAST(qv * qv AS DECIMAL(38,25))) AS qn2 FROM q),
+        scored AS (
+            SELECT vec_id,
+                   ROUND(CAST(CAST(dot AS DECIMAL(30,12)) AS DOUBLE)
+                       / (sqrt(CAST(CAST(n2 AS DECIMAL(30,12)) AS DOUBLE))
+                          * sqrt(CAST(CAST(qn2 AS DECIMAL(30,12)) AS DOUBLE))), 6) AS cosine
+            FROM dots, qn)
+        SELECT vec_id, cosine, rn FROM (
+            SELECT vec_id, cosine,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= 10
+    """,
+    "q27_ann_signlsh": """
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        proj AS (SELECT vec_id, bit,
+                        SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
+                                       THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
+                 FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS bit)
+                 GROUP BY vec_id, bit),
+        buckets AS (SELECT vec_id,
+                           MAX(CASE WHEN bit = 0 THEN b END) || MAX(CASE WHEN bit = 1 THEN b END)
+                        || MAX(CASE WHEN bit = 2 THEN b END) || MAX(CASE WHEN bit = 3 THEN b END)
+                        || MAX(CASE WHEN bit = 4 THEN b END) || MAX(CASE WHEN bit = 5 THEN b END)
+                        || MAX(CASE WHEN bit = 6 THEN b END) || MAX(CASE WHEN bit = 7 THEN b END)
+                               AS bucket
+                    FROM (SELECT vec_id, bit, CASE WHEN p >= 0 THEN '1' ELSE '0' END AS b FROM proj)
+                    GROUP BY vec_id),
+        cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+                 FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+                 WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2 FROM e GROUP BY vec_id),
+        dots AS (SELECT cand.qid, cand.cid, SUM(CAST(qe.v * ce.v AS DECIMAL(38,25))) AS dot
+                 FROM cand
+                 JOIN e qe ON qe.vec_id = cand.qid
+                 JOIN e ce ON ce.vec_id = cand.cid AND ce.pos = qe.pos
+                 GROUP BY cand.qid, cand.cid),
+        scored AS (SELECT d.qid, d.cid,
+                          ROUND(CAST(CAST(d.dot AS DECIMAL(30,12)) AS DOUBLE)
+                              / (sqrt(CAST(CAST(nq.n2 AS DECIMAL(30,12)) AS DOUBLE))
+                                 * sqrt(CAST(CAST(nc.n2 AS DECIMAL(30,12)) AS DOUBLE))), 6) AS cosine
+                   FROM dots d
+                   JOIN norms nq ON nq.vec_id = d.qid
+                   JOIN norms nc ON nc.vec_id = d.cid),
+        ranked AS (SELECT qid AS query_id, cid AS vec_id, cosine,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+                   FROM scored)
+        SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+}
