@@ -1,0 +1,52 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR and print
+ONE JSON line {"metric","value","unit","queries","sf"}.
+
+Each query executes fully (noop sink — no driver collect, no disk) and
+is timed wall-clock. The session mirrors session.py (AQE on, modest
+shuffle partitions); override cpus with SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weatherapi_data_engineering_project_spark.session import get_spark  # noqa: E402
+from weatherapi_data_engineering_project_spark.plans import registry  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Streaming load (two-wave exactly-once), REST source, multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weatherapi_data_engineering_project_spark import fixtures as FX
+from weatherapi_data_engineering_project_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+)
+from weatherapi_data_engineering_project_spark.schemas import (
+    DIM_LOCATION_SCHEMA,
+    WEATHER_DOC_SCHEMA,
+)
+from weatherapi_data_engineering_project_spark.sources import rest
+from weatherapi_data_engineering_project_spark.streaming.load import (
+    TableLoad,
+    run_available_now,
+)
+
+
+def _write_csv(path: str, rows: list[dict], columns: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(",".join(columns) + "\n")
+        for r in rows:
+            f.write(",".join("" if r[c] is None else str(r[c]) for c in columns) + "\n")
+
+
+COLS = ["location_id", "name", "region", "country", "latitude", "longitude"]
+
+
+def test_streaming_two_wave_upsert(spark, tmp_path):
+    """F7 scenario: wave 1 inserts; wave 2 re-delivers + updates + adds.
+    Checkpoint must prevent re-application of wave-1 files."""
+    stage = str(tmp_path / "stage")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    load = TableLoad("dim_location", DIM_LOCATION_SCHEMA, keys=["location_id"])
+
+    wave1 = [
+        {"location_id": "DEL", "name": "New Delhi", "region": "Delhi",
+         "country": "India", "latitude": 28.6, "longitude": 77.2},
+        {"location_id": "MUM", "name": "Mumbai", "region": "MH",
+         "country": "India", "latitude": 19.1, "longitude": 72.9},
+    ]
+    _write_csv(f"{stage}/w1.csv", wave1, COLS)
+    audits = run_available_now(spark, load, stage, target, ckpt)
+    got = {r.location_id: r for r in spark.read.parquet(target).collect()}
+    assert set(got) == {"DEL", "MUM"}
+    assert audits and audits[-1][1] == audits[-1][2] == 2  # n0 == n1 gate
+
+    # wave 2: DEL re-delivered unchanged, MUM updated, KOC new
+    wave2 = [
+        dict(wave1[0]),
+        {**wave1[1], "region": "Maharashtra"},
+        {"location_id": "KOC", "name": "Kochi", "region": "Kerala",
+         "country": "India", "latitude": 10.0, "longitude": 76.3},
+    ]
+    _write_csv(f"{stage}/w2.csv", wave2, COLS)
+    run_available_now(spark, load, stage, target, ckpt)
+    got = {r.location_id: r for r in spark.read.parquet(target).collect()}
+    assert set(got) == {"DEL", "MUM", "KOC"}
+    assert got["MUM"].region == "Maharashtra"  # UPDATE branch applied
+
+    # wave 3: nothing new → stream is a no-op (exactly-once per file)
+    before = sorted(map(tuple, got.values()))
+    run_available_now(spark, load, stage, target, ckpt)
+    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert before == after
+
+
+def test_rest_extract_roundtrip(spark, tmp_path):
+    """EP1: canned fetcher → raw zone → parsed nested docs → transform.
+    One city fails (None payload) and is skipped, others proceed."""
+    payloads = {c[0]: json.dumps(FX.doc(i)) for i, c in enumerate(FX.CITIES)}
+
+    def fetch(city: str) -> str | None:
+        if city == "Kochi":
+            return None  # simulated fetch failure (DataExtraction.py:38-40)
+        return payloads.get(city)
+
+    cities = [c[0] for c in FX.CITIES]
+    fetched = rest.extract(spark, cities, "2024-06-01", fetch)
+    assert fetched.count() == len(cities) - 1
+
+    raw_dir = str(tmp_path / "raw")
+    rest.write_raw_zone(fetched, raw_dir)
+    docs = rest.read_raw_docs(spark, raw_dir, WEATHER_DOC_SCHEMA)
+    assert docs.count() == len(cities) - 1
+    assert docs.filter(F.col("location.name") == "Kochi").count() == 0
+    # parsed docs flow straight into the transform
+    from weatherapi_data_engineering_project_spark.plans.weather_transform import (
+        fact_forecast_day,
+    )
+    assert fact_forecast_day(docs, spark).count() == (len(cities) - 1) * 2
+
+    # S7 archive: files move to history, source prefix drains
+    moved = rest.archive_processed(spark, raw_dir, str(tmp_path / "hist"))
+    assert moved > 0
+
+
+def test_multimodal_feature_extraction(spark):
+    """Binary column + Arrow-batched decode stub: schema and batch
+    plumbing are real; the codec is a deterministic fake."""
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", "png", 64, 64, None),
+        (2, "audio", b"RIFF fake wav", "wav", None, None, 1200),
+        (3, "image", None, "png", 8, 8, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1].n_bytes == len(b"\x89PNG fake bytes")
+    assert len(feats[1].feature) == 4
+    assert feats[3].feature is None  # null content → null feature, no crash
+    # determinism: same bytes → same features
+    again = {r.media_id: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1].feature == again[1].feature

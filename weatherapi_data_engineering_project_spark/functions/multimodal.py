@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Engine extension (north-star requirement): treat image/audio/video as
+``binary`` columns with a typed metadata struct, and run decode /
+feature-extraction as Arrow-batched Pandas functions over
+``mapInPandas``. The Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — is real and tested; the actual codec calls
+are STUBBED (``decode_stub``) because image/audio libraries are not in
+this environment. A deployment swaps ``decode_stub`` for a PIL/ffmpeg
+kernel without touching any plan.
+
+Scale notes: binary payloads ride the scan; metadata-only queries must
+never deserialize them — keep metadata in separate top-level columns
+(not inside the blob) so column pruning skips the bytes entirely.
+``mapInPandas`` processes Arrow record batches, so per-row Python
+overhead is amortized; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds peak memory for fat blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_stub(content: bytes, kind: str, dim: int = 8) -> list[float]:
+    """Deterministic fake decoder: sha256-seeded pseudo-features.
+
+    REAL DEPLOYMENT: replace with PIL.Image.open / torchaudio.load /
+    pyav frame sampling. Raises on None to mirror decoder behavior.
+    """
+    if content is None:
+        raise NotImplementedError("no content to decode")
+    digest = hashlib.sha256(content).digest()
+    return [digest[i] / 255.0 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Decode + featurize media blobs via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "content_sha256": pdf["content"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "feature": pdf.apply(
+                        lambda r: decode_stub(r["content"], r["kind"], dim)
+                        if r["content"] is not None
+                        else None,
+                        axis=1,
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_px: int = 256) -> DataFrame:
+    """Image-resize plumbing: partitions by size class so fat blobs
+    don't skew executors, then maps the (stubbed) resize kernel."""
+    sized = media.withColumn(
+        "size_class",
+        F.when(F.length("content") > 1_000_000, F.lit("large")).otherwise(
+            F.lit("small")
+        ),
+    )
+    return sized.repartition("size_class")

@@ -51,10 +51,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle rows + per-doc set size."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(tokens(text_col), k).alias("sh")
-    )
+    """(id, shingle) exploded distinct-shingle rows + per-doc set size.
+
+    Two deliberate plan shapes:
+    - tokenization is materialized behind its own projection so the
+      regex split runs once per row — inlining it into the shingle
+      lambda would re-evaluate it per shingle position (CollapseProject
+      keeps non-cheap expressions separated, which we rely on);
+    - thin inputs (a single parquet footer's worth of docs arrives as
+      1 partition) are repartitioned up to the session's parallelism
+      before the CPU-heavy shingling; wide inputs are left alone — at
+      real scale the scan already has enough splits and a blind
+      repartition would be a full shuffle of the corpus.
+    """
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_par:
+        df = df.repartition(n_par)
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("toks"))
+    sh = toks.select("doc", shingles(F.col("toks"), k).alias("sh"))
     return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
 
@@ -78,13 +92,18 @@ def jaccard_pairs(
     b = ex.select(
         F.col("doc").alias("id2"), F.col("n_sh").alias("n2"), "shingle"
     )
-    joined = a.join(b, on="shingle").filter(F.col("id1") < F.col("id2"))
     if candidates is not None:
-        joined = joined.join(
-            F.broadcast(candidates.select("id1", "id2").distinct()),
-            on=["id1", "id2"],
-            how="left_semi",
+        # Candidate-restricted path (the LSH fast path): drive the join
+        # FROM the candidate pairs so the quadratic hot-shingle self-join
+        # never materializes — cost is O(|candidates| × shingles/doc),
+        # not O(Σ per-shingle doc-count²).
+        cand = F.broadcast(candidates.select("id1", "id2").distinct())
+        joined = (
+            cand.join(a, on="id1")
+            .join(b, on=["id2", "shingle"])
         )
+    else:
+        joined = a.join(b, on="shingle").filter(F.col("id1") < F.col("id2"))
     inter = joined.groupBy("id1", "id2", "n1", "n2").agg(
         F.count(F.lit(1)).alias("inter")
     )
