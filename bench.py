@@ -26,6 +26,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
 
+    # Untimed generic warmup: JIT/codegen paths and the parquet footers,
+    # so the first timed query doesn't pay JVM cold-start. No per-query
+    # pre-runs — each query below is still a first execution.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from weatherapi_data_engineering_project_spark.schemas import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_DIR, t).count()
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]

@@ -1,0 +1,56 @@
+"""Differential tests: analytics queries (sessionize / as-of / rollup /
+set ops) vs their DuckDB oracles, plus semantic unit checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherapi_data_engineering_project_spark.plans import analytics as A
+from tests.conftest import SF_DIR, compare_query_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(A.QUERIES))
+def test_analytics_query_matches_oracle(spark, name):
+    compare_query_to_oracle(spark, name, A.QUERIES[name], A.ORACLE[name], SF_DIR)
+
+
+def test_sessionize_invariants(spark):
+    """Sessions are disjoint, ordered, and cover every event exactly once."""
+    sess = A.q31_sessionize(spark, SF_DIR)
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    n_events = load_table(spark, SF_DIR, "events").count()
+    agg = sess.agg(
+        F.sum("n_events").alias("total"),
+        F.min("session_idx").alias("min_idx"),
+    ).collect()[0]
+    assert agg.total == n_events
+    assert agg.min_idx == 1
+    # within a user, sessions don't overlap: end(i) < start(i+1)
+    bad = (
+        sess.alias("a")
+        .join(
+            sess.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_idx") + 1 == F.col("b.session_idx"))
+            & (F.col("a.session_end") >= F.col("b.session_start")),
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_asof_never_future(spark):
+    """The matched purchase timestamp is never after the click."""
+    res = A.q32_asof_join(spark, SF_DIR)
+    assert res.filter(F.col("last_purchase_ts") > F.col("ts")).count() == 0
+
+
+def test_rollup_totals_consistent(spark):
+    """Grand total row equals the sum of the leaf rows."""
+    r = A.q33_rollup(spark, SF_DIR).collect()
+    leaves = [x for x in r if x.status != "ALL" and x.priority != "ALL"]
+    grand = [x for x in r if x.status == "ALL" and x.priority == "ALL"]
+    assert len(grand) == 1
+    assert sum(x.n_orders for x in leaves) == grand[0].n_orders

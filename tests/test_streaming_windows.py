@@ -1,0 +1,157 @@
+"""Streaming windows: batch parity, watermark behavior, stateful totals
+across micro-batches (SURVEY.md §5.4 model)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from weatherapi_data_engineering_project_spark.schemas import load_table
+from weatherapi_data_engineering_project_spark.streaming import windows as W
+from tests.conftest import SF_DIR
+
+
+def _events_schema_ddl():
+    return (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+
+def test_windowed_counts_batch_parity(spark):
+    """The window() agg in batch equals a date_trunc groupBy — one
+    correctness anchor for the streaming plan shape."""
+    ev = load_table(spark, SF_DIR, "events")
+    win = W.windowed_counts(ev, window="1 hour", watermark=None)
+    flat = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    a = {(r.window_start, r.event_type): r.n_events for r in win.collect()}
+    b = {(r.window_start, r.event_type): r.n_events for r in flat.collect()}
+    assert a == b
+    # window_end - window_start == 1h everywhere
+    bad = win.filter(
+        F.unix_micros("window_end") - F.unix_micros("window_start") != 3600_000_000
+    ).count()
+    assert bad == 0
+
+
+def test_session_counts_batch_matches_sql_formulation(spark):
+    """Built-in session_window == the lag+cumsum sessionization of
+    plans/analytics.py (same gap)."""
+    from weatherapi_data_engineering_project_spark.plans.analytics import (
+        q31_sessionize,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    builtin = W.session_counts(ev, gap="4 hours", watermark=None)
+    manual = q31_sessionize(spark, SF_DIR)
+    a = sorted(
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in builtin.collect()
+    )
+    b = sorted(
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in manual.collect()
+    )
+    assert a == b
+
+
+def _stream_events(spark, src_dir, checkpoint):
+    """Drain the source through the stateful operator; collect emitted
+    rows via foreachBatch (the memory sink cannot recover from a
+    checkpoint; foreachBatch can)."""
+    rows: list = []
+    stream = (
+        spark.readStream.schema(_events_schema_ddl()).parquet(src_dir)
+    )
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    q = (
+        W.running_user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return rows
+
+
+def test_running_totals_two_waves(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches /
+    restarts; second wave's totals include the first wave."""
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(200).cache()
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    half1.coalesce(1).write.mode("append").parquet(src)
+    w1 = {r.user_id: (r.n_events, r.sum_value)
+          for r in _stream_events(spark, src, ckpt)}
+
+    half2.coalesce(1).write.mode("append").parquet(src)
+    w2 = {r.user_id: (r.n_events, r.sum_value)
+          for r in _stream_events(spark, src, ckpt)}
+
+    # wave-2 output (updated users only) must equal the BATCH totals over
+    # both halves — i.e. state from wave 1 was restored, not recomputed
+    expected = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert w1  # wave 1 emitted something
+    assert w2  # wave 2 emitted something
+    for uid, (n, s) in w2.items():
+        en, es = expected[uid]
+        assert n == en, f"user {uid}: {n} != {en}"
+        assert abs(s - es) < 1e-6
+
+
+def test_windowed_counts_streaming_watermark(spark, tmp_path):
+    """End-to-end streaming windowed agg with watermark over a file
+    source; complete results equal the batch run."""
+    ev = load_table(spark, SF_DIR, "events").limit(500).cache()
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(_events_schema_ddl()).parquet(src)
+    q = (
+        W.windowed_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_stream").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in W.windowed_counts(ev, window="1 hour", watermark=None).collect()
+    }
+    # append mode emits only windows closed by the watermark; everything
+    # emitted must match batch, and most windows should have closed
+    assert got
+    for k, v in got.items():
+        assert want[k] == v

@@ -34,6 +34,10 @@ from ..functions.text import fingerprint, shingles, tokens
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 
+# SimHash: 32-bit fingerprint, banded into 4×8 bits for candidate blocking
+N_SIM_BITS = 32
+N_SIM_BANDS = 4
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group by content fingerprint; keep min-id representative.
@@ -69,7 +73,16 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
         df = df.repartition(n_par)
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("toks"))
     sh = toks.select("doc", shingles(F.col("toks"), k).alias("sh"))
-    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # explode_outer, NOT explode: plain explode makes Catalyst's
+    # InferFiltersFromGenerate synthesize a size(sh)>0 scan filter with
+    # the whole tokenize+shingle chain inlined — the pipeline would run
+    # 3x, partly below the repartition (single-threaded). explode_outer
+    # infers nothing; the post-Generate null filter is a cheap column
+    # test and drops the same zero-shingle docs.
+    return (
+        sh.select("doc", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
 
 
 def jaccard_pairs(
@@ -154,6 +167,112 @@ def minhash_band_candidates(
             lhs.join(rhs, on="band_key").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
         )
     return reduce(DataFrame.unionByName, per_band).distinct()
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_bits: int = N_SIM_BITS,
+) -> DataFrame:
+    """Per-doc SimHash bitstring (Charikar): bit i of each shingle's md5
+    votes +1/-1; the sign of the per-bit vote sum is fingerprint bit i.
+
+    Bit i of a shingle hash = (hex digit i of md5(shingle)) >= '8' — the
+    top bit of each nibble, identical and deterministic in any engine.
+    The per-doc reduction is ONE groupBy with n_bits integer SUMs:
+    map-side partial aggregation means the shuffle carries n_bits ints
+    per doc, never shingles — the same 100 TB shape as MinHash.
+    Returns (doc, bits) with bits a fixed-width '0'/'1' string.
+    """
+    ex = shingle_sets(df, text_col, id_col, k)
+    # Pack each 8-hex-char chunk of the md5 into a long ONCE per
+    # shingle; "hex digit i >= '8'" is then an integer bit test
+    # (bit (7 - i%8)*4 + 3 of word i//8) — 4 conv calls + 32 codegen'd
+    # shift/ands per row instead of 32 substring allocations. The SQL
+    # oracle keeps the substring formulation; the bits are identical.
+    n_words = (n_bits + 7) // 8
+    hx = ex.select(
+        "doc",
+        *[
+            F.conv(F.substring(F.md5("shingle"), w * 8 + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"w{w}")
+            for w in range(n_words)
+        ],
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col(f"w{i // 8}"), (7 - i % 8) * 4 + 3).bitwiseAND(
+                F.lit(1)
+            )
+            * 2
+            - 1
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    sums = hx.groupBy("doc").agg(*aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_bits)
+        ]
+    )
+    return sums.select("doc", bits.alias("bits"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    k: int = 3,
+    n_bits: int = N_SIM_BITS,
+    n_bands: int = N_SIM_BANDS,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(bits1, bits2) <= max_hamming.
+
+    Candidate blocking is standard simhash banding — split the
+    fingerprint into n_bands contiguous chunks and equi-join per
+    (band_idx, band_value); a pair within hamming d of each other on
+    n_bits bits must agree exactly on >= n_bands - d bands, so recall
+    is 100% whenever max_hamming < n_bands (pigeonhole); above that it
+    is the usual probabilistic LSH trade. The verifier compares only
+    candidate pairs, never all pairs. Output: (id1, id2, hamming).
+    """
+    w = n_bits // n_bands
+    sigs = simhash_signatures(df, text_col, id_col, k, n_bits)
+    band_arr = F.array(*[F.substring("bits", b * w + 1, w) for b in range(n_bands)])
+    bands = sigs.select(
+        "doc", "bits", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    a = bands.select(
+        F.col("doc").alias("id1"), F.col("bits").alias("bits1"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc").alias("id2"), F.col("bits").alias("bits2"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "bits1", "id2", "bits2")
+        .distinct()
+    )
+    ham = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(
+                F.substring("bits1", i + 1, 1) != F.substring("bits2", i + 1, 1),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for i in range(n_bits)
+        ],
+    )
+    return (
+        cand.select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def minhash_lsh_pairs(

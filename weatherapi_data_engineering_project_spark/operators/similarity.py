@@ -24,6 +24,8 @@ escape hatch.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -61,6 +63,83 @@ def _positions(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).select("vid", "pos", F.col("v").cast("double").alias("v"))
 
 
+def _dot_arrays(a, b):
+    """Decimal-exact dot product of two array<float> columns, computed
+    row-local (zip_with + fold) — no explode, no join, no shuffle.
+
+    Each elementwise product is rounded to decimal(38,25) exactly like
+    the exploded SUM(CAST(x*y AS DECIMAL)) formulation, and decimal
+    addition is exact, so the result is bit-identical to the grouped
+    variant — but the plan is a single projection. This is the scale
+    shape: scoring N candidate pairs costs N codegen'd rows, not
+    N × dim shuffled rows.
+    """
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    )
+
+
+def _norm2_array(a):
+    return _dot_arrays(a, a)
+
+
+def _dot_arrays_fast(a, b):
+    """Double-precision dot product — the cheap PREFILTER twin of
+    _dot_arrays. Not partitioning/engine-exact (float addition isn't
+    associative), so it must never decide the final answer; callers
+    prune with a small epsilon margin and exact-rescore survivors."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# Margin for double-vs-decimal disagreement on a 64-term dot product:
+# worst-case relative reordering error is ~dim · ulp ≈ 1e-14; 1e-6 is
+# 8 orders safer and still prunes essentially everything below cutoff.
+_PREFILTER_EPS = 1e-6
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a thin scan out to the session's parallelism.
+
+    A small embeddings parquet arrives as ONE split and every
+    downstream projection runs single-threaded; at real scale the scan
+    already has enough splits and this is a no-op (never a blind
+    repartition of a wide input)."""
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_par:
+        return df.repartition(n_par)
+    return df
+
+
+def _norms(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, n2) — each vector's squared norm, computed ONCE; scoring
+    joins this instead of re-deriving the norm per candidate pair."""
+    return embeddings.select(
+        F.col(id_col).alias("_nid"), _norm2_array(F.col(vec_col)).alias("n2")
+    )
+
+
+def _hyperplane_weights(n_bits: int, dim: int) -> list[list[float]]:
+    """The deterministic sign-LSH hyperplanes as plan-time literals.
+
+    w(bit, pos) = +1 iff the first hex digit of md5('{bit}_{pos}') is
+    >= '8' — the exact rule the SQL oracle evaluates at runtime; here
+    the md5s are folded into the plan as constants, so the projection
+    is pure arithmetic (no per-row hashing, no explode)."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{bit}_{pos}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for pos in range(dim)
+        ]
+        for bit in range(n_bits)
+    ]
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -72,24 +151,18 @@ def cosine_topk(
 
     Returns (vec_id, cosine, rn) with deterministic id tiebreak.
     """
-    e = _positions(embeddings, id_col, vec_col)
-    q = (
-        _positions(embeddings.filter(F.col(id_col) == query_id), id_col, vec_col)
-        .select("pos", F.col("v").alias("qv"))
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"),
+        _norm2_array(F.col(vec_col)).alias("qn2"),
     )
-    dots = (
-        e.join(F.broadcast(q), on="pos")
-        .groupBy("vid")
-        .agg(
-            F.sum((F.col("v") * F.col("qv")).cast(_DEC)).alias("dot"),
-            F.sum((F.col("v") * F.col("v")).cast(_DEC)).alias("n2"),
-        )
+    cos = _score(
+        _dot_arrays(F.col(vec_col), F.col("qvec")),
+        _norm2_array(F.col(vec_col)),
+        F.col("qn2"),
     )
-    qn = q.agg(F.sum((F.col("qv") * F.col("qv")).cast(_DEC)).alias("qn2"))
-    cos = _score(F.col("dot"), F.col("n2"), F.col("qn2"))
     ranked = (
-        dots.crossJoin(F.broadcast(qn))
-        .select(F.col("vid").alias("vec_id"), cos.alias("cosine"))
+        _ensure_parallelism(embeddings).crossJoin(F.broadcast(q))
+        .select(F.col(id_col).alias("vec_id"), cos.alias("cosine"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -110,37 +183,190 @@ def signlsh_buckets(
 
     Hyperplane weight w(bit, pos) = +1 if the first hex digit of
     md5('{bit}_{pos}') is ≥ '8' else −1 — reproducible everywhere with
-    no side-channel model. Projections accumulate in decimal so the
-    sign (hence the bucket) is partitioning-independent.
+    no side-channel model. The md5s are evaluated at PLAN time
+    (_hyperplane_weights) so the per-row work is n_bits decimal dot
+    products against literal arrays — one narrow projection, no
+    explode, no shuffle, no runtime hashing. Projections accumulate in
+    decimal so the sign (hence the bucket) is partitioning-independent
+    and engine-independent.
     """
-    e = _positions(embeddings, id_col, vec_col)
-    bits = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit")
-    eb = e.select("vid", "pos", "v", bits)
-    w = F.when(
-        F.substring(F.md5(F.concat_ws("_", F.col("bit"), F.col("pos"))), 1, 1)
-        >= F.lit("8"),
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    proj = (
-        eb.groupBy("vid", "bit")
-        .agg(F.sum((w * F.col("v")).cast(_DEC)).alias("proj"))
-        .select(
-            "vid",
-            "bit",
-            F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row.d if dim_row else 0
+    weights = _hyperplane_weights(n_bits, dim)
+    src = _ensure_parallelism(embeddings)
+    bit_chars = []
+    for bit in range(n_bits):
+        warr = F.array(*[F.lit(w) for w in weights[bit]])
+        proj = _dot_arrays(F.col(vec_col), warr)
+        bit_chars.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return src.select(
+        F.col(id_col),
+        F.concat(*bit_chars).alias("bucket"),
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id1, id2, cosine >= threshold).
+
+    Candidates come from banded sign-LSH (OR over n_bands bands of
+    band_bits bits — any shared band makes a pair a candidate), the
+    standard amplification that trades a little recall for never
+    materializing the quadratic all-pairs join; candidates are then
+    exact-verified with the decimal-accumulated cosine. Both sides of
+    the differential oracle compute the SAME deterministic bands, so
+    the (probabilistic-recall) output is still exactly comparable.
+    """
+    n_bits = n_bands * band_bits
+    # buckets are tiny (one short string per vector) and feed BOTH sides
+    # of the self-join — cache so the projection runs once, not twice
+    buckets = signlsh_buckets(embeddings, n_bits, id_col, vec_col).cache()
+    band_arr = F.array(
+        *[F.substring("bucket", b * band_bits + 1, band_bits) for b in range(n_bands)]
+    )
+    bands = buckets.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    cands = (
+        bands.select(F.col("vid").alias("id1"), "band_idx", "band_val")
+        .join(
+            bands.select(F.col("vid").alias("id2"), "band_idx", "band_val"),
+            on=["band_idx", "band_val"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+    # Two-phase scoring — the 100 TB shape: a cheap double-precision
+    # cosine prunes the candidate flood (primitive arithmetic, no
+    # BigDecimal allocation per element), then ONLY the ~threshold
+    # survivors get the exact decimal score that defines the answer.
+    v1 = embeddings.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("vec1"),
+        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_1"),
+    )
+    v2 = embeddings.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("vec2"),
+        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_2"),
+    )
+    approx = _dot_arrays_fast(F.col("vec1"), F.col("vec2")) / (
+        F.sqrt("n2d_1") * F.sqrt("n2d_2")
+    )
+    survivors = (
+        cands.join(v1, on="id1")
+        .join(v2, on="id2")
+        .filter(approx >= threshold - _PREFILTER_EPS)
+    )
+    cos = _score(
+        _dot_arrays(F.col("vec1"), F.col("vec2")),
+        _norm2_array(F.col("vec1")),
+        _norm2_array(F.col("vec2")),
+    )
+    return (
+        survivors.select("id1", "id2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    max_query_id: int | None = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize to centroid lists, probe a few.
+
+    The coarse quantizer here is deterministic — centroids are the
+    vectors with id < n_centroids (a production build runs k-means
+    refinement; the PLAN shape — broadcast centroids, argmax-cosine
+    assignment, probe-list union, exact re-rank within probed lists —
+    is identical and that is what scales: each query touches
+    ~n_probe/n_centroids of the corpus, and the inverted lists are a
+    single shuffle-by-centroid partitioning of the corpus that can be
+    written once and reused by every query batch).
+
+    Returns (query_id, vec_id, cosine, rn <= k), queries restricted to
+    id < max_query_id, self-matches excluded.
+    """
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        _norm2_array(F.col(vec_col)).alias("cn2"),
+    )
+    # argmax-cosine assignment: corpus × broadcast centroids, row-local
+    # dot; own-norm hoisted into a projection so it's computed once per
+    # vector, not once per (vector, centroid)
+    corpus = _ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vvec"),
+        _norm2_array(F.col(vec_col)).alias("vn2"),
+    )
+    ascore = _score(
+        _dot_arrays(F.col("vvec"), F.col("cvec")), F.col("vn2"), F.col("cn2")
+    )
+    ranked_cent = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vid", "cid", ascore.alias("cscore"))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(F.col("cscore").desc(), F.col("cid"))
+            ),
         )
     )
-    # assemble the bit string in bit order (max of the single non-null
-    # per-bit value — a pivot without a Python loop over rows)
-    bit_cols = [
-        F.max(F.when(F.col("bit") == i, F.col("b"))).alias(f"b{i}")
-        for i in range(n_bits)
-    ]
-    sigs = proj.groupBy("vid").agg(*bit_cols)
-    return sigs.select(
-        F.col("vid").alias(id_col),
-        F.concat_ws("", *[F.col(f"b{i}") for i in range(n_bits)]).alias("bucket"),
+    assign = ranked_cent.filter(F.col("crn") == 1).select(
+        F.col("vid").alias("cand_id"), "cid"
     )
+    probes = ranked_cent.filter(F.col("crn") <= n_probe).select(
+        F.col("vid").alias("qid"), "cid"
+    )
+    if max_query_id is not None:
+        probes = probes.filter(F.col("qid") < max_query_id)
+    cands = (
+        probes.join(assign, on="cid")
+        .filter(F.col("qid") != F.col("cand_id"))
+        .select("qid", F.col("cand_id").alias("cid2"))
+    )
+    qv = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    if max_query_id is not None:
+        qv = F.broadcast(qv.filter(F.col("qid") < max_query_id))
+    cv = embeddings.select(F.col(id_col).alias("cid2"), F.col(vec_col).alias("cvec2"))
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec2")),
+        _norm2_array(F.col("qvec")),
+        _norm2_array(F.col("cvec2")),
+    )
+    ranked = (
+        cands.join(qv, on="qid")
+        .join(cv, on="cid2")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid2").alias("vec_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rn") <= k)
 
 
 def signlsh_topk(
@@ -157,10 +383,6 @@ def signlsh_topk(
     the query set (for tests/oracle); None means all-vs-bucket.
     """
     buckets = signlsh_buckets(embeddings, n_bits, id_col, vec_col)
-    e = _positions(embeddings, id_col, vec_col)
-    norms = e.groupBy("vid").agg(
-        F.sum((F.col("v") * F.col("v")).cast(_DEC)).alias("n2")
-    )
 
     qb = buckets.select(F.col(id_col).alias("qid"), "bucket")
     if max_query_id is not None:
@@ -171,20 +393,18 @@ def signlsh_topk(
         .select("qid", F.col(id_col).alias("cid"))
     )
 
-    qe = e.select(F.col("vid").alias("qid"), "pos", F.col("v").alias("qv"))
-    ce = e.select(F.col("vid").alias("cid"), "pos", "v")
-    dots = (
-        cands.join(qe, on="qid")
-        .join(ce, on=["cid", "pos"])
-        .groupBy("qid", "cid")
-        .agg(F.sum((F.col("qv") * F.col("v")).cast(_DEC)).alias("dot"))
+    qv = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    if max_query_id is not None:
+        qv = F.broadcast(qv.filter(F.col("qid") < max_query_id))
+    cv = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        _norm2_array(F.col("qvec")),
+        _norm2_array(F.col("cvec")),
     )
-    qn = norms.select(F.col("vid").alias("qid"), F.col("n2").alias("qn2"))
-    cn = norms.select(F.col("vid").alias("cid"), F.col("n2").alias("cn2"))
-    cos = _score(F.col("dot"), F.col("qn2"), F.col("cn2"))
     ranked = (
-        dots.join(qn, on="qid")
-        .join(cn, on="cid")
+        cands.join(qv, on="qid")
+        .join(cv, on="cid")
         .select(
             F.col("qid").alias("query_id"),
             F.col("cid").alias("vec_id"),

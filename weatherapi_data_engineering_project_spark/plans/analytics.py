@@ -1,0 +1,185 @@
+"""Time-series / multi-level analytics operators over the events stream
+table and orders: gap sessionization, as-of join, rollup, set ops.
+
+These widen §2 coverage with the operators any production use of the
+reference's fact tables needs (and that Spark users expect from an
+analytics engine): the reference itself has none of them (SURVEY.md
+§2.I — "no theta/range/as-of joins, no window functions, no
+union/intersect/except"), so they are engine extensions, each with an
+exact ANSI-SQL oracle.
+
+Scale notes (100 TB story):
+- sessionize and as-of are single-shuffle window plans: ONE exchange
+  hash-partitioned by user_id, then both the lag/cumsum (sessionize)
+  and the last-non-null carry (as-of) run inside the sorted partition.
+  No joins, no second shuffle; at 1000 executors each user's timeline
+  lands on one task, and AQE handles hot users via skew-split only if
+  a single user exceeds a partition (then salting by day is the known
+  mitigation).
+- the as-of join is deliberately NOT a range join (which Spark plans
+  as broadcast-nested-loop): union the two sides, sort once, carry the
+  last right-side timestamp forward — O(n log n) instead of O(n·m).
+- rollup is Catalyst's Expand + partial hash aggregate: map-side
+  combine happens before the single shuffle, so the shuffle carries
+  one row per (group × grouping-set) per task, not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h gap closes a session
+
+
+def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >4 h silence starts a new session.
+
+    lag + cumulative-sum over a (user_id, ts) window — the batch twin
+    of streaming ``session_window`` (streaming/windows.py uses the
+    built-in; this formulation is what a SQL engine can verify).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the latest purchase at-or-before
+    it by the same user (NULL if none yet).
+
+    Implemented as union + sorted last-non-null carry (see module
+    docstring); the DuckDB oracle uses its native ASOF LEFT JOIN, so
+    this differentially proves our composition implements the real
+    as-of semantics. Ties (purchase ts == click ts) count as matched:
+    the right side sorts before the left at equal ts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(0).alias("is_right"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("p_ts"), F.lit(1).alias("is_right"),
+    )
+    both = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.withColumn(
+        "last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_right") == 0).select(
+        "event_id", "user_id", "ts", "last_purchase_ts"
+    )
+
+
+def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP: (status, priority) → status subtotals → grand
+    total, one Expand + single-shuffle hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q34_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: (1995 buyers ∩ 1996 buyers) \\ finished-order
+    buyers — INTERSECT and EXCEPT with DISTINCT semantics, planned by
+    Catalyst as hash semi/anti joins on the pre-aggregated key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    buyers_95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    buyers_96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return buyers_95.intersect(buyers_96).subtract(finished)
+
+
+QUERIES = {
+    "q31_sessionize": q31_sessionize,
+    "q32_asof_join": q32_asof_join,
+    "q33_rollup": q33_rollup,
+    "q34_setops": q34_setops,
+}
+
+ORACLE = {
+    "q31_sessionize": f"""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM marked)
+        SELECT user_id, session_idx,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM numbered
+        GROUP BY user_id, session_idx
+    """,
+    "q32_asof_join": """
+        SELECT c.event_id, c.user_id, c.ts, p.ts AS last_purchase_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                        WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "q33_rollup": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "q34_setops": """
+        (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+}

@@ -101,6 +101,27 @@ def q27_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.signlsh_topk(e, k=3, n_bits=8, max_query_id=20)
 
 
+def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit shingle-vote fingerprint, banded
+    candidate blocking, hamming <= 6 verification."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, "text", "doc_id", max_hamming=6)
+
+
+def q29_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-LSH candidates
+    + exact decimal-cosine verify >= 0.4."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_neardup_pairs(e, threshold=0.4, n_bands=4, band_bits=4)
+
+
+def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: 16 deterministic centroid lists, probe top-2,
+    exact top-3 re-rank within probed lists for queries vec_id < 20."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
+
+
 QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
@@ -111,7 +132,46 @@ QUERIES = {
     "q25_minhash_lsh": q25_minhash_lsh,
     "q26_cosine_topk": q26_cosine_topk,
     "q27_ann_signlsh": q27_ann_signlsh,
+    "q28_simhash": q28_simhash,
+    "q29_embed_neardup": q29_embed_neardup,
+    "q30_ivf_ann": q30_ivf_ann,
 }
+
+# --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
+
+_SIM_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(DD.N_SIM_BITS)
+)
+_SIM_BITS = " || ".join(
+    f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(DD.N_SIM_BITS)
+)
+_SIM_HAM = " + ".join(
+    f"(CASE WHEN substr(x.bits, {i + 1}, 1) <> substr(y.bits, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(DD.N_SIM_BITS)
+)
+_SIM_W = DD.N_SIM_BITS // DD.N_SIM_BANDS
+_SIM_BAND_VALS = ", ".join(
+    f"substr(bits, {b * _SIM_W + 1}, {_SIM_W})" for b in range(DD.N_SIM_BANDS)
+)
+_SIM_BAND_IDX = ", ".join(str(b) for b in range(DD.N_SIM_BANDS))
+
+# 16-bit sign-LSH bucket (4 bands × 4 bits) — same md5 hyperplanes as
+# signlsh_buckets; bucket string assembled bit 0 .. bit 15.
+_NEARDUP_BITS = 16
+_ND_BUCKET = " || ".join(
+    f"MAX(CASE WHEN bit = {i} THEN b END)" for i in range(_NEARDUP_BITS)
+)
+_ND_BAND_VALS = ", ".join(
+    f"substr(bucket, {b * 4 + 1}, 4)" for b in range(4)
+)
+
+_SCORE = (
+    "ROUND(CAST(CAST({dot} AS DECIMAL(30,12)) AS DOUBLE)"
+    " / (sqrt(CAST(CAST({n1} AS DECIMAL(30,12)) AS DOUBLE))"
+    " * sqrt(CAST(CAST({n2} AS DECIMAL(30,12)) AS DOUBLE))), 6)"
+)
 
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
 _SHINGLES_CTE = f"""
@@ -270,6 +330,103 @@ ORACLE = {
                           ROW_NUMBER() OVER (
                               PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
                    FROM scored)
+        SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+    "q28_simhash": f"""
+        WITH {_SHINGLES_CTE},
+        hx AS (SELECT doc_id, md5(shingle) AS h FROM ex),
+        sums AS (SELECT doc_id, {_SIM_SUMS} FROM hx GROUP BY doc_id),
+        bits AS (SELECT doc_id, {_SIM_BITS} AS bits FROM sums),
+        bands AS (SELECT doc_id, unnest([{_SIM_BAND_VALS}]) AS band_val,
+                         unnest([{_SIM_BAND_IDX}]) AS band_idx
+                  FROM bits),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id)
+        SELECT id1, id2, hamming FROM (
+            SELECT c.id1, c.id2, ({_SIM_HAM}) AS hamming
+            FROM cand c
+            JOIN bits x ON x.doc_id = c.id1
+            JOIN bits y ON y.doc_id = c.id2)
+        WHERE hamming <= 6
+    """,
+    "q29_embed_neardup": f"""
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        proj AS (SELECT vec_id, bit,
+                        SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
+                                       THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
+                 FROM e CROSS JOIN (SELECT unnest(range(0, {_NEARDUP_BITS})) AS bit)
+                 GROUP BY vec_id, bit),
+        buckets AS (SELECT vec_id, {_ND_BUCKET} AS bucket
+                    FROM (SELECT vec_id, bit,
+                                 CASE WHEN p >= 0 THEN '1' ELSE '0' END AS b FROM proj)
+                    GROUP BY vec_id),
+        bands AS (SELECT vec_id, unnest([{_ND_BAND_VALS}]) AS band_val,
+                         unnest([0, 1, 2, 3]) AS band_idx
+                  FROM buckets),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.vec_id < b.vec_id),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        dots AS (SELECT c.id1, c.id2, SUM(CAST(ae.v * be.v AS DECIMAL(38,25))) AS dot
+                 FROM cand c
+                 JOIN e ae ON ae.vec_id = c.id1
+                 JOIN e be ON be.vec_id = c.id2 AND be.pos = ae.pos
+                 GROUP BY c.id1, c.id2)
+        SELECT id1, id2, cosine FROM (
+            SELECT d.id1, d.id2,
+                   {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")} AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.id1
+            JOIN norms nb ON nb.vec_id = d.id2)
+        WHERE cosine >= 0.4
+    """,
+    "q30_ivf_ann": f"""
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        adots AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
+                         SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
+                  FROM e JOIN e c ON c.pos = e.pos AND c.vec_id < 16
+                  GROUP BY e.vec_id, c.vec_id),
+        ranked_cent AS (
+            SELECT vid, cid,
+                   {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")} AS cscore,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid
+                       ORDER BY {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")} DESC,
+                                cid) AS crn
+            FROM adots a
+            JOIN norms nv ON nv.vec_id = a.vid
+            JOIN norms nc ON nc.vec_id = a.cid),
+        assign AS (SELECT vid AS cand_id, cid FROM ranked_cent WHERE crn = 1),
+        probes AS (SELECT vid AS qid, cid FROM ranked_cent
+                   WHERE crn <= 2 AND vid < 20),
+        cands AS (SELECT p.qid, a.cand_id AS cid2
+                  FROM probes p JOIN assign a ON a.cid = p.cid
+                  WHERE p.qid <> a.cand_id),
+        dots AS (SELECT c.qid, c.cid2, SUM(CAST(qe.v * ce.v AS DECIMAL(38,25))) AS dot
+                 FROM cands c
+                 JOIN e qe ON qe.vec_id = c.qid
+                 JOIN e ce ON ce.vec_id = c.cid2 AND ce.pos = qe.pos
+                 GROUP BY c.qid, c.cid2),
+        ranked AS (
+            SELECT d.qid AS query_id, d.cid2 AS vec_id,
+                   {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.qid
+                       ORDER BY {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} DESC,
+                                d.cid2) AS rn
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = d.qid
+            JOIN norms nc ON nc.vec_id = d.cid2)
         SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 3
     """,
 }

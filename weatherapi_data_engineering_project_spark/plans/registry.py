@@ -30,6 +30,12 @@ def _modules():
         mods.append(weather)
     except ImportError:
         pass
+    try:
+        from . import analytics
+
+        mods.append(analytics)
+    except ImportError:
+        pass
     return mods
 
 

@@ -1,0 +1,144 @@
+"""Event-time windowed aggregation and custom stateful operators.
+
+The reference's streaming surface is pure per-file micro-batch (no
+watermarks, no windows — SURVEY.md §2.I); these are the engine
+extensions that make the events stream queryable the way Structured
+Streaming intends:
+
+- ``windowed_counts``: tumbling event-time windows with a watermark —
+  late data inside the watermark still lands in its window; beyond it
+  the state is dropped (bounded state at 100 TB: state size is
+  O(windows_in_watermark × groups), independent of stream length).
+- ``session_counts``: built-in gap sessionization
+  (``session_window``) — the streaming twin of the batch
+  ``plans/analytics.py::q31_sessionize`` formulation.
+- ``running_user_totals``: a custom stateful operator via
+  ``applyInPandasWithState`` — per-user running totals that survive
+  across micro-batches through the state store. This is the (c)-tier
+  escape hatch of the operator policy: only the per-group state update
+  is Python (Arrow-batched), discovery/shuffle/checkpoint stay JVM.
+
+All three take any events-shaped DataFrame (batch or streaming):
+windowed/session aggs run identically in batch (no watermark needed),
+which is what the batch-parity tests exploit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
+)
+_STATE_SCHEMA = "n_events bigint, sum_value double, last_ts_us bigint"
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window × event_type counts and value sums.
+
+    Decimal-accumulated sum (exact, order-independent) cast back to
+    double; with ``watermark`` set (streaming), state for windows older
+    than max_event_time - watermark is evicted.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "4 hours",
+    watermark: str | None = "8 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (built-in ``session_window``).
+
+    Streaming requires the watermark (session state must be closable);
+    batch runs without one.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _update_running_totals(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user state update: fold this batch's rows into the running
+    (count, sum, last-seen) triple and emit the new totals."""
+    (user_id,) = key
+    if state.exists:
+        n, s, last_us = state.get
+    else:
+        n, s, last_us = 0, 0.0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1_000))
+    state.update((n, s, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [s],
+            "last_ts": [pd.Timestamp(last_us * 1_000)],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across
+    micro-batches (``applyInPandasWithState``; state in the checkpoint
+    state store, keyed shuffle by user_id — each user's state lives on
+    exactly one executor)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
