@@ -1,0 +1,108 @@
+"""Property-based tests (SURVEY.md §5.5): upsert algebra, dedup
+invariants, sessionization structure — randomized small frames via
+hypothesis, invariants checked exactly.
+
+Spark jobs cost ~100 ms per action, so examples are capped low; the
+value is in the generated edge shapes (dup keys, empty updates, single
+rows, colliding texts), not example volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from weatherapi_data_engineering_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+)
+from weatherapi_data_engineering_project_spark.operators.upsert import upsert
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=5),  # key
+    st.integers(min_value=0, max_value=100),  # payload
+    st.integers(min_value=0, max_value=10),  # version (order_by)
+)
+rows = st.lists(row, min_size=0, max_size=12)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [(int(k), int(v), int(ver)) for k, v, ver in data],
+        "k int, v int, ver int",
+    )
+
+
+@given(target=rows, updates=rows)
+@settings(**SETTINGS)
+def test_upsert_idempotent_and_key_unique(spark, target, updates):
+    """upsert(upsert(t, u), u) == upsert(t, u); result has unique keys
+    when the target does."""
+    # make target key-unique first (the operator's precondition)
+    t = _df(spark, target).dropDuplicates(["k"])
+    u = _df(spark, updates)
+    order = [F.col("ver").desc(), F.col("v").desc()]
+    once = upsert(t, u, ["k"], order_by=order)
+    twice = upsert(once, u, ["k"], order_by=order)
+    r1 = sorted(map(tuple, once.collect()))
+    r2 = sorted(map(tuple, twice.collect()))
+    assert r1 == r2
+    keys = [r[0] for r in r1]
+    assert len(keys) == len(set(keys))
+
+
+@given(target=rows, updates=rows)
+@settings(**SETTINGS)
+def test_upsert_covers_both_sides(spark, target, updates):
+    """Every update key appears in the result; target rows with keys not
+    in updates survive unchanged."""
+    t = _df(spark, target).dropDuplicates(["k"])
+    u = _df(spark, updates)
+    res = upsert(t, u, ["k"], order_by=[F.col("ver").desc(), F.col("v").desc()])
+    res_rows = {r.k: (r.v, r.ver) for r in res.collect()}
+    u_keys = {r.k for r in u.collect()}
+    t_rows = {r.k: (r.v, r.ver) for r in t.collect()}
+    assert u_keys <= set(res_rows)
+    for k, payload in t_rows.items():
+        if k not in u_keys:
+            assert res_rows[k] == payload
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8
+)
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_corpus(spark, docs):
+    """Groups partition the corpus: sum(n_docs) == n rows, and each
+    representative is the min id of its group."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    res = exact_dedup(df, "text", "doc_id").collect()
+    assert sum(r.n_docs for r in res) == len(docs)
+    assert len({r.fp for r in res}) == len(res)
+    assert all(r.representative is not None for r in res)
+
+
+@given(docs=texts)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jaccard_pairs_bounds(spark, docs):
+    """Pairs are ordered (id1 < id2) and scores lie in (0, 1]."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    res = jaccard_pairs(df, "text", "doc_id", threshold=0.01, k=2).collect()
+    for r in res:
+        assert r.id1 < r.id2
+        assert 0.0 < r.jaccard <= 1.0

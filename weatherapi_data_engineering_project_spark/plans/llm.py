@@ -122,6 +122,33 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
 
 
+def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents re-cast as opaque binary
+    media payloads (kind round-robined image/audio/video), pushed through
+    the Arrow-batched mapInPandas decode/feature kernel
+    (functions/multimodal.py). Output keeps the metadata columns the
+    oracle can recompute (byte length + sha256); the stub feature vector
+    is exercised by unit tests."""
+    from ..functions.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("synthetic").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_sha256"
+    )
+
+
 QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
@@ -135,6 +162,7 @@ QUERIES = {
     "q28_simhash": q28_simhash,
     "q29_embed_neardup": q29_embed_neardup,
     "q30_ivf_ann": q30_ivf_ann,
+    "q35_multimodal_features": q35_multimodal_features,
 }
 
 # --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
@@ -331,6 +359,15 @@ ORACLE = {
                               PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
                    FROM scored)
         SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+    "q35_multimodal_features": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               sha256(text) AS content_sha256
+        FROM documents
     """,
     "q28_simhash": f"""
         WITH {_SHINGLES_CTE},
