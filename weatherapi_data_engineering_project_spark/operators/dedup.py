@@ -28,6 +28,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint, shingles, tokens
 
@@ -99,6 +100,20 @@ def jaccard_pairs(
     only those pairs are scored — the LSH fast path.
     """
     ex = shingle_sets(df, text_col, id_col, k)
+    # Both join sides (and, on the LSH path, the signature build too)
+    # read the exploded shingles; without a persist the whole
+    # tokenize+shingle pipeline re-runs per consumer — Spark reuses
+    # exchanges only for identical subplans, and these projections
+    # differ. MEMORY_AND_DISK: at corpus scale the explode output can
+    # exceed memory; spilling beats recomputing.
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    return jaccard_from_shingles(ex, threshold, candidates)
+
+
+def jaccard_from_shingles(
+    ex: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Jaccard scoring over a prebuilt (doc, n_sh, shingle) frame."""
     a = ex.select(
         F.col("doc").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
     )
@@ -139,6 +154,13 @@ def minhash_signatures(
     strings per doc regardless of document size.
     """
     ex = shingle_sets(df, text_col, id_col, k)
+    return minhash_signatures_from_shingles(ex, n_hashes)
+
+
+def minhash_signatures_from_shingles(
+    ex: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Signature build over a prebuilt (doc, n_sh, shingle) frame."""
     aggs = [
         F.min(F.md5(F.concat_ws("§", F.lit(str(i)), F.col("shingle")))).alias(
             f"sig{i}"
@@ -153,20 +175,37 @@ def minhash_band_candidates(
 ) -> DataFrame:
     """LSH banding: hash each band's signature rows into a key; docs
     sharing any band key become candidate pairs (id1 < id2, distinct).
+
+    All bands ride ONE posexplode into a single (band_idx, band_key)
+    equi-join; the per-band union-of-joins alternative re-derives the
+    signature subplan once per band per join side.
     """
     rows_per_band = n_hashes // n_bands
-    per_band = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band = sigs.select(
-            F.col("doc"), F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        )
-        lhs = band.select(F.col("doc").alias("id1"), "band_key")
-        rhs = band.select(F.col("doc").alias("id2"), "band_key")
-        per_band.append(
-            lhs.join(rhs, on="band_key").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
-        )
-    return reduce(DataFrame.unionByName, per_band).distinct()
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    lhs = bands.select(F.col("doc").alias("id1"), "band_idx", "band_key")
+    rhs = bands.select(F.col("doc").alias("id2"), "band_idx", "band_key")
+    return (
+        lhs.join(rhs, on=["band_idx", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
 
 
 def simhash_signatures(
@@ -242,7 +281,11 @@ def simhash_pairs(
     candidate pairs, never all pairs. Output: (id1, id2, hamming).
     """
     w = n_bits // n_bands
-    sigs = simhash_signatures(df, text_col, id_col, k, n_bits)
+    # one fingerprint row per doc; persisted because both band-join
+    # sides read it and the shingle pipeline behind it is expensive
+    sigs = simhash_signatures(df, text_col, id_col, k, n_bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_arr = F.array(*[F.substring("bits", b * w + 1, w) for b in range(n_bands)])
     bands = sigs.select(
         "doc", "bits", F.posexplode(band_arr).alias("band_idx", "band_val")
@@ -283,7 +326,15 @@ def minhash_lsh_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → candidate join
-    → exact Jaccard verification ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    → exact Jaccard verification ≥ threshold.
+
+    The exploded shingle frame is built ONCE and persisted: signatures,
+    and the Jaccard verifier's two sides, all read it — without the
+    persist the tokenize+shingle pipeline re-runs per consumer (Spark
+    reuses exchanges only for identical subplans)."""
+    ex = shingle_sets(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_from_shingles(ex)
     cands = minhash_band_candidates(sigs)
-    return jaccard_pairs(df, text_col, id_col, threshold, k, candidates=cands)
+    return jaccard_from_shingles(ex, threshold, candidates=cands)
