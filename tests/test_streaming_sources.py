@@ -121,3 +121,30 @@ def test_multimodal_feature_extraction(spark):
     # determinism: same bytes → same features
     again = {r.media_id: r for r in extract_features(media, dim=4).collect()}
     assert feats[1].feature == again[1].feature
+
+
+def test_multimodal_frame_sampling(spark):
+    """Video → N frame rows (1/second), deterministic per-frame hashes;
+    null content dropped; missing duration yields one frame."""
+    from weatherapi_data_engineering_project_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    rows = [
+        (1, "video", b"fake mp4 bytes", "mp4", None, None, 3500),
+        (2, "video", b"tiny clip", "mp4", None, None, None),
+        (3, "video", None, "mp4", None, None, 9000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media[1]) == 3  # 3500ms → frames at 0,1000,2000
+    assert [f.frame_ms for f in sorted(by_media[1], key=lambda f: f.frame_idx)] == [
+        0, 1000, 2000,
+    ]
+    assert len(by_media[2]) == 1  # no duration → single frame
+    assert 3 not in by_media  # null content dropped
+    hashes = {f.frame_sha256 for f in by_media[1]}
+    assert len(hashes) == 3  # per-frame distinct, deterministic

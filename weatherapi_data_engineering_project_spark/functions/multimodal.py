@@ -92,6 +92,52 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame.
+
+    STUB decode: frames are deterministic slices of the payload hashed
+    per index (a real deployment decodes with pyav and yields actual
+    frames; the fan-out shape — mapInPandas expanding one video row to
+    N frame rows, batch-bounded by Arrow — is exactly this). Videos
+    without a duration yield a single frame at t=0.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                if r["content"] is None:
+                    continue
+                dur = r["duration_ms"] if pd.notna(r["duration_ms"]) else 0
+                n_frames = max(1, int(dur) // every_ms)
+                for i in range(n_frames):
+                    frame_bytes = bytes(r["content"]) + i.to_bytes(4, "big")
+                    out_rows.append(
+                        (
+                            r["media_id"],
+                            i,
+                            i * every_ms,
+                            hashlib.sha256(frame_bytes).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "frame_idx", "frame_ms", "frame_sha256"],
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_plan(media: DataFrame, max_px: int = 256) -> DataFrame:
     """Image-resize plumbing: partitions by size class so fat blobs
     don't skew executors, then maps the (stubbed) resize kernel."""
