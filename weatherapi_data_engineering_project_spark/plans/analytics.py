@@ -129,11 +129,93 @@ def q34_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers_95.intersect(buyers_96).subtract(finished)
 
 
+def q36_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed median of order price per priority.
+
+    Formulated as rank-vs-count window selection + decimal average of
+    the (one or two) middle rows — identical arithmetic in any engine,
+    unlike percentile interpolation whose float rounding is
+    implementation-defined. One shuffle (window partition), then a
+    two-row-per-group aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.avg("price").cast("double").alias("median_price"),
+        F.max("n").alias("n_orders"),
+    )
+
+
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts + decimal revenue per priority, one column
+    pair per status — Catalyst plans it as a single hash aggregate with
+    conditional expressions (which is exactly the SQL oracle's FILTER
+    formulation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+
+
+def q38_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage in one projection: math, string, date,
+    and conditional functions whose results are exactly defined (no
+    implementation-defined float transcendentals), so the oracle match
+    is bit-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") * -1).alias("abs_price"),
+        F.round(F.col("o_totalprice"), 0).alias("round_price"),
+        F.floor("o_totalprice").cast("long").alias("floor_price"),
+        F.ceil("o_totalprice").cast("long").alias("ceil_price"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.sqrt(F.col("o_orderkey").cast("double")).alias("key_sqrt"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_pad"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.greatest(F.year("o_orderdate"), F.lit(1996)).alias("y_floor"),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")
+        ).alias("status_norm"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
     "q33_rollup": q33_rollup,
     "q34_setops": q34_setops,
+    "q36_exact_median": q36_exact_median,
+    "q37_pivot": q37_pivot,
+    "q38_scalar_gauntlet": q38_scalar_gauntlet,
 }
 
 ORACLE = {
@@ -181,5 +263,55 @@ ORACLE = {
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "q36_exact_median": """
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders)
+        SELECT o_orderpriority,
+               CAST(AVG(price) AS DOUBLE) AS median_price,
+               MAX(n) AS n_orders
+        FROM ranked
+        WHERE rn = floor((n + 1) / 2.0) OR rn = floor(n / 2.0) + 1
+        GROUP BY o_orderpriority
+    """,
+    "q37_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F_rev",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O_rev",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P_rev"
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "q38_scalar_gauntlet": """
+        SELECT o_orderkey,
+               abs(o_totalprice * -1) AS abs_price,
+               round(o_totalprice, 0) AS round_price,
+               CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+               CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+               o_orderkey % 7 AS key_mod7,
+               sqrt(CAST(o_orderkey AS DOUBLE)) AS key_sqrt,
+               upper(substr(o_orderpriority, 1, 3)) AS prio3,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_pad,
+               length(o_orderpriority) AS prio_len,
+               concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+               year(o_orderdate) AS y,
+               month(o_orderdate) AS m,
+               day(o_orderdate) AS d,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               greatest(year(o_orderdate), 1996) AS y_floor,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
+        FROM orders
     """,
 }
