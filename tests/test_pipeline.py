@@ -1,0 +1,95 @@
+"""End-to-end pipeline: raw JSON zone → curated CSVs → warehouse, with
+re-delivery idempotence across the whole chain (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from weatherapi_data_engineering_project_spark import fixtures as FX
+from weatherapi_data_engineering_project_spark import pipeline as P
+from weatherapi_data_engineering_project_spark.plans import weather_transform as WT
+
+
+def _write_raw_zone(docs: list[dict], raw_dir: str) -> None:
+    """Raw-zone envelope exactly as sources/rest.py::write_raw_zone lays
+    it out: one (city, run_date, payload) JSON row per document."""
+    os.makedirs(raw_dir, exist_ok=True)
+    for i, doc in enumerate(docs):
+        row = {
+            "city": doc["location"]["name"],
+            "run_date": doc["current"]["last_updated"][:10],
+            "payload": json.dumps(doc),
+        }
+        with open(os.path.join(raw_dir, f"doc_{i}.json"), "w") as f:
+            f.write(json.dumps(row))
+
+
+def test_run_batch_end_to_end(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_raw_zone(FX.raw_docs(), raw)
+
+    audits = P.run_batch(spark, raw, curated, wh, ckpt, run_tag="r1")
+
+    # every table landed and the audit condition (n0 == n1) holds
+    for name, entries in audits.items():
+        assert entries, f"{name}: no batch processed"
+        for _bid, n0, n1 in entries:
+            assert n0 == n1, f"{name}: staged keys lost ({n0} != {n1})"
+
+    # warehouse contents equal the direct transform (minus null-key rows)
+    docs = FX.docs_df(spark)
+    for name, (fn, _schema, keys) in P.TABLES.items():
+        expect = fn(docs, spark)
+        for k in keys:
+            expect = expect.filter(expect[k].isNotNull())
+        got = spark.read.parquet(os.path.join(wh, name))
+        assert sorted(got.columns) == sorted(expect.columns)
+        assert got.count() == expect.count(), name
+        gk = {tuple(r[k] for k in keys) for r in got.collect()}
+        ek = {tuple(r[k] for k in keys) for r in expect.collect()}
+        assert gk == ek, name
+
+    # full re-run with the SAME run tag: overwritten curated files get
+    # new names → reprocessed → upsert dedupes; warehouse unchanged
+    before = {
+        name: sorted(
+            map(tuple, spark.read.parquet(os.path.join(wh, name)).collect())
+        )
+        for name in P.TABLES
+    }
+    P.run_batch(spark, raw, curated, wh, ckpt, run_tag="r1")
+    for name in P.TABLES:
+        after = sorted(
+            map(tuple, spark.read.parquet(os.path.join(wh, name)).collect())
+        )
+        assert after == before[name], f"{name}: re-delivery changed warehouse"
+
+
+def test_second_wave_updates(spark, tmp_path):
+    """A second extraction day flows through: new keys inserted, dims
+    unchanged in cardinality."""
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_raw_zone(FX.raw_docs(), raw)
+    P.run_batch(spark, raw, curated, wh, ckpt, run_tag="day1")
+
+    docs2 = FX.raw_docs(day_offset=3)  # later forecast window
+    _write_raw_zone(docs2, raw)
+    P.run_batch(spark, raw, curated, wh, ckpt, run_tag="day2")
+
+    day_fact = spark.read.parquet(os.path.join(wh, "forecast_day_weather"))
+    docs = FX.docs_df(spark)
+    base = WT.fact_forecast_day(docs, spark).filter(
+        "forecast_day_weather_id IS NOT NULL"
+    )
+    # two windows → roughly twice the day-fact keys (exactly: union of
+    # both runs' distinct keys; they don't overlap, 3 days apart)
+    assert day_fact.count() == 2 * base.count()
+    dim = spark.read.parquet(os.path.join(wh, "location"))
+    assert dim.count() == base.select("location_id").distinct().count()

@@ -138,6 +138,30 @@ def docs() -> list[dict]:
     return [doc(i) for i in range(len(CITIES))]
 
 
+def raw_docs(day_offset: int = 0) -> list[dict]:
+    """Documents as plain dicts for the raw JSON zone; ``day_offset``
+    shifts the run date and the whole forecast window — a later
+    extraction day with non-overlapping surrogate keys."""
+    if day_offset == 0:
+        return docs()
+    import copy
+    import datetime
+
+    shifted = []
+    delta = datetime.timedelta(days=day_offset)
+    for d0 in docs():
+        d2 = copy.deepcopy(d0)
+        run = datetime.date.fromisoformat(RUN_DATE) + delta
+        d2["current"]["last_updated"] = f"{run.isoformat()} 08:30"
+        for fd in d2["forecast"]["forecastday"]:
+            nd = datetime.date.fromisoformat(fd["date"]) + delta
+            fd["date"] = nd.isoformat()
+            for h in fd["hour"]:
+                h["time"] = f"{nd.isoformat()} " + h["time"].split(" ", 1)[1]
+        shifted.append(d2)
+    return shifted
+
+
 def docs_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(docs(), schema=WEATHER_DOC_SCHEMA)
 

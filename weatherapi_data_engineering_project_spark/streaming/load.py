@@ -62,6 +62,9 @@ def start_load(
     ``processing_time`` keeps a resident micro-batch loop.
     """
     reader = spark.readStream.schema(load.schema)
+    # curated zones nest per-run/per-day subdirs under the table prefix
+    # (mirroring the reference's S3 key layout); discover them all
+    reader = reader.option("recursiveFileLookup", True)
     if fmt == "csv":
         reader = reader.option("header", True).option("quote", '"')
     if max_files_per_trigger:
