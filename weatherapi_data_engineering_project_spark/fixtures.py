@@ -163,7 +163,17 @@ def raw_docs(day_offset: int = 0) -> list[dict]:
 
 
 def docs_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(docs(), schema=WEATHER_DOC_SCHEMA)
+    """Fixture docs as a cached DataFrame, memoized per session.
+
+    Five weather queries each start from this frame; without the memo
+    every action re-serializes the nested local rows through py4j
+    (~0.5 s per query of pure conversion overhead)."""
+    cached = getattr(spark, "_weather_fixture_docs", None)
+    if cached is not None:
+        return cached
+    df = spark.createDataFrame(docs(), schema=WEATHER_DOC_SCHEMA).cache()
+    spark._weather_fixture_docs = df
+    return df
 
 
 # ---------------------------------------------------------------------------

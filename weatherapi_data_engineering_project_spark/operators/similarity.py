@@ -234,6 +234,11 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("vid"),
         F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
+    # duplicates (a pair matching in k bands appears k times, k <= n_bands)
+    # are NOT deduped here: a distinct would shuffle the full candidate
+    # flood, while the double prefilter below prunes it to ~the output
+    # size for the cost of scoring each duplicate — the final distinct
+    # runs on the survivors only. Measured 2x faster at bench scale.
     cands = (
         bands.select(F.col("vid").alias("id1"), "band_idx", "band_val")
         .join(
@@ -242,7 +247,6 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
     )
 
     # Two-phase scoring — the 100 TB shape: a cheap double-precision
@@ -275,6 +279,7 @@ def cosine_neardup_pairs(
     return (
         survivors.select("id1", "id2", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()  # collapse multi-band duplicates (identical rows)
     )
 
 
