@@ -149,6 +149,56 @@ def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible downsampling a
+    training pipeline needs (same subset on every run, any cluster, any
+    partitioning; no RNG state): keep docs whose md5(doc_id) starts
+    below 0x28 (~15.6%). Returns the per-source sample accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "28")
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q40_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign docs to 4096-token context
+    bins per source (cumulative-sum binning over a deterministic doc
+    order — the single-shuffle window formulation of greedy packing;
+    each bin's docs concatenate to <= budget + one overflow doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.token_count("text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return d.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(4096)).alias("bin_id"),
+    )
+
+
+def q41_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text scrubbing: strip punctuation, collapse whitespace — the
+    normalize-before-tokenize pass; reports per-doc before/after sizes
+    so the oracle verifies the actual rewrite, not just the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_before"),
+        F.length(scrubbed).alias("n_chars_after"),
+        TX.punct_count("text").alias("n_punct_removed"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
 QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
@@ -163,6 +213,9 @@ QUERIES = {
     "q29_embed_neardup": q29_embed_neardup,
     "q30_ivf_ann": q30_ivf_ann,
     "q35_multimodal_features": q35_multimodal_features,
+    "q39_deterministic_sample": q39_deterministic_sample,
+    "q40_sequence_pack": q40_sequence_pack,
+    "q41_scrub": q41_scrub,
 }
 
 # --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
@@ -367,6 +420,35 @@ ORACLE = {
                                ELSE 'video' END AS kind,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                sha256(text) AS content_sha256
+        FROM documents
+    """,
+    "q39_deterministic_sample": """
+        SELECT source,
+               COUNT(*) AS n_sampled,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+        GROUP BY source
+    """,
+    "q40_sequence_pack": """
+        SELECT doc_id, source,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+               CAST(floor((SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                               OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                           - len(string_split_regex(lower(trim(text)), '\\s+')))
+                          / 4096.0) AS BIGINT) AS bin_id
+        FROM documents
+    """,
+    "q41_scrub": """
+        SELECT doc_id,
+               length(text) AS n_chars_before,
+               length(trim(regexp_replace(regexp_replace(text, '[^\\w\\s]', '', 'g'),
+                                          '\\s+', ' ', 'g'))) AS n_chars_after,
+               length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct_removed,
+               md5(trim(regexp_replace(regexp_replace(text, '[^\\w\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS scrubbed_fp
         FROM documents
     """,
     "q28_simhash": f"""
