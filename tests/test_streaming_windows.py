@@ -155,3 +155,25 @@ def test_windowed_counts_streaming_watermark(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_q42_stateful_totals_rows_only_query(spark):
+    """The registered rows-only streaming query: one row per user,
+    totals equal the batch aggregation."""
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        q42_stateful_totals,
+    )
+
+    res = q42_stateful_totals(spark, SF_DIR)
+    got = {r.user_id: (r.n_events, r.sum_value) for r in res.collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, s) in got.items():
+        assert n == want[uid][0]
+        assert abs(s - want[uid][1]) < 1e-6

@@ -36,6 +36,12 @@ def _modules():
         mods.append(analytics)
     except ImportError:
         pass
+    try:
+        from . import streaming_queries
+
+        mods.append(streaming_queries)
+    except ImportError:
+        pass
     return mods
 
 

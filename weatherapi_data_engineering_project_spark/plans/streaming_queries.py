@@ -1,0 +1,72 @@
+"""Streaming-only queries for the driver harness (rows-only checks).
+
+These exercise genuinely non-SQL-expressible operators — custom
+stateful streaming via ``applyInPandasWithState`` — end to end: the
+events table is replayed through a checkpointed file stream under
+``Trigger.AvailableNow`` and the operator's emitted output is returned
+as the query result. Per the driver contract these have NO
+``oracle_sql`` twin (DuckDB cannot run a state-store program), so the
+driver records the weaker rows-only check; the semantics themselves
+are pinned by tests/test_streaming_windows.py, which proves the
+emitted totals equal the batch aggregation and that state survives
+checkpoint recovery across waves.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import load_table
+from ..streaming.windows import RUNNING_TOTALS_SCHEMA, running_user_totals
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through the stateful per-user totals operator.
+
+    One AvailableNow drain: state is built per user in the state store
+    (keyed shuffle), the final update per user is the row emitted here.
+    Output: (user_id, n_events, sum_value, last_ts), one row per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q42_")
+    src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
+    ev.write.mode("overwrite").parquet(src)
+
+    rows: list = []
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        rows.extend(batch.collect())
+
+    q = (
+        running_user_totals(
+            spark.readStream.schema(EVENTS_DDL).parquet(src)
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    # last emitted update per user is the final total
+    final: dict = {}
+    for r in rows:
+        final[r.user_id] = r
+    return spark.createDataFrame(list(final.values()), RUNNING_TOTALS_SCHEMA)
+
+
+QUERIES = {
+    "q42_stateful_totals": q42_stateful_totals,
+}
+
+ORACLE: dict[str, str] = {}  # rows-only: no SQL twin exists for state-store programs
