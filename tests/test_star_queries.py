@@ -34,3 +34,27 @@ def test_registry_consistency():
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs), "oracle for unregistered query"
+
+
+EXPECTED_QUERIES = {
+    # star q01-q18
+    *(f"q{i:02d}" for i in range(1, 19)),
+    # llm q19-q30, q35, q39-q41
+    *(f"q{i}" for i in range(19, 31)), "q35", "q39", "q40", "q41",
+    # analytics q31-q34, q36-q38
+    "q31", "q32", "q33", "q34", "q36", "q37", "q38",
+    # streaming q42, weather w01-w05
+    "q42", *(f"w{i:02d}" for i in range(1, 6)),
+}
+
+
+def test_registry_complete():
+    """Guard against a silent ImportError dropping a plan module: every
+    expected query id must be registered (the registry's module list
+    tolerates ImportError by design, which would otherwise shrink the
+    graded inventory without failing anything)."""
+    import __spark_entry__ as e
+
+    got_prefixes = {name.split("_")[0] for name in e.queries()}
+    missing = EXPECTED_QUERIES - got_prefixes
+    assert not missing, f"queries missing from registry: {sorted(missing)}"
