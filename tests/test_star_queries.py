@@ -58,3 +58,20 @@ def test_registry_complete():
     got_prefixes = {name.split("_")[0] for name in e.queries()}
     missing = EXPECTED_QUERIES - got_prefixes
     assert not missing, f"queries missing from registry: {sorted(missing)}"
+
+
+def test_k9_url_decode_roundtrip(spark):
+    """K9 (DataTransformation.py:143): url-decoding of object keys —
+    unit-only (this DuckDB build lacks url_decode, so no oracle twin)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("curated/orders/1995%2F01%2F02/42.csv",),
+         ("a%20file+name.json",)],
+        "encoded_key string",
+    )
+    out = {r.encoded_key: r.key for r in df.select(
+        "encoded_key", F.url_decode("encoded_key").alias("key")
+    ).collect()}
+    assert out["curated/orders/1995%2F01%2F02/42.csv"] == "curated/orders/1995/01/02/42.csv"
+    assert out["a%20file+name.json"] == "a file name.json"
