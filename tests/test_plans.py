@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the plans that make these queries
+scale must survive refactors — broadcast dims, pushed filters, pruned
+scans, single-shuffle windows. A correctness-preserving change that
+re-introduces a full shuffle would pass every value test and still be
+a 100 TB regression; these tests fail it."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from weatherapi_data_engineering_project_spark.plans import analytics as A
+from weatherapi_data_engineering_project_spark.plans import star
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (hash|range|Single)", plan))
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """q02: every dim side of the star join must broadcast — a
+    sort-merge fallback would shuffle the fact table per join."""
+    plan = _plan(star.q02_star_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the only shuffle is the final aggregation
+    assert _shuffles(plan) == 1
+
+
+def test_projection_pushes_filters_and_prunes_columns(spark):
+    """q10: predicate reaches the parquet scan; scan reads only the
+    selected columns."""
+    plan = _plan(star.q10_projection(spark, SF_DIR))
+    # the plan string truncates long filter lists without a closing
+    # bracket — only require a non-empty list start
+    pushed = re.findall(r"PushedFilters: \[(\w)", plan)
+    assert pushed, "no pushed filters in scan"
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no scan schema"
+    # part has 9 columns; the projection + predicate need only 5
+    assert all(len(s.split(",")) <= 5 for s in schemas), schemas
+
+
+def test_flagship_aggregation_single_shuffle(spark):
+    """q01: partial (map-side) aggregation then ONE exchange."""
+    plan = _plan(star.q01_pricing_summary(spark, SF_DIR))
+    assert _shuffles(plan) == 1
+    assert "partial_sum" in plan  # map-side combine present
+
+
+@pytest.mark.parametrize(
+    "qname", ["q31_sessionize", "q32_asof_join", "q33_rollup", "q36_exact_median"]
+)
+def test_window_analytics_single_shuffle(spark, qname):
+    """Sessionize/as-of/rollup/median: exactly one exchange each — the
+    design claim in plans/analytics.py's module docstring."""
+    plan = _plan(A.QUERIES[qname](spark, SF_DIR))
+    assert _shuffles(plan) == 1, f"{qname}: {_shuffles(plan)} shuffles"
+
+
+def test_semi_and_anti_join_planned_as_hash_joins(spark):
+    """q03/q04: IN / NOT IN shapes must plan as broadcast hash
+    semi/anti joins, never nested loops."""
+    for fn in (star.q03_semi_join, star.q04_anti_join):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftSemi" in plan or "LeftAnti" in plan
