@@ -54,3 +54,25 @@ def test_rollup_totals_consistent(spark):
     grand = [x for x in r if x.status == "ALL" and x.priority == "ALL"]
     assert len(grand) == 1
     assert sum(x.n_orders for x in leaves) == grand[0].n_orders
+
+
+def test_q43_approx_distinct_error_bound(spark):
+    """HLL++ estimate within the configured 2% rsd (loose 3x bound) of
+    the exact distinct count."""
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        q43_approx_distinct,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    approx = {r.event_type: r.n_users_approx
+              for r in q43_approx_distinct(spark, SF_DIR).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.06 * n), (et, approx[et], n)

@@ -65,8 +65,28 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(list(final.values()), RUNNING_TOTALS_SCHEMA)
 
 
+def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 at scale: HyperLogLog++ distinct-user counts per event type.
+
+    The exact COUNT(DISTINCT pk) audits (q05/q14) shuffle every distinct
+    key; at 100 TB the audit runs on sketches instead — constant memory
+    per group, mergeable across partitions. Rows-only: DuckDB's
+    approx_count_distinct uses a different sketch, so values are not
+    cross-engine comparable by construction (the exact twins are the
+    oracle-verified queries; tests bound this one's error vs exact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "q42_stateful_totals": q42_stateful_totals,
+    "q43_approx_distinct": q43_approx_distinct,
 }
 
-ORACLE: dict[str, str] = {}  # rows-only: no SQL twin exists for state-store programs
+ORACLE: dict[str, str] = {}  # rows-only: no SQL twin exists for state-store programs / foreign sketches
