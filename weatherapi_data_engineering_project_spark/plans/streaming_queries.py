@@ -38,26 +38,35 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="q42_")
     src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
-    ev.write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
 
     rows: list = []
 
     def sink(batch: DataFrame, _bid: int) -> None:
         rows.extend(batch.collect())
 
-    q = (
-        running_user_totals(
-            spark.readStream.schema(EVENTS_DDL).parquet(src)
+    # The state shuffle inherits spark.sql.shuffle.partitions; a vanilla
+    # session's 200 means 200 state-store files per micro-batch for a
+    # 150-user keyspace. Pin a sane width for this query and restore
+    # (the streaming query captures the conf at start()).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_user_totals(
+                spark.readStream.schema(EVENTS_DDL).parquet(src)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    if q.isActive:
-        q.stop()
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # last emitted update per user is the final total
     final: dict = {}
     for r in rows:
