@@ -208,6 +208,53 @@ def q38_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every error event, how many events the
+    same user produced in the following hour.
+
+    Equality on user_id + a range predicate on ts: Catalyst plans the
+    equi-part as the join key and evaluates the range as a join filter,
+    so this stays a hash/sort-merge join — never a nested loop. (A pure
+    range join with no equality would be the BNL trap; keying by entity
+    is what makes interval joins scale.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    later = ev.select("user_id", F.col("ts").alias("ev_ts"))
+    joined = errors.join(later, on="user_id").filter(
+        (F.col("ev_ts") > F.col("err_ts"))
+        & (F.unix_micros("ev_ts") - F.unix_micros("err_ts") <= 3600 * 1_000_000)
+    )
+    return (
+        joined.groupBy("error_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )
+
+
+def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column operators: per-user event-type counts packed
+    into a map (map_from_entries ∘ collect aggregate), then consumed
+    back out via explode + map cardinality. The flattened output is what
+    the oracle recomputes directly — the map round-trip itself is the
+    Spark surface under test."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("type_counts").alias("n_types"),
+        F.explode("type_counts").alias("event_type", "n_events"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
@@ -216,6 +263,8 @@ QUERIES = {
     "q36_exact_median": q36_exact_median,
     "q37_pivot": q37_pivot,
     "q38_scalar_gauntlet": q38_scalar_gauntlet,
+    "q44_range_join": q44_range_join,
+    "q45_map_functions": q45_map_functions,
 }
 
 ORACLE = {
@@ -292,6 +341,25 @@ ORACLE = {
                     FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P_rev"
         FROM orders
         GROUP BY o_orderpriority
+    """,
+    "q44_range_join": """
+        SELECT e.event_id AS error_id, e.user_id,
+               COUNT(*) AS n_following
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') e
+        JOIN events f
+          ON f.user_id = e.user_id
+         AND f.ts > e.ts
+         AND epoch_us(f.ts) - epoch_us(e.ts) <= 3600000000
+        GROUP BY e.event_id, e.user_id
+    """,
+    "q45_map_functions": """
+        SELECT user_id,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_types,
+               event_type,
+               n_events
+        FROM (SELECT user_id, event_type, COUNT(*) AS n_events
+              FROM events GROUP BY user_id, event_type)
     """,
     "q38_scalar_gauntlet": """
         SELECT o_orderkey,

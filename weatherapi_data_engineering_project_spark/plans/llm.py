@@ -199,6 +199,32 @@ def q41_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: a table function chunking each document into
+    100-char pieces, applied per row via LATERAL join — the
+    one-row-to-N-rows generator shape (context-window chunking for
+    training data). Arrow-batched like other Python kernels; the chunk
+    rule is character arithmetic so DuckDB recomputes it exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkText:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i in range(0, max(1, (len(text) + 99) // 100)):
+                yield i, text[i * 100 : (i + 1) * 100]
+
+    spark.udtf.register("chunk_text", ChunkText)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_chunk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM docs_for_chunk d, LATERAL chunk_text(d.text) c
+        """
+    )
+
+
 QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
@@ -216,6 +242,7 @@ QUERIES = {
     "q39_deterministic_sample": q39_deterministic_sample,
     "q40_sequence_pack": q40_sequence_pack,
     "q41_scrub": q41_scrub,
+    "q46_udtf_chunk": q46_udtf_chunk,
 }
 
 # --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
@@ -450,6 +477,13 @@ ORACLE = {
                md5(trim(regexp_replace(regexp_replace(text, '[^\\w\\s]', '', 'g'),
                                        '\\s+', ' ', 'g'))) AS scrubbed_fp
         FROM documents
+    """,
+    "q46_udtf_chunk": """
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS chunk_idx,
+               substr(text, (i - 1) * 100 + 1, 100) AS chunk
+        FROM documents,
+             UNNEST(range(1, GREATEST(CAST(ceil(length(text) / 100.0) AS BIGINT), 1) + 1)) AS t(i)
     """,
     "q28_simhash": f"""
         WITH {_SHINGLES_CTE},
