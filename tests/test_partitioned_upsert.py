@@ -1,0 +1,79 @@
+"""Incremental partition rewrite: a micro-batch only rewrites the
+partitions it touches; untouched partition files stay byte-identical on
+disk (the 100 TB property of upsert_path with partition_by)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from weatherapi_data_engineering_project_spark.operators.upsert import upsert_path
+
+
+def _files(target, part):
+    return sorted(glob.glob(os.path.join(target, f"day={part}", "*.parquet")))
+
+
+def _mk_updates(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, day string")
+
+
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    target = str(tmp_path / "t")
+    # seed: three partitions
+    seed = _mk_updates(
+        spark,
+        [("a1", 1, "d1"), ("a2", 2, "d1"), ("b1", 3, "d2"), ("c1", 4, "d3")],
+    )
+    n0, n1 = upsert_path(spark, target, seed, keys=["k"], partition_by=["day"])
+    assert n0 == n1 == 4
+
+    before_d2 = _files(target, "d2")
+    before_d3 = _files(target, "d3")
+    before_d2_stat = [os.stat(f).st_mtime_ns for f in before_d2]
+
+    # batch touches d1 (update a1, insert a3) and a NEW partition d4
+    batch = _mk_updates(spark, [("a1", 10, "d1"), ("a3", 11, "d1"), ("d1k", 12, "d4")])
+    n0, n1 = upsert_path(spark, target, batch, keys=["k"], partition_by=["day"])
+    assert n0 == n1 == 3
+
+    # d2/d3 files untouched — same paths, same mtimes
+    assert _files(target, "d2") == before_d2
+    assert _files(target, "d3") == before_d3
+    assert [os.stat(f).st_mtime_ns for f in before_d2] == before_d2_stat
+
+    got = {
+        (r.k): (r.v, r.day)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        "a1": (10, "d1"),  # updated
+        "a2": (2, "d1"),   # kept (same partition, different key)
+        "a3": (11, "d1"),  # inserted
+        "b1": (3, "d2"),   # untouched partition
+        "c1": (4, "d3"),   # untouched partition
+        "d1k": (12, "d4"),  # new partition created
+    }
+
+    # idempotence of the partitioned path
+    n0b, n1b = upsert_path(spark, target, batch, keys=["k"], partition_by=["day"])
+    assert n0b == n1b == 3
+    again = {
+        (r.k): (r.v, r.day) for r in spark.read.parquet(target).collect()
+    }
+    assert again == got
+
+
+def test_partitioned_upsert_dedups_stage(spark, tmp_path):
+    target = str(tmp_path / "t2")
+    batch = _mk_updates(
+        spark, [("x", 1, "d1"), ("x", 5, "d1"), ("y", 2, "d2")]
+    )
+    upsert_path(
+        spark, target, batch, keys=["k"],
+        order_by=[F.col("v").desc()], partition_by=["day"],
+    )
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {"x": 5, "y": 2}  # highest-v wins per key

@@ -112,11 +112,16 @@ def upsert_path(
     atomically swap. Returns the (n0, n1) audit counts; callers gate
     stage cleanup on n0 == n1 exactly as ``location.sql:71-79`` does.
     """
-    if os.path.exists(target_path):
+    exists = os.path.exists(target_path)
+    if exists and partition_by:
+        return _upsert_partitions(
+            spark, target_path, updates, keys, order_by, partition_by
+        )
+
+    if exists:
         target = spark.read.parquet(target_path)
         merged = upsert(target, updates, keys, order_by)
     else:
-        target = None
         merged = dedup_updates(updates, keys, order_by)
 
     tmp = os.path.join(
@@ -137,4 +142,72 @@ def upsert_path(
     os.rename(tmp, target_path)
     if os.path.exists(old):
         shutil.rmtree(old, ignore_errors=True)
+    return n0, n1
+
+
+def _upsert_partitions(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[Column] | None,
+    partition_by: list[str],
+) -> tuple[int, int]:
+    """Incremental partition rewrite: merge and swap ONLY the partitions
+    the batch touches.
+
+    This is what makes the upsert viable at 100 TB: a steady-state
+    micro-batch touches a handful of partitions (today's dates, a few
+    locations), so the anti-join reads and the writer rewrites that
+    sliver — never the whole table. Partition pruning serves the read
+    (`filter(part IN affected)` prunes at the file index), and the swap
+    renames just those partition directories.
+
+    INVARIANT: partition columns must be immutable attributes of the
+    key (e.g. the date embedded in the surrogate key) — if a key could
+    move partitions, its old copy would survive in the old partition.
+    That holds for every reference table (keys embed location+date).
+    """
+    affected = updates.select(*partition_by).distinct().collect()
+    if not affected:
+        return 0, 0
+    cond = None
+    for row in affected:
+        this = None
+        for c in partition_by:
+            clause = F.col(c) == row[c]
+            this = clause if this is None else (this & clause)
+        cond = this if cond is None else (cond | this)
+
+    target_slice = spark.read.parquet(target_path).filter(cond)
+    merged = upsert(target_slice, updates, keys, order_by)
+
+    tmp = os.path.join(
+        os.path.dirname(target_path) or tempfile.gettempdir(),
+        f".{os.path.basename(target_path)}.tmp-{uuid.uuid4().hex[:8]}",
+    )
+    merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+
+    result = spark.read.parquet(tmp)
+    n0, n1 = audit_counts(result, updates, keys)
+
+    # swap each affected partition dir (nested dirs for multi-col keys);
+    # collect leaf dirs first — renaming during os.walk corrupts the walk
+    leaf_dirs = [
+        root
+        for root, _dirs, files in os.walk(tmp)
+        if any(f.endswith(".parquet") for f in files)
+        and os.path.relpath(root, tmp) != "."
+    ]
+    for root in leaf_dirs:
+        rel = os.path.relpath(root, tmp)
+        dst = os.path.join(target_path, rel)
+        old = dst + f".old-{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(root, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     return n0, n1
