@@ -42,7 +42,7 @@ def test_run_batch_end_to_end(spark, tmp_path):
 
     # warehouse contents equal the direct transform (minus null-key rows)
     docs = FX.docs_df(spark)
-    for name, (fn, _schema, keys) in P.TABLES.items():
+    for name, (fn, _schema, keys, _parts) in P.TABLES.items():
         expect = fn(docs, spark)
         for k in keys:
             expect = expect.filter(expect[k].isNotNull())

@@ -31,19 +31,31 @@ from .sources import rest
 from .streaming.load import TableLoad, run_available_now
 
 TABLES: dict[str, tuple] = {
-    # name -> (transform fn, stage schema, pk columns)
-    "location": (WT.dim_location, S.DIM_LOCATION_SCHEMA, ["location_id"]),
-    "condition": (WT.dim_condition, S.DIM_CONDITION_SCHEMA, ["condition_code"]),
-    "current_weather": (WT.fact_current, S.FACT_CURRENT_SCHEMA, ["current_weather_id"]),
+    # name -> (transform fn, stage schema, pk columns, partition columns)
+    # Facts partition by their date grain — an immutable attribute of the
+    # surrogate key (the yyyyMMdd inside it), which is the precondition
+    # for upsert_path's incremental partition rewrite: a daily batch then
+    # touches only that day's partition, never the table's history.
+    # Dims are small and unpartitioned.
+    "location": (WT.dim_location, S.DIM_LOCATION_SCHEMA, ["location_id"], None),
+    "condition": (WT.dim_condition, S.DIM_CONDITION_SCHEMA, ["condition_code"], None),
+    "current_weather": (
+        WT.fact_current,
+        S.FACT_CURRENT_SCHEMA,
+        ["current_weather_id"],
+        ["weather_date"],
+    ),
     "forecast_day_weather": (
         WT.fact_forecast_day,
         S.FACT_FORECAST_DAY_SCHEMA,
         ["forecast_day_weather_id"],
+        ["forecast_date"],
     ),
     "forecast_hour_weather": (
         WT.fact_forecast_hour,
         S.FACT_FORECAST_HOUR_SCHEMA,
         ["forecast_hour_weather_id"],
+        None,  # hour grain keys by timestamp; day-level dirs add no pruning here
     ),
 }
 
@@ -59,7 +71,7 @@ def transform_to_curated(
     Returns per-table row counts written.
     """
     counts: dict[str, int] = {}
-    for name, (fn, _schema, keys) in TABLES.items():
+    for name, (fn, _schema, keys, _parts) in TABLES.items():
         out = fn(docs, spark)
         for k in keys:
             out = out.filter(out[k].isNotNull())
@@ -93,8 +105,8 @@ def run_load(
 
 def make_loads() -> dict[str, TableLoad]:
     return {
-        name: TableLoad(name=name, schema=schema, keys=keys)
-        for name, (_fn, schema, keys) in TABLES.items()
+        name: TableLoad(name=name, schema=schema, keys=keys, partition_by=parts)
+        for name, (_fn, schema, keys, parts) in TABLES.items()
     }
 
 
