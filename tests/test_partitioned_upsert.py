@@ -77,3 +77,37 @@ def test_partitioned_upsert_dedups_stage(spark, tmp_path):
     )
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {"x": 5, "y": 2}  # highest-v wins per key
+
+
+def test_partitioned_upsert_null_partition_value(spark, tmp_path):
+    """A NULL partition value must not delete the null partition's
+    history (eqNullSafe, not ==, in the affected-partition match)."""
+    target = str(tmp_path / "tnull")
+    seed = _mk_updates(spark, [("k1", 1, None), ("k2", 2, "d1")])
+    upsert_path(spark, target, seed, keys=["k"], partition_by=["day"])
+
+    batch = _mk_updates(spark, [("k3", 3, None)])
+    upsert_path(spark, target, batch, keys=["k"], partition_by=["day"])
+
+    got = {r.k: (r.v, r.day) for r in spark.read.parquet(target).collect()}
+    assert got == {"k1": (1, None), "k2": (2, "d1"), "k3": (3, None)}
+
+
+def test_interrupted_swap_recovery(spark, tmp_path):
+    """If a crash left only the .old dir (no target), the next run
+    restores it instead of rebuilding the table from one batch."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "trec")
+    seed = _mk_updates(spark, [("a", 1, "d1"), ("b", 2, "d2")])
+    upsert_path(spark, target, seed, keys=["k"])
+
+    # simulate the crash window: target renamed away, new one never landed
+    shutil.move(target, target + ".old-deadbeef")
+    assert not os.path.exists(target)
+
+    batch = _mk_updates(spark, [("c", 3, "d1")])
+    upsert_path(spark, target, batch, keys=["k"])
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}  # history survived

@@ -138,13 +138,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def resize_plan(media: DataFrame, max_px: int = 256) -> DataFrame:
-    """Image-resize plumbing: partitions by size class so fat blobs
-    don't skew executors, then maps the (stubbed) resize kernel."""
+def resize_plan(media: DataFrame, max_px: int = 256, n_shards: int = 16) -> DataFrame:
+    """Image-resize plumbing: spreads fat blobs across shards so they
+    don't skew executors, then maps the (stubbed) resize kernel.
+
+    Partitioning on size_class alone would do the opposite — two hash
+    values concentrate every large blob in ONE partition; the id-hash
+    shard inside each class is what actually spreads them."""
     sized = media.withColumn(
         "size_class",
         F.when(F.length("content") > 1_000_000, F.lit("large")).otherwise(
             F.lit("small")
         ),
-    )
-    return sized.repartition("size_class")
+    ).withColumn("shard", F.pmod(F.hash("media_id"), F.lit(n_shards)))
+    return sized.repartition("size_class", "shard").drop("shard")

@@ -112,6 +112,7 @@ def upsert_path(
     atomically swap. Returns the (n0, n1) audit counts; callers gate
     stage cleanup on n0 == n1 exactly as ``location.sql:71-79`` does.
     """
+    _recover_interrupted_swap(target_path)
     exists = os.path.exists(target_path)
     if exists and partition_by:
         return _upsert_partitions(
@@ -145,6 +146,35 @@ def upsert_path(
     return n0, n1
 
 
+def _recover_interrupted_swap(target_path: str) -> None:
+    """Heal the two-rename swap's crash window.
+
+    The swap is rename(target, old) then rename(tmp, target); a crash
+    between them leaves no target but a ``<target>.old-*`` sibling. If
+    that state is found, restore the newest old dir as the target —
+    otherwise the next run would silently rebuild the table from one
+    batch and strand the history.
+    """
+    if os.path.exists(target_path):
+        return
+    parent = os.path.dirname(target_path) or "."
+    base = os.path.basename(target_path)
+    if not os.path.isdir(parent):
+        return
+    olds = sorted(
+        (
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(base + ".old-")
+        ),
+        key=os.path.getmtime,
+    )
+    if olds:
+        os.rename(olds[-1], target_path)
+        for stale in olds[:-1]:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def _upsert_partitions(
     spark: SparkSession,
     target_path: str,
@@ -175,7 +205,11 @@ def _upsert_partitions(
     for row in affected:
         this = None
         for c in partition_by:
-            clause = F.col(c) == row[c]
+            # eqNullSafe, NOT ==: a NULL partition value under == makes
+            # the whole predicate NULL, the target slice comes back
+            # empty, and the swap would replace the null partition with
+            # only the batch's rows — silent deletion of its history.
+            clause = F.col(c).eqNullSafe(F.lit(row[c]))
             this = clause if this is None else (this & clause)
         cond = this if cond is None else (cond | this)
 
@@ -202,7 +236,14 @@ def _upsert_partitions(
     for root in leaf_dirs:
         rel = os.path.relpath(root, tmp)
         dst = os.path.join(target_path, rel)
-        old = dst + f".old-{uuid.uuid4().hex[:8]}"
+        # the displaced dir gets a DOT-prefixed name: partition discovery
+        # ignores dot/underscore paths, so a failed cleanup (rmtree is
+        # best-effort) can never surface superseded rows as a bogus
+        # partition value
+        old = os.path.join(
+            os.path.dirname(dst),
+            f".old-{uuid.uuid4().hex[:8]}-{os.path.basename(dst)}",
+        )
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         if os.path.exists(dst):
             os.rename(dst, old)

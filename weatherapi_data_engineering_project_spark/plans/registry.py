@@ -7,41 +7,35 @@ driver's weaker rows-only check, per the contract).
 
 from __future__ import annotations
 
+import importlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+_MODULE_NAMES = ("star", "llm", "weather", "analytics", "streaming_queries")
+
+# name -> exception message for any plan module that failed to import.
+# Kept visible (and loudly warned) rather than silently swallowed: a
+# missing dependency in the harness environment would otherwise shrink
+# the registered inventory while every remaining check still passes.
+IMPORT_FAILURES: dict[str, str] = {}
+
 
 def _modules():
-    from . import star
-
-    mods = [star]
-    try:
-        from . import llm
-
-        mods.append(llm)
-    except ImportError:
-        pass
-    try:
-        from . import weather
-
-        mods.append(weather)
-    except ImportError:
-        pass
-    try:
-        from . import analytics
-
-        mods.append(analytics)
-    except ImportError:
-        pass
-    try:
-        from . import streaming_queries
-
-        mods.append(streaming_queries)
-    except ImportError:
-        pass
+    mods = []
+    for name in _MODULE_NAMES:
+        try:
+            mods.append(importlib.import_module(f".{name}", __package__))
+        except ImportError as e:
+            IMPORT_FAILURES[name] = str(e)
+            print(
+                f"WARNING: plan module {name!r} failed to import and its "
+                f"queries are NOT registered: {e}",
+                file=sys.stderr,
+            )
     return mods
 
 

@@ -57,6 +57,11 @@ def get_spark(
         # Stable session timezone so date_format/window results are
         # deterministic across environments (tests + oracle comparison).
         "spark.sql.session.timeZone": "UTC",
+        # The testdata events table is TIMESTAMP(NANOS) parquet, which the
+        # reader otherwise rejects; declared here session-wide so
+        # schemas.load_table's narrowing isn't a hidden per-read mutation
+        # (load_table still sets it for vanilla external sessions).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }

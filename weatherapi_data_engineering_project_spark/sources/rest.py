@@ -91,7 +91,7 @@ def extract(
                 pdf["payload"] = pdf["city"].map(fetch)
                 yield pdf
 
-        fetched = cities_df.repartition(min(len(cities), 8)).mapInPandas(
+        fetched = cities_df.repartition(max(1, min(len(cities), 8))).mapInPandas(
             fetch_partition, schema=FETCH_RESULT_SCHEMA
         )
     else:  # driver-side fallback, matching the reference's loop shape
@@ -108,8 +108,16 @@ def write_raw_zone(fetched: DataFrame, raw_dir: str) -> None:
 
 def read_raw_docs(spark: SparkSession, raw_dir: str, doc_schema) -> DataFrame:
     """S3: parse raw-zone payload strings into the typed nested document
-    (schema-on-read with an explicit StructType — no inference pass)."""
-    raw = spark.read.json(raw_dir)
+    (schema-on-read with an explicit StructType — no inference pass).
+
+    The envelope schema is declared, not inferred: inference would scan
+    the whole zone once before the real read, and partition-column type
+    inference would drift a ``run_date=...`` directory key to DATE while
+    every writer declares STRING.
+    """
+    raw = spark.read.schema(FETCH_RESULT_SCHEMA).option(
+        "basePath", raw_dir
+    ).json(raw_dir)
     return raw.select(
         "city",
         "run_date",

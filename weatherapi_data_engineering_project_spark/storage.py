@@ -78,7 +78,16 @@ def salted_join(
     row-varying expression works, it only spreads rows; right is
     exploded n_salts× so every (key, salt) shard finds its match. Right
     side must be the smaller relation (it is replicated).
+
+    Only inner and left joins are supported: under right/full outer an
+    unmatched right-side row would null-extend once per replica and
+    surface n_salts duplicates.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicated right rows would duplicate under right/full outer"
+        )
     salted_left = left.withColumn(
         "_salt",
         F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
