@@ -48,12 +48,17 @@ def main() -> None:
 
     FX.docs_df(spark).count()
 
+    from weatherapi_data_engineering_project_spark.caching import release_all
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # operator-internal persisted frames are per-query scratch; release
+        # so successive timings are independent and memory stays flat
+        release_all()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
+from ..caching import persist_tracked
 
 from ..functions.text import fingerprint, shingles, tokens
 
@@ -106,7 +106,7 @@ def jaccard_pairs(
     # exchanges only for identical subplans, and these projections
     # differ. MEMORY_AND_DISK: at corpus scale the explode output can
     # exceed memory; spilling beats recomputing.
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = persist_tracked(ex)
     return jaccard_from_shingles(ex, threshold, candidates)
 
 
@@ -283,9 +283,7 @@ def simhash_pairs(
     w = n_bits // n_bands
     # one fingerprint row per doc; persisted because both band-join
     # sides read it and the shingle pipeline behind it is expensive
-    sigs = simhash_signatures(df, text_col, id_col, k, n_bits).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = persist_tracked(simhash_signatures(df, text_col, id_col, k, n_bits))
     band_arr = F.array(*[F.substring("bits", b * w + 1, w) for b in range(n_bands)])
     bands = sigs.select(
         "doc", "bits", F.posexplode(band_arr).alias("band_idx", "band_val")
@@ -332,9 +330,7 @@ def minhash_lsh_pairs(
     and the Jaccard verifier's two sides, all read it — without the
     persist the tokenize+shingle pipeline re-runs per consumer (Spark
     reuses exchanges only for identical subplans)."""
-    ex = shingle_sets(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ex = persist_tracked(shingle_sets(df, text_col, id_col, k))
     sigs = minhash_signatures_from_shingles(ex)
     cands = minhash_band_candidates(sigs)
     return jaccard_from_shingles(ex, threshold, candidates=cands)

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import hashlib
 
+from ..caching import persist_tracked
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -226,7 +228,7 @@ def cosine_neardup_pairs(
     n_bits = n_bands * band_bits
     # buckets are tiny (one short string per vector) and feed BOTH sides
     # of the self-join — cache so the projection runs once, not twice
-    buckets = signlsh_buckets(embeddings, n_bits, id_col, vec_col).cache()
+    buckets = persist_tracked(signlsh_buckets(embeddings, n_bits, id_col, vec_col))
     band_arr = F.array(
         *[F.substring("bucket", b * band_bits + 1, band_bits) for b in range(n_bands)]
     )
