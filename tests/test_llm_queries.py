@@ -64,3 +64,29 @@ def test_exact_dedup_counts(spark):
     d = load_table(spark, SF_DIR, "documents")
     res = DD.exact_dedup(d, "text", "doc_id")
     assert res.agg(F.sum("n_docs")).collect()[0][0] == d.count()
+
+
+def test_q47_clusters_converged_and_consistent(spark):
+    """4 rounds reach the fixpoint on this data (one extra round changes
+    nothing), reps are cluster minima, and every paired doc is labeled."""
+    from weatherapi_data_engineering_project_spark.operators import dedup as DD
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        JACCARD_THRESHOLD,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    pairs = DD.jaccard_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+    r4 = {(r.doc_id, r.cluster_rep)
+          for r in DD.label_propagation_clusters(pairs, rounds=4).collect()}
+    r5 = {(r.doc_id, r.cluster_rep)
+          for r in DD.label_propagation_clusters(pairs, rounds=5).collect()}
+    assert r4 == r5, "label propagation not converged in 4 rounds"
+    reps = {}
+    for doc, rep in r4:
+        reps.setdefault(rep, []).append(doc)
+        assert rep <= doc
+    for rep, members in reps.items():
+        assert rep == min(members)
+    paired = {x for r in pairs.collect() for x in (r.id1, r.id2)}
+    assert {d for d, _ in r4} == paired

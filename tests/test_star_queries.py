@@ -37,7 +37,7 @@ def test_registry_consistency():
 
 
 EXPECTED_QUERIES = {
-    "q43", "q44", "q45", "q46",
+    "q43", "q44", "q45", "q46", "q47",
     # star q01-q18
     *(f"q{i:02d}" for i in range(1, 19)),
     # llm q19-q30, q35, q39-q41

@@ -316,6 +316,65 @@ def simhash_pairs(
     )
 
 
+def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+    """Cluster near-dup pairs into groups via min-label propagation.
+
+    The missing last step of dedup: pairs say "these two match", the
+    pipeline needs GROUPS with one canonical representative to keep.
+    Each round every node adopts the minimum label among itself and its
+    neighbors; after r rounds labels are exact for components of
+    diameter <= r (near-dup components are chains of transitive matches
+    — tiny in practice; a production fixpoint loop just adds rounds
+    until a convergence check passes, same plan per round).
+
+    ``rounds`` is FIXED, not run-to-fixpoint, so the result is a
+    deterministic function of the input that an unrolled SQL oracle can
+    replicate exactly. Each round is one join + one groupBy on the
+    (small) node set — the corpus itself is never touched.
+
+    Input: (id1, id2, ...) pairs. Output: (doc_id, cluster_rep).
+    """
+    # e and each round's labels feed TWO consumers in the next round's
+    # plan; without a per-round persist the lineage doubles every round
+    # (2^rounds recomputations of the pair-generation subplan — the
+    # classic iterative-algorithm trap). Persisting the tiny label set
+    # per round makes each round one join + one groupBy, flat.
+    e = persist_tracked(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b")).unionByName(
+            pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+        )
+    )
+    # label frames are node-sized; without the coalesce each round's
+    # persisted frame keeps the session's full shuffle width and the
+    # unions accumulate hundreds of near-empty partitions (600 tiny
+    # tasks per round under a 200-partition session)
+    n_slots = min(16, e.sparkSession.sparkContext.defaultParallelism)
+    labels = (
+        e.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("rep"))
+        .coalesce(n_slots)
+    )
+    for _ in range(rounds):
+        # one round = min over {own label} ∪ {neighbors' labels}: one
+        # broadcast join + union + grouped MIN — a single exchange per
+        # round, no left-join/coalesce chain. Label frames are
+        # node-sized (tiny next to the corpus), hence the broadcast.
+        nbr = e.join(
+            F.broadcast(
+                labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep"))
+            ),
+            on="b",
+        ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
+        labels = persist_tracked(
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"))
+            .coalesce(n_slots)
+        )
+    return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

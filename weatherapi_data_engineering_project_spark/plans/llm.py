@@ -225,6 +225,17 @@ def q46_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame, full scale path chained: MinHash-LSH candidates →
+    exact Jaccard verify (q25 semantics) → connected components via
+    4-round min-label propagation → (doc_id, cluster_rep). Keep rows
+    where doc_id == cluster_rep, drop the rest — the transitive-closure
+    step every pairwise dedup needs."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+    return DD.label_propagation_clusters(pairs, rounds=4)
+
+
 QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
@@ -243,6 +254,7 @@ QUERIES = {
     "q40_sequence_pack": q40_sequence_pack,
     "q41_scrub": q41_scrub,
     "q46_udtf_chunk": q46_udtf_chunk,
+    "q47_dedup_clusters": q47_dedup_clusters,
 }
 
 # --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
@@ -484,6 +496,40 @@ ORACLE = {
                substr(text, (i - 1) * 100 + 1, 100) AS chunk
         FROM documents,
              UNNEST(range(1, GREATEST(CAST(ceil(length(text) / 100.0) AS BIGINT), 1) + 1)) AS t(i)
+    """,
+    "q47_dedup_clusters": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT s.id1, s.id2
+            FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
+            WHERE s.jaccard >= {JACCARD_THRESHOLD}),
+        e AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL
+              SELECT id2 AS a, id1 AS b FROM pairs),
+        l0 AS (SELECT DISTINCT a AS id, a AS rep FROM e)"""
+    + "".join(
+        f""",
+        l{k} AS (
+            SELECT l.id, LEAST(l.rep, COALESCE(MIN(n.rep), l.rep)) AS rep
+            FROM l{k - 1} l
+            LEFT JOIN e ON e.a = l.id
+            LEFT JOIN l{k - 1} n ON n.id = e.b
+            GROUP BY l.id, l.rep)"""
+        for k in range(1, 5)
+    )
+    + """
+        SELECT id AS doc_id, rep AS cluster_rep FROM l4
     """,
     "q28_simhash": f"""
         WITH {_SHINGLES_CTE},
