@@ -177,3 +177,30 @@ def test_q42_stateful_totals_rows_only_query(spark):
     for uid, (n, s) in got.items():
         assert n == want[uid][0]
         assert abs(s - want[uid][1]) < 1e-6
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Re-delivered keys inside the watermark are dropped; each event_id
+    survives exactly once."""
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(100).cache()
+    dup = ev.unionByName(ev.limit(40))  # 40 re-deliveries
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    rows: list = []
+    stream = spark.readStream.schema(_events_schema_ddl()).parquet(src)
+    q = (
+        W.streaming_exact_dedup(stream, ["event_id"], watermark="2 hours")
+        .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == 100
+    assert len(set(ids)) == 100

@@ -97,6 +97,26 @@ def session_counts(
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming twin of exact_dedup: state holds one entry per key
+    seen inside the watermark and is evicted beyond it — bounded state
+    for an unbounded stream, which is the only dedup contract that
+    scales to a forever-running 100 TB ingest (global dedup of all
+    history belongs to the batch path over the stored corpus).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def _update_running_totals(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
