@@ -111,3 +111,27 @@ def test_interrupted_swap_recovery(spark, tmp_path):
     upsert_path(spark, target, batch, keys=["k"])
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {"a": 1, "b": 2, "c": 3}  # history survived
+
+
+def test_interrupted_partition_swap_recovery(spark, tmp_path):
+    """A crash between the partition swap's two renames leaves only the
+    dot-prefixed displaced dir; the next run restores it."""
+    import glob
+    import os
+    import shutil
+
+    target = str(tmp_path / "tprec")
+    seed = _mk_updates(spark, [("a", 1, "d1"), ("b", 2, "d2")])
+    upsert_path(spark, target, seed, keys=["k"], partition_by=["day"])
+
+    # simulate the crash window for partition d1
+    d1 = os.path.join(target, "day=d1")
+    shutil.move(d1, os.path.join(target, ".old-deadbeef-day=d1"))
+    assert not os.path.exists(d1)
+    # a read at this point would silently miss d1 — the next upsert heals
+    batch = _mk_updates(spark, [("c", 3, "d2")])
+    upsert_path(spark, target, batch, keys=["k"], partition_by=["day"])
+
+    got = {r.k: (r.v, r.day) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (1, "d1"), "b": (2, "d2"), "c": (3, "d2")}
+    assert not glob.glob(os.path.join(target, ".old-*"))

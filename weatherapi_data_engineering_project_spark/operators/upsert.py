@@ -141,38 +141,62 @@ def upsert_path(
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(tmp, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    _discard(old)
     return n0, n1
 
 
+def _discard(path: str) -> None:
+    """Delete a displaced dir safely: FIRST rename it to a ``.trash-*``
+    name (atomic; never matches any recovery pattern), THEN rmtree
+    best-effort. A partially-failed plain rmtree would leave a
+    truncated dir that still matches the ``.old`` recovery pattern —
+    and could later be 'restored' over the real table."""
+    if not os.path.exists(path):
+        return
+    trash = os.path.join(
+        os.path.dirname(path) or ".", f".trash-{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        os.rename(path, trash)
+    except OSError:
+        trash = path
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def _recover_interrupted_swap(target_path: str) -> None:
-    """Heal the two-rename swap's crash window.
+    """Heal the two-rename swap's crash window + clean swap debris.
 
     The swap is rename(target, old) then rename(tmp, target); a crash
-    between them leaves no target but a ``<target>.old-*`` sibling. If
-    that state is found, restore the newest old dir as the target —
-    otherwise the next run would silently rebuild the table from one
-    batch and strand the history.
+    between them leaves no target but a ``<target>.old-*`` sibling —
+    restore it (any such dir is an intact table copy: cleanup renames
+    to ``.trash-*`` before deleting, so truncated dirs never wear the
+    ``.old`` name). Also delete orphaned ``.{base}.tmp-*`` staging dirs
+    and ``.trash-*`` leftovers — each is a full table copy that would
+    otherwise leak disk forever.
     """
-    if os.path.exists(target_path):
-        return
     parent = os.path.dirname(target_path) or "."
     base = os.path.basename(target_path)
     if not os.path.isdir(parent):
         return
-    olds = sorted(
-        (
-            os.path.join(parent, d)
-            for d in os.listdir(parent)
-            if d.startswith(base + ".old-")
-        ),
-        key=os.path.getmtime,
-    )
-    if olds:
-        os.rename(olds[-1], target_path)
-        for stale in olds[:-1]:
-            shutil.rmtree(stale, ignore_errors=True)
+    entries = os.listdir(parent)
+    if not os.path.exists(target_path):
+        olds = sorted(
+            (os.path.join(parent, d) for d in entries if d.startswith(base + ".old-")),
+            key=os.path.getmtime,
+        )
+        if olds:
+            os.rename(olds[-1], target_path)
+            for stale in olds[:-1]:
+                _discard(stale)
+    else:
+        # target intact: any .old-* sibling is debris from a crash
+        # after the swap completed but before cleanup
+        for d in entries:
+            if d.startswith(base + ".old-"):
+                _discard(os.path.join(parent, d))
+    for d in entries:
+        if d.startswith(f".{base}.tmp-") or d.startswith(".trash-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def _upsert_partitions(
@@ -198,6 +222,7 @@ def _upsert_partitions(
     move partitions, its old copy would survive in the old partition.
     That holds for every reference table (keys embed location+date).
     """
+    _recover_interrupted_partition_swaps(target_path)
     affected = updates.select(*partition_by).distinct().collect()
     if not affected:
         return 0, 0
@@ -239,7 +264,8 @@ def _upsert_partitions(
         # the displaced dir gets a DOT-prefixed name: partition discovery
         # ignores dot/underscore paths, so a failed cleanup (rmtree is
         # best-effort) can never surface superseded rows as a bogus
-        # partition value
+        # partition value; _recover_interrupted_partition_swaps restores
+        # it if the crash hits between the two renames
         old = os.path.join(
             os.path.dirname(dst),
             f".old-{uuid.uuid4().hex[:8]}-{os.path.basename(dst)}",
@@ -248,7 +274,31 @@ def _upsert_partitions(
         if os.path.exists(dst):
             os.rename(dst, old)
         os.rename(root, dst)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        _discard(old)
     shutil.rmtree(tmp, ignore_errors=True)
     return n0, n1
+
+
+def _recover_interrupted_partition_swaps(target_path: str) -> None:
+    """Partition-level twin of _recover_interrupted_swap: a crash in the
+    per-partition swap window leaves ``.old-{uuid}-{leaf}`` (intact; the
+    cleanup path renames to ``.trash-*`` before deleting) with no
+    visible ``{leaf}`` sibling — restore it; if the visible leaf exists
+    the swap completed and the dot dir is debris — discard it."""
+    for root, dirs, _files in os.walk(target_path):
+        for d in list(dirs):
+            if d.startswith(".trash-"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+                continue
+            if not d.startswith(".old-"):
+                continue
+            # name shape: .old-{8-hex}-{leaf}
+            leaf = d[5 + 8 + 1:]
+            displaced = os.path.join(root, d)
+            visible = os.path.join(root, leaf)
+            if leaf and not os.path.exists(visible):
+                os.rename(displaced, visible)
+            else:
+                _discard(displaced)
+            dirs.remove(d)

@@ -228,9 +228,11 @@ def q46_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame, full scale path chained: MinHash-LSH candidates →
     exact Jaccard verify (q25 semantics) → connected components via
-    4-round min-label propagation → (doc_id, cluster_rep). Keep rows
-    where doc_id == cluster_rep, drop the rest — the transitive-closure
-    step every pairwise dedup needs."""
+    4-round min-label propagation → one (doc_id, cluster_rep) row per
+    PAIRED document (unpaired docs are implicitly their own cluster). A
+    downstream keep-list selects rows where doc_id == cluster_rep and
+    drops the rest — this query returns the full labeling so the oracle
+    can verify the clustering itself."""
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
     return DD.label_propagation_clusters(pairs, rounds=4)

@@ -16,11 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULE_NAMES = ("star", "llm", "weather", "analytics", "streaming_queries")
+# star is the core relational surface with no optional dependencies —
+# if it cannot import, the engine is broken and an empty-but-"successful"
+# registry would hide that; it fails hard. The rest degrade loudly.
+_REQUIRED = ("star",)
 
-# name -> exception message for any plan module that failed to import.
-# Kept visible (and loudly warned) rather than silently swallowed: a
-# missing dependency in the harness environment would otherwise shrink
-# the registered inventory while every remaining check still passes.
+# name -> exception message for any optional plan module that failed to
+# import. Kept visible (and loudly warned) rather than silently
+# swallowed: a missing dependency in the harness environment would
+# otherwise shrink the registered inventory while every remaining check
+# still passes.
 IMPORT_FAILURES: dict[str, str] = {}
 
 
@@ -30,6 +35,8 @@ def _modules():
         try:
             mods.append(importlib.import_module(f".{name}", __package__))
         except ImportError as e:
+            if name in _REQUIRED:
+                raise
             IMPORT_FAILURES[name] = str(e)
             print(
                 f"WARNING: plan module {name!r} failed to import and its "

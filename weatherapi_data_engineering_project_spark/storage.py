@@ -79,13 +79,19 @@ def salted_join(
     exploded n_salts× so every (key, salt) shard finds its match. Right
     side must be the smaller relation (it is replicated).
 
-    Only inner and left joins are supported: under right/full outer an
-    unmatched right-side row would null-extend once per replica and
-    surface n_salts duplicates.
+    Inner/left/semi/anti joins are supported (replication cannot
+    duplicate or null-extend LEFT rows under any of them); right/full
+    outer are rejected — an unmatched right-side row would null-extend
+    once per replica and surface n_salts duplicates.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    allowed = (
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    )
+    if how not in allowed:
         raise ValueError(
-            f"salted_join supports inner/left joins only, got {how!r}: "
+            f"salted_join supports inner/left/semi/anti joins, got {how!r}: "
             "replicated right rows would duplicate under right/full outer"
         )
     salted_left = left.withColumn(
