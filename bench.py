@@ -55,7 +55,7 @@ def main() -> None:
     # runs other jobs concurrently; a single sample conflates engine time
     # with scheduler noise. Operator-internal caches are released between
     # runs, so every sample is a full recomputation.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]

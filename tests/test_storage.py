@@ -71,3 +71,31 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.filter(F.col("k") == 0).count() == plain.filter(
         F.col("k") == 0
     ).count()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_salted_join_parity_all_supported_modes(spark, how):
+    """salted_join == plain join for every supported join type."""
+    left = spark.range(0, 500).select(
+        (F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(F.col("id"))).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    plain = left.join(right, on="k", how=how)
+    salted = S.salted_join(left, right, "k", how=how)
+    if how in ("semi", "anti"):
+        cols = ["k", "payload"]
+    else:
+        cols = ["k", "payload", "rv"]
+    # semi/anti results keep only left columns; salted inner/left carry rv
+    a = sorted(map(tuple, plain.select(*[c for c in cols if c in plain.columns]).collect()))
+    b = sorted(map(tuple, salted.select(*[c for c in cols if c in salted.columns]).collect()))
+    assert a == b
+
+
+def test_salted_join_rejects_outer(spark):
+    left = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        S.salted_join(left, left, "k", how="full")

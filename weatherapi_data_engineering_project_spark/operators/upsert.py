@@ -114,6 +114,12 @@ def upsert_path(
     """
     _recover_interrupted_swap(target_path)
     exists = os.path.exists(target_path)
+    if exists:
+        # heal crash-displaced partition dirs BEFORE any read, even on
+        # the non-partitioned path: a whole-table merge that read past
+        # an invisible .old partition dir would rewrite the table
+        # without it and discard the only copy in the swap
+        _recover_interrupted_partition_swaps(target_path)
     if exists and partition_by:
         return _upsert_partitions(
             spark, target_path, updates, keys, order_by, partition_by
@@ -159,7 +165,11 @@ def _discard(path: str) -> None:
     try:
         os.rename(path, trash)
     except OSError:
-        trash = path
+        # rename failed: LEAVE the dir untouched rather than partially
+        # rmtree-ing under its recoverable name — a truncated dir that
+        # still wears the .old name could later be "restored" over the
+        # real table. The next recovery pass retries the discard.
+        return
     shutil.rmtree(trash, ignore_errors=True)
 
 
@@ -194,9 +204,23 @@ def _recover_interrupted_swap(target_path: str) -> None:
         for d in entries:
             if d.startswith(base + ".old-"):
                 _discard(os.path.join(parent, d))
+    import time as _time
+
     for d in entries:
-        if d.startswith(f".{base}.tmp-") or d.startswith(".trash-"):
-            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        p = os.path.join(parent, d)
+        if d.startswith(".trash-"):
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(f".{base}.tmp-"):
+            # age-guarded: a FRESH tmp dir may belong to a concurrent /
+            # zombie writer mid-stage (single-writer per table is the
+            # operating assumption, but failovers overlap); only sweep
+            # staging dirs that have been idle for over an hour
+            try:
+                idle = _time.time() - os.path.getmtime(p)
+            except OSError:
+                continue
+            if idle > 3600:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def _upsert_partitions(
@@ -279,26 +303,37 @@ def _upsert_partitions(
     return n0, n1
 
 
-def _recover_interrupted_partition_swaps(target_path: str) -> None:
+def _recover_interrupted_partition_swaps(
+    target_path: str, max_depth: int = 3
+) -> None:
     """Partition-level twin of _recover_interrupted_swap: a crash in the
     per-partition swap window leaves ``.old-{uuid}-{leaf}`` (intact; the
     cleanup path renames to ``.trash-*`` before deleting) with no
     visible ``{leaf}`` sibling — restore it; if the visible leaf exists
-    the swap completed and the dot dir is debris — discard it."""
-    for root, dirs, _files in os.walk(target_path):
-        for d in list(dirs):
-            if d.startswith(".trash-"):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-                dirs.remove(d)
-                continue
-            if not d.startswith(".old-"):
-                continue
-            # name shape: .old-{8-hex}-{leaf}
-            leaf = d[5 + 8 + 1:]
-            displaced = os.path.join(root, d)
-            visible = os.path.join(root, leaf)
-            if leaf and not os.path.exists(visible):
-                os.rename(displaced, visible)
-            else:
-                _discard(displaced)
-            dirs.remove(d)
+    the swap completed and the dot dir is debris — discard it.
+
+    Directory-only scan bounded to ``max_depth`` levels (displaced dirs
+    live at partition-dir levels, never below): the recovery pass never
+    lists data files, so its cost per micro-batch is the partition-dir
+    count, not the table's file count.
+    """
+    frontier = [(target_path, 0)]
+    while frontier:
+        root, depth = frontier.pop()
+        try:
+            entries = [e for e in os.scandir(root) if e.is_dir()]
+        except OSError:
+            continue
+        for e in entries:
+            if e.name.startswith(".trash-"):
+                shutil.rmtree(e.path, ignore_errors=True)
+            elif e.name.startswith(".old-"):
+                # name shape: .old-{8-hex}-{leaf}
+                leaf = e.name[5 + 8 + 1:]
+                visible = os.path.join(root, leaf)
+                if leaf and not os.path.exists(visible):
+                    os.rename(e.path, visible)
+                else:
+                    _discard(e.path)
+            elif not e.name.startswith((".", "_")) and depth + 1 < max_depth:
+                frontier.append((e.path, depth + 1))
