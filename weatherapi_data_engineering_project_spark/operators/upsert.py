@@ -118,8 +118,13 @@ def upsert_path(
         # heal crash-displaced partition dirs BEFORE any read, even on
         # the non-partitioned path: a whole-table merge that read past
         # an invisible .old partition dir would rewrite the table
-        # without it and discard the only copy in the swap
-        _recover_interrupted_partition_swaps(target_path)
+        # without it and discard the only copy in the swap. Depth =
+        # partition arity when known; a generous bound otherwise (a
+        # non-partitioned call may be healing a previously-partitioned
+        # table of unknown arity).
+        _recover_interrupted_partition_swaps(
+            target_path, max_depth=len(partition_by) if partition_by else 6
+        )
     if exists and partition_by:
         return _upsert_partitions(
             spark, target_path, updates, keys, order_by, partition_by
@@ -214,12 +219,11 @@ def _recover_interrupted_swap(target_path: str) -> None:
             # age-guarded: a FRESH tmp dir may belong to a concurrent /
             # zombie writer mid-stage (single-writer per table is the
             # operating assumption, but failovers overlap); only sweep
-            # staging dirs that have been idle for over an hour
-            try:
-                idle = _time.time() - os.path.getmtime(p)
-            except OSError:
-                continue
-            if idle > 3600:
+            # staging dirs whose WHOLE directory tree has been idle for
+            # over an hour — the top-level mtime alone stays frozen
+            # while Spark writes inside _temporary/ subtrees, but each
+            # task file creation bumps its parent dir's mtime
+            if _time.time() - _newest_dir_mtime(p) > 3600:
                 shutil.rmtree(p, ignore_errors=True)
 
 
@@ -245,8 +249,8 @@ def _upsert_partitions(
     key (e.g. the date embedded in the surrogate key) — if a key could
     move partitions, its old copy would survive in the old partition.
     That holds for every reference table (keys embed location+date).
+    (Crash recovery already ran in upsert_path — the only caller.)
     """
-    _recover_interrupted_partition_swaps(target_path)
     affected = updates.select(*partition_by).distinct().collect()
     if not affected:
         return 0, 0
@@ -303,6 +307,25 @@ def _upsert_partitions(
     return n0, n1
 
 
+def _newest_dir_mtime(path: str) -> float:
+    """Newest mtime across a directory tree's DIRECTORIES (adding a file
+    updates its parent dir's mtime, so this tracks write activity
+    without enumerating data files). Returns +inf-ish current time on
+    listing errors so callers never treat an unreadable dir as idle."""
+    import time as _time
+
+    newest = 0.0
+    try:
+        for root, _dirs, _files in os.walk(path):
+            try:
+                newest = max(newest, os.path.getmtime(root))
+            except OSError:
+                return _time.time()
+    except OSError:
+        return _time.time()
+    return newest
+
+
 def _recover_interrupted_partition_swaps(
     target_path: str, max_depth: int = 3
 ) -> None:
@@ -312,10 +335,11 @@ def _recover_interrupted_partition_swaps(
     visible ``{leaf}`` sibling — restore it; if the visible leaf exists
     the swap completed and the dot dir is debris — discard it.
 
-    Directory-only scan bounded to ``max_depth`` levels (displaced dirs
-    live at partition-dir levels, never below): the recovery pass never
-    lists data files, so its cost per micro-batch is the partition-dir
-    count, not the table's file count.
+    Directory-only scan bounded to ``max_depth`` = the partition arity
+    (callers pass ``len(partition_by)``): with arity N the displaced
+    dirs live at levels 1..N, the frontier stops above the leaf
+    partition dirs, and the per-micro-batch cost is the partition-dir
+    count — data files are never enumerated.
     """
     frontier = [(target_path, 0)]
     while frontier:
