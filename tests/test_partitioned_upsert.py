@@ -135,3 +135,25 @@ def test_interrupted_partition_swap_recovery(spark, tmp_path):
     got = {r.k: (r.v, r.day) for r in spark.read.parquet(target).collect()}
     assert got == {"a": (1, "d1"), "b": (2, "d2"), "c": (3, "d2")}
     assert not glob.glob(os.path.join(target, ".old-*"))
+
+
+def test_orphan_staging_sweep_is_age_guarded(spark, tmp_path):
+    """Stale (>1h idle) orphan staging dirs are swept; fresh ones — a
+    possibly-live concurrent writer — survive."""
+    import os
+    import time
+
+    target = str(tmp_path / "tsweep")
+    upsert_path(spark, target, _mk_updates(spark, [("a", 1, "d1")]), keys=["k"])
+
+    stale = str(tmp_path / ".tsweep.tmp-stale123")
+    fresh = str(tmp_path / ".tsweep.tmp-fresh456")
+    for d in (stale, fresh):
+        os.makedirs(os.path.join(d, "_temporary"))
+    two_hours_ago = time.time() - 7200
+    os.utime(stale, (two_hours_ago, two_hours_ago))
+    os.utime(os.path.join(stale, "_temporary"), (two_hours_ago, two_hours_ago))
+
+    upsert_path(spark, target, _mk_updates(spark, [("b", 2, "d1")]), keys=["k"])
+    assert not os.path.exists(stale), "stale staging dir should be swept"
+    assert os.path.exists(fresh), "fresh staging dir must survive"
