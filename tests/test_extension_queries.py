@@ -1,0 +1,74 @@
+"""Differential tests for the round-2 extension queries (q48–q54)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherapi_data_engineering_project_spark.plans import extensions as X
+from weatherapi_data_engineering_project_spark.schemas import load_table
+from tests.conftest import SF_DIR, compare_query_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(X.QUERIES))
+def test_extension_query_matches_oracle(spark, name):
+    compare_query_to_oracle(spark, name, X.QUERIES[name], X.ORACLE[name], SF_DIR)
+
+
+def test_cube_has_all_grouping_sets(spark):
+    """CUBE of 2 columns emits gid 0..3 and consistent grand total."""
+    rows = X.q48_cube(spark, SF_DIR).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 2, 3}
+    grand = [r for r in rows if r.gid == 3]
+    leaves = [r for r in rows if r.gid == 0]
+    assert len(grand) == 1
+    assert sum(r.n_orders for r in leaves) == grand[0].n_orders
+
+
+def test_deciles_are_balanced(spark):
+    """NTILE guarantees decile sizes differ by at most one row."""
+    rows = X.q49_decile_stats(spark, SF_DIR).collect()
+    sizes = [r.n_orders for r in rows]
+    assert len(rows) == 10
+    assert max(sizes) - min(sizes) <= 1
+    # deciles are ordered by price: max of decile i <= min of decile i+1
+    by_decile = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(by_decile, by_decile[1:]):
+        assert a.max_price <= b.min_price
+
+
+def test_stratified_sample_fraction(spark):
+    """Each stratum keeps exactly ceil(0.1 * n) docs, deterministically."""
+    import math
+
+    d = load_table(spark, SF_DIR, "documents")
+    totals = {r.source: r.n for r in
+              d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r.source: r.n for r in
+            X.q52_stratified_sample(spark, SF_DIR)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in totals.items():
+        assert kept.get(src, 0) == math.ceil(n * 0.1)
+    # determinism: a second run returns the identical doc set
+    a = {r.doc_id for r in X.q52_stratified_sample(spark, SF_DIR).collect()}
+    b = {r.doc_id for r in X.q52_stratified_sample(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_moving_window_trailing_only(spark):
+    """The 7-day frame never looks forward: rev_7d at a row is the sum
+    of that customer's orders in [day-6, day]."""
+    rows = X.q54_moving_window(spark, SF_DIR).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    import itertools
+
+    checked = 0
+    for cust, rs in itertools.islice(by_cust.items(), 20):
+        for r in rs:
+            manual = sum(1 for x in rs if r.day - 6 <= x.day <= r.day)
+            assert r.n_7d == manual
+            checked += 1
+    assert checked > 0

@@ -90,3 +90,64 @@ def test_q47_clusters_converged_and_consistent(spark):
         assert rep == min(members)
     paired = {x for r in pairs.collect() for x in (r.id1, r.id2)}
     assert {d for d, _ in r4} == paired
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    """cap_shingle_doc_freq: a stopword-trigram shared by the whole
+    corpus is excluded from the join and set sizes; genuinely similar
+    docs are still paired. Guards the q24 all-pairs O(df^2) blow-up."""
+    hot_prefix = "the cat sat on the mat and looked around slowly "
+    rows = [(i, hot_prefix + f"unique tail {i} alpha beta gamma delta")
+            for i in range(30)]
+    # one true near-dup pair with rare shared content
+    rows += [(100, "rare shared content block one two three four five six"),
+             (101, "rare shared content block one two three four five seven")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ex = DD.shingle_sets(d, "text", "doc_id")
+    capped = DD.cap_shingle_doc_freq(ex, max_doc_freq=10)
+    # no surviving shingle appears in more than 10 docs
+    maxdf = (
+        capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert maxdf <= 10
+    # n_sh was recomputed over the capped sets
+    bad = capped.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_sh").alias("n_sh")
+    ).filter(F.col("n") != F.col("n_sh")).count()
+    assert bad == 0
+
+    pairs = {
+        (r.id1, r.id2)
+        for r in DD.jaccard_pairs(
+            d, "text", "doc_id", 0.3, max_doc_freq=10
+        ).collect()
+    }
+    assert (100, 101) in pairs
+    # the hot-prefix docs share ONLY capped shingles -> no pair among them
+    assert all(p == (100, 101) for p in pairs)
+
+
+def test_lsh_verify_path_has_no_broadcast_hint(spark):
+    """The candidate side of the LSH verifier must not be hard-broadcast
+    (at corpus scale it can exceed driver limits); AQE decides at
+    runtime instead."""
+    d = load_table(spark, SF_DIR, "documents")
+    res = DD.minhash_lsh_pairs(d, "text", "doc_id", 0.4)
+    analyzed = res._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+
+
+def test_converged_clustering_long_chain(spark):
+    """Run-to-fixpoint clustering resolves a diameter-9 chain exactly;
+    the fixed-4-round oracle variant (documented) cannot."""
+    chain = [(i, i + 1) for i in range(9)]  # 0-1-2-...-9
+    pairs = spark.createDataFrame(chain, "id1 long, id2 long")
+    conv = {r.doc_id: r.cluster_rep
+            for r in DD.label_propagation_clusters_converged(pairs).collect()}
+    assert set(conv) == set(range(10))
+    assert all(rep == 0 for rep in conv.values())
+    fixed = {r.doc_id: r.cluster_rep
+             for r in DD.label_propagation_clusters(pairs, rounds=4).collect()}
+    assert any(rep != 0 for rep in fixed.values())  # 4 hops can't reach

@@ -180,3 +180,117 @@ def test_weatherapi_datasource_fixture_mode(spark, tmp_path):
     by_name = {r.name: r.location_id for r in dim.collect()}
     assert by_name["New Delhi"] == "DEL"
     assert by_name["Atlantis"] is None  # K4 unknown city
+
+
+def test_poison_batch_survives(spark, tmp_path):
+    """M5 error wrapper: a malformed CSV fails its own batch with an
+    Error status but does not halt the load — later drains succeed."""
+    stage = str(tmp_path / "stage")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    quarantine = str(tmp_path / "quarantine")
+    load = TableLoad("dim_location", DIM_LOCATION_SCHEMA, keys=["location_id"])
+
+    good1 = [{"location_id": "DEL", "name": "New Delhi", "region": "Delhi",
+              "country": "India", "latitude": 28.6, "longitude": 77.2}]
+    _write_csv(f"{stage}/w1.csv", good1, COLS)
+    run_available_now(spark, load, stage, target, ckpt,
+                      csv_mode="FAILFAST", quarantine_dir=quarantine)
+    assert load.status_log[-1][1].startswith("Success")
+
+    # wave 2: latitude is not a double → FAILFAST scan error in-batch
+    os.makedirs(stage, exist_ok=True)
+    with open(f"{stage}/w2.csv", "w") as f:
+        f.write(",".join(COLS) + "\n")
+        f.write("MUM,Mumbai,MH,India,NOT_A_NUMBER,72.9\n")
+    run_available_now(spark, load, stage, target, ckpt,
+                      csv_mode="FAILFAST", quarantine_dir=quarantine)
+    assert load.status_log[-1][1].startswith("Error")
+    got = {r.location_id for r in spark.read.parquet(target).collect()}
+    assert got == {"DEL"}  # poison batch left the target untouched
+
+    # wave 3: the stream is not dead — a good file still lands
+    good3 = [{"location_id": "KOC", "name": "Kochi", "region": "Kerala",
+              "country": "India", "latitude": 10.0, "longitude": 76.3}]
+    _write_csv(f"{stage}/w3.csv", good3, COLS)
+    run_available_now(spark, load, stage, target, ckpt,
+                      csv_mode="FAILFAST", quarantine_dir=quarantine)
+    assert load.status_log[-1][1].startswith("Success")
+    got = {r.location_id for r in spark.read.parquet(target).collect()}
+    assert got == {"DEL", "KOC"}
+
+
+def test_gated_stage_cleanup(spark, tmp_path):
+    """M3 faithful mode: stage files archived after a drain whose audits
+    match; retained when a mismatch/error is reported."""
+    from weatherapi_data_engineering_project_spark.streaming.load import (
+        gated_stage_cleanup,
+    )
+
+    stage = str(tmp_path / "stage")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "archive")
+    load = TableLoad("dim_location", DIM_LOCATION_SCHEMA, keys=["location_id"])
+
+    wave1 = [{"location_id": "DEL", "name": "New Delhi", "region": "Delhi",
+              "country": "India", "latitude": 28.6, "longitude": 77.2}]
+    _write_csv(f"{stage}/day1/w1.csv", wave1, COLS)
+    entries = run_available_now(spark, load, stage, target, ckpt)
+    assert gated_stage_cleanup(stage, archive, entries, load.status_log)
+    assert not os.path.exists(f"{stage}/day1/w1.csv")
+    assert os.path.exists(f"{archive}/day1/w1.csv")  # relative path kept
+
+    # wave 2 with an injected audit mismatch → retained for retry
+    wave2 = [{"location_id": "MUM", "name": "Mumbai", "region": "MH",
+              "country": "India", "latitude": 19.1, "longitude": 72.9}]
+    _write_csv(f"{stage}/day2/w2.csv", wave2, COLS)
+    entries = run_available_now(spark, load, stage, target, ckpt)
+    bad = [(b, n0, n1 + 1) for b, n0, n1 in entries]  # injected mismatch
+    assert not gated_stage_cleanup(stage, archive, bad, load.status_log)
+    assert os.path.exists(f"{stage}/day2/w2.csv")  # retained
+
+    # same wave, true audits → archives now
+    assert gated_stage_cleanup(stage, archive, entries, load.status_log)
+    assert os.path.exists(f"{archive}/day2/w2.csv")
+
+
+def test_processing_time_resident_load(spark, tmp_path):
+    """O1 resident mode: a processingTime-triggered stream picks up two
+    file waves without restarting (the reference's 4-hour cron cadence,
+    location.sql:87-91, compressed to 1 s)."""
+    import time
+
+    from weatherapi_data_engineering_project_spark.streaming.load import (
+        start_load,
+    )
+
+    stage = str(tmp_path / "stage")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    load = TableLoad("dim_location", DIM_LOCATION_SCHEMA, keys=["location_id"])
+
+    wave1 = [{"location_id": "DEL", "name": "New Delhi", "region": "Delhi",
+              "country": "India", "latitude": 28.6, "longitude": 77.2}]
+    _write_csv(f"{stage}/w1.csv", wave1, COLS)
+    q = start_load(spark, load, stage, target, ckpt,
+                   available_now=False, processing_time="1 second")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not load.audit_log:
+            time.sleep(0.5)
+        assert load.audit_log, "wave 1 never processed"
+        assert {r.location_id for r in spark.read.parquet(target).collect()} == {"DEL"}
+
+        wave2 = [{"location_id": "MUM", "name": "Mumbai", "region": "MH",
+                  "country": "India", "latitude": 19.1, "longitude": 72.9}]
+        _write_csv(f"{stage}/w2.csv", wave2, COLS)
+        deadline = time.time() + 60
+        while time.time() < deadline and len(load.audit_log) < 2:
+            time.sleep(0.5)
+        assert len(load.audit_log) >= 2, "wave 2 never processed"
+        got = {r.location_id for r in spark.read.parquet(target).collect()}
+        assert got == {"DEL", "MUM"}
+        assert q.isActive  # resident loop still alive after both waves
+    finally:
+        q.stop()

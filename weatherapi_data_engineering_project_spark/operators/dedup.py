@@ -93,11 +93,13 @@ def jaccard_pairs(
     threshold: float,
     k: int = 3,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs (or candidate-restricted) shingle-set Jaccard ≥ threshold.
 
     Output: (id1, id2, jaccard). With ``candidates`` (id1, id2) given,
-    only those pairs are scored — the LSH fast path.
+    only those pairs are scored — the LSH fast path. ``max_doc_freq``
+    caps the blow-up of the all-pairs path: see cap_shingle_doc_freq.
     """
     ex = shingle_sets(df, text_col, id_col, k)
     # Both join sides (and, on the LSH path, the signature build too)
@@ -107,13 +109,46 @@ def jaccard_pairs(
     # differ. MEMORY_AND_DISK: at corpus scale the explode output can
     # exceed memory; spilling beats recomputing.
     ex = persist_tracked(ex)
-    return jaccard_from_shingles(ex, threshold, candidates)
+    return jaccard_from_shingles(ex, threshold, candidates, max_doc_freq)
+
+
+def cap_shingle_doc_freq(ex: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles present in more than ``max_doc_freq`` documents and
+    recompute per-doc set sizes — "df-capped Jaccard".
+
+    This is the standard guard on the all-pairs shingle self-join: a
+    single hot shingle (a stopword trigram) contributes O(df²) joined
+    rows, so one pathological token can dwarf the rest of the corpus.
+    High-df shingles carry almost no pairwise signal (they match
+    everything), so capping changes scores marginally while bounding
+    the join at max_doc_freq² per shingle. Well-defined semantics —
+    Jaccard over the capped shingle sets — which the SQL oracle mirrors
+    exactly. The hot-shingle list is df-filtered and tiny, so AQE
+    broadcasts the anti-join side.
+    """
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_ct"))
+        .filter(F.col("df_ct") > max_doc_freq)
+        .select("shingle")
+    )
+    kept = ex.select("doc", "shingle").join(hot, on="shingle", how="left_anti")
+    from pyspark.sql.window import Window
+
+    return kept.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+    )
 
 
 def jaccard_from_shingles(
-    ex: DataFrame, threshold: float, candidates: DataFrame | None = None
+    ex: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Jaccard scoring over a prebuilt (doc, n_sh, shingle) frame."""
+    if candidates is None and max_doc_freq is not None:
+        ex = cap_shingle_doc_freq(ex, max_doc_freq)
     a = ex.select(
         F.col("doc").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
     )
@@ -124,8 +159,11 @@ def jaccard_from_shingles(
         # Candidate-restricted path (the LSH fast path): drive the join
         # FROM the candidate pairs so the quadratic hot-shingle self-join
         # never materializes — cost is O(|candidates| × shingles/doc),
-        # not O(Σ per-shingle doc-count²).
-        cand = F.broadcast(candidates.select("id1", "id2").distinct())
+        # not O(Σ per-shingle doc-count²). No broadcast hint: at corpus
+        # scale the candidate-pair set can exceed driver/broadcast
+        # limits; AQE broadcasts it at runtime whenever it IS small,
+        # which a hard hint would force even when it isn't.
+        cand = candidates.select("id1", "id2").distinct()
         joined = (
             cand.join(a, on="id1")
             .join(b, on=["id2", "shingle"])
@@ -373,6 +411,75 @@ def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
             .coalesce(n_slots)
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep"))
+
+
+def label_propagation_clusters_converged(
+    pairs: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Production variant of label_propagation_clusters: run min-label
+    rounds to a FIXPOINT (no label changed) with a max_rounds guard.
+
+    The fixed-rounds version is exact only for components of diameter
+    <= rounds; a long chain of transitive near-dups (A~B~C~...~Z) needs
+    diameter many rounds. This loop adds a per-round convergence check
+    — a single scalar count of changed labels (driver-side scalar,
+    not a data collect) — and stops as soon as a round changes nothing,
+    so common corpora (tiny diameters) pay 2-3 rounds while adversarial
+    chains still resolve exactly. Each round's plan is identical to the
+    fixed version: one broadcast label join + grouped MIN.
+
+    min-label propagation converges monotonically (labels only
+    decrease, bounded below by the component minimum), so "no change"
+    is a true fixpoint, and one round per diameter step is the worst
+    case — max_rounds=50 covers any component of diameter <= 50 and
+    bounds runaway cost on degenerate graphs.
+    """
+    e = persist_tracked(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b")).unionByName(
+            pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+        )
+    )
+    n_slots = min(16, e.sparkSession.sparkContext.defaultParallelism)
+    # localCheckpoint, not persist: persist caches DATA but the logical
+    # plan still nests (labels appears twice per round — once directly,
+    # once under the neighbor join), so the plan tree doubles every
+    # round and analysis itself OOMs after ~10 rounds. Checkpointing
+    # truncates lineage, keeping every round's plan flat. On a real
+    # cluster prefer reliable checkpoint() to an HDFS dir (survives
+    # executor loss); local mode has no such failure domain.
+    labels = (
+        e.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("rep"))
+        .coalesce(n_slots)
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr = e.join(
+            F.broadcast(
+                labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep"))
+            ),
+            on="b",
+        ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"))
+            .coalesce(n_slots)
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep")
+    )
 
 
 def minhash_lsh_pairs(

@@ -308,17 +308,27 @@ def _upsert_partitions(
 
 
 def _newest_dir_mtime(path: str) -> float:
-    """Newest mtime across a directory tree's DIRECTORIES (adding a file
-    updates its parent dir's mtime, so this tracks write activity
-    without enumerating data files). Returns +inf-ish current time on
-    listing errors so callers never treat an unreadable dir as idle."""
+    """Newest mtime across a directory tree — directories AND files.
+
+    Directory mtimes alone miss a live writer streaming ONE large task
+    file for >1h (no new files ⇒ no dir mtime bump, but the file's own
+    mtime does update on content writes); judging idleness by dirs only
+    would sweep that writer's staging dir mid-write. Enumerating files
+    is fine here: this runs only on orphan-candidate staging dirs (one
+    in-flight table copy, bounded task-file count), never on the table
+    tree. Returns the current time on listing errors so callers never
+    treat an unreadable dir as idle."""
     import time as _time
 
     newest = 0.0
     try:
-        for root, _dirs, _files in os.walk(path):
+        for root, _dirs, files in os.walk(path):
             try:
                 newest = max(newest, os.path.getmtime(root))
+                for f in files:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, f))
+                    )
             except OSError:
                 return _time.time()
     except OSError:

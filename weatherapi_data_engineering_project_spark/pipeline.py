@@ -71,13 +71,18 @@ def transform_to_curated(
     Returns per-table row counts written.
     """
     counts: dict[str, int] = {}
-    for name, (fn, _schema, keys, _parts) in TABLES.items():
+    for name, (fn, schema, keys, _parts) in TABLES.items():
         out = fn(docs, spark)
         for k in keys:
             out = out.filter(out[k].isNotNull())
         path = os.path.join(curated_dir, name, run_tag)
         out.write.option("header", True).mode("overwrite").csv(path)
-        counts[name] = out.count()
+        # count the WRITTEN files, not the transform output: counting
+        # `out` would re-run the whole transform a second time (the
+        # write doesn't cache its input), doubling EP2 compute at scale.
+        counts[name] = (
+            spark.read.option("header", True).schema(schema).csv(path).count()
+        )
     return counts
 
 

@@ -43,7 +43,9 @@ def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in; this formulation is what a SQL engine can verify).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak: with ts alone, tied timestamps make lag/cumsum
+    # nondeterministic across engines; the surrogate id pins the order.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_s = F.when(
         prev.isNull()
@@ -270,17 +272,21 @@ QUERIES = {
 ORACLE = {
     "q31_sessionize": f"""
         WITH marked AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                              > {SESSION_GAP_US}
                         THEN 1 ELSE 0 END AS new_s
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         numbered AS (
             SELECT user_id, ts, value,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+                   -- CAST: DuckDB's window SUM yields HUGEINT; Spark's is
+                   -- BIGINT, and the driver hash distinguishes the types.
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_idx
             FROM marked)
         SELECT user_id, session_idx,
                COUNT(*) AS n_events,

@@ -1,0 +1,391 @@
+"""Coverage extensions round 2: grouping sets, deciles, gap analysis,
+quality scoring, stratified sampling, repetition stats, range frames.
+
+Engine extensions beyond the reference (SURVEY.md §2.I), same contract
+as plans/analytics.py: every query has an exact ANSI-SQL oracle twin,
+every aggregate is decimal-cast so Spark and DuckDB agree bit-for-bit,
+and every computed column is aliased identically on both sides.
+
+Scale notes (100 TB story):
+- q48 cube is Catalyst Expand + ONE partial+final hash aggregate — the
+  shuffle carries (group × grouping-set) rows after map-side combine.
+- q49's global NTILE is inherently a total order (single range
+  exchange); it exists as the operator demo — per-key variants
+  partition first and scale like any window.
+- q50/q54 are single-shuffle window plans hash-partitioned by their
+  entity key; each entity's timeline sorts within one task.
+- q51/q52/q53 are scan-side projections / one groupBy each; the only
+  Python-free expressions, all codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as TX
+from ..schemas import load_table
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it')"
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def q48_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, order year): all four grouping sets in one
+    Expand + single-shuffle hash aggregate, with grouping_id
+    disambiguating true NULL-ish groups from subtotal rows."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "y", F.year("o_orderdate")
+    )
+    return (
+        o.cube("o_orderstatus", "y")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("y", F.lit(-1)).alias("y"),
+            "gid",
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q49_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) global deciles of order price (deterministic via the
+    orderkey tiebreak) → per-decile count / bounds / decimal sum."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    tiled = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price").cast("double").alias("min_price"),
+        F.max("price").cast("double").alias("max_price"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+def q50_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap analysis via lead(): gap count, >1 h gap
+    count, exact integer-microsecond max/avg (avg exposed as double)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap_us = F.unix_micros(nxt) - F.unix_micros(F.col("ts"))
+    gaps = ev.select("user_id", gap_us.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum((F.col("gap_us") > 3600 * 1_000_000).cast("long")).alias(
+            "n_long_gaps"
+        ),
+        F.max("gap_us").alias("max_gap_us"),
+        (
+            F.sum("gap_us").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6))
+        ).alias("avg_gap_s"),
+    )
+
+
+def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality scoring (Gopher-style filters): four
+    boolean rules → integer score → keep decision. The standard
+    pre-training corpus filter, fully codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_tok = F.size(toks)
+    punct_ratio = TX.punct_count("text").cast("double") / F.length("text")
+    stop_ratio = TX.stopword_count(toks).cast("double") / n_tok
+    r_len = (n_tok >= 10) & (n_tok <= 1000)
+    r_punct = punct_ratio <= 0.1
+    r_stop = stop_ratio >= 0.03
+    r_word = (F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok) <= 12
+    score = (
+        r_len.cast("int") + r_punct.cast("int")
+        + r_stop.cast("int") + r_word.cast("int")
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        score.alias("quality_score"),
+        (score == 4).alias("keep"),
+    )
+
+
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: within each source stratum keep
+    the lowest ~10% of docs by md5(doc_id) rank — same subset on every
+    run, any cluster, any partitioning (no RNG). One window shuffle on
+    the stratum key."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(F.col("n_src") * 0.1)
+    ).select("doc_id", "source", "rn")
+
+
+def q53_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality stats: type-token ratio and the
+    top-token frequency share per document (the repeated-content filter
+    of pre-training pipelines). One explode + two grouped aggregates,
+    all counts exact integers before the final double division."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    per_tok = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("ttr"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_share"),
+    )
+
+
+def q54_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed moving aggregate: per customer, order count and
+    decimal revenue over a trailing 7-day window keyed on the epoch-day
+    integer (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) — the
+    time-based frame the reference's fact tables need for rolling
+    weather statistics, single shuffle on the entity key."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day"))
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum("price").over(w).cast("double").alias("rev_7d"),
+    )
+
+
+def q55_bigjoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join at engine scale: lineitem ⋈ orders on orderkey
+    (both large — sort-merge/shuffled-hash territory, AQE-coalesced),
+    then ⋈ customer (comparatively small — broadcast-able) for segment
+    revenue per order-year. The canonical TPC-H-Q3-shaped plan: the
+    ONLY wide exchange is the orderkey shuffle; the groupBy rides a
+    partial aggregate so the second shuffle carries (year × segment)
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    joined = (
+        li.select("l_orderkey", rev.alias("rev"))
+        .join(
+            o.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("y")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return joined.groupBy("y", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their customer's
+    average. Written as SQL so Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery) turns the per-row subquery into
+    ONE aggregate + join — the plan a hand-rolled window/join would
+    produce, derived automatically. The predicate is the exact integer
+    form ``price * n > sum`` (never a float average), so the boundary
+    rows are engine-independent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_q56"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders_q56 o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM orders_q56 i
+                 WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FROM orders_q56 i
+                 WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+QUERIES = {
+    "q48_cube": q48_cube,
+    "q49_decile_stats": q49_decile_stats,
+    "q50_event_gaps": q50_event_gaps,
+    "q51_quality_score": q51_quality_score,
+    "q52_stratified_sample": q52_stratified_sample,
+    "q53_repetition_stats": q53_repetition_stats,
+    "q54_moving_window": q54_moving_window,
+    "q55_bigjoin_revenue": q55_bigjoin_revenue,
+    "q56_correlated_subquery": q56_correlated_subquery,
+}
+
+ORACLE = {
+    "q48_cube": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(y, -1) AS y,
+               2 * GROUPING(o_orderstatus) + GROUPING(y) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM (SELECT o_orderstatus, year(o_orderdate) AS y, o_totalprice
+              FROM orders)
+        GROUP BY CUBE(o_orderstatus, y)
+    """,
+    "q49_decile_stats": """
+        WITH tiled AS (
+            SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+            FROM orders)
+        SELECT decile,
+               COUNT(*) AS n_orders,
+               CAST(MIN(price) AS DOUBLE) AS min_price,
+               CAST(MAX(price) AS DOUBLE) AS max_price,
+               CAST(SUM(price) AS DOUBLE) AS sum_price
+        FROM tiled
+        GROUP BY decile
+    """,
+    "q50_event_gaps": """
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                     - epoch_us(ts) AS gap_us
+            FROM events)
+        SELECT user_id,
+               COUNT(*) AS n_gaps,
+               CAST(SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_long_gaps,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap_us) AS DOUBLE) / (COUNT(*) * 1000000.0)
+                   AS avg_gap_s
+        FROM gaps
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """,
+    "q51_quality_score": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                   CAST(len(list_filter({_TOK},
+                            t -> t IN {_STOP_SQL})) AS DOUBLE)
+                       / len({_TOK}) AS stop_ratio,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS DOUBLE) / len({_TOK}) AS avg_tok_len
+            FROM documents)
+        SELECT doc_id,
+               n_tokens,
+               (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+                + CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END
+                + CASE WHEN stop_ratio >= 0.03 THEN 1 ELSE 0 END
+                + CASE WHEN avg_tok_len <= 12 THEN 1 ELSE 0 END)
+                   AS quality_score,
+               (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+                + CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END
+                + CASE WHEN stop_ratio >= 0.03 THEN 1 ELSE 0 END
+                + CASE WHEN avg_tok_len <= 12 THEN 1 ELSE 0 END) = 4
+                   AS keep
+        FROM feats
+    """,
+    "q52_stratified_sample": """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n_src
+            FROM documents)
+        SELECT doc_id, source, rn
+        FROM ranked
+        WHERE rn <= CAST(ceil(n_src * 0.1) AS BIGINT)
+    """,
+    "q53_repetition_stats": f"""
+        WITH per_tok AS (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest({_TOK}) AS w FROM documents)
+            GROUP BY doc_id, w)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS top_token_share
+        FROM per_tok
+        GROUP BY doc_id
+    """,
+    "q56_correlated_subquery": """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM orders i
+                 WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FROM orders i
+                 WHERE i.o_custkey = o.o_custkey)
+    """,
+    "q55_bigjoin_revenue": """
+        SELECT year(o.o_orderdate) AS y,
+               c.c_mktsegment,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    "q54_moving_window": """
+        WITH days AS (
+            SELECT o_orderkey, o_custkey,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS day,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders)
+        SELECT o_orderkey, o_custkey, day,
+               COUNT(*) OVER w AS n_7d,
+               CAST(SUM(price) OVER w AS DOUBLE) AS rev_7d
+        FROM days
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+}

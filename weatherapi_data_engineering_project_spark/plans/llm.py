@@ -20,6 +20,11 @@ from ..schemas import load_table
 
 JACCARD_THRESHOLD = 0.4  # catches exactly the planted near-dup pairs
 
+# q24 all-pairs guard: shingles in more docs than this are excluded from
+# the Jaccard sets (df-capped Jaccard, operators/dedup.py::
+# cap_shingle_doc_freq) — bounds the hot-shingle self-join blow-up.
+MAX_SHINGLE_DF = 100
+
 
 def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality stats: token count, token length, punctuation
@@ -76,9 +81,13 @@ def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard near-dup pairs (all-pairs verifier)."""
+    """3-gram shingle Jaccard near-dup pairs — the all-pairs
+    differential baseline for q25, df-capped so a hot shingle can't
+    make the self-join quadratic in corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+    return DD.jaccard_pairs(
+        d, "text", "doc_id", JACCARD_THRESHOLD, max_doc_freq=MAX_SHINGLE_DF
+    )
 
 
 def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,12 +375,20 @@ ORACLE = {
         GROUP BY 1
     """,
     "q24_jaccard_pairs": f"""
-        WITH {_SHINGLES_CTE}
+        WITH {_SHINGLES_CTE},
+        hot AS (SELECT shingle FROM ex
+                GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+        exc AS (SELECT e.doc_id, e.shingle FROM ex e
+                ANTI JOIN hot h ON e.shingle = h.shingle),
+        exn AS (SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
+                       shingle
+                FROM exc)
         SELECT id1, id2, jaccard FROM (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
                    CAST(COUNT(*) AS DOUBLE)
                        / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM exn a JOIN exn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id)
         WHERE jaccard >= {JACCARD_THRESHOLD}
     """,

@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULE_NAMES = ("star", "llm", "weather", "analytics", "streaming_queries")
+_MODULE_NAMES = (
+    "star", "llm", "weather", "analytics", "streaming_queries", "extensions",
+)
 # star is the core relational surface with no optional dependencies —
 # if it cannot import, the engine is broken and an empty-but-"successful"
 # registry would hide that; it fails hard. The rest degrade loudly.

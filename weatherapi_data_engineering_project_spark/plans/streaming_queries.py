@@ -14,7 +14,10 @@ checkpoint recovery across waves.
 
 from __future__ import annotations
 
+import atexit
+import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,22 +31,48 @@ EVENTS_DDL = (
 )
 
 
+def _q42_work_dir(sf_dir: str) -> str:
+    """Deterministic per-dataset work dir, cleared on reuse so repeated
+    invocations (bench runs the query N times) hold at most ONE replay
+    copy + checkpoint on disk instead of leaking a fresh mkdtemp each
+    run; the final copy is removed at interpreter exit."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"q42_work_{tag}")
+    if os.path.exists(work):
+        shutil.rmtree(work, ignore_errors=True)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
 def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events through the stateful per-user totals operator.
 
     One AvailableNow drain: state is built per user in the state store
     (keyed shuffle), the final update per user is the row emitted here.
     Output: (user_id, n_events, sum_value, last_ts), one row per user.
+
+    The harness sink stays distributed: each micro-batch's updates are
+    appended to a parquet spill dir (stamped with the batch id) and the
+    last update per user is selected by a Spark window afterwards — no
+    ``collect()`` of batch contents on the driver, so the replay works
+    at any scale the state store itself supports. NOTE: the returned
+    frame reads lazily from this invocation's spill dir; it stays valid
+    until the next q42 invocation clears it.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="q42_")
-    src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    work = _q42_work_dir(sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.write.mode("overwrite").parquet(src)
 
-    rows: list = []
-
-    def sink(batch: DataFrame, _bid: int) -> None:
-        rows.extend(batch.collect())
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.withColumn("q42_batch_id", F.lit(bid)).write.mode(
+            "append"
+        ).parquet(out)
 
     # The state shuffle inherits spark.sql.shuffle.partitions; a vanilla
     # session's 200 means 200 state-store files per micro-batch for a
@@ -67,11 +96,18 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # last emitted update per user is the final total
-    final: dict = {}
-    for r in rows:
-        final[r.user_id] = r
-    return spark.createDataFrame(list(final.values()), RUNNING_TOTALS_SCHEMA)
+    if not os.path.exists(out):  # no data emitted
+        return spark.createDataFrame([], RUNNING_TOTALS_SCHEMA)
+    # last emitted update per user is the final total — one window pass,
+    # computed by Spark over the spill dir
+    updates = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("q42_batch_id").desc())
+    keep = [c for c in updates.columns if c != "q42_batch_id"]
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keep)
+    )
 
 
 def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

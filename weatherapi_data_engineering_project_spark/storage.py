@@ -74,10 +74,14 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: shard hot left keys, replicate right rows.
 
-    left gets salt = pmod(hash(whole row), n_salts) — any uniform,
-    row-varying expression works, it only spreads rows; right is
-    exploded n_salts× so every (key, salt) shard finds its match. Right
-    side must be the smaller relation (it is replicated).
+    left gets salt = pmod(monotonically_increasing_id, n_salts) — a
+    per-ROW uniform spread independent of row content. (Content hashing
+    would send byte-identical duplicate rows of a hot key to one shard,
+    re-creating the exact skew the salt exists to break for
+    duplicate-heavy keys.) The salt only routes rows, so the join
+    result is unchanged; right is exploded n_salts× so every
+    (key, salt) shard finds its match. Right side must be the smaller
+    relation (it is replicated).
 
     Inner/left/semi/anti joins are supported (replication cannot
     duplicate or null-extend LEFT rows under any of them); right/full
@@ -96,7 +100,7 @@ def salted_join(
         )
     salted_left = left.withColumn(
         "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -25,6 +25,8 @@ partitions it touches — ``partition_by`` is plumbed through.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +44,10 @@ class TableLoad:
     keys: list[str]
     partition_by: list[str] | None = None
     audit_log: list[tuple[int, int, int]] = field(default_factory=list)
+    # M5 (location.sql:36-83): every load procedure in the reference is
+    # wrapped in try/catch and returns a status string. One entry per
+    # micro-batch: "Success: ..." or "Error: ...".
+    status_log: list[tuple[int, str]] = field(default_factory=list)
 
 
 def start_load(
@@ -54,37 +60,70 @@ def start_load(
     available_now: bool = True,
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
+    csv_mode: str = "PERMISSIVE",
+    quarantine_dir: str | None = None,
 ):
     """Wire the stream: stage files → foreachBatch upsert into target.
 
     Returns the StreamingQuery. ``available_now=True`` drains all
     pending files then stops (the cron-task equivalent);
     ``processing_time`` keeps a resident micro-batch loop.
+
+    M5 error wrapper: each micro-batch's upsert runs under try/except
+    — a poison batch appends an ``Error: ...`` status (and, when
+    ``quarantine_dir`` is set, a best-effort parquet copy of the batch
+    for replay) instead of killing the stream, mirroring the
+    reference's per-procedure try/catch + status string
+    (location.sql:36-83). Subsequent batches and other tables keep
+    loading.
     """
     reader = spark.readStream.schema(load.schema)
     # curated zones nest per-run/per-day subdirs under the table prefix
     # (mirroring the reference's S3 key layout); discover them all
     reader = reader.option("recursiveFileLookup", True)
     if fmt == "csv":
-        reader = reader.option("header", True).option("quote", '"')
+        reader = (
+            reader.option("header", True)
+            .option("quote", '"')
+            .option("mode", csv_mode)
+        )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.format(fmt).load(stage_dir)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if not batch.head(1):
+        try:
+            # head() is the first action on the batch — a poison file
+            # (e.g. FAILFAST parse error) surfaces here, so it must sit
+            # inside the M5 wrapper too.
+            if not batch.head(1):
+                return
+            n0, n1 = upsert_path(
+                batch.sparkSession,
+                target_path,
+                batch,
+                keys=load.keys,
+                partition_by=load.partition_by,
+            )
+        except Exception as exc:  # noqa: BLE001 — M5: any batch failure
+            load.status_log.append(
+                (batch_id, f"Error: {type(exc).__name__}: {exc}")
+            )
+            if quarantine_dir is not None:
+                try:
+                    batch.write.mode("append").parquet(
+                        os.path.join(quarantine_dir, load.name)
+                    )
+                except Exception:  # noqa: BLE001 — quarantine best-effort
+                    pass
             return
-        n0, n1 = upsert_path(
-            batch.sparkSession,
-            target_path,
-            batch,
-            keys=load.keys,
-            partition_by=load.partition_by,
-        )
         # the reference's post-merge audit (location.sql:62-79): equal
         # counts == every staged key landed; surfaced, not gating —
         # checkpointing already guarantees exactly-once per file.
         load.audit_log.append((batch_id, n0, n1))
+        load.status_log.append(
+            (batch_id, f"Success: merged {n0} staged keys, {n1} landed")
+        )
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -106,15 +145,56 @@ def run_available_now(
     checkpoint_dir: str,
     fmt: str = "csv",
     timeout_s: int = 120,
+    **kwargs,
 ) -> list[tuple[int, int, int]]:
     """One cron-equivalent drain: process all pending stage files, wait
     for completion, return the audit log entries appended this run."""
     before = len(load.audit_log)
     q = start_load(
         spark, load, stage_dir, target_path, checkpoint_dir, fmt=fmt,
-        available_now=True,
+        available_now=True, **kwargs,
     )
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
     return load.audit_log[before:]
+
+
+def gated_stage_cleanup(
+    stage_dir: str,
+    archive_dir: str,
+    run_entries: list[tuple[int, int, int]],
+    status_entries: list[tuple[int, str]] | None = None,
+) -> bool:
+    """M3 faithful mode: the reference's audit-gated TRUNCATE applied to
+    the curated zone (location.sql:71-79 + the S7 archive protocol).
+
+    After a drain, if every batch's pre-merge distinct count equals its
+    post-merge landed count (n0 == n1) and no batch errored, the
+    consumed stage files are archived (moved under ``archive_dir``,
+    preserving relative paths) — the Spark twin of ``TRUNCATE stage``
+    with S7's copy-to-history. On any mismatch or error the stage is
+    retained for retry, exactly as the reference keeps the stage table
+    and reports both counts. Returns True iff the stage was archived.
+
+    Exactly-once is already guaranteed by the streaming checkpoint;
+    this gate exists for protocol parity and for operators who want
+    the reference's retry-visible staging semantics.
+    """
+    audits_match = all(n0 == n1 for _, n0, n1 in run_entries)
+    no_errors = not any(
+        s.startswith("Error") for _, s in (status_entries or [])
+    )
+    if not (audits_match and no_errors):
+        return False
+    os.makedirs(archive_dir, exist_ok=True)
+    for root, _dirs, files in os.walk(stage_dir):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue  # hidden/metadata files aren't staged data
+            src = os.path.join(root, f)
+            rel = os.path.relpath(src, stage_dir)
+            dst = os.path.join(archive_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+    return True
