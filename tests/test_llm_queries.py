@@ -151,3 +151,38 @@ def test_converged_clustering_long_chain(spark):
     fixed = {r.doc_id: r.cluster_rep
              for r in DD.label_propagation_clusters(pairs, rounds=4).collect()}
     assert any(rep != 0 for rep in fixed.values())  # 4 hops can't reach
+
+
+def test_ivf_kmeans_centroids_invariants(spark):
+    """Lloyd's quantizer: k centroids survive every round, refinement is
+    deterministic, and every centroid has the corpus dimensionality."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    c1 = SIM.kmeans_centroids(e, k=8, n_iters=2)
+    rows1 = {r.cid: list(r.cvec) for r in c1.collect()}
+    assert len(rows1) == 8
+    dim = len(e.select("embedding").first().embedding)
+    assert all(len(v) == dim for v in rows1.values())
+    rows2 = {r.cid: list(r.cvec)
+             for r in SIM.kmeans_centroids(e, k=8, n_iters=2).collect()}
+    assert rows1 == rows2  # deterministic refinement
+
+
+def test_ivf_kmeans_hits_score_exactly(spark):
+    """Every ANN hit from the k-means path scores exactly what brute
+    force computes (the ANN may miss, never mis-score), and per-query
+    result counts respect k."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    res = SIM.ivf_topk_kmeans(e, n_centroids=8, n_iters=2, n_probe=2,
+                              k=3, max_query_id=5).collect()
+    assert res
+    by_query: dict = {}
+    for r in res:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        assert len(rows) <= 3
+        brute = {
+            r.vec_id: r.cosine
+            for r in SIM.cosine_topk(e, query_id=qid, k=500).collect()
+        }
+        for r in rows:
+            assert abs(brute[r.vec_id] - r.cosine) < 1e-12

@@ -133,3 +133,42 @@ def test_run_batch_empty_raw_zone(spark, tmp_path):
         for name in P.TABLES
     }
     assert after == before  # nothing changed, nothing corrupted
+
+
+def test_run_load_faithful_archive(spark, tmp_path):
+    """M3 faithful mode through the orchestrator: a clean drain archives
+    each table's curated files under archive_dir/{table}, preserving
+    run-tag subpaths; the warehouse is complete."""
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "hist")
+    _write_raw_zone(FX.raw_docs(), raw)
+
+    from weatherapi_data_engineering_project_spark import schemas as S
+    from weatherapi_data_engineering_project_spark.sources import rest
+
+    docs = rest.read_raw_docs(spark, raw, S.WEATHER_DOC_SCHEMA)
+    P.transform_to_curated(docs, curated, spark, run_tag="day1")
+    audits = P.run_load(spark, curated, wh, ckpt, archive_dir=archive)
+
+    for name, entries in audits.items():
+        assert entries and all(n0 == n1 for _b, n0, n1 in entries), name
+        # stage drained into the archive, nothing data-bearing left
+        stage_files = [
+            f
+            for _r, _d, files in os.walk(os.path.join(curated, name))
+            for f in files
+            if not f.startswith((".", "_"))
+        ]
+        assert stage_files == [], f"{name}: stage retained {stage_files}"
+        archived = [
+            f
+            for _r, _d, files in os.walk(os.path.join(archive, name))
+            for f in files
+            if f.endswith(".csv")
+        ]
+        assert archived, f"{name}: nothing archived"
+        got = spark.read.parquet(os.path.join(wh, name))
+        assert got.count() > 0, name

@@ -71,3 +71,36 @@ def test_semi_and_anti_join_planned_as_hash_joins(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_extension_windows_single_shuffle(spark):
+    """q54 (range frame), q52 (stratified window), q48 (cube): exactly
+    one hash exchange each — Expand and window frames must not add
+    shuffles."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    for qname in ("q48_cube", "q52_stratified_sample", "q54_moving_window"):
+        plan = _plan(X.QUERIES[qname](spark, SF_DIR))
+        assert _shuffles(plan) == 1, f"{qname}: {_shuffles(plan)} shuffles"
+
+
+def test_bigjoin_no_nested_loop_and_partial_agg(spark):
+    """q55: fact-fact join must stay a hash/merge join (AQE picks
+    broadcast at small SF, SMJ at scale); the final groupBy must ride a
+    map-side partial aggregate."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    plan = _plan(X.q55_bigjoin_revenue(spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """q56: Catalyst must rewrite the per-row scalar subqueries into
+    aggregate + join (no per-row subquery execution survives in the
+    physical plan)."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    plan = _plan(X.q56_correlated_subquery(spark, SF_DIR))
+    assert "Subquery" not in plan or "ReusedSubquery" in plan
+    assert "Join" in plan

@@ -285,6 +285,117 @@ def cosine_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an array<float> column — the
+    production coarse quantizer for IVF (spherical variant: cosine
+    assignment, elementwise-mean update).
+
+    Per iteration (the canonical scale shape):
+    1. assign: corpus ⋈ broadcast(centroids) cross join, row-local
+       decimal dot → argmax cosine per vector (one narrow projection +
+       one window on vid — no corpus shuffle beyond the window's).
+    2. update: posexplode assigned vectors → groupBy (cluster, pos)
+       AVG — partial (map-side) aggregation means the shuffle carries
+       k × dim partial sums per task, never vectors.
+    3. rebuild the (k-row) centroid frame and localCheckpoint it: the
+       tiny frame feeds the next iteration's broadcast; checkpointing
+       keeps the iterative plan flat (see
+       dedup.label_propagation_clusters_converged).
+
+    Deterministic: init = vectors with id < k (seeded), and every
+    reduction is decimal/AVG over fixed inputs, so reruns agree.
+    Returns (cid, cvec) — plug into ``ivf_topk(centroids=...)``.
+    Empty clusters keep their previous centroid (standard Lloyd's
+    fallback) by left-joining the update onto the current centroids.
+    """
+    corpus = _ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vvec"),
+        _norm2_array(F.col(vec_col)).alias("vn2"),
+    )
+    corpus = persist_tracked(corpus)  # read once per iteration
+    centroids = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        cent = centroids.select(
+            "cid", "cvec", _norm2_array(F.col("cvec")).alias("cn2")
+        )
+        ascore = _score(
+            _dot_arrays(F.col("vvec"), F.col("cvec")),
+            F.col("vn2"),
+            F.col("cn2"),
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(cent))
+            .select("vid", "vvec", "cid", ascore.alias("s"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vid").orderBy(
+                        F.col("s").desc(), F.col("cid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        # elementwise mean per cluster: one explode + partial-agg shuffle
+        means = (
+            assigned.select("cid", F.posexplode("vvec").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("new_cvec")
+            )
+        )
+        centroids = (
+            centroids.join(means, on="cid", how="left")
+            .select(
+                "cid",
+                F.coalesce("new_cvec", "cvec").alias("cvec"),
+            )
+            .localCheckpoint()
+        )
+    return centroids
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    n_probe: int = 2,
+    k: int = 3,
+    max_query_id: int | None = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production IVF: Lloyd's-refined centroids + the standard probe/
+    re-rank plan of ``ivf_topk``. Same output contract as ivf_topk."""
+    cents = kmeans_centroids(embeddings, n_centroids, n_iters, id_col, vec_col)
+    return ivf_topk(
+        embeddings,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        k=k,
+        max_query_id=max_query_id,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=cents,
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -293,6 +404,7 @@ def ivf_topk(
     max_query_id: int | None = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize to centroid lists, probe a few.
 
@@ -306,12 +418,17 @@ def ivf_topk(
     written once and reused by every query batch).
 
     Returns (query_id, vec_id, cosine, rn <= k), queries restricted to
-    id < max_query_id, self-matches excluded.
+    id < max_query_id, self-matches excluded. ``centroids`` (cid, cvec)
+    overrides the deterministic quantizer — pass
+    ``kmeans_centroids(...)`` for the production path (or use
+    ``ivf_topk_kmeans``).
     """
-    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-        _norm2_array(F.col(vec_col)).alias("cn2"),
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    cent = centroids.select(
+        "cid", "cvec", _norm2_array(F.col("cvec")).alias("cn2")
     )
     # argmax-cosine assignment: corpus × broadcast centroids, row-local
     # dot; own-norm hoisted into a projection so it's computed once per

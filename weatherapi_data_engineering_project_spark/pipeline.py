@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import schemas as S
 from .plans import weather_transform as WT
 from .sources import rest
-from .streaming.load import TableLoad, run_available_now
+from .streaming.load import TableLoad, gated_stage_cleanup, run_available_now
 
 TABLES: dict[str, tuple] = {
     # name -> (transform fn, stage schema, pk columns, partition columns)
@@ -92,19 +92,39 @@ def run_load(
     warehouse_dir: str,
     checkpoint_dir: str,
     loads: dict[str, TableLoad] | None = None,
+    quarantine_dir: str | None = None,
+    archive_dir: str | None = None,
 ) -> dict[str, list[tuple[int, int, int]]]:
     """EP3: drain every table's curated prefix into its warehouse table
-    (one AvailableNow pass each — the cron-task equivalent)."""
+    (one AvailableNow pass each — the cron-task equivalent).
+
+    ``quarantine_dir`` enables the M5 error wrapper's poison-batch
+    spill (a failed batch parks there and the drain continues);
+    ``archive_dir`` enables M3 faithful mode — after each table's
+    drain, its stage files move to the archive ONLY when every batch's
+    audit counts matched and no batch errored (the reference's gated
+    TRUNCATE + S7 history copy), otherwise they are retained for retry.
+    """
     loads = loads or make_loads()
     audits = {}
     for name, load in loads.items():
-        audits[name] = run_available_now(
+        stage_dir = os.path.join(curated_dir, name)
+        entries = run_available_now(
             spark,
             load,
-            stage_dir=os.path.join(curated_dir, name),
+            stage_dir=stage_dir,
             target_path=os.path.join(warehouse_dir, name),
             checkpoint_dir=os.path.join(checkpoint_dir, name),
+            quarantine_dir=quarantine_dir,
         )
+        audits[name] = entries
+        if archive_dir is not None:
+            gated_stage_cleanup(
+                stage_dir,
+                os.path.join(archive_dir, name),
+                entries,
+                load.status_log,
+            )
     return audits
 
 

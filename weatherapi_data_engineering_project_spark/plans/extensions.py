@@ -241,6 +241,53 @@ def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming/windows.py::windowed_counts
+    run in batch mode — same operator the streaming path uses, so the
+    oracle match certifies the streaming aggregation logic too)."""
+    from ..streaming.windows import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_counts(ev, window="1 hour", watermark=None)
+
+
+def q58_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in gap session windows (``F.session_window``, batch mode) —
+    the engine-native twin of q31's manual lag/cumsum formulation.
+    Boundary semantics differ deliberately: session_window opens a NEW
+    session when the gap is >= 4 h (window [ts, ts+gap) stops
+    overlapping), where q31's manual CASE uses strictly >. The oracle
+    mirrors the >= rule; differentially proving the built-in."""
+    from ..streaming.windows import session_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_counts(ev, gap="4 hours", watermark=None)
+
+
+def q59_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out (mapInPandas, one row per
+    sampled frame) with a fully SQL-checkable output: the frame
+    index/timestamp arithmetic. The per-frame sha256 column is dropped
+    here because DuckDB cannot hash binary+index concatenations — the
+    hash determinism is pinned by unit tests instead
+    (tests/test_streaming_sources.py::test_multimodal_frame_sampling)."""
+    from ..functions.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("synthetic").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.pmod(F.col("doc_id"), F.lit(5)) * 1700).cast("int").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000).select(
+        "media_id", "frame_idx", "frame_ms"
+    )
+
+
 QUERIES = {
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
@@ -251,6 +298,9 @@ QUERIES = {
     "q54_moving_window": q54_moving_window,
     "q55_bigjoin_revenue": q55_bigjoin_revenue,
     "q56_correlated_subquery": q56_correlated_subquery,
+    "q57_windowed_counts": q57_windowed_counts,
+    "q58_session_windows": q58_session_windows,
+    "q59_frame_sample": q59_frame_sample,
 }
 
 ORACLE = {
@@ -349,6 +399,50 @@ ORACLE = {
                    AS top_token_share
         FROM per_tok
         GROUP BY doc_id
+    """,
+    "q57_windowed_counts": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "q58_session_windows": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 14400000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_idx
+            FROM marked)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '4 hours' AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM numbered
+        GROUP BY user_id, session_idx
+    """,
+    "q59_frame_sample": """
+        SELECT doc_id AS media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * 1000 AS INT) AS frame_ms
+        FROM documents,
+             UNNEST(range(0, GREATEST((doc_id % 5) * 1700 // 1000, 1)))
+                 AS t(i)
     """,
     "q56_correlated_subquery": """
         SELECT o_orderkey, o_custkey,

@@ -131,6 +131,20 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
 
 
+def q60_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF ANN: Lloyd's k-means coarse quantizer (3 rounds,
+    spherical assignment, decimal-exact scoring) + probe/re-rank. The
+    iterative refinement is not SQL-expressible (per the driver
+    contract it gets the rows-only check); the quantizer's invariants
+    and the hit-score exactness are pinned by
+    tests/test_llm_queries.py::test_ivf_kmeans_*. q30 is the
+    deterministic-quantizer twin whose full plan IS oracle-verified."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk_kmeans(
+        e, n_centroids=16, n_iters=3, n_probe=2, k=3, max_query_id=20
+    )
+
+
 def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents re-cast as opaque binary
     media payloads (kind round-robined image/audio/video), pushed through
@@ -260,6 +274,7 @@ QUERIES = {
     "q28_simhash": q28_simhash,
     "q29_embed_neardup": q29_embed_neardup,
     "q30_ivf_ann": q30_ivf_ann,
+    "q60_ivf_kmeans_ann": q60_ivf_kmeans_ann,
     "q35_multimodal_features": q35_multimodal_features,
     "q39_deterministic_sample": q39_deterministic_sample,
     "q40_sequence_pack": q40_sequence_pack,
