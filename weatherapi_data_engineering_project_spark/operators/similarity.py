@@ -308,8 +308,14 @@ def kmeans_centroids(
        keeps the iterative plan flat (see
        dedup.label_propagation_clusters_converged).
 
-    Deterministic: init = vectors with id < k (seeded), and every
-    reduction is decimal/AVG over fixed inputs, so reruns agree.
+    Deterministic: init = vectors with id < k (seeded); assignment
+    scores use the double-precision row-local fold (`_dot_arrays_fast`
+    — a per-row sequential reduction, so it does not depend on
+    partitioning) with a cid tiebreak, and the mean update is AVG over
+    a fixed assignment — so reruns agree. Quantizer refinement needs no
+    decimal exactness: the ORACLE-grade scoring happens later inside
+    ivf_topk; using the fast dot here cuts the iteration cost ~5x
+    (decimal folds are interpreted per element — see module header).
     Returns (cid, cvec) — plug into ``ivf_topk(centroids=...)``.
     Empty clusters keep their previous centroid (standard Lloyd's
     fallback) by left-joining the update onto the current centroids.
@@ -317,7 +323,7 @@ def kmeans_centroids(
     corpus = _ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vvec"),
-        _norm2_array(F.col(vec_col)).alias("vn2"),
+        _norm2_array(F.col(vec_col)).cast("double").alias("vn2d"),
     )
     corpus = persist_tracked(corpus)  # read once per iteration
     centroids = (
@@ -327,12 +333,12 @@ def kmeans_centroids(
     )
     for _ in range(n_iters):
         cent = centroids.select(
-            "cid", "cvec", _norm2_array(F.col("cvec")).alias("cn2")
+            "cid",
+            "cvec",
+            _norm2_array(F.col("cvec")).cast("double").alias("cn2d"),
         )
-        ascore = _score(
-            _dot_arrays(F.col("vvec"), F.col("cvec")),
-            F.col("vn2"),
-            F.col("cn2"),
+        ascore = _dot_arrays_fast(F.col("vvec"), F.col("cvec")) / (
+            F.sqrt("vn2d") * F.sqrt("cn2d")
         )
         assigned = (
             corpus.crossJoin(F.broadcast(cent))
