@@ -172,3 +172,33 @@ def test_run_load_faithful_archive(spark, tmp_path):
         assert archived, f"{name}: nothing archived"
         got = spark.read.parquet(os.path.join(wh, name))
         assert got.count() > 0, name
+
+
+def test_archive_gates_on_current_run_only(spark, tmp_path):
+    """A historical (healed) error in a table's cumulative status log
+    must not block archiving of a later clean drain."""
+    from weatherapi_data_engineering_project_spark.schemas import (
+        DIM_LOCATION_SCHEMA,
+    )
+    from weatherapi_data_engineering_project_spark.streaming.load import (
+        TableLoad,
+    )
+
+    curated = str(tmp_path / "curated")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    archive = str(tmp_path / "hist")
+
+    load = TableLoad("location", DIM_LOCATION_SCHEMA, keys=["location_id"])
+    load.status_log.append((0, "Error: simulated historical failure"))
+
+    cols = ["location_id", "name", "region", "country", "latitude", "longitude"]
+    path = os.path.join(curated, "location", "day2", "w.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        f.write("DEL,New Delhi,Delhi,India,28.6,77.2\n")
+
+    P.run_load(spark, curated, wh, ckpt, loads={"location": load},
+               archive_dir=archive)
+    assert os.path.exists(os.path.join(archive, "location", "day2", "w.csv"))

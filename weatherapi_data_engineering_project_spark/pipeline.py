@@ -109,6 +109,7 @@ def run_load(
     audits = {}
     for name, load in loads.items():
         stage_dir = os.path.join(curated_dir, name)
+        s_before = len(load.status_log)
         entries = run_available_now(
             spark,
             load,
@@ -119,11 +120,14 @@ def run_load(
         )
         audits[name] = entries
         if archive_dir is not None:
+            # gate on THIS run's statuses only — the cumulative log
+            # would let one long-healed historical error block
+            # archiving forever
             gated_stage_cleanup(
                 stage_dir,
                 os.path.join(archive_dir, name),
                 entries,
-                load.status_log,
+                load.status_log[s_before:],
             )
     return audits
 

@@ -288,6 +288,55 @@ def q59_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, portability-reduced): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# No lookaheads / unicode property classes, so Java regex (Spark) and
+# RE2 (DuckDB) match identically with leftmost-first alternation.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def q61_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under a BPE-ish regex pre-tokenizer (the
+    whitespace counter's subword-aware twin, SURVEY §LLM-ops): per-doc
+    piece count and the pieces/words expansion ratio every budget
+    estimator needs. One codegen'd projection — regexp_extract_all +
+    size, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    words = TX.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(words).alias("n_words"),
+        (F.size(pieces).cast("double") / F.size(words)).alias(
+            "pieces_per_word"
+        ),
+    )
+
+
+def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per priority (Greenwald-Khanna
+    ``approx_percentile``, accuracy 10000): the 100 TB twin of q36's
+    exact rank-selection median — mergeable constant-memory sketches
+    instead of a full sort/window. Rows-only by nature (DuckDB's
+    quantile sketch differs by construction); the error bound vs the
+    exact median is pinned by
+    tests/test_extension_queries.py::test_approx_quantiles_error_bound.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pcts = F.percentile_approx(
+        F.col("o_totalprice").cast("double"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(10000),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        pcts[0].alias("p25_approx"),
+        pcts[1].alias("p50_approx"),
+        pcts[2].alias("p75_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
@@ -301,6 +350,8 @@ QUERIES = {
     "q57_windowed_counts": q57_windowed_counts,
     "q58_session_windows": q58_session_windows,
     "q59_frame_sample": q59_frame_sample,
+    "q61_bpe_token_count": q61_bpe_token_count,
+    "q62_approx_quantiles": q62_approx_quantiles,
 }
 
 ORACLE = {
@@ -443,6 +494,17 @@ ORACLE = {
         FROM documents,
              UNNEST(range(0, GREATEST((doc_id % 5) * 1700 // 1000, 1)))
                  AS t(i)
+    """,
+    "q61_bpe_token_count": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}'))
+                   AS n_pieces,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}'))
+                    AS DOUBLE)
+                   / len(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS pieces_per_word
+        FROM documents
     """,
     "q56_correlated_subquery": """
         SELECT o_orderkey, o_custkey,
