@@ -399,6 +399,7 @@ def ivf_topk_kmeans(
         id_col=id_col,
         vec_col=vec_col,
         centroids=cents,
+        assign_exact=False,
     )
 
 
@@ -411,6 +412,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assign_exact: bool = True,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize to centroid lists, probe a few.
 
@@ -427,7 +429,11 @@ def ivf_topk(
     id < max_query_id, self-matches excluded. ``centroids`` (cid, cvec)
     overrides the deterministic quantizer — pass
     ``kmeans_centroids(...)`` for the production path (or use
-    ``ivf_topk_kmeans``).
+    ``ivf_topk_kmeans``). ``assign_exact=False`` ranks the assignment/
+    probe step with the double-precision row-local fold (deterministic,
+    ~5x cheaper; final candidate scores stay decimal-exact) — right for
+    production paths; the oracle-matched q30 keeps the exact default so
+    its probe lists are engine-reproducible.
     """
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
@@ -444,9 +450,17 @@ def ivf_topk(
         F.col(vec_col).alias("vvec"),
         _norm2_array(F.col(vec_col)).alias("vn2"),
     )
-    ascore = _score(
-        _dot_arrays(F.col("vvec"), F.col("cvec")), F.col("vn2"), F.col("cn2")
-    )
+    if assign_exact:
+        ascore = _score(
+            _dot_arrays(F.col("vvec"), F.col("cvec")),
+            F.col("vn2"),
+            F.col("cn2"),
+        )
+    else:
+        ascore = _dot_arrays_fast(F.col("vvec"), F.col("cvec")) / (
+            F.sqrt(F.col("vn2").cast("double"))
+            * F.sqrt(F.col("cn2").cast("double"))
+        )
     ranked_cent = (
         corpus.crossJoin(F.broadcast(cent))
         .select("vid", "cid", ascore.alias("cscore"))
