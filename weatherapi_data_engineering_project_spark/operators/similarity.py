@@ -285,6 +285,12 @@ def cosine_neardup_pairs(
     )
 
 
+# Plan-literal centroids keep k·dim constants inside the projection —
+# above this the plan itself gets heavy and assignment falls back to a
+# broadcast cross join + max_by partial aggregation.
+_KMEANS_MAX_LITERAL_TERMS = 131_072
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
@@ -296,85 +302,134 @@ def kmeans_centroids(
     production coarse quantizer for IVF (spherical variant: cosine
     assignment, elementwise-mean update).
 
-    Per iteration (the canonical scale shape):
-    1. assign: corpus ⋈ broadcast(centroids) cross join, row-local
-       decimal dot → argmax cosine per vector (one narrow projection +
-       one window on vid — no corpus shuffle beyond the window's).
+    The centroid state (k × dim floats — a few MB even at production
+    k) lives on the DRIVER between rounds, like signlsh's plan-time
+    literal hyperplanes. Per iteration:
+    1. assign: when k·dim is moderate the centroids are embedded as a
+       plan LITERAL and argmax-cosine is a row-local
+       ``array_min(transform(...))`` — a pure projection, ZERO shuffle
+       (the 1/‖v‖ factor is constant per row, so ranking needs only
+       dot(v,c)/‖c‖). Above _KMEANS_MAX_LITERAL_TERMS: broadcast cross
+       join + ``max_by`` partial agg (map-side collapse to one row per
+       vector; no window sort, vectors shuffle once).
     2. update: posexplode assigned vectors → groupBy (cluster, pos)
        AVG — partial (map-side) aggregation means the shuffle carries
-       k × dim partial sums per task, never vectors.
-    3. rebuild the (k-row) centroid frame and localCheckpoint it: the
-       tiny frame feeds the next iteration's broadcast; checkpointing
-       keeps the iterative plan flat (see
-       dedup.label_propagation_clusters_converged).
+       k × dim partial sums per task, never vectors; the k·dim result
+       is collected and the next round's literals built from it
+       (empty clusters keep their previous centroid — standard
+       Lloyd's fallback).
+    So each round is ONE job with one narrow partial-agg shuffle, and
+    there is no per-round localCheckpoint materialization or growing
+    lineage at all — the plan is rebuilt flat from literals.
 
     Deterministic: init = vectors with id < k (seeded); assignment
     scores use the double-precision row-local fold (`_dot_arrays_fast`
     — a per-row sequential reduction, so it does not depend on
     partitioning) with a cid tiebreak, and the mean update is AVG over
-    a fixed assignment — so reruns agree. Quantizer refinement needs no
-    decimal exactness: the ORACLE-grade scoring happens later inside
-    ivf_topk; using the fast dot here cuts the iteration cost ~5x
-    (decimal folds are interpreted per element — see module header).
+    a fixed assignment — so same-session reruns agree. Quantizer
+    refinement needs no decimal exactness: the ORACLE-grade scoring
+    happens later inside ivf_topk (fast dots here are ~5x cheaper —
+    decimal folds are interpreted per element, see module header).
     Returns (cid, cvec) — plug into ``ivf_topk(centroids=...)``.
-    Empty clusters keep their previous centroid (standard Lloyd's
-    fallback) by left-joining the update onto the current centroids.
     """
-    corpus = _ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vvec"),
-        _norm2_array(F.col(vec_col)).cast("double").alias("vn2d"),
+    import math
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    corpus = persist_tracked(
+        _ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")
+        )
     )
-    corpus = persist_tracked(corpus)  # read once per iteration
-    centroids = (
-        embeddings.filter(F.col(id_col) < k)
+    cents: dict[int, list[float]] = {
+        int(r["cid"]): [float(x) for x in r["cvec"]]
+        for r in embeddings.filter(F.col(id_col) < k)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .localCheckpoint()
-    )
+        .collect()
+    }
+    dim = len(next(iter(cents.values())))
+    literal_plan = k * dim <= _KMEANS_MAX_LITERAL_TERMS
+
     for _ in range(n_iters):
-        cent = centroids.select(
-            "cid",
-            "cvec",
-            _norm2_array(F.col("cvec")).cast("double").alias("cn2d"),
-        )
-        ascore = _dot_arrays_fast(F.col("vvec"), F.col("cvec")) / (
-            F.sqrt("vn2d") * F.sqrt("cn2d")
-        )
-        assigned = (
-            corpus.crossJoin(F.broadcast(cent))
-            .select("vid", "vvec", "cid", ascore.alias("s"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vid").orderBy(
-                        F.col("s").desc(), F.col("cid")
-                    )
+        if literal_plan:
+            # ‖c‖⁻¹ precomputed driver-side; an all-zero centroid gets
+            # 0 (scores 0 against everything) instead of a NaN flood.
+            # One F.expr over SQL text: per-element F.lit() costs a
+            # driver→JVM call each (~1s/round at k·dim=1024); parsing
+            # the same constants from one string is free.
+            parts = []
+            for cid, vec in sorted(cents.items()):
+                inv = (
+                    0.0
+                    if not any(vec)
+                    else 1.0 / math.sqrt(sum(x * x for x in vec))
+                )
+                vtxt = ",".join(f"{x!r}D" for x in vec)
+                parts.append(
+                    f"named_struct('cid', CAST({cid} AS BIGINT), "
+                    f"'cvec', array({vtxt}), 'cinv', {inv!r}D)"
+                )
+            arr = F.expr("array(" + ",".join(parts) + ")")
+            scored = F.transform(
+                arr,
+                lambda c: F.struct(
+                    (
+                        -_dot_arrays_fast(F.col("vvec"), c["cvec"])
+                        * c["cinv"]
+                    ).alias("negs"),
+                    c["cid"].alias("cid"),
                 ),
             )
-            .filter(F.col("rn") == 1)
-        )
-        # elementwise mean per cluster: one explode + partial-agg shuffle
+            assigned = corpus.select(
+                F.array_min(scored)["cid"].alias("cid"), "vvec"
+            )
+        else:
+            cent = spark.createDataFrame(
+                [
+                    (
+                        cid,
+                        vec,
+                        0.0
+                        if not any(vec)
+                        else 1.0 / math.sqrt(sum(x * x for x in vec)),
+                    )
+                    for cid, vec in sorted(cents.items())
+                ],
+                schema="cid long, cvec array<double>, cinv double",
+            )
+            s = _dot_arrays_fast(F.col("vvec"), F.col("cvec")) * F.col("cinv")
+            assigned = (
+                corpus.crossJoin(F.broadcast(cent))
+                .select("vid", "vvec", "cid", s.alias("s"))
+                .groupBy("vid")
+                .agg(
+                    F.max_by(
+                        F.struct("cid", "vvec"),
+                        F.struct(
+                            F.col("s"), (-F.col("cid")).cast("long")
+                        ),
+                    ).alias("b")
+                )
+                .select(F.col("b.cid").alias("cid"), F.col("b.vvec").alias("vvec"))
+            )
         means = (
             assigned.select("cid", F.posexplode("vvec").alias("pos", "v"))
             .groupBy("cid", "pos")
             .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"].cast("float"),
-                ).alias("new_cvec")
-            )
+            .collect()
         )
-        centroids = (
-            centroids.join(means, on="cid", how="left")
-            .select(
-                "cid",
-                F.coalesce("new_cvec", "cvec").alias("cvec"),
-            )
-            .localCheckpoint()
-        )
-    return centroids
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = r["m"]
+        for cid, poses in by_cid.items():
+            # float32 rounding mirrors the array<float> storage type
+            cents[cid] = [float(np.float32(poses[p])) for p in range(dim)]
+
+    return spark.createDataFrame(
+        sorted((cid, vec) for cid, vec in cents.items()),
+        schema="cid long, cvec array<float>",
+    )
 
 
 def ivf_topk_kmeans(
