@@ -337,6 +337,148 @@ def q62_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — the eval-leakage audit every
+    pre-training pipeline runs before reporting benchmark numbers.
+    Corpus split deterministically by doc_id (test = doc_id % 10 == 0);
+    per test doc: how many of its distinct word 5-gram shingles also
+    appear anywhere in the train split, and the contaminated fraction.
+
+    Scale shape: both sides reduce to (doc, shingle) / (shingle) rows
+    BEFORE the join — a hash join on the shingle string, linear in
+    corpus size (never doc×doc), with the train side deduplicated by a
+    map-side-combining distinct so each test shingle matches at most
+    one train row. Single pass: the left join marks hits and ONE
+    grouped aggregate produces totals and hit counts together (no
+    second read of the shingle frame)."""
+    d = load_table(spark, sf_dir, "documents")
+    t_sh = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh")
+    )
+    tr_sh = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        t_sh.join(tr_sh, on="sh", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def q64_rare_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by TF weighted against corpus
+    document frequency — the tf-idf keyword extractor, with two
+    engine-portability choices baked in: the ordering key is the pure
+    INTEGER triple (tf DESC, df ASC, term ASC) and the reported weight
+    is tf·(N+1)/(df+1) — IEEE division is correctly rounded so Spark
+    and DuckDB emit bit-identical doubles, where a log-idf would hang
+    the hash on libm ulps.
+
+    Scale shape: one explode + (doc,term) partial-agg shuffle for TF,
+    a term-keyed agg for DF (carries distinct terms only), broadcast
+    N, and the final top-k window partitioned by doc — no global
+    sort, nothing quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, on="term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "rank",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs") + 1).cast("double")
+                / (F.col("df") + 1).cast("double")
+            ).alias("rarity_weight"),
+        )
+    )
+
+
+def q65_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ROW_NUMBER over the whole orders table WITHOUT the
+    single-task sort a bare ``Window.orderBy`` degenerates to: sampled
+    range boundaries (approx quantiles of the sort key — a tiny
+    driver-side scalar list, like signlsh's dim probe) bucket the rows,
+    each bucket ranks locally under a bucket-partitioned window, and
+    broadcast per-bucket offsets lift local ranks to global. One data
+    shuffle + one tiny agg; boundary placement affects only balance,
+    never the result — equal keys land in one bucket and the
+    orderkey tiebreak is resolved inside it.
+
+    (Catalyst itself plans ``ORDER BY`` via the same sampled range
+    exchange, but a ranking WINDOW over the full table still collapses
+    to one partition — this is the standard two-phase rewrite.)"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    # ~32 boundaries, 1% relative error; dedup handles heavy ties
+    bnds = sorted(
+        set(o.approxQuantile("price", [i / 32 for i in range(1, 32)], 0.01))
+    )
+    bucket = F.size(
+        F.filter(
+            F.lit(bnds).cast("array<double>"),
+            lambda b: b < F.col("price"),
+        )
+    )
+    bucketed = o.withColumn("bkt", bucket)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    wl = Window.partitionBy("bkt").orderBy("price", "o_orderkey")
+    return (
+        bucketed.withColumn("lr", F.row_number().over(wl))
+        .join(F.broadcast(offsets), on="bkt")
+        .select(
+            "o_orderkey",
+            "price",
+            (F.col("offset") + F.col("lr")).alias("global_rank"),
+        )
+    )
+
+
 QUERIES = {
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
@@ -352,6 +494,9 @@ QUERIES = {
     "q59_frame_sample": q59_frame_sample,
     "q61_bpe_token_count": q61_bpe_token_count,
     "q62_approx_quantiles": q62_approx_quantiles,
+    "q63_contamination": q63_contamination,
+    "q64_rare_term_weights": q64_rare_term_weights,
+    "q65_global_rank": q65_global_rank,
 }
 
 ORACLE = {
@@ -529,6 +674,55 @@ ORACLE = {
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
+    """,
+    "q63_contamination": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len({_TOK}) - 3),
+                       i -> array_to_string(({_TOK})[i:i+4], ' ')))
+                       AS shs
+            FROM documents),
+        t AS (SELECT doc_id, unnest(shs) AS sh FROM sh
+              WHERE doc_id % 10 = 0),
+        tr AS (SELECT DISTINCT unnest(shs) AS sh FROM sh
+               WHERE doc_id % 10 <> 0)
+        SELECT t.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS contamination_rate
+        FROM t LEFT JOIN tr ON t.sh = tr.sh
+        GROUP BY t.doc_id
+    """,
+    "q64_rare_term_weights": f"""
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            GROUP BY doc_id, term),
+        dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfr.df, n.n_docs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfr.df ASC, tf.term ASC)
+                       AS rank
+            FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        SELECT doc_id, term, rank, tf, df,
+               CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE)
+                   / CAST(df + 1 AS DOUBLE) AS rarity_weight
+        FROM ranked
+        WHERE rank <= 3
+    """,
+    "q65_global_rank": """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+                   AS BIGINT) AS global_rank
+        FROM orders
     """,
     "q54_moving_window": """
         WITH days AS (
