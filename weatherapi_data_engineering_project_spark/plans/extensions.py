@@ -479,6 +479,154 @@ def q65_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the class-prototype aggregation
+    behind IVF init, cluster summaries, and centroid classifiers.
+    Exact-arithmetic policy (functions/exact.py): per-position sums run
+    in decimal(38,25) so the result is identical under ANY partitioning
+    — a float centroid computed on 1000 executors would drift in the
+    last ulps vs a single-node run; the decimal sum cannot. The mean is
+    then ROUNDed to 6 decimals (q26's convention): Spark and DuckDB
+    construct high-scale decimals from doubles differently (shortest
+    string vs exact binary), so digits ~18+ of the raw mean differ;
+    rounding where both agree keeps the comparison exact.
+
+    Scale shape: posexplode to (label, pos, v) rides ONE partial-agg
+    shuffle carrying (label × dim) partial sums per task — vectors
+    never shuffle whole; the per-label array rebuild groups dim rows
+    per label (second tiny shuffle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,25)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("c"), 6).alias("m"),
+            "c",
+        )
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda t: t["m"],
+        ).alias("centroid"),
+        F.max("c").alias("n_vecs"),
+    )
+
+
+def q67_window_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window-function coverage in one pass:
+    rank, dense_rank, percent_rank, cume_dist, lag/lead (null-padded
+    edges), and frame-bounded first/last_value, all over one
+    (priority-partitioned, price+key-ordered) window — ONE shuffle,
+    one sort, eight functions. percent_rank/cume_dist are integer
+    ratios under IEEE division, so both engines emit bit-identical
+    doubles."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price", "o_orderkey")
+    full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "price",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("price", 1).over(w).alias("prev_price"),
+        F.lead("price", 1).over(w).alias("next_price"),
+        F.first("price").over(w).alias("cheapest"),
+        F.last("price").over(full).alias("priciest"),
+    )
+
+
+def q68_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts: for every left token seen
+    ≥5 times as a bigram head, the top-2 continuations with exact
+    counts and conditional probability — the n-gram LM / next-token
+    statistics a data-quality pipeline derives from its corpus.
+
+    Scale shape: bigram fan-out is a row-local HOF projection; counts
+    ride ONE (w1,w2) partial-agg shuffle; the head totals + top-k both
+    come from a single w1-partitioned window pass over the already
+    aggregated (distinct-bigram-sized) frame — no second pass over the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select(F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+            "c",
+        )
+    )
+    wt = Window.partitionBy("w1")
+    wr = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2"))
+    return (
+        counts.withColumn("head_total", F.sum("c").over(wt))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("head_total") >= 5) & (F.col("rn") <= 2))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "head_total",
+            "rn",
+            (F.col("c").cast("double") / F.col("head_total")).alias(
+                "cond_prob"
+            ),
+        )
+    )
+
+
+def q69_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe salted join (storage.salted_join) driven through
+    the oracle gate: lineitem ⋈ orders sharded 8× on the hot key, then
+    per-priority decimal revenue. The salt only routes rows, so the
+    oracle is the PLAIN join — hash-matching it certifies the salting
+    rewrite is semantics-preserving end to end (the unit tests pin the
+    plan shape; this pins the algebra)."""
+    from ..storage import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_quantity").alias("qty"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="okey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("qty").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 QUERIES = {
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
@@ -497,6 +645,10 @@ QUERIES = {
     "q63_contamination": q63_contamination,
     "q64_rare_term_weights": q64_rare_term_weights,
     "q65_global_rank": q65_global_rank,
+    "q66_label_centroids": q66_label_centroids,
+    "q67_window_gauntlet": q67_window_gauntlet,
+    "q68_bigram_stats": q68_bigram_stats,
+    "q69_salted_join": q69_salted_join,
 }
 
 ORACLE = {
@@ -723,6 +875,76 @@ ORACLE = {
                    ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
                    AS BIGINT) AS global_rank
         FROM orders
+    """,
+    "q66_label_centroids": """
+        WITH e AS (SELECT label,
+                          generate_subscripts(embedding, 1) AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        per AS (
+            SELECT label, pos,
+                   ROUND(CAST(SUM(CAST(v AS DECIMAL(38,25))) AS DOUBLE)
+                       / COUNT(*), 6) AS m,
+                   COUNT(*) AS c
+            FROM e
+            GROUP BY label, pos)
+        SELECT label,
+               list(m ORDER BY pos) AS centroid,
+               CAST(MAX(c) AS BIGINT) AS n_vecs
+        FROM per
+        GROUP BY label
+    """,
+    "q67_window_gauntlet": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               CAST(RANK() OVER w AS INT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cdist,
+               LAG(CAST(o_totalprice AS DOUBLE), 1) OVER w AS prev_price,
+               LEAD(CAST(o_totalprice AS DOUBLE), 1) OVER w AS next_price,
+               FIRST_VALUE(CAST(o_totalprice AS DOUBLE)) OVER w
+                   AS cheapest,
+               LAST_VALUE(CAST(o_totalprice AS DOUBLE)) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS priciest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+    """,
+    "q68_bigram_stats": f"""
+        WITH counts AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2,
+                   COUNT(*) AS c
+            FROM (SELECT unnest(list_transform(
+                             range(1, len({_TOK})),
+                             i -> array_to_string(({_TOK})[i:i+1], ' ')))
+                         AS bg
+                  FROM documents)
+            GROUP BY bg),
+        ranked AS (
+            SELECT w1, w2, c,
+                   CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT)
+                       AS head_total,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY w1 ORDER BY c DESC, w2) AS INT) AS rn
+            FROM counts)
+        SELECT w1, w2, c, head_total, rn,
+               CAST(c AS DOUBLE) / head_total AS cond_prob
+        FROM ranked
+        WHERE head_total >= 5 AND rn <= 2
+    """,
+    "q69_salted_join": """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
     """,
     "q54_moving_window": """
         WITH days AS (
