@@ -204,3 +204,78 @@ def test_streaming_exact_dedup(spark, tmp_path):
     ids = [r.event_id for r in rows]
     assert len(ids) == 100
     assert len(set(ids)) == 100
+
+
+def test_stream_interval_join_batch_parity(spark):
+    """Batch-mode interval join on a crafted frame: exact expected
+    pairs, boundary-inclusive at both ends of [ts, ts + 1h]."""
+    rows = [
+        # (event_id, ts, user_id): evens are clicks, odds purchases
+        (0, "2024-06-01 10:00:00", 1),
+        (1, "2024-06-01 10:30:00", 1),   # in window of e0
+        (3, "2024-06-01 11:00:00", 1),   # exactly +1h: inclusive
+        (5, "2024-06-01 11:00:01", 1),   # 1s past: out
+        (7, "2024-06-01 09:59:59", 1),   # before click: out
+        (2, "2024-06-01 10:00:00", 2),
+        (9, "2024-06-01 10:10:00", 3),   # other user: out
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u) for i, ts, u in rows],
+        "event_id bigint, ts string, user_id bigint",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    got = sorted(
+        (r.user_id, r.event_id, r.p_event_id, r.lag_us)
+        for r in W.stream_interval_join(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+            max_lag="1 hour",
+            watermark=None,
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 1, 1800_000_000),
+        (1, 0, 3, 3600_000_000),
+    ]
+
+
+def test_stream_interval_join_matches_across_batches(spark, tmp_path):
+    """Two-file drain: a purchase arriving in batch 2 still matches a
+    click buffered in batch 1's state store (both inside the
+    watermark), proving cross-batch join state actually works."""
+    src = str(tmp_path / "ijsrc")
+    ckpt = str(tmp_path / "ijckpt")
+    ddl = "event_id bigint, ts string, user_id bigint"
+    wave1 = spark.createDataFrame(
+        [(0, "2024-06-01 10:00:00", 1)], ddl
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    wave2 = spark.createDataFrame(
+        [(1, "2024-06-01 10:20:00", 1)], ddl
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    joined = W.stream_interval_join(
+        stream.filter(F.col("event_id") % 2 == 0),
+        stream.filter(F.col("event_id") % 2 == 1),
+        max_lag="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = [
+        (r.user_id, r.event_id, r.p_event_id, r.lag_us)
+        for r in spark.sql("SELECT * FROM ij_stream").collect()
+    ]
+    assert got == [(1, 0, 1, 1200_000_000)]

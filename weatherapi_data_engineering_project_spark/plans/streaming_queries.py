@@ -1,15 +1,15 @@
-"""Streaming-only queries for the driver harness (rows-only checks).
+"""Streaming-only queries for the driver harness.
 
 These exercise genuinely non-SQL-expressible operators — custom
 stateful streaming via ``applyInPandasWithState`` — end to end: the
 events table is replayed through a checkpointed file stream under
 ``Trigger.AvailableNow`` and the operator's emitted output is returned
-as the query result. Per the driver contract these have NO
-``oracle_sql`` twin (DuckDB cannot run a state-store program), so the
-driver records the weaker rows-only check; the semantics themselves
-are pinned by tests/test_streaming_windows.py, which proves the
-emitted totals equal the batch aggregation and that state survives
-checkpoint recovery across waves.
+as the query result. q42/q43 have NO ``oracle_sql`` twin (DuckDB
+cannot run a state-store program / foreign sketch) and get the weaker
+rows-only check, with semantics pinned by
+tests/test_streaming_windows.py; q70's single-batch drain is
+oracle-COMPLETE, so the stream-stream interval join is hash-verified
+like any batch query.
 """
 
 from __future__ import annotations
@@ -23,7 +23,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import load_table
-from ..streaming.windows import RUNNING_TOTALS_SCHEMA, running_user_totals
+from ..streaming.windows import (
+    RUNNING_TOTALS_SCHEMA,
+    running_user_totals,
+    stream_interval_join,
+)
 
 EVENTS_DDL = (
     "event_id bigint, ts timestamp, user_id bigint, "
@@ -31,13 +35,13 @@ EVENTS_DDL = (
 )
 
 
-def _q42_work_dir(sf_dir: str) -> str:
-    """Deterministic per-dataset work dir, cleared on reuse so repeated
-    invocations (bench runs the query N times) hold at most ONE replay
-    copy + checkpoint on disk instead of leaking a fresh mkdtemp each
-    run; the final copy is removed at interpreter exit."""
+def _work_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-query-per-dataset work dir, cleared on reuse so
+    repeated invocations (bench runs each query N times) hold at most
+    ONE replay copy + checkpoint on disk instead of leaking a fresh
+    mkdtemp each run; the final copy is removed at interpreter exit."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    work = os.path.join(tempfile.gettempdir(), f"q42_work_{tag}")
+    work = os.path.join(tempfile.gettempdir(), f"{name}_work_{tag}")
     if os.path.exists(work):
         shutil.rmtree(work, ignore_errors=True)
     atexit.register(shutil.rmtree, work, ignore_errors=True)
@@ -63,7 +67,7 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    work = _q42_work_dir(sf_dir)
+    work = _work_dir("q42", sf_dir)
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
@@ -129,9 +133,91 @@ def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run through the REAL streaming
+    engine — click (even event_id) → purchase (odd event_id) pairs of
+    the same user within 1 hour, state-store buffered, drained under
+    ``Trigger.AvailableNow``, spilled to parquet per micro-batch (no
+    driver collect).
+
+    Unlike q42/q43 this one DOES carry a SQL oracle: the replay copy
+    is written as a single file, so the drain is one micro-batch, no
+    watermark eviction can precede any match, and the streaming result
+    equals the batch interval join exactly. (Multi-file drains trade
+    that completeness for bounded lateness — the production contract;
+    tests/test_streaming_windows.py pins the watermark semantics.)
+    Hash-matching DuckDB here certifies the streaming join plan itself.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _work_dir("q70", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    # one file ⇒ one micro-batch ⇒ oracle-complete result (see above)
+    ev.select("event_id", "ts", "user_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint"
+    ).parquet(src)
+    joined = stream_interval_join(
+        stream.filter(F.col("event_id") % 2 == 0),
+        stream.filter(F.col("event_id") % 2 == 1),
+        max_lag="1 hour",
+        watermark="2 hours",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "p_event_id bigint, p_ts timestamp, lag_us bigint",
+        )
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "q42_stateful_totals": q42_stateful_totals,
     "q43_approx_distinct": q43_approx_distinct,
+    "q70_stream_interval_join": q70_stream_interval_join,
 }
 
-ORACLE: dict[str, str] = {}  # rows-only: no SQL twin exists for state-store programs / foreign sketches
+# q42/q43 are rows-only (state-store program / foreign sketch); q70's
+# single-batch drain makes the streaming join oracle-complete.
+ORACLE: dict[str, str] = {
+    "q70_stream_interval_join": """
+        SELECT e.user_id,
+               e.event_id,
+               e.ts,
+               p.event_id AS p_event_id,
+               p.ts AS p_ts,
+               epoch_us(p.ts) - epoch_us(e.ts) AS lag_us
+        FROM events e
+        JOIN events p
+          ON e.user_id = p.user_id
+         AND e.event_id % 2 = 0
+         AND p.event_id % 2 = 1
+         AND p.ts >= e.ts
+         AND p.ts <= e.ts + INTERVAL 1 HOUR
+    """,
+}

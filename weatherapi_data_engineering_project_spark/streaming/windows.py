@@ -97,6 +97,55 @@ def session_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: for each left event,
+    the right events of the SAME user landing within ``[ts, ts +
+    max_lag]`` — the click→purchase attribution shape. Both inputs are
+    events-shaped (event_id, ts, user_id, ...).
+
+    Streaming semantics: both sides buffer in the state store; the
+    time-range condition + the two watermarks bound that state (left
+    rows evict once the right watermark passes ts + max_lag, right
+    rows symmetrically), so state is O(events in the lag+watermark
+    horizon), independent of stream length. In batch mode the same
+    plan is an ordinary range join (``withWatermark`` is a no-op) —
+    which is what lets q70 hash-match a SQL oracle.
+
+    Output: (user_id, event_id, ts, p_event_id, p_ts, lag_us) with
+    the lag as exact integer microseconds.
+    """
+    lhs = left.select("user_id", "ts", "event_id")
+    rhs = right.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    if watermark:
+        lhs = lhs.withWatermark("ts", watermark)
+        rhs = rhs.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return (
+        lhs.join(rhs, cond, "inner")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "p_event_id",
+            "p_ts",
+            (F.unix_micros("p_ts") - F.unix_micros("ts")).alias("lag_us"),
+        )
+    )
+
+
 def streaming_exact_dedup(
     events: DataFrame,
     key_cols: list[str],
