@@ -104,3 +104,52 @@ def test_correlated_subquery_decorrelates(spark):
     plan = _plan(X.q56_correlated_subquery(spark, SF_DIR))
     assert "Subquery" not in plan or "ReusedSubquery" in plan
     assert "Join" in plan
+
+
+def test_contamination_linear_join_shapes(spark):
+    """q63: the cross-corpus check must be hash joins on the shingle
+    key — any nested-loop/cartesian node means the plan went doc×doc
+    quadratic."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    plan = _plan(X.q63_contamination(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
+
+
+def test_global_rank_never_single_partitions(spark):
+    """q65: the whole point is avoiding the one-task global window —
+    the plan must contain NO SinglePartition exchange and no empty
+    window partition spec over the data path."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    plan = _plan(X.q65_global_rank(spark, SF_DIR))
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "bkt" in ln
+    ]
+    assert data_windows, "expected the bucket-partitioned ranking window"
+    # the offsets frame (a ~33-row agg) may legitimately single-partition;
+    # the DATA path must not: its window partitions by bkt
+    for ln in data_windows:
+        assert "SinglePartition" not in ln
+
+
+def test_label_centroids_partial_agg_no_vector_shuffle(spark):
+    """q66: the per-(label,pos) sum must ride a map-side partial
+    aggregate (the shuffle carries label×dim partials, never whole
+    vectors)."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    plan = _plan(X.q66_label_centroids(spark, SF_DIR))
+    assert "partial" in plan.lower()
+    assert _shuffles(plan) <= 2
+
+
+def test_salted_join_query_shards_key(spark):
+    """q69: the salted join must actually join on (key, _salt) — the
+    sharded key pair — before the salt is dropped."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    plan = _plan(X.q69_salted_join(spark, SF_DIR))
+    assert "_salt" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
