@@ -186,3 +186,31 @@ def test_ivf_kmeans_hits_score_exactly(spark):
         }
         for r in rows:
             assert abs(brute[r.vec_id] - r.cosine) < 1e-12
+
+
+def test_incremental_neardup_matches_full_run_cross_pairs(spark):
+    """The incremental (new-vs-corpus) pipeline must find exactly the
+    full-corpus LSH pairs whose partners straddle the batch boundary —
+    same banding, same verification, no corpus×corpus work."""
+    d = load_table(spark, SF_DIR, "documents")
+    split = llm.INCREMENTAL_SPLIT
+    inc = {
+        (r.id1, r.id2): r.jaccard
+        for r in DD.incremental_neardup_pairs(
+            d.filter(F.col("doc_id") >= split),
+            d.filter(F.col("doc_id") < split),
+            "text",
+            "doc_id",
+            llm.JACCARD_THRESHOLD,
+        ).collect()
+    }
+    full = {
+        # full run orders id1 < id2; incremental puts the NEW doc first
+        (max(r.id1, r.id2), min(r.id1, r.id2)): r.jaccard
+        for r in DD.minhash_lsh_pairs(
+            d, "text", "doc_id", llm.JACCARD_THRESHOLD
+        ).collect()
+        if (r.id1 >= split) != (r.id2 >= split)
+    }
+    assert inc == full
+    assert inc  # nonzero: the testdata plants cross-boundary dups

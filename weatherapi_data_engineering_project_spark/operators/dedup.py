@@ -208,16 +208,13 @@ def minhash_signatures_from_shingles(
     return ex.groupBy("doc").agg(*aggs)
 
 
-def minhash_band_candidates(
+def minhash_band_frame(
     sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """LSH banding: hash each band's signature rows into a key; docs
-    sharing any band key become candidate pairs (id1 < id2, distinct).
-
-    All bands ride ONE posexplode into a single (band_idx, band_key)
-    equi-join; the per-band union-of-joins alternative re-derives the
-    signature subplan once per band per join side.
-    """
+    """(doc, band_idx, band_key) LSH banding frame: each band's
+    signature rows hashed into one key, all bands riding ONE
+    posexplode (the per-band union-of-joins alternative re-derives the
+    signature subplan once per band per join side)."""
     rows_per_band = n_hashes // n_bands
     band_keys = F.array(
         *[
@@ -233,9 +230,17 @@ def minhash_band_candidates(
             for b in range(n_bands)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
+
+
+def minhash_band_candidates(
+    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs
+    (id1 < id2, distinct), via one (band_idx, band_key) equi-join."""
+    bands = minhash_band_frame(sigs, n_bands, n_hashes)
     lhs = bands.select(F.col("doc").alias("id1"), "band_idx", "band_key")
     rhs = bands.select(F.col("doc").alias("id2"), "band_idx", "band_key")
     return (
@@ -483,6 +488,66 @@ def label_propagation_clusters_converged(
             break
     return labels.select(
         F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep")
+    )
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental dedup — the continuously-ingesting production shape:
+    near-dup pairs between an arriving BATCH and the EXISTING corpus
+    only, never corpus×corpus. Cost scales with |new| (+ one band-key
+    probe of the corpus index), so daily ingestion stays O(day), not
+    O(history): shingle/sign the new docs, band-join them against the
+    corpus's band frame, exact-Jaccard-verify just the cross
+    candidates. In production the corpus's signatures/bands/shingles
+    are a precomputed, bucketed-by-band_key index that each batch
+    probes; here both sides derive from their input frames.
+
+    Output: (id1 = new doc, id2 = corpus doc, jaccard ≥ threshold).
+    Same banding/verification as minhash_lsh_pairs, so a doc that
+    would match in the full-corpus run matches here iff its partner
+    crosses the batch boundary.
+    """
+    ex_new = persist_tracked(shingle_sets(new_df, text_col, id_col, k))
+    ex_corp = persist_tracked(shingle_sets(corpus_df, text_col, id_col, k))
+    bands_new = minhash_band_frame(minhash_signatures_from_shingles(ex_new))
+    bands_corp = minhash_band_frame(minhash_signatures_from_shingles(ex_corp))
+    cands = (
+        bands_new.select(F.col("doc").alias("id1"), "band_idx", "band_key")
+        .join(
+            bands_corp.select(
+                F.col("doc").alias("id2"), "band_idx", "band_key"
+            ),
+            on=["band_idx", "band_key"],
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    a = ex_new.select(
+        F.col("doc").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
+    )
+    b = ex_corp.select(
+        F.col("doc").alias("id2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    # candidate-driven two-sided verify (same shape as the LSH fast
+    # path in jaccard_from_shingles, across two shingle frames)
+    inter = (
+        cands.join(a, on="id1")
+        .join(b, on=["id2", "shingle"])
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    return inter.select("id1", "id2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

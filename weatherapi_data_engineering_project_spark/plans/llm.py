@@ -97,6 +97,25 @@ def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
 
 
+INCREMENTAL_SPLIT = 400  # docs ≥ this are the "arriving batch"
+
+
+def q71_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) near-dup: docs with id ≥ 400
+    play the arriving batch, the rest the indexed corpus — only cross
+    pairs are banded, candidate-joined, and Jaccard-verified, the shape
+    whose cost tracks the DAY's data, not the corpus history
+    (operators/dedup.py::incremental_neardup_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.incremental_neardup_pairs(
+        d.filter(F.col("doc_id") >= INCREMENTAL_SPLIT),
+        d.filter(F.col("doc_id") < INCREMENTAL_SPLIT),
+        "text",
+        "doc_id",
+        JACCARD_THRESHOLD,
+    )
+
+
 def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 to the vec_id=0 embedding."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -269,6 +288,7 @@ QUERIES = {
     "q23_exact_dedup": q23_exact_dedup,
     "q24_jaccard_pairs": q24_jaccard_pairs,
     "q25_minhash_lsh": q25_minhash_lsh,
+    "q71_incremental_neardup": q71_incremental_neardup,
     "q26_cosine_topk": q26_cosine_topk,
     "q27_ann_signlsh": q27_ann_signlsh,
     "q28_simhash": q28_simhash,
@@ -419,6 +439,26 @@ ORACLE = {
                    CAST(COUNT(*) AS DOUBLE)
                        / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
             FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT s.id1, s.id2, s.jaccard
+        FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
+        WHERE s.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q71_incremental_neardup": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.band_key = b.band_key
+                 WHERE a.doc_id >= {INCREMENTAL_SPLIT}
+                   AND b.doc_id < {INCREMENTAL_SPLIT}),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+            WHERE a.doc_id >= {INCREMENTAL_SPLIT}
+              AND b.doc_id < {INCREMENTAL_SPLIT}
             GROUP BY a.doc_id, b.doc_id)
         SELECT s.id1, s.id2, s.jaccard
         FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
