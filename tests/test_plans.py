@@ -145,6 +145,25 @@ def test_label_centroids_partial_agg_no_vector_shuffle(spark):
     assert _shuffles(plan) <= 2
 
 
+def test_ivf_probe_has_no_window_below_the_probe_join(spark):
+    """q30 (VERDICT r02 #1): the quantization step must be a row-local
+    projection — the ONLY Window in the plan is the final per-query
+    re-rank (partitioned by query_id), and the whole query runs on one
+    hash exchange. The old plan ranked corpus×centroids through a
+    row_number window: a 16×-amplified shuffle."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q30_ivf_ann(spark, SF_DIR))
+    windows = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"\bWindow \[", ln)  # WindowGroupLimit excluded
+    ]
+    assert len(windows) == 1, windows
+    assert "query_id" in windows[0]
+    assert _shuffles(plan) == 1, f"{_shuffles(plan)} shuffles"
+
+
 def test_salted_join_query_shards_key(spark):
     """q69: the salted join must actually join on (key, _salt) — the
     sharded key pair — before the salt is dropped."""

@@ -473,12 +473,28 @@ def ivf_topk(
 
     The coarse quantizer here is deterministic — centroids are the
     vectors with id < n_centroids (a production build runs k-means
-    refinement; the PLAN shape — broadcast centroids, argmax-cosine
-    assignment, probe-list union, exact re-rank within probed lists —
-    is identical and that is what scales: each query touches
-    ~n_probe/n_centroids of the corpus, and the inverted lists are a
-    single shuffle-by-centroid partitioning of the corpus that can be
-    written once and reused by every query batch).
+    refinement; the PLAN shape — row-local argmax-cosine assignment,
+    probe-list union, exact re-rank within probed lists — is identical
+    and that is what scales: each query touches ~n_probe/n_centroids of
+    the corpus, and the inverted lists are a single shuffle-by-centroid
+    partitioning of the corpus that can be written once and reused by
+    every query batch).
+
+    Quantization plan (round 3): the centroid frame is k×dim driver
+    state — collected ONCE (with its decimal norms computed Spark-side
+    so they match the oracle bit-for-bit) and embedded as a plan
+    LITERAL. Each vector's sorted probe list is then a row-local
+    ``array_sort`` over a k-element struct array — a pure projection:
+    ZERO shuffle, no window, no corpus×k row multiplication surviving
+    to an exchange (the previous plan ranked a corpus×k cross join
+    through a row_number window — a k×-amplified shuffle). The
+    negated-score struct sort preserves the (score DESC, cid ASC)
+    tiebreak: Spark's SQLOrderingUtil compares -0.0 == 0.0, so rounded
+    zero scores still fall to the cid tiebreak exactly like the window
+    ordering did. Above _KMEANS_MAX_LITERAL_TERMS the centroids are
+    never collected: broadcast cross join + per-vid ``collect_list`` of
+    k (score, cid) structs sorted row-locally — one partial-agg
+    shuffle, still no window sort.
 
     Returns (query_id, vec_id, cosine, rn <= k), queries restricted to
     id < max_query_id, self-matches excluded. ``centroids`` (cid, cvec)
@@ -497,40 +513,78 @@ def ivf_topk(
     cent = centroids.select(
         "cid", "cvec", _norm2_array(F.col("cvec")).alias("cn2")
     )
-    # argmax-cosine assignment: corpus × broadcast centroids, row-local
-    # dot; own-norm hoisted into a projection so it's computed once per
-    # vector, not once per (vector, centroid)
     corpus = _ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vvec"),
         _norm2_array(F.col(vec_col)).alias("vn2"),
     )
-    if assign_exact:
-        ascore = _score(
-            _dot_arrays(F.col("vvec"), F.col("cvec")),
-            F.col("vn2"),
-            F.col("cn2"),
+
+    def _probe_score(cvec, cn2):
+        if assign_exact:
+            return _score(_dot_arrays(F.col("vvec"), cvec), F.col("vn2"), cn2)
+        return _dot_arrays_fast(F.col("vvec"), cvec) / (
+            F.sqrt(F.col("vn2").cast("double")) * F.sqrt(cn2.cast("double"))
         )
-    else:
-        ascore = _dot_arrays_fast(F.col("vvec"), F.col("cvec")) / (
-            F.sqrt(F.col("vn2").cast("double"))
-            * F.sqrt(F.col("cn2").cast("double"))
-        )
-    ranked_cent = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select("vid", "cid", ascore.alias("cscore"))
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy("vid").orderBy(F.col("cscore").desc(), F.col("cid"))
+
+    # probe the dim from one row, then collect at most (cap/dim)+1 rows
+    # — a too-large centroid set is detected without ever shipping it
+    # to the driver
+    head = cent.select(F.size("cvec").alias("d")).first()
+    dim = int(head["d"]) if head else 0
+    max_rows = (_KMEANS_MAX_LITERAL_TERMS // dim) if dim else 0
+    cent_rows = cent.limit(max_rows + 1).collect() if dim else []
+    if cent_rows and len(cent_rows) <= max_rows:
+        # plan-literal quantizer: cn2 embedded as the EXACT decimal the
+        # Spark-side norm fold produced (str(Decimal) round-trips), so
+        # scores are bit-identical to the joined formulation
+        parts = []
+        for r in sorted(cent_rows, key=lambda r: int(r["cid"])):
+            vtxt = ",".join(f"{float(x)!r}D" for x in r["cvec"])
+            parts.append(
+                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT), "
+                f"'cvec', array({vtxt}), "
+                f"'cn2', CAST('{r['cn2']}' AS DECIMAL(38,25)))"
+            )
+        arr = F.expr("array(" + ",".join(parts) + ")")
+        scored = F.transform(
+            arr,
+            lambda c: F.struct(
+                (-_probe_score(c["cvec"], c["cn2"])).alias("negs"),
+                c["cid"].alias("cid"),
             ),
         )
+        probe_list = F.transform(
+            F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+        )
+        quant = corpus.select("vid", probe_list.alias("probe_cids"))
+    else:
+        # centroid set too large for plan literals: broadcast cross
+        # join, then ONE partial-agg shuffle collapsing to a k-element
+        # struct list per vector, sorted row-locally — no window sort
+        scored = (
+            corpus.crossJoin(F.broadcast(cent))
+            .select(
+                "vid",
+                F.struct(
+                    (-_probe_score(F.col("cvec"), F.col("cn2"))).alias("negs"),
+                    F.col("cid").alias("cid"),
+                ).alias("sc"),
+            )
+        )
+        quant = scored.groupBy("vid").agg(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("sc")), 1, n_probe),
+                lambda s: s["cid"],
+            ).alias("probe_cids")
+        )
+    # assignment == first probe (crn == 1); both read one projection
+    quant = persist_tracked(quant)
+    assign = quant.select(
+        F.col("vid").alias("cand_id"),
+        F.element_at("probe_cids", 1).alias("cid"),
     )
-    assign = ranked_cent.filter(F.col("crn") == 1).select(
-        F.col("vid").alias("cand_id"), "cid"
-    )
-    probes = ranked_cent.filter(F.col("crn") <= n_probe).select(
-        F.col("vid").alias("qid"), "cid"
+    probes = quant.select(
+        F.col("vid").alias("qid"), F.explode("probe_cids").alias("cid")
     )
     if max_query_id is not None:
         probes = probes.filter(F.col("qid") < max_query_id)
