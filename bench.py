@@ -22,7 +22,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    # Console progress bars interleave with stdout and once pushed the
+    # per-query JSON line past the driver's tail capture (BENCH_r02
+    # "parsed": null) — keep bench stdout pure JSON.
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
 
@@ -69,6 +74,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -77,8 +83,24 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "runs": n_runs,
+            }
+        )
+    )
+    # The per-query line above grows with the registry and can outrun a
+    # bounded tail capture; this short FINAL line is always parseable on
+    # its own (VERDICT r02 #5).
+    sys.stdout.flush()
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "runs": n_runs,
+                "n_queries": len(timings),
             }
         )
     )
