@@ -96,3 +96,41 @@ def test_e2e_load_idempotent(spark, tmp_path):
     # idempotence: re-applying wave 2 is a no-op
     again = upsert(merged, wave2, keys=["forecast_day_weather_id"])
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_varchar_parity_mode_round_trips(spark, tmp_path):
+    """SURVEY §1.3 byte-parity mode: as_varchar writes the five
+    warehouse tables stringly-typed exactly like the reference DDLs
+    (location.sql:11-18 et al. declare VARCHAR(255) everywhere), and
+    values survive a parquet round-trip back into the typed schemas
+    losslessly. The typed default is unchanged."""
+    import os
+
+    from weatherapi_data_engineering_project_spark import pipeline as P
+    from weatherapi_data_engineering_project_spark.schemas import as_varchar
+
+    docs = FX.docs_df(spark)
+    for name, (fn, _schema, keys, _parts, _derived) in P.TABLES.items():
+        typed = fn(docs, spark)
+        for k in keys:
+            typed = typed.filter(typed[k].isNotNull())
+        sv = as_varchar(typed)
+        assert all(dt == "string" for _c, dt in sv.dtypes), name
+        assert sv.columns == typed.columns, name
+
+        path = os.path.join(str(tmp_path), name)
+        sv.write.parquet(path)
+        back = spark.read.parquet(path)
+        assert all(dt == "string" for _c, dt in back.dtypes), name
+
+        # lossless: cast each string column back to its typed dtype and
+        # compare full row sets
+        retyped = back.select(
+            *[
+                F.col(c).cast(dict(typed.dtypes)[c]).alias(c)
+                for c in typed.columns
+            ]
+        )
+        assert sorted(map(tuple, retyped.collect())) == sorted(
+            map(tuple, typed.collect())
+        ), name

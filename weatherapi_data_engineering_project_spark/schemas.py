@@ -250,20 +250,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
     if name == "events":
-        # events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-        # reader rejects outright. Read the raw INT64 nanos via the legacy
-        # conf and narrow to a microsecond timestamp with integer division
-        # (double division would lose precision above 2^53 ns; the testdata
-        # is µs-aligned and DuckDB's reader does the same narrowing).
+        # events.ts is written as parquet TIMESTAMP(NANOS). Spark's
+        # handling of that type has changed across versions, so cover
+        # every observed shape and normalize to a microsecond
+        # TIMESTAMP_LTZ either way:
+        # - older readers reject NANOS outright unless
+        #   legacy.parquet.nanosAsLong=true maps it to INT64 nanos —
+        #   narrow with integer division (double division would lose
+        #   precision above 2^53 ns; the testdata is µs-aligned and
+        #   DuckDB's reader does the same narrowing);
+        # - Spark 4.1 reads NANOS natively as a µs-truncated
+        #   TIMESTAMP_NTZ and silently ignores the legacy conf — cast
+        #   NTZ→LTZ (interpreted in the session tz and rendered back in
+        #   the same tz, so collected values round-trip identically and
+        #   match DuckDB's naive read), because downstream time
+        #   arithmetic (unix_micros) accepts only TIMESTAMP_LTZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def as_varchar(df: DataFrame) -> DataFrame:
+    """VARCHAR-parity mode (SURVEY §1.3): cast every column to string.
+
+    The reference warehouse declares ALL columns ``VARCHAR(255)``
+    (``location.sql:2-17``, ``condition.sql:2-8``,
+    ``current_weather.sql:2-33``, ``forecast_day_weather.sql:2-45``,
+    ``forecast_hour_weather.sql:2-47``); the engine's typed schemas are
+    the documented default (stringly-typed storage defeats pushdown and
+    scan pruning at scale), and this helper is the byte-parity escape
+    hatch for consumers that need the reference's stringly surface —
+    apply it at the write boundary, never inside plans. Spark's cast
+    renders dates as yyyy-MM-dd, timestamps as
+    yyyy-MM-dd HH:mm:ss[.SSSSSS], and keeps integral/decimal text
+    exact, so keys and numerics round-trip losslessly."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).cast("string").alias(c) for c in df.columns]
+    )
