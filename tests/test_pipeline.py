@@ -40,14 +40,17 @@ def test_run_batch_end_to_end(spark, tmp_path):
         for _bid, n0, n1 in entries:
             assert n0 == n1, f"{name}: staged keys lost ({n0} != {n1})"
 
-    # warehouse contents equal the direct transform (minus null-key rows)
+    # warehouse contents equal the direct transform (minus null-key rows);
+    # load-time derived columns (partition keys) appear in the warehouse
+    # on top of the stage columns
     docs = FX.docs_df(spark)
-    for name, (fn, _schema, keys, _parts) in P.TABLES.items():
+    for name, (fn, _schema, keys, _parts, derived) in P.TABLES.items():
         expect = fn(docs, spark)
         for k in keys:
             expect = expect.filter(expect[k].isNotNull())
         got = spark.read.parquet(os.path.join(wh, name))
-        assert sorted(got.columns) == sorted(expect.columns)
+        expect_cols = sorted(set(expect.columns) | set((derived or {})))
+        assert sorted(got.columns) == expect_cols
         assert got.count() == expect.count(), name
         gk = {tuple(r[k] for k in keys) for r in got.collect()}
         ek = {tuple(r[k] for k in keys) for r in expect.collect()}
@@ -133,6 +136,48 @@ def test_run_batch_empty_raw_zone(spark, tmp_path):
         for name in P.TABLES
     }
     assert after == before  # nothing changed, nothing corrupted
+
+
+def test_hour_fact_partitioned_incremental_rewrite(spark, tmp_path):
+    """VERDICT r02 #4: the hour fact partitions by the day embedded in
+    its key, so a later extraction's batch rewrites only its own day
+    directories — the first day's partition files stay byte-identical
+    (path + mtime), never the whole table."""
+    import glob
+
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_raw_zone(FX.raw_docs(), raw)
+    P.run_batch(spark, raw, curated, wh, ckpt, run_tag="day1")
+
+    hour_dir = os.path.join(wh, "forecast_hour_weather")
+    part_dirs = sorted(glob.glob(os.path.join(hour_dir, "forecast_date=*")))
+    assert part_dirs, "hour fact must be dir-partitioned by forecast_date"
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for d in part_dirs
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    }
+    assert before
+
+    docs2 = FX.raw_docs(day_offset=3)  # disjoint forecast window
+    _write_raw_zone(docs2, raw)
+    P.run_batch(spark, raw, curated, wh, ckpt, run_tag="day2")
+
+    after_dirs = sorted(glob.glob(os.path.join(hour_dir, "forecast_date=*")))
+    assert len(after_dirs) > len(part_dirs), "new day dirs must appear"
+    for f, mtime in before.items():
+        assert os.path.exists(f), f"{f} vanished in a disjoint-day batch"
+        assert os.stat(f).st_mtime_ns == mtime, f"{f} was rewritten"
+
+    # derived partition value == the yyyyMMdd embedded in the key
+    for r in spark.read.parquet(hour_dir).collect():
+        assert (
+            r.forecast_date.strftime("%Y%m%d")
+            == r.forecast_hour_weather_id.rsplit("_", 2)[1]
+        )
 
 
 def test_run_load_faithful_archive(spark, tmp_path):

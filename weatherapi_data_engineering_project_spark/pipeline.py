@@ -30,32 +30,54 @@ from .plans import weather_transform as WT
 from .sources import rest
 from .streaming.load import TableLoad, gated_stage_cleanup, run_available_now
 
+# The hour fact has no date COLUMN (matching the reference DDL,
+# forecast_hour_weather.sql:2-47) but its pk embeds one:
+# "{loc}_{yyyyMMdd}_{hour}". Deriving the partition value from the KEY
+# (not from forecast_datetime) keeps the upsert invariant by
+# construction — a key can never move partitions.
+_HOUR_DATE_FROM_KEY = (
+    "to_date(regexp_extract(forecast_hour_weather_id,"
+    " '_([0-9]{8})_[0-9]+$', 1), 'yyyyMMdd')"
+)
+
 TABLES: dict[str, tuple] = {
-    # name -> (transform fn, stage schema, pk columns, partition columns)
+    # name -> (transform fn, stage schema, pk columns, partition columns,
+    #          derived load-time columns)
     # Facts partition by their date grain — an immutable attribute of the
     # surrogate key (the yyyyMMdd inside it), which is the precondition
     # for upsert_path's incremental partition rewrite: a daily batch then
     # touches only that day's partition, never the table's history.
     # Dims are small and unpartitioned.
-    "location": (WT.dim_location, S.DIM_LOCATION_SCHEMA, ["location_id"], None),
-    "condition": (WT.dim_condition, S.DIM_CONDITION_SCHEMA, ["condition_code"], None),
+    "location": (
+        WT.dim_location, S.DIM_LOCATION_SCHEMA, ["location_id"], None, None,
+    ),
+    "condition": (
+        WT.dim_condition, S.DIM_CONDITION_SCHEMA, ["condition_code"], None, None,
+    ),
     "current_weather": (
         WT.fact_current,
         S.FACT_CURRENT_SCHEMA,
         ["current_weather_id"],
         ["weather_date"],
+        None,
     ),
     "forecast_day_weather": (
         WT.fact_forecast_day,
         S.FACT_FORECAST_DAY_SCHEMA,
         ["forecast_day_weather_id"],
         ["forecast_date"],
+        None,
     ),
     "forecast_hour_weather": (
+        # The largest table in the schema: without partitions every
+        # micro-batch took the whole-table merge path and rewrote all
+        # history (VERDICT r02 #4). Partitioned by the key-embedded day,
+        # a daily batch rewrites one day's directory.
         WT.fact_forecast_hour,
         S.FACT_FORECAST_HOUR_SCHEMA,
         ["forecast_hour_weather_id"],
-        None,  # hour grain keys by timestamp; day-level dirs add no pruning here
+        ["forecast_date"],
+        {"forecast_date": _HOUR_DATE_FROM_KEY},
     ),
 }
 
@@ -71,7 +93,7 @@ def transform_to_curated(
     Returns per-table row counts written.
     """
     counts: dict[str, int] = {}
-    for name, (fn, schema, keys, _parts) in TABLES.items():
+    for name, (fn, schema, keys, _parts, _derived) in TABLES.items():
         out = fn(docs, spark)
         for k in keys:
             out = out.filter(out[k].isNotNull())
@@ -134,8 +156,11 @@ def run_load(
 
 def make_loads() -> dict[str, TableLoad]:
     return {
-        name: TableLoad(name=name, schema=schema, keys=keys, partition_by=parts)
-        for name, (_fn, schema, keys, parts) in TABLES.items()
+        name: TableLoad(
+            name=name, schema=schema, keys=keys, partition_by=parts,
+            derived=derived,
+        )
+        for name, (_fn, schema, keys, parts, derived) in TABLES.items()
     }
 
 

@@ -30,6 +30,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.upsert import upsert_path
@@ -43,6 +44,14 @@ class TableLoad:
     schema: T.StructType
     keys: list[str]
     partition_by: list[str] | None = None
+    # Derived (SQL-expression) columns added to each batch BEFORE the
+    # upsert — the mechanism that lets a table partition on an attribute
+    # embedded in its key without changing the stage/CSV schema (the
+    # curated zone stays byte-faithful to the reference's
+    # DataTransformation.py output). Values must be deterministic
+    # functions of stage columns; when they feed ``partition_by`` they
+    # must be immutable attributes of the pk (upsert.py invariant).
+    derived: dict[str, str] | None = None
     audit_log: list[tuple[int, int, int]] = field(default_factory=list)
     # M5 (location.sql:36-83): every load procedure in the reference is
     # wrapped in try/catch and returns a status string. One entry per
@@ -98,6 +107,8 @@ def start_load(
             # inside the M5 wrapper too.
             if not batch.head(1):
                 return
+            for col, expr in (load.derived or {}).items():
+                batch = batch.withColumn(col, F.expr(expr))
             n0, n1 = upsert_path(
                 batch.sparkSession,
                 target_path,
