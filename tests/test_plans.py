@@ -134,6 +134,22 @@ def test_global_rank_never_single_partitions(spark):
         assert "SinglePartition" not in ln
 
 
+def test_decile_stats_never_single_partitions(spark):
+    """q49 (VERDICT r02 #7): the NTILE rewrite must rank inside
+    bucket-partitioned windows — no single-task window on the data
+    path (the offsets frame, a ~33-row agg, may legitimately
+    single-partition)."""
+    from weatherapi_data_engineering_project_spark.plans import extensions as X
+
+    plan = _plan(X.q49_decile_stats(spark, SF_DIR))
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "bkt" in ln
+    ]
+    assert data_windows, "expected the bucket-partitioned ranking window"
+    for ln in data_windows:
+        assert "SinglePartition" not in ln
+
+
 def test_label_centroids_partial_agg_no_vector_shuffle(spark):
     """q66: the per-(label,pos) sum must ride a map-side partial
     aggregate (the shuffle carries label×dim partials, never whole

@@ -59,12 +59,72 @@ def q48_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q49_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(10) global deciles of order price (deterministic via the
-    orderkey tiebreak) → per-decile count / bounds / decimal sum."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    tiled = o.select(
+    orderkey tiebreak) → per-decile count / bounds / decimal sum.
+
+    Scale shape (VERDICT r02 #7): a bare ``Window.orderBy`` NTILE
+    hash-partitions the WHOLE table into one task. Instead this runs
+    the q65 two-phase rewrite — sampled boundaries bucket the rows,
+    each bucket ranks locally, broadcast per-bucket offsets lift local
+    ranks to a global row number — and the decile is then closed-form
+    integer arithmetic on (global rank, N): with N = 10·base + rem,
+    deciles 1..rem hold base+1 rows, the rest hold base (exactly
+    NTILE's definition). Same output contract; the oracle stays the
+    plain NTILE(10) SQL. Bucketing compares the DOUBLE image of the
+    price (order-preserving for decimal(18,2) far below 2^53/100);
+    in-bucket ordering uses the exact decimal + orderkey tiebreak, so
+    equal doubles resolve exactly like the single-window form.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-        F.ntile(10).over(w).alias("decile"),
+        F.col("o_totalprice").cast("double").alias("pd"),
+    )
+    bnds = sorted(
+        set(o.approxQuantile("pd", [i / 32 for i in range(1, 32)], 0.01))
+    )
+    bucket = F.size(
+        F.filter(
+            F.lit(bnds).cast("array<double>"), lambda b: b < F.col("pd")
+        )
+    )
+    bucketed = o.withColumn("bkt", bucket)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    # N is a driver scalar (like the boundary list); ceil-div via
+    # integer (a + b - 1) div b keeps the arithmetic exact at any N
+    n_total = o.count()
+    base, rem = divmod(n_total, 10)
+    base = max(base, 1)  # N < 10: rem rows, all in the first branch
+    cut = rem * (base + 1)
+    wl = Window.partitionBy("bkt").orderBy("price", "o_orderkey")
+    tiled = (
+        bucketed.withColumn("lr", F.row_number().over(wl))
+        .join(F.broadcast(offsets), on="bkt")
+        .withColumn("gr", F.col("offset") + F.col("lr"))
+        .select(
+            "price",
+            # ceil-div as exact integer DIV: ceil(a/b) = (a + b - 1) div b
+            F.expr(
+                f"CAST(CASE WHEN gr <= {cut}"
+                f" THEN (gr + {base}) DIV {base + 1}"
+                f" ELSE {rem} + (gr - {cut} + {base - 1}) DIV {base}"
+                f" END AS INT)"
+            ).alias("decile"),
+        )
     )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
