@@ -279,3 +279,28 @@ def test_stream_interval_join_matches_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij_stream").collect()
     ]
     assert got == [(1, 0, 1, 1200_000_000)]
+
+
+def test_streaming_queries_leave_session_conf_untouched(spark):
+    """q42/q70 pin their state-shuffle width on a CLONED session
+    (VERDICT r02 #9): the caller's conf must never change — bench and
+    the driver run queries back-to-back (potentially concurrently) on
+    ONE session, and a try/finally restore on the shared conf would
+    still race a concurrent reader. Re-invocation must also reuse the
+    work dir cleanly (bench re-entrancy)."""
+    from tests.conftest import SF_DIR
+    from weatherapi_data_engineering_project_spark.plans import (
+        streaming_queries as SQ,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    r42 = SQ.q42_stateful_totals(spark, SF_DIR)
+    n42 = r42.count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert n42 > 0
+    r70 = SQ.q70_stream_interval_join(spark, SF_DIR)
+    n70 = r70.count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # re-entrancy: second invocations drain the same data cleanly
+    assert SQ.q42_stateful_totals(spark, SF_DIR).count() == n42
+    assert SQ.q70_stream_interval_join(spark, SF_DIR).count() == n70

@@ -80,26 +80,23 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The state shuffle inherits spark.sql.shuffle.partitions; a vanilla
     # session's 200 means 200 state-store files per micro-batch for a
-    # 150-user keyspace. Pin a sane width for this query and restore
-    # (the streaming query captures the conf at start()).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            running_user_totals(
-                spark.readStream.schema(EVENTS_DDL).parquet(src)
-            )
-            .writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        if q.isActive:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # 150-user keyspace. Pin a sane width on a CLONED session (shared
+    # SparkContext, isolated SQLConf) so the caller's session conf is
+    # never mutated — a try/finally restore on the shared conf would
+    # still race a concurrent caller reading it mid-query.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        running_user_totals(s2.readStream.schema(EVENTS_DDL).parquet(src))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
     if not os.path.exists(out):  # no data emitted
         return spark.createDataFrame([], RUNNING_TOTALS_SCHEMA)
     # last emitted update per user is the final total — one window pass,
@@ -163,7 +160,11 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, bid: int) -> None:
         batch.write.mode("append").parquet(out)
 
-    stream = spark.readStream.schema(
+    # cloned session: pinned state-shuffle width without mutating the
+    # caller's (possibly shared) session conf — see q42
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = s2.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint"
     ).parquet(src)
     joined = stream_interval_join(
@@ -172,21 +173,16 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_lag="1 hour",
         watermark="2 hours",
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        if q.isActive:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
