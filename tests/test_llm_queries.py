@@ -139,38 +139,34 @@ def test_lsh_verify_path_has_no_broadcast_hint(spark):
     assert "UnresolvedHint" not in analyzed
 
 
-def test_label_prop_broadcast_gate(spark):
-    """VERDICT r02 #6: above max_broadcast_nodes the per-round label
-    join must take the shuffled (no-hard-hint) path and produce the
-    SAME clusters — a duplicate-heavy corpus can have billions of
-    paired docs, where a hard broadcast OOMs."""
+def test_label_prop_round_join_has_no_broadcast_hint(spark):
+    """VERDICT r02 #6: the per-round label join must not hard-broadcast
+    the label frame — a duplicate-heavy corpus can have billions of
+    paired docs, where a hard broadcast OOMs; AQE sizes the join at
+    runtime instead. Both variants must agree on a multi-component
+    graph (the shuffled plan changes nothing)."""
     # several components incl. a chain, so propagation does real work
     edges = [(i, i + 1) for i in range(0, 40, 2)]
     edges += [(100 + i, 100 + i + 1) for i in range(7)]  # diameter-7 chain
     edges += [(200, 201), (201, 202), (200, 202)]
     pairs = spark.createDataFrame(edges, "id1 long, id2 long")
 
-    bcast = {(r.doc_id, r.cluster_rep)
+    fixed = {(r.doc_id, r.cluster_rep)
              for r in DD.label_propagation_clusters(pairs, rounds=8).collect()}
-    shuf = {
-        (r.doc_id, r.cluster_rep)
-        for r in DD.label_propagation_clusters(
-            pairs, rounds=8, max_broadcast_nodes=0
-        ).collect()
-    }
-    assert bcast == shuf
     conv = {
         (r.doc_id, r.cluster_rep)
-        for r in DD.label_propagation_clusters_converged(
-            pairs, max_broadcast_nodes=0
-        ).collect()
+        for r in DD.label_propagation_clusters_converged(pairs).collect()
     }
-    assert conv == bcast
+    assert conv == fixed
+    comps = {}
+    for doc, rep in fixed:
+        comps.setdefault(rep, set()).add(doc)
+    assert all(rep == min(m) for rep, m in comps.items())
 
-    # the gated-off path builds its round join without a hard hint
+    # the round join carries no hard hint (AQE decides from runtime size)
     e = pairs.selectExpr("id1 as a", "id2 as b")
     labels = pairs.selectExpr("id1 as id", "id1 as rep")
-    join = e.join(DD._labels_for_join(labels, False), on="b")
+    join = e.join(DD._labels_for_join(labels), on="b")
     analyzed = join._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
 

@@ -395,27 +395,23 @@ def simhash_pairs(
     )
 
 
+# The per-round label join carries NO broadcast hint (VERDICT r02 #6).
 # Label frames are usually "node-sized" (the set of PAIRED docs, tiny
-# next to the corpus) and broadcast-joined. But the node set grows with
-# duplication: a duplicate-heavy 100 TB corpus can pair billions of
-# docs, and hard-broadcasting a billion-row frame OOMs the driver and
-# every executor. Above this node count the label join falls back to a
-# shuffled join (AQE still broadcasts at runtime if the frame proves
-# small). ~4M nodes × ~64 B/row ≈ 256 MB — comfortably broadcastable
-# on the executors this engine targets; override per call.
-_MAX_BROADCAST_NODES = 4_000_000
+# next to the corpus), but the node set grows with duplication: a
+# duplicate-heavy 100 TB corpus can pair billions of docs, and
+# hard-broadcasting a billion-row frame OOMs the driver and every
+# executor. An unhinted join lets AQE broadcast from RUNTIME size when
+# the frame proves small and shuffle when it doesn't — and measured
+# FASTER than the hint even on tiny frames (the hint forces a fresh
+# BroadcastExchange build every round; see also kmeans_centroids'
+# literal-vs-broadcast note).
 
 
-def _labels_for_join(labels: DataFrame, broadcast_labels: bool):
-    lab = labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep"))
-    return F.broadcast(lab) if broadcast_labels else lab
+def _labels_for_join(labels: DataFrame):
+    return labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep"))
 
 
-def label_propagation_clusters(
-    pairs: DataFrame,
-    rounds: int = 4,
-    max_broadcast_nodes: int = _MAX_BROADCAST_NODES,
-) -> DataFrame:
+def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
     """Cluster near-dup pairs into groups via min-label propagation.
 
     The missing last step of dedup: pairs say "these two match", the
@@ -457,15 +453,12 @@ def label_propagation_clusters(
         .coalesce(n_slots)
         .localCheckpoint()
     )
-    # the node count is constant across rounds — one scalar count gates
-    # the broadcast for the whole loop (VERDICT r02 #6)
-    do_bcast = labels.count() <= max_broadcast_nodes
     for _ in range(rounds):
         # one round = min over {own label} ∪ {neighbors' labels}: one
-        # (size-gated broadcast) join + union + grouped MIN — a single
+        # (unhinted — AQE-sized) join + union + grouped MIN — a single
         # exchange per round, no left-join/coalesce chain.
         nbr = e.join(
-            _labels_for_join(labels, do_bcast), on="b"
+            _labels_for_join(labels), on="b"
         ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
         labels = (
             labels.unionByName(nbr)
@@ -478,9 +471,7 @@ def label_propagation_clusters(
 
 
 def label_propagation_clusters_converged(
-    pairs: DataFrame,
-    max_rounds: int = 50,
-    max_broadcast_nodes: int = _MAX_BROADCAST_NODES,
+    pairs: DataFrame, max_rounds: int = 50
 ) -> DataFrame:
     """Production variant of label_propagation_clusters: run min-label
     rounds to a FIXPOINT (no label changed) with a max_rounds guard.
@@ -520,10 +511,9 @@ def label_propagation_clusters_converged(
         .coalesce(n_slots)
         .localCheckpoint()
     )
-    do_bcast = labels.count() <= max_broadcast_nodes
     for _ in range(max_rounds):
         nbr = e.join(
-            _labels_for_join(labels, do_bcast), on="b"
+            _labels_for_join(labels), on="b"
         ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
         new_labels = (
             labels.unionByName(nbr)

@@ -88,33 +88,30 @@ def q49_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bucketed = o.withColumn("bkt", bucket)
-    offsets = (
-        bucketed.groupBy("bkt")
+    # per-bucket counts are a ≤33-row aggregate — collect them once and
+    # derive BOTH the cumulative offsets (as a plan-literal array, no
+    # broadcast join) and N (the NTILE arithmetic scalar) driver-side,
+    # like the boundary list itself
+    counts = {
+        int(r["bkt"]): int(r["n"])
+        for r in bucketed.groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("n").over(
-                    Window.orderBy("bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bkt", "offset")
-    )
-    # N is a driver scalar (like the boundary list); ceil-div via
-    # integer (a + b - 1) div b keeps the arithmetic exact at any N
-    n_total = o.count()
+        .collect()
+    }
+    n_total = sum(counts.values())
+    n_buckets = (max(counts) + 1) if counts else 1
+    offs, acc = [], 0
+    for b in range(n_buckets):
+        offs.append(acc)
+        acc += counts.get(b, 0)
     base, rem = divmod(n_total, 10)
     base = max(base, 1)  # N < 10: rem rows, all in the first branch
     cut = rem * (base + 1)
+    off_arr = "array(" + ",".join(f"{x}L" for x in offs) + ")"
     wl = Window.partitionBy("bkt").orderBy("price", "o_orderkey")
     tiled = (
         bucketed.withColumn("lr", F.row_number().over(wl))
-        .join(F.broadcast(offsets), on="bkt")
-        .withColumn("gr", F.col("offset") + F.col("lr"))
+        .withColumn("gr", F.expr(f"element_at({off_arr}, bkt + 1) + lr"))
         .select(
             "price",
             # ceil-div as exact integer DIV: ceil(a/b) = (a + b - 1) div b
