@@ -280,6 +280,24 @@ def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.label_propagation_clusters(pairs, rounds=4)
 
 
+def q72_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame ARTIFACT: the kept corpus itself. q47 labels
+    every paired document; here each cluster's non-representative
+    members become a drop-list and ONE anti-join on doc_id removes them
+    — unpaired documents survive untouched. This is the query a
+    training-data pipeline actually materializes after near-dup
+    detection; cost = the q47 pipeline + a linear anti-join whose right
+    side is duplicate-count-sized (AQE broadcasts it when small), never
+    a corpus×corpus op."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+    labels = DD.label_propagation_clusters(pairs, rounds=4)
+    drop = labels.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
+
+
 QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
@@ -301,6 +319,7 @@ QUERIES = {
     "q41_scrub": q41_scrub,
     "q46_udtf_chunk": q46_udtf_chunk,
     "q47_dedup_clusters": q47_dedup_clusters,
+    "q72_dedup_keep_list": q72_dedup_keep_list,
 }
 
 # --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
@@ -356,6 +375,40 @@ _SIG_MIN = ", ".join(
 )
 _BAND_LIST = ", ".join(
     f"md5(sig{2*b} || '|' || sig{2*b+1})" for b in range(DD.N_BANDS)
+)
+
+# LSH candidates → exact-Jaccard pairs → 4 unrolled min-label rounds
+# (l4 = the q47 labeling). Shared by the q47 clustering oracle and the
+# q72 keep-list oracle.
+_CLUSTER_CTES = f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT s.id1, s.id2
+            FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
+            WHERE s.jaccard >= {JACCARD_THRESHOLD}),
+        e AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL
+              SELECT id2 AS a, id1 AS b FROM pairs),
+        l0 AS (SELECT DISTINCT a AS id, a AS rep FROM e)""" + "".join(
+    f""",
+        l{k} AS (
+            SELECT l.id, LEAST(l.rep, COALESCE(MIN(n.rep), l.rep)) AS rep
+            FROM l{k - 1} l
+            LEFT JOIN e ON e.a = l.id
+            LEFT JOIN l{k - 1} n ON n.id = e.b
+            GROUP BY l.id, l.rep)"""
+    for k in range(1, 5)
 )
 
 ORACLE = {
@@ -571,39 +624,14 @@ ORACLE = {
         FROM documents,
              UNNEST(range(1, GREATEST(CAST(ceil(length(text) / 100.0) AS BIGINT), 1) + 1)) AS t(i)
     """,
-    "q47_dedup_clusters": f"""
-        WITH {_SHINGLES_CTE},
-        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
-        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
-        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                 FROM bands a JOIN bands b
-                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        scored AS (
-            SELECT a.doc_id AS id1, b.doc_id AS id2,
-                   CAST(COUNT(*) AS DOUBLE)
-                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id),
-        pairs AS (
-            SELECT s.id1, s.id2
-            FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
-            WHERE s.jaccard >= {JACCARD_THRESHOLD}),
-        e AS (SELECT id1 AS a, id2 AS b FROM pairs
-              UNION ALL
-              SELECT id2 AS a, id1 AS b FROM pairs),
-        l0 AS (SELECT DISTINCT a AS id, a AS rep FROM e)"""
-    + "".join(
-        f""",
-        l{k} AS (
-            SELECT l.id, LEAST(l.rep, COALESCE(MIN(n.rep), l.rep)) AS rep
-            FROM l{k - 1} l
-            LEFT JOIN e ON e.a = l.id
-            LEFT JOIN l{k - 1} n ON n.id = e.b
-            GROUP BY l.id, l.rep)"""
-        for k in range(1, 5)
-    )
-    + """
+    "q47_dedup_clusters": _CLUSTER_CTES + """
         SELECT id AS doc_id, rep AS cluster_rep FROM l4
+    """,
+    "q72_dedup_keep_list": _CLUSTER_CTES + """
+        SELECT d.doc_id
+        FROM documents d
+        ANTI JOIN (SELECT id FROM l4 WHERE id <> rep) x
+          ON d.doc_id = x.id
     """,
     "q28_simhash": f"""
         WITH {_SHINGLES_CTE},
