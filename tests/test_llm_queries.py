@@ -185,6 +185,61 @@ def test_converged_clustering_long_chain(spark):
     assert any(rep != 0 for rep in fixed.values())  # 4 hops can't reach
 
 
+def test_pq_ann_numpy_differential(spark):
+    """PQ (q73): codes are valid and complete, training is
+    deterministic, and the ADC top-k matches an independent NumPy
+    recomputation of codebook distances — the rows-only twin of an
+    oracle for the iterative trainer."""
+    import numpy as np
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    m, k_sub = 4, 16
+    books, codes = SIM.pq_codebooks_and_codes(e, m=m, k_sub=k_sub, n_iters=2)
+    got_codes = {r.vec_id: list(r.codes) for r in codes.collect()}
+    assert len(got_codes) == e.count()
+    assert all(
+        len(c) == m and all(0 <= x < k_sub for x in c)
+        for c in got_codes.values()
+    )
+
+    vecs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in e.collect()
+    }
+    q = vecs[0]
+    d_sub = len(q) // m
+    table = [
+        [
+            float(np.sum((q[j * d_sub:(j + 1) * d_sub]
+                          - np.array(books[j][cid])) ** 2))
+            for cid in range(k_sub)
+        ]
+        for j in range(m)
+    ]
+    adc = {
+        vid: sum(table[j][c[j]] for j in range(m))
+        for vid, c in got_codes.items()
+        if vid != 0
+    }
+    expect = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+
+    got = [
+        (r.vec_id, r.adc_dist, r.rn)
+        for r in SIM.pq_topk(e, query_id=0, k=5, m=m, k_sub=k_sub).collect()
+    ]
+    assert [v for v, _, _ in got] == [v for v, _ in expect]
+    for (gv, gd, _), (ev, ed) in zip(got, expect):
+        assert abs(gd - ed) < 1e-6, (gv, gd, ed)
+    assert [rn for _, _, rn in got] == [1, 2, 3, 4, 5]
+
+    # determinism across invocations
+    again = [
+        (r.vec_id, r.adc_dist)
+        for r in SIM.pq_topk(e, query_id=0, k=5, m=m, k_sub=k_sub).collect()
+    ]
+    assert again == [(v, d) for v, d, _ in got]
+
+
 def test_ivf_kmeans_centroids_invariants(spark):
     """Lloyd's quantizer: k centroids survive every round, refinement is
     deterministic, and every centroid has the corpus dimensionality."""

@@ -180,6 +180,30 @@ def test_ivf_probe_has_no_window_below_the_probe_join(spark):
     assert _shuffles(plan) == 1, f"{_shuffles(plan)} shuffles"
 
 
+def test_cosine_topk_is_take_ordered_not_global_window(spark):
+    """q26: global top-k must plan as TakeOrderedAndProject (per-
+    partition heaps merged at the driver), never an unpartitioned
+    ranking window that funnels every scored row through one task."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q26_cosine_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pq_adc_scan_is_pure_projection_topk(spark):
+    """q73: the ADC scan must be m literal table lookups over the codes
+    column + TakeOrderedAndProject — no join, no hash/range shuffle, no
+    single-partition window below the top-k."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q73_pq_ann(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    assert _shuffles(plan) == 0, f"{_shuffles(plan)} shuffles"
+    assert "Join" not in plan
+
+
 def test_salted_join_query_shards_key(spark):
     """q69: the salted join must actually join on (key, _salt) — the
     sharded key pair — before the salt is dropped."""

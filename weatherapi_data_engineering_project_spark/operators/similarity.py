@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import hashlib
 
+from functools import reduce
+
 from ..caching import persist_tracked
 
 from pyspark.sql import DataFrame, functions as F
@@ -162,17 +164,24 @@ def cosine_topk(
         _norm2_array(F.col(vec_col)),
         F.col("qn2"),
     )
-    ranked = (
+    # Global top-k via orderBy+limit, NOT a bare row_number window over
+    # the whole corpus: Spark plans the former as TakeOrderedAndProject
+    # (each partition keeps its local top-k, the driver merges k-sized
+    # heaps), while an unpartitioned ranking window funnels every scored
+    # row through ONE task. The rn column is then attached by a window
+    # over the k surviving rows only.
+    top = (
         _ensure_parallelism(embeddings).crossJoin(F.broadcast(q))
         .select(F.col(id_col).alias("vec_id"), cos.alias("cosine"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-            ),
-        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
     )
-    return ranked.filter(F.col("rn") <= k)
+    return top.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ),
+    )
 
 
 def signlsh_buckets(
@@ -620,6 +629,215 @@ def ivf_topk(
         )
     )
     return ranked.filter(F.col("rn") <= k)
+
+
+def pq_codebooks_and_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product quantization (PQ) trainer + encoder — the compressed-
+    corpus ANN path (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011; same family as FAISS's IndexPQ).
+
+    The vector space is split into ``m`` subspaces of dim/m dims; each
+    subspace gets its own k_sub-centroid Lloyd's codebook, and every
+    vector is encoded as m small codes (m bytes at k_sub ≤ 256) —
+    a 64-dim float corpus compresses ~64×, which is what lets a 100 TB
+    embedding store live in memory as codes while raw vectors stay on
+    disk for optional re-rank.
+
+    Plan shape mirrors ``kmeans_centroids``: codebooks are m × k_sub ×
+    (dim/m) floats of DRIVER state embedded as plan literals, so per
+    iteration assignment is a row-local argmin projection (zero
+    shuffle) and the centroid update is ONE partial-agg shuffle
+    carrying (j, code, pos) partial sums for ALL m subspaces together
+    (the m separate-job alternative pays m scan+shuffle rounds).
+    Deterministic: init = subvectors of ids < k_sub, L2 argmin with
+    code tiebreak, fixed iteration count, float32-rounded means.
+
+    Returns (codebooks, codes_df): ``codebooks[j][cid]`` = centroid
+    list, ``codes_df`` = (vec_id, codes array<int>, one code per
+    subspace).
+    """
+    import numpy as np
+
+    head = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(head["d"]) if head else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    d_sub = dim // m
+    corpus = persist_tracked(
+        _ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("vid"),
+            *[
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"s{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    init = corpus.filter(F.col("vid") < k_sub).collect()
+    books: dict[int, dict[int, list[float]]] = {
+        j: {int(r["vid"]): [float(x) for x in r[f"s{j}"]] for r in init}
+        for j in range(m)
+    }
+    # codes index their codebook positionally (ADC does element_at by
+    # code), so the deterministic init must yield cids 0..k_sub-1
+    if sorted(books[0]) != list(range(k_sub)):
+        raise ValueError(
+            f"PQ deterministic init needs ids 0..{k_sub - 1} present; "
+            f"got {sorted(books[0])[:5]}..."
+        )
+
+    def _argmin_code(j):
+        # plan-literal codebook for subspace j: argmin-L2 as a row-local
+        # array_min over (dist, cid) structs — struct comparison breaks
+        # distance ties on the smaller cid, and the double fold is a
+        # per-row sequential reduction (partitioning-independent)
+        parts = []
+        for cid, vec in sorted(books[j].items()):
+            vtxt = ",".join(f"{x!r}D" for x in vec)
+            parts.append(
+                f"named_struct('cid', {cid}, 'cvec', array({vtxt}))"
+            )
+        arr = F.expr("array(" + ",".join(parts) + ")")
+
+        def dist(c):
+            diffs = F.zip_with(
+                F.col(f"s{j}"),
+                c["cvec"],
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            )
+            return F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x)
+
+        scored = F.transform(
+            arr, lambda c: F.struct(dist(c).alias("d"), c["cid"].alias("cid"))
+        )
+        return F.array_min(scored)["cid"]
+
+    for _ in range(n_iters):
+        assigned = corpus.select(
+            "vid",
+            *[F.col(f"s{j}") for j in range(m)],
+            *[_argmin_code(j).alias(f"c{j}") for j in range(m)],
+        )
+        sub_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.col(f"c{j}").alias("code"),
+                    F.col(f"s{j}").alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        means = (
+            assigned.select(F.explode(sub_structs).alias("e"))
+            .select("e.j", "e.code", F.posexplode("e.sv").alias("pos", "v"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+            .collect()
+        )
+        upd: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            upd.setdefault(int(r["j"]), {}).setdefault(int(r["code"]), {})[
+                int(r["pos"])
+            ] = r["mu"]
+        for j in range(m):
+            for cid, poses in upd.get(j, {}).items():
+                # float32 rounding mirrors array<float> storage; empty
+                # codes keep their previous centroid (Lloyd's fallback)
+                books[j][cid] = [
+                    float(np.float32(poses[p])) for p in range(d_sub)
+                ]
+
+    codes = corpus.select(
+        F.col("vid").alias(id_col),
+        F.array(*[_argmin_code(j).cast("int") for j in range(m)]).alias(
+            "codes"
+        ),
+    )
+    return books, codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the query stays a raw
+    vector, the corpus is scanned as CODES only.
+
+    The query's distance to every codebook centroid is precomputed
+    DRIVER-side into an m × k_sub lookup table (a few hundred floats —
+    the standard ADC table) and embedded as a plan literal; each corpus
+    row's approximate distance is then m table lookups + adds — a pure
+    projection over the (tiny) codes column, no vector arithmetic, no
+    shuffle, and the global top-k is a TakeOrderedAndProject. At scale
+    this is the memory-resident first pass that shortlists candidates
+    for exact re-rank (compose with ``cosine_topk`` over the survivors).
+
+    Returns (vec_id, adc_dist, rn ≤ k), self-match excluded. Rows-only
+    by nature (iterative codebook training has no SQL twin — q60
+    precedent); exactness of the ADC arithmetic is pinned by a NumPy
+    differential test.
+    """
+    books, codes = pq_codebooks_and_codes(
+        embeddings, m, k_sub, n_iters, id_col, vec_col
+    )
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    q = [float(x) for x in qrow[0]]
+    d_sub = len(q) // m
+    table = [
+        [
+            sum(
+                (q[j * d_sub + t] - c[t]) ** 2
+                for t in range(d_sub)
+            )
+            for _cid, c in sorted(books[j].items())
+        ]
+        for j in range(m)
+    ]
+    ttxt = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in row) + ")"
+            for row in table
+        )
+        + ")"
+    )
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.element_at(F.expr(ttxt), j + 1),
+                F.col("codes").getItem(j) + 1,
+            )
+            for j in range(m)
+        ],
+    )
+    top = (
+        codes.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col).alias("vec_id"), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .limit(k)
+    )
+    return top.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("adc_dist"), F.col("vec_id"))
+        ),
+    )
 
 
 def signlsh_topk(

@@ -164,6 +164,18 @@ def q60_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: per-subspace Lloyd's codebooks (driver-literal
+    plans, one partial-agg shuffle per iteration), corpus encoded as m
+    small codes, query scanned via a plan-literal ADC lookup table —
+    the memory-resident 100 TB first pass that shortlists candidates
+    for exact re-rank. Rows-only like q60 (iterative codebook training
+    has no SQL twin); the ADC arithmetic and determinism are pinned by
+    a NumPy differential in tests/test_llm_queries.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(e, query_id=0, k=5, m=4, k_sub=16, n_iters=2)
+
+
 def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents re-cast as opaque binary
     media payloads (kind round-robined image/audio/video), pushed through
@@ -313,6 +325,7 @@ QUERIES = {
     "q29_embed_neardup": q29_embed_neardup,
     "q30_ivf_ann": q30_ivf_ann,
     "q60_ivf_kmeans_ann": q60_ivf_kmeans_ann,
+    "q73_pq_ann": q73_pq_ann,
     "q35_multimodal_features": q35_multimodal_features,
     "q39_deterministic_sample": q39_deterministic_sample,
     "q40_sequence_pack": q40_sequence_pack,
