@@ -240,6 +240,47 @@ def test_pq_ann_numpy_differential(spark):
     assert again == [(v, d) for v, d, _ in got]
 
 
+def test_pq_rerank_exact_over_shortlist(spark):
+    """Two-stage PQ: the re-rank must equal an exact NumPy cosine
+    ranking restricted to the ADC shortlist, and with a corpus-sized
+    shortlist it must reproduce the brute-force answer exactly."""
+    import numpy as np
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    short_ids = [
+        r.vec_id for r in SIM.pq_topk(e, query_id=0, k=20).collect()
+    ]
+    got = [
+        (r.vec_id, r.cosine)
+        for r in SIM.pq_topk_rerank(e, query_id=0, k=3, shortlist=20).collect()
+    ]
+    vecs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in e.collect()
+    }
+    q = vecs[0]
+
+    def cosine(v):
+        return float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)))
+
+    expect = sorted(
+        ((vid, cosine(vecs[vid])) for vid in short_ids),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    assert [v for v, _ in got] == [v for v, _ in expect]
+    for (_, gc), (_, ec) in zip(got, expect):
+        assert abs(gc - ec) < 1e-6
+
+    # corpus-sized shortlist ⇒ identical to brute force (minus self)
+    full = SIM.pq_topk_rerank(e, query_id=0, k=3, shortlist=int(e.count()) - 1)
+    brute = [
+        r.vec_id
+        for r in SIM.cosine_topk(e, query_id=0, k=4).collect()
+        if r.vec_id != 0
+    ][:3]
+    assert [r.vec_id for r in full.collect()] == brute
+
+
 def test_ivf_kmeans_centroids_invariants(spark):
     """Lloyd's quantizer: k centroids survive every round, refinement is
     deterministic, and every centroid has the corpus dimensionality."""

@@ -840,6 +840,57 @@ def pq_topk(
     )
 
 
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 3,
+    shortlist: int = 20,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ retrieval — the production composition: the ADC
+    code scan shortlists ``shortlist`` candidates (compressed corpus,
+    zero shuffle), then ONLY those rows join back to their raw vectors
+    for an exact decimal-cosine re-rank. At 100 TB the raw-vector join
+    touches `shortlist` rows instead of the corpus, so recall is
+    bounded by the shortlist while cost stays code-scan-shaped.
+
+    Returns (vec_id, cosine, rn ≤ k) by exact cosine over the
+    shortlist, deterministic id tiebreak.
+    """
+    short = pq_topk(
+        embeddings, query_id, shortlist, m, k_sub, n_iters, id_col, vec_col
+    ).select("vec_id")
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"),
+        _norm2_array(F.col(vec_col)).alias("qn2"),
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    )
+    cos = _score(
+        _dot_arrays(F.col("cvec"), F.col("qvec")),
+        _norm2_array(F.col("cvec")),
+        F.col("qn2"),
+    )
+    top = (
+        short.join(cv, on="vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+    return top.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ),
+    )
+
+
 def signlsh_topk(
     embeddings: DataFrame,
     k: int = 3,

@@ -176,6 +176,20 @@ def q73_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(e, query_id=0, k=5, m=4, k_sub=16, n_iters=2)
 
 
+def q74_pq_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage production retrieval: q73's compressed-code ADC scan
+    shortlists candidates, then ONLY the shortlist joins back to raw
+    vectors for an exact decimal-cosine re-rank — corpus cost stays
+    code-scan-shaped, exactness is restored over the survivors.
+    Rows-only (inherits q73's iterative trainer); pinned by a NumPy
+    differential + a corpus-sized-shortlist equivalence to brute
+    force in tests/test_llm_queries.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk_rerank(
+        e, query_id=0, k=3, shortlist=20, m=4, k_sub=16, n_iters=2
+    )
+
+
 def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents re-cast as opaque binary
     media payloads (kind round-robined image/audio/video), pushed through
@@ -326,6 +340,7 @@ QUERIES = {
     "q30_ivf_ann": q30_ivf_ann,
     "q60_ivf_kmeans_ann": q60_ivf_kmeans_ann,
     "q73_pq_ann": q73_pq_ann,
+    "q74_pq_rerank_ann": q74_pq_rerank_ann,
     "q35_multimodal_features": q35_multimodal_features,
     "q39_deterministic_sample": q39_deterministic_sample,
     "q40_sequence_pack": q40_sequence_pack,
