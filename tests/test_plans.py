@@ -212,3 +212,24 @@ def test_salted_join_query_shards_key(spark):
     plan = _plan(X.q69_salted_join(spark, SF_DIR))
     assert "_salt" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_registry_contract_pins_rows_only_set():
+    """Driver contract: every oracle key is a registered query, and the
+    rows-only set (no SQL twin) is EXACTLY the documented six — a new
+    query silently missing its oracle would otherwise downgrade to the
+    weaker rows-only check without anyone noticing."""
+    from weatherapi_data_engineering_project_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    assert set(oracles) <= set(qs)
+    assert set(qs) - set(oracles) == {
+        "q42_stateful_totals",   # state-store program
+        "q43_approx_distinct",   # foreign sketch (HLL++)
+        "q60_ivf_kmeans_ann",    # iterative Lloyd's quantizer
+        "q62_approx_quantiles",  # foreign sketch (GK)
+        "q73_pq_ann",            # iterative PQ codebooks
+        "q74_pq_rerank_ann",     # inherits q73's trainer
+    }
+    assert registry.IMPORT_FAILURES == {}
