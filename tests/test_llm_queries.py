@@ -342,3 +342,34 @@ def test_incremental_neardup_matches_full_run_cross_pairs(spark):
     }
     assert inc == full
     assert inc  # nonzero: the testdata plants cross-boundary dups
+
+
+def test_resize_kernel_invariants(spark):
+    """resize_images: bounded box, aspect preserved under floor
+    division, never upscaled, degenerate and null rows handled."""
+    from weatherapi_data_engineering_project_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"abc", "png", 2000, 1000, None),   # downscale w-major
+        (2, "image", b"abc", "png", 100, 100, None),     # within box: kept
+        (3, "image", b"abc", "png", 10000, 3, None),     # extreme ratio
+        (4, "image", None, "png", 500, 500, None),       # no payload: drop
+        (5, "image", b"abc", "png", None, None, None),   # no dims: drop
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, format string, "
+        "width int, height int, duration_ms int",
+    )
+    got = {r.media_id: r for r in resize_images(media, max_px=256).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].new_width, got[1].new_height) == (256, 128)
+    assert (got[2].new_width, got[2].new_height) == (100, 100)
+    # 3px side floors to 10000*256//10000=256 wide, 3*256//10000=0 -> 1
+    assert (got[3].new_width, got[3].new_height) == (256, 1)
+    for r in got.values():
+        assert max(r.new_width, r.new_height) <= 256
+        assert r.new_width <= r.width and r.new_height <= r.height
+        assert len(r.content) == 32  # stub payload: sha256 digest

@@ -139,8 +139,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def resize_plan(media: DataFrame, max_px: int = 256, n_shards: int = 16) -> DataFrame:
-    """Image-resize plumbing: spreads fat blobs across shards so they
-    don't skew executors, then maps the (stubbed) resize kernel.
+    """Image-resize layout step: spreads fat blobs across shards so
+    they don't skew executors (the kernel itself is ``resize_images``).
 
     Partitioning on size_class alone would do the opposite — two hash
     values concentrate every large blob in ONE partition; the id-hash
@@ -152,3 +152,68 @@ def resize_plan(media: DataFrame, max_px: int = 256, n_shards: int = 16) -> Data
         ),
     ).withColumn("shard", F.pmod(F.hash("media_id"), F.lit(n_shards)))
     return sized.repartition("size_class", "shard").drop("shard")
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_px: int = 256, n_shards: int = 16
+) -> DataFrame:
+    """Bounded-box image resize over ``resize_plan``'s skew-spread
+    layout, as an Arrow-batched mapInPandas kernel.
+
+    The DIMENSION arithmetic is real and integer-exact (no float
+    scale), so an ANSI-SQL oracle can replicate it digit-for-digit:
+    with m = max(w, h), an image already within the box keeps (w, h);
+    otherwise new_w = max(1, w·max_px // m) and likewise for h —
+    aspect ratio preserved under floor division, never upscaled. The
+    PIXEL transform is the documented stub (sha256 of payload + target
+    dims standing in for the resized bytes); a deployment swaps in a
+    PIL kernel without touching the plan, schema, or shard layout.
+    Rows with no payload or no dimensions are dropped (decoder
+    behavior: nothing to resize).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["content"] is None or pd.isna(r["width"]) or pd.isna(
+                    r["height"]
+                ):
+                    continue
+                w, h = int(r["width"]), int(r["height"])
+                m = max(w, h)
+                if m <= max_px:
+                    nw, nh = w, h
+                else:
+                    nw = max(1, w * max_px // m)
+                    nh = max(1, h * max_px // m)
+                stub = hashlib.sha256(
+                    bytes(r["content"])
+                    + nw.to_bytes(4, "big")
+                    + nh.to_bytes(4, "big")
+                ).digest()
+                rows.append((r["media_id"], r["kind"], w, h, nw, nh, stub))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "new_width", "new_height", "content",
+                ],
+            )
+
+    return resize_plan(media, max_px, n_shards).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

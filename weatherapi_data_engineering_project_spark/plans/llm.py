@@ -217,6 +217,32 @@ def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize end-to-end: documents re-cast as image blobs
+    with synthetic-but-deterministic dimensions, pushed through the
+    skew-spread layout + Arrow resize kernel
+    (functions/multimodal.py::resize_images). The kernel's integer-
+    exact bounded-box arithmetic IS the oracle-checked output — a SQL
+    twin recomputes every target dimension digit-for-digit, certifying
+    the Python kernel differentially (the pixel transform itself stays
+    the documented stub)."""
+    from ..functions.multimodal import resize_images
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("synthetic").alias("format"),
+        (F.lit(100) + F.col("doc_id") % 1900).cast("int").alias("width"),
+        (F.lit(100) + (F.col("doc_id") * 7) % 1200).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return resize_images(media, max_px=256).select(
+        "media_id", "width", "height", "new_width", "new_height"
+    )
+
+
 def q39_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling — the reproducible downsampling a
     training pipeline needs (same subset on every run, any cluster, any
@@ -342,6 +368,7 @@ QUERIES = {
     "q73_pq_ann": q73_pq_ann,
     "q74_pq_rerank_ann": q74_pq_rerank_ann,
     "q35_multimodal_features": q35_multimodal_features,
+    "q75_image_resize": q75_image_resize,
     "q39_deterministic_sample": q39_deterministic_sample,
     "q40_sequence_pack": q40_sequence_pack,
     "q41_scrub": q41_scrub,
@@ -615,6 +642,23 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                sha256(text) AS content_sha256
         FROM documents
+    """,
+    "q75_image_resize": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST(100 + doc_id % 1900 AS INT) AS width,
+                   CAST(100 + (doc_id * 7) % 1200 AS INT) AS height
+            FROM documents
+            WHERE text IS NOT NULL
+        )
+        SELECT media_id, width, height,
+               CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width
+                    ELSE GREATEST(1, (width * 256) // GREATEST(width, height))
+                    END AS INT) AS new_width,
+               CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height
+                    ELSE GREATEST(1, (height * 256) // GREATEST(width, height))
+                    END AS INT) AS new_height
+        FROM m
     """,
     "q39_deterministic_sample": """
         SELECT source,
