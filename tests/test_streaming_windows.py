@@ -304,3 +304,17 @@ def test_streaming_queries_leave_session_conf_untouched(spark):
     # re-entrancy: second invocations drain the same data cleanly
     assert SQ.q42_stateful_totals(spark, SF_DIR).count() == n42
     assert SQ.q70_stream_interval_join(spark, SF_DIR).count() == n70
+
+
+def test_streaming_queries_match_their_oracles(spark):
+    """q70/q76 (single-batch drains are oracle-COMPLETE): the streaming
+    engine's result must hash-match the batch SQL twin."""
+    from tests.conftest import SF_DIR, compare_query_to_oracle
+    from weatherapi_data_engineering_project_spark.plans import (
+        streaming_queries as SQ,
+    )
+
+    for name in sorted(SQ.ORACLE):
+        compare_query_to_oracle(
+            spark, name, SQ.QUERIES[name], SQ.ORACLE[name], SF_DIR
+        )

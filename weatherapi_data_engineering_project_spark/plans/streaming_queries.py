@@ -192,15 +192,75 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup run through the REAL streaming engine:
+    the events table plus planted re-deliveries (an exact copy of every
+    10th event — the at-least-once delivery failure mode) is drained
+    through ``dropDuplicatesWithinWatermark`` state under
+    ``Trigger.AvailableNow``.
+
+    Like q70, the replay copy is ONE file ⇒ one micro-batch ⇒ no
+    watermark eviction precedes any duplicate, so the streaming result
+    equals the batch DISTINCT exactly and the query carries a full SQL
+    oracle — hash-certifying the streaming dedup plan itself. The
+    planted duplicates are byte-identical rows, so the
+    keep-first-arrival semantics cannot leak batch ordering into the
+    result."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import streaming_exact_dedup
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    work = _work_dir("q76", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.unionAll(ev.filter(F.col("event_id") % 10 == 0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = s2.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint"
+    ).parquet(src)
+    deduped = streaming_exact_dedup(
+        stream, ["event_id"], ts_col="ts", watermark="2 hours"
+    )
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [], "event_id bigint, ts timestamp, user_id bigint"
+        )
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "q42_stateful_totals": q42_stateful_totals,
     "q43_approx_distinct": q43_approx_distinct,
     "q70_stream_interval_join": q70_stream_interval_join,
+    "q76_stream_dedup": q76_stream_dedup,
 }
 
 # q42/q43 are rows-only (state-store program / foreign sketch); q70's
-# single-batch drain makes the streaming join oracle-complete.
+# and q76's single-batch drains make the streaming join and the
+# streaming dedup oracle-complete.
 ORACLE: dict[str, str] = {
+    "q76_stream_dedup": """
+        SELECT event_id, ts, user_id FROM events
+    """,
     "q70_stream_interval_join": """
         SELECT e.user_id,
                e.event_id,
