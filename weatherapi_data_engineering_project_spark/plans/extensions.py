@@ -154,23 +154,33 @@ def q50_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_cols(text_col: str = "text"):
+    """Gopher-style 4-rule quality score — (n_tokens, score) column
+    pair, shared by q51 and the q77 composite pipeline so the rule
+    semantics cannot drift between them."""
+    toks = TX.tokens(text_col)
+    n_tok = F.size(toks)
+    punct_ratio = TX.punct_count(text_col).cast("double") / F.length(text_col)
+    stop_ratio = TX.stopword_count(toks).cast("double") / n_tok
+    r_len = (n_tok >= 10) & (n_tok <= 1000)
+    r_punct = punct_ratio <= 0.1
+    r_stop = stop_ratio >= 0.03
+    r_word = (
+        F.length(F.regexp_replace(text_col, r"\s+", "")).cast("double") / n_tok
+    ) <= 12
+    score = (
+        r_len.cast("int") + r_punct.cast("int")
+        + r_stop.cast("int") + r_word.cast("int")
+    )
+    return n_tok, score
+
+
 def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based document quality scoring (Gopher-style filters): four
     boolean rules → integer score → keep decision. The standard
     pre-training corpus filter, fully codegen'd."""
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
-    n_tok = F.size(toks)
-    punct_ratio = TX.punct_count("text").cast("double") / F.length("text")
-    stop_ratio = TX.stopword_count(toks).cast("double") / n_tok
-    r_len = (n_tok >= 10) & (n_tok <= 1000)
-    r_punct = punct_ratio <= 0.1
-    r_stop = stop_ratio >= 0.03
-    r_word = (F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok) <= 12
-    score = (
-        r_len.cast("int") + r_punct.cast("int")
-        + r_stop.cast("int") + r_word.cast("int")
-    )
+    n_tok, score = quality_score_cols("text")
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),

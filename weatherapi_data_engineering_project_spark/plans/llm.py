@@ -332,6 +332,41 @@ def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.label_propagation_clusters(pairs, rounds=4)
 
 
+def q77_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite: the full training-data prep pipeline a
+    corpus team actually ships, chained from this engine's own
+    oracle-verified components — near-dup keep-list (q72 semantics:
+    MinHash-LSH → exact Jaccard → 4-round clustering → drop
+    non-representatives), Gopher-style quality gate (q51's 4 rules,
+    shared expression builder), then token-budget sequence packing
+    (q40's cumulative-sum binning) over the surviving corpus.
+    Output: (doc_id, source, n_tokens, bin_id) — the packed,
+    deduplicated, quality-filtered dataset manifest. Every stage is a
+    narrow/bucketed plan; the composite adds NO operator beyond its
+    parts, which is the point: composition without glue code."""
+    from .extensions import quality_score_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+    labels = DD.label_propagation_clusters(pairs, rounds=4)
+    drop = labels.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    kept = d.join(drop, on="doc_id", how="left_anti")
+    n_tok, score = quality_score_cols("text")
+    f = kept.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), score.alias("qs")
+    ).filter(F.col("qs") == 4)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return f.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(4096)).alias("bin_id"),
+    )
+
+
 def q72_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame ARTIFACT: the kept corpus itself. q47 labels
     every paired document; here each cluster's non-representative
@@ -375,6 +410,7 @@ QUERIES = {
     "q46_udtf_chunk": q46_udtf_chunk,
     "q47_dedup_clusters": q47_dedup_clusters,
     "q72_dedup_keep_list": q72_dedup_keep_list,
+    "q77_training_prep": q77_training_prep,
 }
 
 # --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
@@ -432,9 +468,14 @@ _BAND_LIST = ", ".join(
     f"md5(sig{2*b} || '|' || sig{2*b+1})" for b in range(DD.N_BANDS)
 )
 
+# the oracle stop-list fragment lives beside q51's rules; importing it
+# (extensions has no import back into this module) keeps the q77
+# composite's quality gate textually identical to q51's
+from .extensions import _STOP_SQL
+
 # LSH candidates → exact-Jaccard pairs → 4 unrolled min-label rounds
-# (l4 = the q47 labeling). Shared by the q47 clustering oracle and the
-# q72 keep-list oracle.
+# (l4 = the q47 labeling). Shared by the q47 clustering oracle, the
+# q72 keep-list oracle, and the q77 composite.
 _CLUSTER_CTES = f"""
         WITH {_SHINGLES_CTE},
         sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
@@ -704,6 +745,31 @@ ORACLE = {
         FROM documents d
         ANTI JOIN (SELECT id FROM l4 WHERE id <> rep) x
           ON d.doc_id = x.id
+    """,
+    "q77_training_prep": _CLUSTER_CTES + f""",
+        keep AS (SELECT d.doc_id, d.source, d.text FROM documents d
+                 ANTI JOIN (SELECT id FROM l4 WHERE id <> rep) x
+                   ON d.doc_id = x.id),
+        feats AS (SELECT doc_id, source,
+                         len({_TOK}) AS n_tokens,
+                         CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                              AS DOUBLE) / length(text) AS punct_ratio,
+                         CAST(len(list_filter({_TOK},
+                                  t -> t IN {_STOP_SQL})) AS DOUBLE)
+                             / len({_TOK}) AS stop_ratio,
+                         CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                              AS DOUBLE) / len({_TOK}) AS avg_tok_len
+                  FROM keep),
+        f AS (SELECT doc_id, source, n_tokens FROM feats
+              WHERE (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+                     + CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END
+                     + CASE WHEN stop_ratio >= 0.03 THEN 1 ELSE 0 END
+                     + CASE WHEN avg_tok_len <= 12 THEN 1 ELSE 0 END) = 4)
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 4096.0) AS BIGINT) AS bin_id
+        FROM f
     """,
     "q28_simhash": f"""
         WITH {_SHINGLES_CTE},
