@@ -157,3 +157,20 @@ def test_orphan_staging_sweep_is_age_guarded(spark, tmp_path):
     upsert_path(spark, target, _mk_updates(spark, [("b", 2, "d1")]), keys=["k"])
     assert not os.path.exists(stale), "stale staging dir should be swept"
     assert os.path.exists(fresh), "fresh staging dir must survive"
+
+
+def test_partitioned_table_prunes_at_read(spark, tmp_path):
+    """The payoff side of partition_by: a date-filtered read of the
+    partitioned warehouse table must prune at the file index
+    (PartitionFilters in the scan), never list the other days."""
+    target = str(tmp_path / "tprune")
+    seed = _mk_updates(
+        spark,
+        [("a", 1, "d1"), ("b", 2, "d2"), ("c", 3, "d3")],
+    )
+    upsert_path(spark, target, seed, keys=["k"], partition_by=["day"])
+
+    q = spark.read.parquet(target).filter(F.col("day") == "d2")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    assert [r.k for r in q.collect()] == ["b"]
