@@ -373,3 +373,33 @@ def test_resize_kernel_invariants(spark):
         assert max(r.new_width, r.new_height) <= 256
         assert r.new_width <= r.width and r.new_height <= r.height
         assert len(r.content) == 32  # stub payload: sha256 digest
+
+
+def test_kmeans_and_ivf_fallback_paths_match_literal(spark, monkeypatch):
+    """Above _KMEANS_MAX_LITERAL_TERMS the quantizers switch from
+    plan-literal projections to broadcast + max_by / collect_list
+    partial aggregation — the branch only production-scale k·dim ever
+    exercises. Forcing it (threshold → 0) must reproduce the literal
+    path exactly: same centroids, same probe lists, same hits."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    lit_c = sorted(map(tuple, SIM.kmeans_centroids(e, k=4, n_iters=2).collect()))
+    lit_t = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(
+                e, n_centroids=8, n_probe=2, k=3, max_query_id=10
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(SIM, "_KMEANS_MAX_LITERAL_TERMS", 0)
+    fb_c = sorted(map(tuple, SIM.kmeans_centroids(e, k=4, n_iters=2).collect()))
+    fb_t = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(
+                e, n_centroids=8, n_probe=2, k=3, max_query_id=10
+            ).collect(),
+        )
+    )
+    assert fb_c == lit_c
+    assert fb_t == lit_t
