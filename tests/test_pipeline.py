@@ -247,3 +247,39 @@ def test_archive_gates_on_current_run_only(spark, tmp_path):
     P.run_load(spark, curated, wh, ckpt, loads={"location": load},
                archive_dir=archive)
     assert os.path.exists(os.path.join(archive, "location", "day2", "w.csv"))
+
+
+def test_derived_column_error_hits_m5_wrapper(spark, tmp_path):
+    """A broken derived-column expression must fail INSIDE the M5
+    per-batch wrapper: the batch logs an Error status, the stream
+    finishes cleanly, and no corrupt target is left behind."""
+    from weatherapi_data_engineering_project_spark.schemas import (
+        DIM_LOCATION_SCHEMA,
+    )
+    from weatherapi_data_engineering_project_spark.streaming.load import (
+        TableLoad, run_available_now,
+    )
+
+    curated = str(tmp_path / "curated")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    load = TableLoad(
+        "location", DIM_LOCATION_SCHEMA, keys=["location_id"],
+        derived={"boom": "no_such_function(location_id)"},
+    )
+    cols = ["location_id", "name", "region", "country", "latitude", "longitude"]
+    path = os.path.join(curated, "location", "d1", "w.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        f.write("DEL,New Delhi,Delhi,India,28.6,77.2\n")
+
+    entries = run_available_now(
+        spark, load,
+        stage_dir=os.path.join(curated, "location"),
+        target_path=os.path.join(wh, "location"),
+        checkpoint_dir=os.path.join(ckpt, "location"),
+    )
+    assert entries == []  # no successful audit rows
+    assert any(s.startswith("Error") for _b, s in load.status_log)
+    assert not os.path.exists(os.path.join(wh, "location"))

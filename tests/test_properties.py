@@ -106,3 +106,27 @@ def test_jaccard_pairs_bounds(spark, docs):
     for r in res:
         assert r.id1 < r.id2
         assert 0.0 < r.jaccard <= 1.0
+
+
+@given(
+    w=st.integers(min_value=1, max_value=100_000),
+    h=st.integers(min_value=1, max_value=100_000),
+    max_px=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_bounded_box_properties(w, h, max_px):
+    """resize kernel arithmetic (pure function): inside the box is
+    identity; outside, the long side lands exactly on max_px, nothing
+    upscales, floors clamp to 1, and aspect ordering is preserved."""
+    from weatherapi_data_engineering_project_spark.functions.multimodal import (
+        bounded_box,
+    )
+
+    nw, nh = bounded_box(w, h, max_px)
+    assert 1 <= nw <= w and 1 <= nh <= h
+    assert max(nw, nh) <= max(max_px, 1)
+    if max(w, h) <= max_px:
+        assert (nw, nh) == (w, h)
+    else:
+        assert max(nw, nh) == max_px  # long side lands exactly on the box
+        assert (w >= h) == (nw >= nh)  # orientation preserved

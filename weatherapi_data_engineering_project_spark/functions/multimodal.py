@@ -167,6 +167,17 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def bounded_box(w: int, h: int, max_px: int) -> tuple[int, int]:
+    """Integer-exact bounded-box target dims: identity inside the box;
+    otherwise scale the long side to max_px by floor division, aspect
+    preserved, floors clamped to 1, never upscaled. Property-tested
+    directly (pure function); the oracle SQL mirrors it term-for-term."""
+    m = max(w, h)
+    if m <= max_px:
+        return w, h
+    return max(1, w * max_px // m), max(1, h * max_px // m)
+
+
 def resize_images(
     media: DataFrame, max_px: int = 256, n_shards: int = 16
 ) -> DataFrame:
@@ -194,12 +205,7 @@ def resize_images(
                 ):
                     continue
                 w, h = int(r["width"]), int(r["height"])
-                m = max(w, h)
-                if m <= max_px:
-                    nw, nh = w, h
-                else:
-                    nw = max(1, w * max_px // m)
-                    nh = max(1, h * max_px // m)
+                nw, nh = bounded_box(w, h, max_px)
                 stub = hashlib.sha256(
                     bytes(r["content"])
                     + nw.to_bytes(4, "big")
