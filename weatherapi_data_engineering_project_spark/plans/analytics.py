@@ -257,6 +257,26 @@ def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of q37's pivot and a distinct operator:
+    wide part metrics melt into (metric, value) long form via
+    ``DataFrame.unpivot`` (Catalyst's Expand node: one pass, rows×k
+    output, no shuffle, no join). The oracle states the same reshape
+    as a UNION ALL of per-metric projections, which is also the
+    engine-portable fallback formulation."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
@@ -267,6 +287,7 @@ QUERIES = {
     "q38_scalar_gauntlet": q38_scalar_gauntlet,
     "q44_range_join": q44_range_join,
     "q45_map_functions": q45_map_functions,
+    "q78_unpivot": q78_unpivot,
 }
 
 ORACLE = {
@@ -387,5 +408,14 @@ ORACLE = {
                greatest(year(o_orderdate), 1996) AS y_floor,
                coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
         FROM orders
+    """,
+    "q78_unpivot": """
+        SELECT p_partkey, 'p_size' AS metric,
+               CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
     """,
 }
