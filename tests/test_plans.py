@@ -233,3 +233,13 @@ def test_registry_contract_pins_rows_only_set():
         "q74_pq_rerank_ann",     # inherits q73's trainer
     }
     assert registry.IMPORT_FAILURES == {}
+
+
+def test_training_prep_composite_has_no_quadratic_node(spark):
+    """q77 composes three verified stages; the composition itself must
+    not regress to a cartesian/nested-loop anywhere (e.g. a lost join
+    key between the keep-list anti-join and the packing window)."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q77_training_prep(spark, SF_DIR))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
