@@ -243,3 +243,23 @@ def test_training_prep_composite_has_no_quadratic_node(spark):
 
     plan = _plan(llm.q77_training_prep(spark, SF_DIR))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_unpivot_is_single_pass_expand(spark):
+    """q78: the melt must be one Expand projection — no shuffle, no
+    join (a UNION ALL of scans would read the table twice)."""
+    plan = _plan(A.q78_unpivot(spark, SF_DIR))
+    assert "Expand" in plan
+    assert _shuffles(plan) == 0, f"{_shuffles(plan)} shuffles"
+    assert "Join" not in plan
+
+
+def test_resize_runs_on_skew_spread_shards(spark):
+    """q75: the Arrow kernel must sit above the (size_class, shard)
+    repartition so fat blobs spread across executors instead of
+    hash-clumping."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q75_image_resize(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "size_class" in plan and "shard" in plan
