@@ -139,6 +139,42 @@ def test_lsh_verify_path_has_no_broadcast_hint(spark):
     assert "UnresolvedHint" not in analyzed
 
 
+def test_label_slots_scale_with_graph_size(spark):
+    """VERDICT r03 #2: the label frames' partition count must scale
+    with the pair-graph size — a fixed coalesce(16) caps a
+    billion-edge clustering at 16-way parallelism. Tiny graphs keep
+    the 16-slot floor; big graphs (simulated via a test-sized
+    rows_per_slot) widen up to the shuffle width."""
+    import weatherapi_data_engineering_project_spark.operators.dedup as DDm
+
+    edges = [(i, i + 1) for i in range(0, 4000, 2)]  # 2000 edges
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    e = pairs.selectExpr("id1 as a", "id2 as b")
+    lo = min(16, spark.sparkContext.defaultParallelism)
+    # production constant: tiny graph keeps today's floor
+    assert DDm._label_slots(e) == lo
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        assert DDm._label_slots(e, rows_per_slot=50) == 40  # ceil(2000/50)
+        assert DDm._label_slots(e, rows_per_slot=10) == 64  # clamped to width
+        # and the label frame itself rides the scaled slot count
+        # (union of both edge directions: 4000 rows -> clamped to 64).
+        # AQE would coalesce this toy shuffle to 1 partition (on real
+        # volumes it keeps the width) — disable it to observe the
+        # static shape.
+        DDm._LABEL_ROWS_PER_SLOT = 50
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            labels = DDm.label_propagation_clusters(pairs, rounds=1)
+            assert labels.rdd.getNumPartitions() > 16
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            DDm._LABEL_ROWS_PER_SLOT = 1_000_000
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_label_prop_round_join_has_no_broadcast_hint(spark):
     """VERDICT r02 #6: the per-round label join must not hard-broadcast
     the label frame — a duplicate-heavy corpus can have billions of

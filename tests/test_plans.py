@@ -235,6 +235,38 @@ def test_registry_contract_pins_rows_only_set():
     assert registry.IMPORT_FAILURES == {}
 
 
+def test_sequence_pack_never_single_partitions(spark):
+    """q40 (VERDICT r03 #1): the per-source packing cumsum must run as
+    the two-phase bucketed prefix sum — the data-path window partitions
+    by (source, bkt), never a whole-source (or SinglePartition) task.
+    The offsets frame (a sources×buckets-row agg) may legitimately
+    window per source."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q40_sequence_pack(spark, SF_DIR))
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any(
+        "bkt" in ln and "doc_id" in ln for ln in windows
+    ), "expected the (source, bkt)-partitioned local-cumsum window"
+    for ln in windows:
+        assert "SinglePartition" not in ln
+
+
+def test_training_prep_packing_never_single_partitions(spark):
+    """q77's packing stage must share q40's two-phase shape — no
+    whole-source single-task cumsum window on the composite's data
+    path either."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q77_training_prep(spark, SF_DIR))
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any(
+        "bkt" in ln and "doc_id" in ln for ln in windows
+    ), "expected the (source, bkt)-partitioned local-cumsum window"
+    for ln in windows:
+        assert "SinglePartition" not in ln
+
+
 def test_training_prep_composite_has_no_quadratic_node(spark):
     """q77 composes three verified stages; the composition itself must
     not regress to a cartesian/nested-loop anywhere (e.g. a lost join

@@ -257,21 +257,100 @@ def q39_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bins(f: DataFrame, budget: int = 4096) -> DataFrame:
+    """Two-phase per-source cumulative-sum packing (VERDICT r03 #1).
+
+    The naive formulation — ``SUM(n_tokens) OVER (PARTITION BY source
+    ORDER BY doc_id)`` — funnels each source's ENTIRE corpus through
+    one task: with a handful of sources at 100 TB that is a
+    billions-of-rows single task. This is the q65/q49 bucketed rewrite
+    applied to a prefix SUM instead of a rank:
+
+      1. sampled doc_id boundaries (approxQuantile — a tiny driver
+         scalar list) bucket the rows into ~shuffle.partitions ranges;
+      2. each (source, bkt) cell computes its LOCAL prefix sum under a
+         cell-partitioned window — bounded task size regardless of how
+         few sources exist;
+      3. a (source × bucket)-row aggregate of per-cell token totals
+         yields per-cell starting offsets (an exclusive prefix sum over
+         the TINY frame), broadcast back to lift local sums to the
+         global cumulative sum.
+
+    Boundary placement affects only balance, never the result: bucketing
+    by doc_id ranges preserves doc_id order across cells of a source,
+    and the lift is exact integer arithmetic. Expects the narrow frame
+    (doc_id, source, n_tokens); localCheckpoints it so the three passes
+    (quantiles, offsets, final) scan the 3-column frame — not the text
+    column or any upstream pipeline — exactly once.
+    """
+    f = f.localCheckpoint(eager=True)
+    try:
+        nb = int(f.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nb = 32
+    nb = max(8, min(nb, 1024))
+    bnds = sorted(
+        set(f.approxQuantile("doc_id", [i / nb for i in range(1, nb)], 0.01))
+    )
+    if bnds:
+        bucket = F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("doc_id"),
+            )
+        )
+    else:  # empty input: single (empty) bucket
+        bucket = F.lit(0)
+    bucketed = f.withColumn("bkt", bucket)
+    # per-cell token totals → exclusive prefix sum per source; this frame
+    # is (n_sources × nb) rows, so its per-source window is trivially tiny
+    offsets = (
+        bucketed.groupBy("source", "bkt")
+        .agg(F.sum("n_tokens").alias("tsum"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("tsum").over(
+                    Window.partitionBy("source")
+                    .orderBy("bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("source", "bkt", "offset")
+    )
+    wl = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    cum_local = F.sum("n_tokens").over(
+        wl.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.withColumn("cl", cum_local)
+        .join(F.broadcast(offsets), on=["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(
+                (F.col("offset") + F.col("cl") - F.col("n_tokens"))
+                / F.lit(budget)
+            ).alias("bin_id"),
+        )
+    )
+
+
 def q40_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: assign docs to 4096-token context
     bins per source (cumulative-sum binning over a deterministic doc
-    order — the single-shuffle window formulation of greedy packing;
-    each bin's docs concatenate to <= budget + one overflow doc)."""
+    order; each bin's docs concatenate to <= budget + one overflow
+    doc). Runs as the two-phase bucketed prefix sum (``_pack_bins``) so
+    no source ever collapses to a single task; the oracle stays the
+    plain one-window SQL."""
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.token_count("text")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return d.select(
-        "doc_id",
-        "source",
-        toks.alias("n_tokens"),
-        F.floor((cum - toks) / F.lit(4096)).alias("bin_id"),
+    narrow = d.select(
+        "doc_id", "source", TX.token_count("text").alias("n_tokens")
     )
+    return _pack_bins(narrow)
 
 
 def q41_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,17 +433,17 @@ def q77_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = d.join(drop, on="doc_id", how="left_anti")
     n_tok, score = quality_score_cols("text")
-    f = kept.select(
-        "doc_id", "source", n_tok.alias("n_tokens"), score.alias("qs")
-    ).filter(F.col("qs") == 4)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return f.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(4096)).alias("bin_id"),
+    f = (
+        kept.select(
+            "doc_id", "source", n_tok.alias("n_tokens"), score.alias("qs")
+        )
+        .filter(F.col("qs") == 4)
+        .select("doc_id", "source", "n_tokens")
     )
+    # _pack_bins localCheckpoints its input, so the dedup + quality
+    # pipeline above runs ONCE — the packing passes scan the narrow
+    # 3-column survivor frame, not the upstream anti-join
+    return _pack_bins(f)
 
 
 def q72_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
