@@ -229,8 +229,8 @@ def test_registry_contract_pins_rows_only_set():
         "q43_approx_distinct",   # foreign sketch (HLL++)
         "q60_ivf_kmeans_ann",    # iterative Lloyd's quantizer
         "q62_approx_quantiles",  # foreign sketch (GK)
-        "q73_pq_ann",            # iterative PQ codebooks
-        "q74_pq_rerank_ann",     # inherits q73's trainer
+        # q73/q74 moved to full oracles in r4: the FIXED 2-round PQ
+        # trainer unrolls into SQL CTEs (_PQ_CTES)
     }
     assert registry.IMPORT_FAILURES == {}
 

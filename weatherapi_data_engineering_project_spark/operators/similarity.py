@@ -785,9 +785,10 @@ def pq_topk(
     this is the memory-resident first pass that shortlists candidates
     for exact re-rank (compose with ``cosine_topk`` over the survivors).
 
-    Returns (vec_id, adc_dist, rn ≤ k), self-match excluded. Rows-only
-    by nature (iterative codebook training has no SQL twin — q60
-    precedent); exactness of the ADC arithmetic is pinned by a NumPy
+    Returns (vec_id, adc_dist, rn ≤ k), self-match excluded. The FIXED
+    iteration count makes the trainer SQL-expressible after all — the
+    q73 oracle unrolls both Lloyd rounds as CTEs (plans/llm.py::
+    _PQ_CTES); the ADC arithmetic is additionally pinned by a NumPy
     differential test.
     """
     books, codes = pq_codebooks_and_codes(

@@ -169,9 +169,11 @@ def q73_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans, one partial-agg shuffle per iteration), corpus encoded as m
     small codes, query scanned via a plan-literal ADC lookup table —
     the memory-resident 100 TB first pass that shortlists candidates
-    for exact re-rank. Rows-only like q60 (iterative codebook training
-    has no SQL twin); the ADC arithmetic and determinism are pinned by
-    a NumPy differential in tests/test_llm_queries.py."""
+    for exact re-rank. Fully oracle-verified (VERDICT r03 #4): the
+    FIXED n_iters=2 trainer unrolls into SQL CTEs (_PQ_CTES) — decimal
+    distance sums + REAL-rounded means reproduce the float32-rounded
+    codebooks exactly; the ADC arithmetic is additionally pinned by a
+    NumPy differential in tests/test_llm_queries.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_topk(e, query_id=0, k=5, m=4, k_sub=16, n_iters=2)
 
@@ -181,9 +183,10 @@ def q74_pq_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlists candidates, then ONLY the shortlist joins back to raw
     vectors for an exact decimal-cosine re-rank — corpus cost stays
     code-scan-shaped, exactness is restored over the survivors.
-    Rows-only (inherits q73's iterative trainer); pinned by a NumPy
-    differential + a corpus-sized-shortlist equivalence to brute
-    force in tests/test_llm_queries.py."""
+    Fully oracle-verified (shares q73's unrolled-trainer CTEs; the
+    re-rank reuses the q26 decimal-cosine oracle shape); additionally
+    pinned by a NumPy differential + a corpus-sized-shortlist
+    equivalence to brute force in tests/test_llm_queries.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_topk_rerank(
         e, query_id=0, k=3, shortlist=20, m=4, k_sub=16, n_iters=2
@@ -526,6 +529,86 @@ _SCORE = (
     "ROUND(CAST(CAST({dot} AS DECIMAL(30,12)) AS DOUBLE)"
     " / (sqrt(CAST(CAST({n1} AS DECIMAL(30,12)) AS DOUBLE))"
     " * sqrt(CAST(CAST({n2} AS DECIMAL(30,12)) AS DOUBLE))), 6)"
+)
+
+
+def _pq_iter(i: int, prev: str) -> str:
+    """One unrolled Lloyd round of the PQ trainer (q73/q74 oracles):
+    decimal-cast distance sums make the argmin order-independent, and
+    the REAL round-trip on the mean mirrors the Spark trainer's
+    float32-rounded means — double-association noise (~1e-16) is far
+    inside float32's ~1e-7 grid, so both engines land on the identical
+    codebook. COALESCE keeps the previous centroid for empty codes
+    (Lloyd's fallback, same as the Spark side)."""
+    return f"""
+        d{i} AS (SELECT s.vid, s.j, c.cid,
+                        SUM(CAST((s.v - c.v) * (s.v - c.v)
+                                 AS DECIMAL(38,25))) AS dist
+                 FROM sub s JOIN {prev} c ON c.j = s.j AND c.pos = s.pos
+                 GROUP BY s.vid, s.j, c.cid),
+        a{i} AS (SELECT vid, j, cid FROM (
+                   SELECT vid, j, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vid, j
+                                             ORDER BY dist, cid) AS arn
+                   FROM d{i}) WHERE arn = 1),
+        m{i} AS (SELECT a.j, a.cid, s.pos,
+                        CAST(CAST(AVG(s.v) AS REAL) AS DOUBLE) AS v
+                 FROM a{i} a JOIN sub s ON s.vid = a.vid AND s.j = a.j
+                 GROUP BY a.j, a.cid, s.pos),
+        cb{i} AS (SELECT c.j, c.cid, c.pos, COALESCE(m.v, c.v) AS v
+                  FROM {prev} c LEFT JOIN m{i} m
+                    ON m.j = c.j AND m.cid = c.cid AND m.pos = c.pos)"""
+
+
+# Unrolled PQ trainer + ADC scan (q73/q74): the q47-label-prop trick —
+# a FIXED iteration count makes the "iterative" trainer SQL-expressible
+# by unrolling n_iters=2 Lloyd rounds as CTEs (VERDICT r03 #4). m=4
+# subspaces × d_sub=16 dims, k_sub=16 codebook entries, deterministic
+# init = subvectors of vec_id < 16 (mirrors pq_codebooks_and_codes).
+# The ADC total is written t0+t1+t2+t3 (left-assoc) to mirror the Spark
+# side's sequential reduce, and ROUND(,6) absorbs the remaining
+# double-association noise on both engines (q26/q66 convention).
+_PQ_CTES = (
+    """
+        WITH sub AS (SELECT vec_id AS vid,
+                            (generate_subscripts(embedding, 1) - 1) // 16 AS j,
+                            (generate_subscripts(embedding, 1) - 1) % 16 AS pos,
+                            CAST(unnest(embedding) AS DOUBLE) AS v
+                     FROM embeddings),
+        cb0 AS (SELECT j, vid AS cid, pos, v FROM sub WHERE vid < 16),"""
+    + _pq_iter(1, "cb0")
+    + ","
+    + _pq_iter(2, "cb1")
+    + """,
+        df AS (SELECT s.vid, s.j, c.cid,
+                      SUM(CAST((s.v - c.v) * (s.v - c.v)
+                               AS DECIMAL(38,25))) AS dist
+               FROM sub s JOIN cb2 c ON c.j = s.j AND c.pos = s.pos
+               GROUP BY s.vid, s.j, c.cid),
+        codes AS (SELECT vid, j, cid FROM (
+                    SELECT vid, j, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vid, j
+                                              ORDER BY dist, cid) AS arn
+                    FROM df) WHERE arn = 1),
+        qd AS (SELECT c.j, c.cid,
+                      CAST(SUM(CAST((q.v - c.v) * (q.v - c.v)
+                                    AS DECIMAL(38,25))) AS DOUBLE) AS qdv
+               FROM sub q JOIN cb2 c ON c.j = q.j AND c.pos = q.pos
+               WHERE q.vid = 0
+               GROUP BY c.j, c.cid),
+        adct AS (SELECT k.vid,
+                        MAX(CASE WHEN k.j = 0 THEN q.qdv END) AS t0,
+                        MAX(CASE WHEN k.j = 1 THEN q.qdv END) AS t1,
+                        MAX(CASE WHEN k.j = 2 THEN q.qdv END) AS t2,
+                        MAX(CASE WHEN k.j = 3 THEN q.qdv END) AS t3
+                 FROM codes k JOIN qd q ON q.j = k.j AND q.cid = k.cid
+                 GROUP BY k.vid),
+        adc_ranked AS (
+            SELECT vid AS vec_id,
+                   ROUND(t0 + t1 + t2 + t3, 6) AS adc_dist,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(t0 + t1 + t2 + t3, 6), vid) AS rn
+            FROM adct WHERE vid <> 0)"""
 )
 
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -946,5 +1029,33 @@ ORACLE = {
             JOIN norms nq ON nq.vec_id = d.qid
             JOIN norms nc ON nc.vec_id = d.cid2)
         SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+    "q73_pq_ann": _PQ_CTES
+    + """
+        SELECT vec_id, adc_dist, rn FROM adc_ranked WHERE rn <= 5
+    """,
+    "q74_pq_rerank_ann": _PQ_CTES
+    + f""",
+        short AS (SELECT vec_id FROM adc_ranked WHERE rn <= 20),
+        e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+        q2 AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+        qn AS (SELECT SUM(CAST(qv * qv AS DECIMAL(38,25))) AS qn2 FROM q2),
+        dots AS (SELECT e.vec_id,
+                        SUM(CAST(e.v * q2.qv AS DECIMAL(38,25))) AS dot,
+                        SUM(CAST(e.v * e.v AS DECIMAL(38,25))) AS n2
+                 FROM e
+                 JOIN q2 USING (pos)
+                 JOIN short s ON s.vec_id = e.vec_id
+                 GROUP BY e.vec_id),
+        rer AS (SELECT d.vec_id,
+                       {_SCORE.format(dot="d.dot", n1="d.n2", n2="qn.qn2")} AS cosine
+                FROM dots d, qn)
+        SELECT vec_id, cosine, rn FROM (
+            SELECT vec_id, cosine,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rn
+            FROM rer)
+        WHERE rn <= 3
     """,
 }
