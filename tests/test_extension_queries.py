@@ -40,6 +40,26 @@ def test_deciles_are_balanced(spark):
         assert a.max_price <= b.min_price
 
 
+def test_deciles_tiny_table_matches_ntile(spark, tmp_path):
+    """ADVICE r03: for N < 10 rows NTILE(10) assigns decile = row rank
+    (N singleton deciles); the closed-form arithmetic must agree —
+    base stays 0 so the first branch reduces to decile = gr."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT o_orderkey, o_totalprice, o_orderstatus, "
+        f"o_orderdate FROM read_parquet('{SF_DIR}/orders.parquet') "
+        f"ORDER BY o_orderkey LIMIT 5) "
+        f"TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    rows = X.q49_decile_stats(spark, str(tmp_path)).collect()
+    assert sorted((r.decile, r.n_orders) for r in rows) == [
+        (i, 1) for i in range(1, 6)
+    ]
+
+
 def test_stratified_sample_fraction(spark):
     """Each stratum keeps exactly ceil(0.1 * n) docs, deterministically."""
     import math

@@ -318,3 +318,27 @@ def test_streaming_queries_match_their_oracles(spark):
         compare_query_to_oracle(
             spark, name, SQ.QUERIES[name], SQ.ORACLE[name], SF_DIR
         )
+
+
+def test_cloned_session_copies_runtime_confs(spark):
+    """ADVICE r03: newSession() drops runtime confs; the clone helper
+    must copy the semantics-bearing ones (timezone, nanosAsLong) and
+    pin the state-shuffle width WITHOUT touching the caller."""
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        _cloned_session,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        s2 = _cloned_session(spark, shuffle_partitions=5)
+        assert s2.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        assert s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert s2.conf.get("spark.sql.shuffle.partitions") == "5"
+        # caller untouched
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old_width
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -104,6 +104,7 @@ def upsert_path(
     keys: list[str],
     order_by: list[Column] | None = None,
     partition_by: list[str] | None = None,
+    derived: dict[str, str] | None = None,
 ) -> tuple[int, int]:
     """Persisted upsert with the overwrite-own-input hazard handled.
 
@@ -111,6 +112,16 @@ def upsert_path(
     reading, so: write the merged result to a temp sibling dir, then
     atomically swap. Returns the (n0, n1) audit counts; callers gate
     stage cleanup on n0 == n1 exactly as ``location.sql:71-79`` does.
+
+    ``derived`` maps partition-column names to the SQL exprs that
+    compute them from the table's own columns (the load-time
+    derivation). It is only consulted for the LEGACY-target migration:
+    a warehouse written before a table became partitioned has no
+    partition column on disk, so the incremental path's partition
+    filter would raise UNRESOLVED_COLUMN on every future load. Instead
+    such a target takes a one-time whole-table merge that derives the
+    column and rewrites the table partitioned; subsequent loads use
+    the incremental path (ADVICE r03).
     """
     _recover_interrupted_swap(target_path)
     exists = os.path.exists(target_path)
@@ -126,12 +137,26 @@ def upsert_path(
             target_path, max_depth=len(partition_by) if partition_by else 6
         )
     if exists and partition_by:
-        return _upsert_partitions(
-            spark, target_path, updates, keys, order_by, partition_by
-        )
+        tgt_cols = spark.read.parquet(target_path).schema.names
+        missing = [c for c in partition_by if c not in tgt_cols]
+        if not missing:
+            return _upsert_partitions(
+                spark, target_path, updates, keys, order_by, partition_by
+            )
+        if derived is None or any(c not in derived for c in missing):
+            raise ValueError(
+                f"target {target_path} lacks partition column(s) "
+                f"{missing} and no derivation was supplied — pass "
+                "`derived` exprs for the one-time migration, or rewrite "
+                "the table manually"
+            )
+        # fall through: one-time whole-table migration rewrite
 
     if exists:
         target = spark.read.parquet(target_path)
+        for c in partition_by or []:
+            if c not in target.columns:
+                target = target.withColumn(c, F.expr(derived[c]))
         merged = upsert(target, updates, keys, order_by)
     else:
         merged = dedup_updates(updates, keys, order_by)

@@ -105,8 +105,11 @@ def q49_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         offs.append(acc)
         acc += counts.get(b, 0)
     base, rem = divmod(n_total, 10)
-    base = max(base, 1)  # N < 10: rem rows, all in the first branch
+    # N < 10 (ADVICE r03): keep base=0 — every row sits in the first
+    # branch (cut = rem = N, decile = gr, exactly NTILE), and only the
+    # unreachable ELSE divisor needs the >=1 guard to stay evaluable
     cut = rem * (base + 1)
+    safe = max(base, 1)
     off_arr = "array(" + ",".join(f"{x}L" for x in offs) + ")"
     wl = Window.partitionBy("bkt").orderBy("price", "o_orderkey")
     tiled = (
@@ -118,7 +121,7 @@ def q49_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"CAST(CASE WHEN gr <= {cut}"
                 f" THEN (gr + {base}) DIV {base + 1}"
-                f" ELSE {rem} + (gr - {cut} + {base - 1}) DIV {base}"
+                f" ELSE {rem} + (gr - {cut} + {safe - 1}) DIV {safe}"
                 f" END AS INT)"
             ).alias("decile"),
         )

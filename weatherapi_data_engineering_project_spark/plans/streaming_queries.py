@@ -35,6 +35,30 @@ EVENTS_DDL = (
 )
 
 
+def _cloned_session(spark: SparkSession, shuffle_partitions: int = 8):
+    """Clone-and-pin (ADVICE r03): ``newSession()`` initializes SQLConf
+    from builder-time options only, so semantics-bearing confs the
+    caller set at RUNTIME (timezone override, the NANOS-parquet legacy
+    flag) would silently not propagate to the clone. Copy them
+    explicitly, then pin the state-shuffle width on the clone — the
+    caller's (possibly shared) session conf is never mutated; a
+    try/finally restore on the shared conf would still race a
+    concurrent caller reading it mid-query."""
+    s2 = spark.newSession()
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        try:
+            val = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset and no default
+            continue
+        if val is not None:
+            s2.conf.set(key, val)
+    s2.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s2
+
+
 def _work_dir(name: str, sf_dir: str) -> str:
     """Deterministic per-query-per-dataset work dir, cleared on reuse so
     repeated invocations (bench runs each query N times) hold at most
@@ -81,11 +105,9 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The state shuffle inherits spark.sql.shuffle.partitions; a vanilla
     # session's 200 means 200 state-store files per micro-batch for a
     # 150-user keyspace. Pin a sane width on a CLONED session (shared
-    # SparkContext, isolated SQLConf) so the caller's session conf is
-    # never mutated — a try/finally restore on the shared conf would
-    # still race a concurrent caller reading it mid-query.
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    # SparkContext, isolated SQLConf; semantics-bearing runtime confs
+    # copied over — _cloned_session).
+    s2 = _cloned_session(spark)
     q = (
         running_user_totals(s2.readStream.schema(EVENTS_DDL).parquet(src))
         .writeStream.foreachBatch(sink)
@@ -160,10 +182,9 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, bid: int) -> None:
         batch.write.mode("append").parquet(out)
 
-    # cloned session: pinned state-shuffle width without mutating the
-    # caller's (possibly shared) session conf — see q42
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    # cloned session: pinned state-shuffle width + copied runtime confs
+    # without mutating the caller's (possibly shared) session — see q42
+    s2 = _cloned_session(spark)
     stream = s2.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint"
     ).parquet(src)
@@ -222,8 +243,7 @@ def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, bid: int) -> None:
         batch.write.mode("append").parquet(out)
 
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _cloned_session(spark)
     stream = s2.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint"
     ).parquet(src)

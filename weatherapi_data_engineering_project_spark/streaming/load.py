@@ -115,6 +115,9 @@ def start_load(
                 batch,
                 keys=load.keys,
                 partition_by=load.partition_by,
+                # enables the one-time legacy-target migration when the
+                # warehouse predates this table's partitioning
+                derived=load.derived,
             )
         except Exception as exc:  # noqa: BLE001 — M5: any batch failure
             load.status_log.append(
