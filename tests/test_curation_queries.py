@@ -1,0 +1,66 @@
+"""Curation queries (q79-q82): oracle differentials + plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, SF_DIR_ORACLE, compare_query_to_oracle
+from weatherapi_data_engineering_project_spark.plans import curation as C
+
+
+@pytest.mark.parametrize("name", sorted(C.QUERIES))
+def test_curation_oracle_differential(spark, name):
+    compare_query_to_oracle(
+        spark, name, C.QUERIES[name], C.ORACLE[name], SF_DIR_ORACLE
+    )
+
+
+def test_split_assign_covers_corpus_and_is_deterministic(spark):
+    rows = C.q79_split_assign(spark, SF_DIR).collect()
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # deterministic: a second run produces the identical accounting
+    again = C.q79_split_assign(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = C.q80_pii_scrub(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # every doc carries exactly one injected email + one URL; the
+        # injected phone appears on doc_id % 3 == 0 only (the decoy
+        # '555-010 555-0100' spans 3-3-4 digits and DOES match once)
+        assert r.n_emails == 1
+        assert r.n_urls == 1
+        assert r.n_phones == (2 if r.doc_id % 3 == 0 else 1)
+
+
+def test_temperature_mix_weights_normalize(spark):
+    rows = C.q81_temperature_mix(spark, SF_DIR).collect()
+    assert rows
+    s = sum(r.weight for r in rows)
+    assert abs(s - 1.0) < 1e-3  # weights renormalize (6dp rounding)
+    # tempering: every weight sits between uniform and raw share order —
+    # smaller-than-average sources get weight > p_raw
+    for r in rows:
+        if r.p_raw < 1.0 / len(rows):
+            assert r.weight >= r.p_raw
+
+
+def test_zipf_window_is_group_limited_not_single_partition(spark):
+    plan = (
+        C.q82_zipf_slope(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
