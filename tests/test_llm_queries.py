@@ -470,3 +470,38 @@ def test_kmeans_and_ivf_fallback_paths_match_literal(spark, monkeypatch):
     )
     assert fb_c == lit_c
     assert fb_t == lit_t
+
+
+def test_pack_bins_edges_and_semantics(spark):
+    """_pack_bins: empty/singleton inputs survive the bucketed rewrite;
+    bin assignment equals the naive per-source cumulative-sum window on
+    a multi-source frame with skewed doc_id ranges."""
+    from pyspark.sql.window import Window
+
+    from weatherapi_data_engineering_project_spark.plans.llm import _pack_bins
+
+    empty = spark.createDataFrame([], "doc_id long, source string, n_tokens int")
+    assert _pack_bins(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, "s", 10)], "doc_id long, source string, n_tokens int"
+    )
+    assert _pack_bins(one).collect()[0].bin_id == 0
+
+    rows = [
+        (i, f"src{i % 3}", 500 + (i * 37) % 900) for i in range(300)
+    ] + [(10_000 + i, "src0", 4096) for i in range(20)]  # skewed id range
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    got = {
+        (r.doc_id, r.source): r.bin_id for r in _pack_bins(df).collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    want = {
+        (r.doc_id, r.source): r.bin_id
+        for r in df.select(
+            "doc_id",
+            "source",
+            F.floor((cum - F.col("n_tokens")) / F.lit(4096)).alias("bin_id"),
+        ).collect()
+    }
+    assert got == want

@@ -204,6 +204,18 @@ def test_pq_adc_scan_is_pure_projection_topk(spark):
     assert "Join" not in plan
 
 
+def test_ivfpq_is_pruned_projection_topk(spark):
+    """q83: the IVF+PQ composite must keep its components' shapes — the
+    candidate prune is an equi-/broadcast-join (never a cartesian), the
+    ADC scan stays a projection, and the global top-k is a
+    TakeOrderedAndProject."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q83_ivfpq_ann(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_salted_join_query_shards_key(spark):
     """q69: the salted join must actually join on (key, _salt) — the
     sharded key pair — before the salt is dropped."""

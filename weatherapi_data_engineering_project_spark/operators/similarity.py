@@ -467,6 +467,92 @@ def ivf_topk_kmeans(
     )
 
 
+def _probe_lists(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    assign_exact: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Coarse-quantizer probe lists: (vid, probe_cids) with probe_cids
+    the n_probe nearest centroid ids by (cosine DESC, cid ASC).
+
+    Shared by ivf_topk and ivfpq_topk. Small centroid sets embed as a
+    plan LITERAL (zero-shuffle row-local array_sort projection — the
+    r03 rewrite that removed the k×-amplified window shuffle); above
+    _KMEANS_MAX_LITERAL_TERMS the broadcast + collect_list partial-agg
+    fallback runs instead. See ivf_topk's docstring for the full plan
+    rationale.
+    """
+    cent = centroids.select(
+        "cid", "cvec", _norm2_array(F.col("cvec")).alias("cn2")
+    )
+    corpus = _ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vvec"),
+        _norm2_array(F.col(vec_col)).alias("vn2"),
+    )
+
+    def _probe_score(cvec, cn2):
+        if assign_exact:
+            return _score(_dot_arrays(F.col("vvec"), cvec), F.col("vn2"), cn2)
+        return _dot_arrays_fast(F.col("vvec"), cvec) / (
+            F.sqrt(F.col("vn2").cast("double")) * F.sqrt(cn2.cast("double"))
+        )
+
+    # probe the dim from one row, then collect at most (cap/dim)+1 rows
+    # — a too-large centroid set is detected without ever shipping it
+    # to the driver
+    head = cent.select(F.size("cvec").alias("d")).first()
+    dim = int(head["d"]) if head else 0
+    max_rows = (_KMEANS_MAX_LITERAL_TERMS // dim) if dim else 0
+    cent_rows = cent.limit(max_rows + 1).collect() if dim else []
+    if cent_rows and len(cent_rows) <= max_rows:
+        # plan-literal quantizer: cn2 embedded as the EXACT decimal the
+        # Spark-side norm fold produced (str(Decimal) round-trips), so
+        # scores are bit-identical to the joined formulation
+        parts = []
+        for r in sorted(cent_rows, key=lambda r: int(r["cid"])):
+            vtxt = ",".join(f"{float(x)!r}D" for x in r["cvec"])
+            parts.append(
+                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT), "
+                f"'cvec', array({vtxt}), "
+                f"'cn2', CAST('{r['cn2']}' AS DECIMAL(38,25)))"
+            )
+        arr = F.expr("array(" + ",".join(parts) + ")")
+        scored = F.transform(
+            arr,
+            lambda c: F.struct(
+                (-_probe_score(c["cvec"], c["cn2"])).alias("negs"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        probe_list = F.transform(
+            F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+        )
+        return corpus.select("vid", probe_list.alias("probe_cids"))
+    # centroid set too large for plan literals: broadcast cross
+    # join, then ONE partial-agg shuffle collapsing to a k-element
+    # struct list per vector, sorted row-locally — no window sort
+    scored = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            "vid",
+            F.struct(
+                (-_probe_score(F.col("cvec"), F.col("cn2"))).alias("negs"),
+                F.col("cid").alias("cid"),
+            ).alias("sc"),
+        )
+    )
+    return scored.groupBy("vid").agg(
+        F.transform(
+            F.slice(F.array_sort(F.collect_list("sc")), 1, n_probe),
+            lambda s: s["cid"],
+        ).alias("probe_cids")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -519,75 +605,13 @@ def ivf_topk(
         centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
-    cent = centroids.select(
-        "cid", "cvec", _norm2_array(F.col("cvec")).alias("cn2")
-    )
-    corpus = _ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vvec"),
-        _norm2_array(F.col(vec_col)).alias("vn2"),
+    quant = persist_tracked(
+        _probe_lists(
+            embeddings, centroids, n_probe, assign_exact, id_col, vec_col
+        )
     )
 
-    def _probe_score(cvec, cn2):
-        if assign_exact:
-            return _score(_dot_arrays(F.col("vvec"), cvec), F.col("vn2"), cn2)
-        return _dot_arrays_fast(F.col("vvec"), cvec) / (
-            F.sqrt(F.col("vn2").cast("double")) * F.sqrt(cn2.cast("double"))
-        )
-
-    # probe the dim from one row, then collect at most (cap/dim)+1 rows
-    # — a too-large centroid set is detected without ever shipping it
-    # to the driver
-    head = cent.select(F.size("cvec").alias("d")).first()
-    dim = int(head["d"]) if head else 0
-    max_rows = (_KMEANS_MAX_LITERAL_TERMS // dim) if dim else 0
-    cent_rows = cent.limit(max_rows + 1).collect() if dim else []
-    if cent_rows and len(cent_rows) <= max_rows:
-        # plan-literal quantizer: cn2 embedded as the EXACT decimal the
-        # Spark-side norm fold produced (str(Decimal) round-trips), so
-        # scores are bit-identical to the joined formulation
-        parts = []
-        for r in sorted(cent_rows, key=lambda r: int(r["cid"])):
-            vtxt = ",".join(f"{float(x)!r}D" for x in r["cvec"])
-            parts.append(
-                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT), "
-                f"'cvec', array({vtxt}), "
-                f"'cn2', CAST('{r['cn2']}' AS DECIMAL(38,25)))"
-            )
-        arr = F.expr("array(" + ",".join(parts) + ")")
-        scored = F.transform(
-            arr,
-            lambda c: F.struct(
-                (-_probe_score(c["cvec"], c["cn2"])).alias("negs"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        probe_list = F.transform(
-            F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
-        )
-        quant = corpus.select("vid", probe_list.alias("probe_cids"))
-    else:
-        # centroid set too large for plan literals: broadcast cross
-        # join, then ONE partial-agg shuffle collapsing to a k-element
-        # struct list per vector, sorted row-locally — no window sort
-        scored = (
-            corpus.crossJoin(F.broadcast(cent))
-            .select(
-                "vid",
-                F.struct(
-                    (-_probe_score(F.col("cvec"), F.col("cn2"))).alias("negs"),
-                    F.col("cid").alias("cid"),
-                ).alias("sc"),
-            )
-        )
-        quant = scored.groupBy("vid").agg(
-            F.transform(
-                F.slice(F.array_sort(F.collect_list("sc")), 1, n_probe),
-                lambda s: s["cid"],
-            ).alias("probe_cids")
-        )
     # assignment == first probe (crn == 1); both read one projection
-    quant = persist_tracked(quant)
     assign = quant.select(
         F.col("vid").alias("cand_id"),
         F.element_at("probe_cids", 1).alias("cid"),
@@ -763,6 +787,52 @@ def pq_codebooks_and_codes(
     return books, codes
 
 
+def _query_vector(
+    embeddings: DataFrame, query_id: int, id_col: str, vec_col: str
+) -> list[float]:
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    return [float(x) for x in qrow[0]]
+
+
+def _adc_expr(books, q: list[float], m: int):
+    """ADC lookup column over a ``codes`` array: the query's distance to
+    every codebook centroid precomputed DRIVER-side into an m × k_sub
+    plan-literal table (a few hundred floats); each corpus row's
+    approximate distance is m table lookups + left-associative adds —
+    matching the oracle's t0+t1+...+t{m-1} written order."""
+    d_sub = len(q) // m
+    table = [
+        [
+            sum(
+                (q[j * d_sub + t] - c[t]) ** 2
+                for t in range(d_sub)
+            )
+            for _cid, c in sorted(books[j].items())
+        ]
+        for j in range(m)
+    ]
+    ttxt = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in row) + ")"
+            for row in table
+        )
+        + ")"
+    )
+    return reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.element_at(F.expr(ttxt), j + 1),
+                F.col("codes").getItem(j) + 1,
+            )
+            for j in range(m)
+        ],
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -794,38 +864,8 @@ def pq_topk(
     books, codes = pq_codebooks_and_codes(
         embeddings, m, k_sub, n_iters, id_col, vec_col
     )
-    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
-    if qrow is None:
-        raise ValueError(f"query id {query_id} not found")
-    q = [float(x) for x in qrow[0]]
-    d_sub = len(q) // m
-    table = [
-        [
-            sum(
-                (q[j * d_sub + t] - c[t]) ** 2
-                for t in range(d_sub)
-            )
-            for _cid, c in sorted(books[j].items())
-        ]
-        for j in range(m)
-    ]
-    ttxt = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{x!r}D" for x in row) + ")"
-            for row in table
-        )
-        + ")"
-    )
-    adc = reduce(
-        lambda a, b: a + b,
-        [
-            F.element_at(
-                F.element_at(F.expr(ttxt), j + 1),
-                F.col("codes").getItem(j) + 1,
-            )
-            for j in range(m)
-        ],
+    adc = _adc_expr(
+        books, _query_vector(embeddings, query_id, id_col, vec_col), m
     )
     top = (
         codes.filter(F.col(id_col) != query_id)
@@ -888,6 +928,83 @@ def pq_topk_rerank(
         "rn",
         F.row_number().over(
             Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composite — the FAISS IndexIVFPQ retrieval shape (Jégou
+    et al. 2011 §V), no-residual variant: the coarse quantizer prunes
+    WHICH rows are scored (probe n_probe of n_centroids inverted
+    lists), the product quantizer compresses HOW each row is scored
+    (m-byte codes + plan-literal ADC table). At 100 TB that is the
+    memory-resident architecture: each query batch touches
+    ~n_probe/n_centroids of a corpus held as codes, raw vectors stay on
+    disk for an optional exact re-rank (compose with pq_topk_rerank's
+    shortlist join).
+
+    Both components reuse their oracle-verified building blocks
+    unchanged: the deterministic literal-centroid probe projection
+    (q30, zero shuffle) and the fixed-round PQ trainer + codes
+    projection (q73). The composite adds ONE broadcast semi-join (the
+    n_probe-row query probe set against each row's assigned list) —
+    candidate selection is a row-local filter, the ADC scan stays a
+    pure projection, and the global top-k is a TakeOrderedAndProject.
+
+    Returns (vec_id, adc_dist, rn <= k), self-match excluded. The
+    "no-residual" choice (codes quantize raw vectors, not
+    centroid-residuals) trades a little recall for a codes table that
+    is SHARED with plain PQ retrieval (q73/q74) instead of one per
+    coarse list — a documented, SQL-expressible design point.
+    """
+    books, codes = pq_codebooks_and_codes(
+        embeddings, m, k_sub, n_iters, id_col, vec_col
+    )
+    centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    quant = persist_tracked(
+        _probe_lists(
+            embeddings, centroids, n_probe, True, id_col, vec_col
+        )
+    )
+    assign = quant.select(
+        "vid", F.element_at("probe_cids", 1).alias("cid")
+    )
+    qprobes = quant.filter(F.col("vid") == query_id).select(
+        F.explode("probe_cids").alias("cid")
+    )
+    cand = (
+        assign.join(F.broadcast(qprobes), on="cid")
+        .filter(F.col("vid") != query_id)
+        .select("vid")
+    )
+    adc = _adc_expr(
+        books, _query_vector(embeddings, query_id, id_col, vec_col), m
+    )
+    top = (
+        codes.join(cand, codes[id_col] == cand["vid"])
+        .select(
+            F.col(id_col).alias("vec_id"), F.round(adc, 6).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .limit(k)
+    )
+    return top.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("adc_dist"), F.col("vec_id"))
         ),
     )
 

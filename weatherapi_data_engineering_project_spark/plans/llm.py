@@ -193,6 +193,20 @@ def q74_pq_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite retrieval (FAISS IndexIVFPQ shape, no-residual
+    variant): q30's deterministic literal-centroid coarse quantizer
+    prunes to 2 of 16 inverted lists, q73's fixed-round PQ codes score
+    the survivors via a plan-literal ADC table, global top-5 by
+    TakeOrderedAndProject. Fully oracle-verified — the oracle composes
+    the q30 assignment CTEs with the q73 unrolled-trainer CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        e, query_id=0, k=5, n_centroids=16, n_probe=2, m=4, k_sub=16,
+        n_iters=2,
+    )
+
+
 def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents re-cast as opaque binary
     media payloads (kind round-robined image/audio/video), pushed through
@@ -484,6 +498,7 @@ QUERIES = {
     "q60_ivf_kmeans_ann": q60_ivf_kmeans_ann,
     "q73_pq_ann": q73_pq_ann,
     "q74_pq_rerank_ann": q74_pq_rerank_ann,
+    "q83_ivfpq_ann": q83_ivfpq_ann,
     "q35_multimodal_features": q35_multimodal_features,
     "q75_image_resize": q75_image_resize,
     "q39_deterministic_sample": q39_deterministic_sample,
@@ -1057,5 +1072,41 @@ ORACLE = {
                    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rn
             FROM rer)
         WHERE rn <= 3
+    """,
+    "q83_ivfpq_ann": _PQ_CTES
+    + f""",
+        e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        adots AS (SELECT e.vec_id AS avid, c.vec_id AS acid,
+                         SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
+                  FROM e JOIN e c ON c.pos = e.pos AND c.vec_id < 16
+                  GROUP BY e.vec_id, c.vec_id),
+        ranked_cent AS (
+            SELECT avid, acid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY avid
+                       ORDER BY {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")} DESC,
+                                acid) AS crn
+            FROM adots a
+            JOIN norms nv ON nv.vec_id = a.avid
+            JOIN norms nc ON nc.vec_id = a.acid),
+        assignc AS (SELECT avid AS cand_id, acid
+                    FROM ranked_cent WHERE crn = 1),
+        qprobes AS (SELECT acid FROM ranked_cent
+                    WHERE crn <= 2 AND avid = 0),
+        pq_cand AS (SELECT a.cand_id
+                    FROM assignc a JOIN qprobes p ON p.acid = a.acid
+                    WHERE a.cand_id <> 0),
+        ivfpq AS (
+            SELECT t.vid AS vec_id,
+                   ROUND(t.t0 + t.t1 + t.t2 + t.t3, 6) AS adc_dist,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(t.t0 + t.t1 + t.t2 + t.t3, 6),
+                                t.vid) AS rn
+            FROM adct t JOIN pq_cand pc ON pc.cand_id = t.vid)
+        SELECT vec_id, adc_dist, rn FROM ivfpq WHERE rn <= 5
     """,
 }
