@@ -239,10 +239,9 @@ def test_registry_contract_pins_rows_only_set():
     assert set(qs) - set(oracles) == {
         "q42_stateful_totals",   # state-store program
         "q43_approx_distinct",   # foreign sketch (HLL++)
-        "q60_ivf_kmeans_ann",    # iterative Lloyd's quantizer
         "q62_approx_quantiles",  # foreign sketch (GK)
-        # q73/q74 moved to full oracles in r4: the FIXED 2-round PQ
-        # trainer unrolls into SQL CTEs (_PQ_CTES)
+        # q60/q73/q74 moved to full oracles in r4: FIXED-round trainers
+        # unroll into SQL CTEs (_KM_CTES / _PQ_CTES)
     }
     assert registry.IMPORT_FAILURES == {}
 

@@ -342,3 +342,26 @@ def test_cloned_session_copies_runtime_confs(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_continuous_rollup_drains_multiple_batches(spark):
+    """q84's whole point is INCREMENTAL maintenance: the replay must
+    split into several micro-batches (4 files under
+    maxFilesPerTrigger=1), each additively merged — not one big batch
+    that trivially equals the group-by."""
+    import hashlib
+    import os
+    import tempfile
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        streaming_queries as SQ,
+    )
+
+    n = SQ.q84_continuous_rollup(spark, SF_DIR).count()
+    assert n > 0
+    tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:12]
+    offsets = os.path.join(
+        tempfile.gettempdir(), f"q84_work_{tag}", "ckpt", "offsets"
+    )
+    batches = [f for f in os.listdir(offsets) if not f.startswith(".")]
+    assert len(batches) >= 4, batches

@@ -152,12 +152,14 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q60_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production IVF ANN: Lloyd's k-means coarse quantizer (3 rounds,
-    spherical assignment, decimal-exact scoring) + probe/re-rank. The
-    iterative refinement is not SQL-expressible (per the driver
-    contract it gets the rows-only check); the quantizer's invariants
-    and the hit-score exactness are pinned by
-    tests/test_llm_queries.py::test_ivf_kmeans_*. q30 is the
-    deterministic-quantizer twin whose full plan IS oracle-verified."""
+    spherical assignment) + fast-assignment probe + decimal-exact
+    re-rank. Fully oracle-verified since r4: the FIXED 3-round trainer
+    unrolls into SQL CTEs (_KM_CTES) exactly like the PQ trainer — the
+    REAL round-trip on each round's means reproduces the float32-
+    rounded driver state, and the final candidate scores are the same
+    decimal-exact _score both engines already agree on (q30). The
+    quantizer's invariants are additionally pinned by
+    tests/test_llm_queries.py::test_ivf_kmeans_*."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk_kmeans(
         e, n_centroids=16, n_iters=3, n_probe=2, k=3, max_query_id=20
@@ -463,6 +465,47 @@ def q77_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_bins(f)
 
 
+def q85_crosssource_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-leakage report: near-dup pairs (q25
+    semantics) rolled up by the UNORDERED source pair — the audit that
+    tells a corpus team which sources duplicate into which. An
+    off-diagonal row (source_a != source_b) is contamination risk (a
+    train source near-duplicating an eval source); the diagonal
+    measures intra-source redundancy. Scale shape: pairs are
+    LSH-candidate-bounded, the two source lookups are equi-joins on
+    doc_id (AQE broadcasts the pair side when small), and the rollup
+    output is (sources x sources)-bounded. jaccard is a single exact
+    int/int division (engine-identical double); only AVG needs the
+    ROUND(,6) association guard."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id1"), F.col("source").alias("s1")
+            ),
+            on="id1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id2"), F.col("source").alias("s2")
+            ),
+            on="id2",
+        )
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+    )
+
+
 def q72_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame ARTIFACT: the kept corpus itself. q47 labels
     every paired document; here each cluster's non-representative
@@ -507,6 +550,7 @@ QUERIES = {
     "q46_udtf_chunk": q46_udtf_chunk,
     "q47_dedup_clusters": q47_dedup_clusters,
     "q72_dedup_keep_list": q72_dedup_keep_list,
+    "q85_crosssource_leakage": q85_crosssource_leakage,
     "q77_training_prep": q77_training_prep,
 }
 
@@ -573,6 +617,63 @@ def _pq_iter(i: int, prev: str) -> str:
         cb{i} AS (SELECT c.j, c.cid, c.pos, COALESCE(m.v, c.v) AS v
                   FROM {prev} c LEFT JOIN m{i} m
                     ON m.j = c.j AND m.cid = c.cid AND m.pos = c.pos)"""
+
+
+def _km_iter(i: int, prev: str) -> str:
+    """One unrolled spherical-Lloyd round of the q60 coarse quantizer.
+    The Spark trainer scores assignment with a double fold × a
+    driver-computed 1/||c|| (kmeans_centroids, similarity.py) — the
+    oracle's decimal-exact dot differs only at ~1e-16 relative, far
+    below any real inter-centroid score gap, and the REAL round-trip
+    on the mean update (mirroring the trainer's float32-rounded means)
+    re-synchronizes both engines every round. COALESCE keeps empty
+    clusters' previous centroids (Lloyd's fallback, as in Spark)."""
+    return f"""
+        cinv{i} AS (SELECT cid,
+                           CASE WHEN SUM(CAST(v * v AS DECIMAL(38,25))) = 0
+                                THEN 0.0
+                                ELSE 1.0 / sqrt(CAST(SUM(CAST(v * v
+                                         AS DECIMAL(38,25))) AS DOUBLE)) END
+                               AS cinv
+                    FROM {prev} GROUP BY cid),
+        kd{i} AS (SELECT e.vec_id AS vid, c.cid,
+                         CAST(SUM(CAST(e.v * c.v AS DECIMAL(38,25)))
+                              AS DOUBLE) AS dot
+                  FROM e JOIN {prev} c ON c.pos = e.pos
+                  GROUP BY e.vec_id, c.cid),
+        ka{i} AS (SELECT vid, cid FROM (
+                    SELECT d.vid, d.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY d.vid
+                               ORDER BY d.dot * ci.cinv DESC, d.cid) AS krn
+                    FROM kd{i} d JOIN cinv{i} ci ON ci.cid = d.cid)
+                  WHERE krn = 1),
+        km{i} AS (SELECT a.cid, e.pos,
+                         CAST(CAST(AVG(e.v) AS REAL) AS DOUBLE) AS v
+                  FROM ka{i} a JOIN e ON e.vec_id = a.vid
+                  GROUP BY a.cid, e.pos),
+        cent{i} AS (SELECT p.cid, p.pos, COALESCE(m.v, p.v) AS v
+                    FROM {prev} p LEFT JOIN km{i} m
+                      ON m.cid = p.cid AND m.pos = p.pos)"""
+
+
+# Unrolled k-means IVF (q60): 3 spherical-Lloyd rounds as CTEs (the
+# same fixed-iteration unrolling as the PQ trainer below), then the
+# fast-assignment probe step (double dot / double norms — mirroring
+# ivf_topk's assign_exact=False) and q30's exact decimal re-rank over
+# the probed lists. init = vectors with vec_id < 16.
+_KM_CTES = (
+    """
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        cent0 AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 16),"""
+    + _km_iter(1, "cent0")
+    + ","
+    + _km_iter(2, "cent1")
+    + ","
+    + _km_iter(3, "cent2")
+)
 
 
 # Unrolled PQ trainer + ADC scan (q73/q74): the q47-label-prop trick —
@@ -752,6 +853,32 @@ ORACLE = {
             FROM exn a JOIN exn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id)
         WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q85_crosssource_leakage": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        nd AS (SELECT s.id1, s.id2, s.jaccard
+               FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
+               WHERE s.jaccard >= {JACCARD_THRESHOLD})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs,
+               MAX(p.jaccard) AS max_jaccard,
+               ROUND(AVG(p.jaccard), 6) AS avg_jaccard
+        FROM nd p
+        JOIN documents da ON da.doc_id = p.id1
+        JOIN documents db ON db.doc_id = p.id2
+        GROUP BY 1, 2
     """,
     "q25_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
@@ -1044,6 +1171,51 @@ ORACLE = {
             JOIN norms nq ON nq.vec_id = d.qid
             JOIN norms nc ON nc.vec_id = d.cid2)
         SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+    "q60_ivf_kmeans_ann": _KM_CTES
+    + f""",
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        cn AS (SELECT cid, SUM(CAST(v * v AS DECIMAL(38,25))) AS cn2
+               FROM cent3 GROUP BY cid),
+        pdots AS (SELECT e.vec_id AS vid, c.cid,
+                         CAST(SUM(CAST(e.v * c.v AS DECIMAL(38,25)))
+                              AS DOUBLE) AS dot
+                  FROM e JOIN cent3 c ON c.pos = e.pos
+                  GROUP BY e.vec_id, c.cid),
+        pranked AS (
+            SELECT d.vid, d.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vid
+                       ORDER BY d.dot / (sqrt(CAST(nv.n2 AS DOUBLE))
+                                         * sqrt(CAST(cn.cn2 AS DOUBLE))) DESC,
+                                d.cid) AS crn
+            FROM pdots d
+            JOIN norms nv ON nv.vec_id = d.vid
+            JOIN cn ON cn.cid = d.cid),
+        kassign AS (SELECT vid AS cand_id, cid FROM pranked WHERE crn = 1),
+        kprobes AS (SELECT vid AS qid, cid FROM pranked
+                    WHERE crn <= 2 AND vid < 20),
+        kcands AS (SELECT p.qid, a.cand_id AS cid2
+                   FROM kprobes p JOIN kassign a ON a.cid = p.cid
+                   WHERE p.qid <> a.cand_id),
+        kdots AS (SELECT c.qid, c.cid2,
+                         SUM(CAST(qe.v * ce.v AS DECIMAL(38,25))) AS dot
+                  FROM kcands c
+                  JOIN e qe ON qe.vec_id = c.qid
+                  JOIN e ce ON ce.vec_id = c.cid2 AND ce.pos = qe.pos
+                  GROUP BY c.qid, c.cid2),
+        kranked AS (
+            SELECT d.qid AS query_id, d.cid2 AS vec_id,
+                   {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.qid
+                       ORDER BY {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} DESC,
+                                d.cid2) AS rn
+            FROM kdots d
+            JOIN norms nq ON nq.vec_id = d.qid
+            JOIN norms nc ON nc.vec_id = d.cid2)
+        SELECT query_id, vec_id, cosine, rn FROM kranked WHERE rn <= 3
     """,
     "q73_pq_ann": _PQ_CTES
     + """

@@ -267,17 +267,109 @@ def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q84_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the events stream drains
+    in MULTIPLE micro-batches (4 replay files, maxFilesPerTrigger=1)
+    and each batch's PARTIAL (hour, event_type) aggregate is
+    additively MERGED into the rollup warehouse — read current, union
+    partials, re-aggregate, swap. Because count and decimal-sum are
+    merge-safe (associative + exact), the final table equals the batch
+    GROUP BY REGARDLESS of batch boundaries — so unlike the interval
+    join (q70, single-batch caveat) this oracle certifies genuinely
+    incremental multi-batch maintenance. The per-batch merge cost
+    scales with |rollup| + |batch partials| (hours × types, not raw
+    events) — the continuous-aggregate property that makes hypertable
+    rollups viable at stream scale.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _work_dir("q84", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.select("event_id", "ts", "event_type", "value").repartition(
+        4
+    ).write.mode("overwrite").parquet(src)
+
+    def merge_batch(batch: DataFrame, bid: int) -> None:
+        part = batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+        sp = batch.sparkSession
+        if os.path.exists(out):
+            cur = sp.read.parquet(out)
+            part = (
+                cur.unionByName(part)
+                .groupBy("hour_start", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sv").alias("sv"),
+                )
+            )
+        tmp = f"{out}.tmp-{bid}"
+        part.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+    s2 = _cloned_session(spark)
+    q = (
+        s2.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "hour_start timestamp, event_type string, "
+            "n_events bigint, sum_value double",
+        )
+    res = spark.read.parquet(out)
+    return res.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
 QUERIES = {
     "q42_stateful_totals": q42_stateful_totals,
     "q43_approx_distinct": q43_approx_distinct,
     "q70_stream_interval_join": q70_stream_interval_join,
     "q76_stream_dedup": q76_stream_dedup,
+    "q84_continuous_rollup": q84_continuous_rollup,
 }
 
 # q42/q43 are rows-only (state-store program / foreign sketch); q70's
 # and q76's single-batch drains make the streaming join and the
-# streaming dedup oracle-complete.
+# streaming dedup oracle-complete; q84's additive merge is
+# batch-boundary-INdependent, so its multi-batch drain carries a full
+# oracle too.
 ORACLE: dict[str, str] = {
+    "q84_continuous_rollup": """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
     "q76_stream_dedup": """
         SELECT event_id, ts, user_id FROM events
     """,
