@@ -9,7 +9,7 @@ rows, colliding texts), not example volume.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -114,10 +114,14 @@ def test_jaccard_pairs_bounds(spark, docs):
     max_px=st.integers(min_value=1, max_value=10_000),
 )
 @settings(max_examples=200, deadline=None)
+@example(w=1, h=2, max_px=1)  # clamp collapses both sides to 1 (a tie)
 def test_bounded_box_properties(w, h, max_px):
     """resize kernel arithmetic (pure function): inside the box is
     identity; outside, the long side lands exactly on max_px, nothing
-    upscales, floors clamp to 1, and aspect ordering is preserved."""
+    upscales, floors clamp to 1, and aspect ordering is preserved
+    WEAKLY — the clamp-to-1 floor can collapse a strict inequality to
+    a tie (w=1,h=2,max_px=1 → (1,1)), so the strict-order claim only
+    holds one-sided."""
     from weatherapi_data_engineering_project_spark.functions.multimodal import (
         bounded_box,
     )
@@ -129,4 +133,11 @@ def test_bounded_box_properties(w, h, max_px):
         assert (nw, nh) == (w, h)
     else:
         assert max(nw, nh) == max_px  # long side lands exactly on the box
-        assert (w >= h) == (nw >= nh)  # orientation preserved
+        # weak orientation preservation: the longer input side never
+        # ends up strictly shorter than the other output side
+        if w > h:
+            assert nw >= nh
+        elif w < h:
+            assert nh >= nw
+        else:
+            assert nw == nh

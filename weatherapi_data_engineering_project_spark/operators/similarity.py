@@ -1060,3 +1060,91 @@ def signlsh_topk(
         )
     )
     return ranked.filter(F.col("rn") <= k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication within k-means clusters — the SemDeDup
+    shape (Abbas et al. 2023): cluster the corpus with the fixed-round
+    Lloyd trainer, compute pairwise cosine ONLY within each cluster,
+    and drop any vector that has a lower-id neighbor at cosine >=
+    threshold. Returns per-cluster accounting
+    (cid, n_vecs, n_dropped, keep_ratio).
+
+    The drop rule is the deterministic rank-free variant: x is dropped
+    iff some y < x in the same cluster scores >= threshold against it
+    (one join, no sequential greedy state) — documented as this
+    operator's contract so the SQL oracle states it verbatim.
+
+    Scale shape: the quadratic is bounded by construction — pairs form
+    within a cluster only (k chosen so corpus/k fits the pair budget;
+    production re-splits giant clusters). Scoring is the q29 two-phase
+    plan: a double-precision prefilter prunes candidate pairs, only
+    ~threshold survivors get the exact decimal score that defines the
+    answer. Centroid state is k x dim driver scalars
+    (kmeans_centroids contract); everything else is joins + partial
+    aggs.
+    """
+    cents = kmeans_centroids(embeddings, n_clusters, n_iters, id_col, vec_col)
+    assign = persist_tracked(
+        _probe_lists(embeddings, cents, 1, False, id_col, vec_col).select(
+            "vid", F.col("probe_cids")[0].alias("cid")
+        )
+    )
+    cands = (
+        assign.select(F.col("vid").alias("id1"), "cid")
+        .join(assign.select(F.col("vid").alias("id2"), "cid"), "cid")
+        .filter(F.col("id1") < F.col("id2"))
+    )
+    v1 = embeddings.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("vec1"),
+        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_1"),
+    )
+    v2 = embeddings.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("vec2"),
+        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_2"),
+    )
+    approx = _dot_arrays_fast(F.col("vec1"), F.col("vec2")) / (
+        F.sqrt("n2d_1") * F.sqrt("n2d_2")
+    )
+    survivors = (
+        cands.join(v1, on="id1")
+        .join(v2, on="id2")
+        .filter(approx >= threshold - _PREFILTER_EPS)
+    )
+    cos = _score(
+        _dot_arrays(F.col("vec1"), F.col("vec2")),
+        _norm2_array(F.col("vec1")),
+        _norm2_array(F.col("vec2")),
+    )
+    dropped = (
+        survivors.select(F.col("id2").alias("vid"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vid")
+        .distinct()
+        .withColumn("isdrop", F.lit(1))
+    )
+    per_cluster = (
+        assign.join(dropped, "vid", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("isdrop").alias("n_dropped"),
+        )
+    )
+    return per_cluster.select(
+        "cid",
+        "n_vecs",
+        "n_dropped",
+        F.round(
+            (F.col("n_vecs") - F.col("n_dropped")) / F.col("n_vecs"), 6
+        ).alias("keep_ratio"),
+    )
