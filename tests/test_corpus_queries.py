@@ -35,3 +35,57 @@ def test_dup_spans_planted_boilerplate(spark):
     assert rows["b"].n_docs == 2
     assert rows["b"].n_docs_with_dup == 0
     assert rows["b"].dup_spans == 0
+
+
+def test_semantic_dedup_drops_planted_twin(spark):
+    """An exact duplicate vector lands in its twin's cluster and the
+    higher id is dropped; totals account for the whole corpus."""
+    import random
+
+    rng = random.Random(7)
+    # 16 dims + threshold 0.999: a random pair essentially never
+    # crosses the threshold, but the exact twin scores cosine = 1.0
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    rows.append((100, list(rows[5][1])))  # exact twin of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    out = semantic_dedup(df, n_clusters=4, n_iters=2, threshold=0.999)
+    rows_out = out.collect()
+    assert sum(r.n_vecs for r in rows_out) == 41
+    assert sum(r.n_dropped for r in rows_out) == 1  # only the twin
+
+
+def test_mmr_first_pick_is_max_relevance_and_set_is_diverse(spark):
+    res = C.q88_mmr_rerank(spark, SF_DIR_ORACLE).collect()
+    assert [r.rank for r in res] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in res}) == 5
+    top = max(res, key=lambda r: r.relevance)
+    assert res[0].vec_id == top.vec_id  # round 1 is pure relevance
+    # mmr = lam*rel - mu*max_sim with max_sim in [-1, 1] (cosine can
+    # be NEGATIVE, so mmr may exceed lam*rel): assert the envelope,
+    # with the 6dp output-rounding grid as tolerance. The exact values
+    # are pinned by the oracle differential above.
+    for r in res:
+        assert 0.7 * r.relevance - 0.3 - 5e-7 <= r.mmr_score
+        assert r.mmr_score <= 0.7 * r.relevance + 0.3 + 5e-7
+
+
+def test_pagerank_mass_conserved(spark):
+    """Bidirectional graph -> no dangling leak: ranks sum to ~1."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"),
+         ("c", "a")],
+        "src string, dst string",
+    )
+    from weatherapi_data_engineering_project_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    ranks = pagerank_fixed(df, n_rounds=3).collect()
+    assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-6
+    assert all(r.rank > 0 for r in ranks)

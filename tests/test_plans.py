@@ -306,3 +306,45 @@ def test_resize_runs_on_skew_spread_shards(spark):
     plan = _plan(llm.q75_image_resize(spark, SF_DIR))
     assert "MapInPandas" in plan
     assert "size_class" in plan and "shard" in plan
+
+
+def test_dup_spans_no_broadcast_hint_no_single_partition(spark):
+    """q86: the duplicated-hash set is data-dependent and must not be
+    HINTED broadcast (the optimizer may still choose broadcast from
+    runtime/stats sizes — correct at sf0.001, impossible at 100 TB —
+    but a hint would force it at every scale), and no stage may funnel
+    the corpus through one task."""
+    from weatherapi_data_engineering_project_spark.plans import corpus as C
+
+    df = C.q86_dup_spans(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+
+
+def test_mmr_pool_is_take_ordered(spark):
+    """q88: pool selection (the only corpus-sized stage) must plan as
+    TakeOrderedAndProject, not a global ranking window."""
+    from weatherapi_data_engineering_project_spark.plans import corpus as C
+
+    plan = _plan(C.q88_mmr_rerank(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"Window \[.*row_number.*SinglePartition", plan)
+
+
+def test_pagerank_round_is_partial_agg(spark):
+    """q89: each PageRank round must push a map-side partial sum ahead
+    of the per-destination shuffle (contributions combine before they
+    move)."""
+    from weatherapi_data_engineering_project_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    plan = _plan(pagerank_fixed(edges, n_rounds=1, checkpoint=False))
+    assert "partial" in plan.lower()
+    assert "SinglePartition" not in plan

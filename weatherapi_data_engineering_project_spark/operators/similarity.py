@@ -1148,3 +1148,104 @@ def semantic_dedup(
             (F.col("n_vecs") - F.col("n_dropped")) / F.col("n_vecs"), 6
         ).alias("keep_ratio"),
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    pool_k: int = 16,
+    select_k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein
+    1998): take the pool_k most relevant vectors for the query, then
+    greedily select select_k of them, each round maximizing
+    ``lam * relevance - mu * max-similarity-to-already-selected``
+    (mu is passed explicitly, NOT computed as 1-lam: 1.0-0.7 is
+    0.30000000000000004 in binary and the oracle writes the literal
+    0.3 — both engines must multiply by the same double)
+    (empty-set max = 0, so round 1 picks pure relevance). Returns
+    (rank, vec_id, relevance, mmr_score).
+
+    Fully declarative — no driver-side greedy loop: the pool and its
+    pairwise similarity matrix are tiny persisted frames (pool_k rows /
+    pool_k^2 rows), and each greedy round is a chained anti-join +
+    max-aggregate + TakeOrderedAndProject over them, unrolled select_k
+    times into ONE plan (the same fixed-round unrolling contract that
+    makes the trainer oracles SQL-expressible). All similarities are
+    the decimal-exact _score rounded to 6 decimals, and the MMR
+    combination re-rounds to 6 before ranking with a vid tiebreak, so
+    orderings are engine-identical.
+
+    Scale shape: relevance scoring + pool selection is the distributed
+    part (a projection + top-k over the corpus); the greedy phase
+    touches only pool-sized frames — bounded like centroid state, but
+    kept inside Catalyst.
+    """
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("qvec")
+        )
+    )
+    rel = _score(
+        _dot_arrays(F.col("qvec"), F.col("xvec")),
+        _norm2_array(F.col("qvec")),
+        _norm2_array(F.col("xvec")),
+    )
+    pool = persist_tracked(
+        embeddings.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("xvec"))
+        .crossJoin(q)
+        .select("vid", "xvec", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vid")
+        .limit(pool_k)
+    )
+    sim = _score(
+        _dot_arrays(F.col("avec"), F.col("bvec")),
+        _norm2_array(F.col("avec")),
+        _norm2_array(F.col("bvec")),
+    )
+    pa = pool.select(F.col("vid").alias("a"), F.col("xvec").alias("avec"))
+    pb = pool.select(F.col("vid").alias("b"), F.col("xvec").alias("bvec"))
+    psim = persist_tracked(
+        pa.join(pb, pa.a != pb.b).select("a", "b", sim.alias("sim"))
+    )
+    slim = pool.select("vid", "rel")
+
+    picks = []
+    pick = slim.select(
+        "vid", "rel", F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr")
+    ).orderBy(F.col("rel").desc(), "vid").limit(1)
+    sel = pick.select("vid")
+    picks.append(pick.select(F.lit(1).alias("rank"), "vid", "rel", "mmr"))
+    for r in range(2, select_k + 1):
+        cand = (
+            slim.join(sel, "vid", "left_anti")
+            .join(psim, F.col("vid") == psim.a)
+            .join(sel.select(F.col("vid").alias("b")), "b")
+            .groupBy("vid", "rel")
+            .agg(F.max("sim").alias("mx"))
+        )
+        pick = cand.select(
+            "vid",
+            "rel",
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("mx"), 6
+            ).alias("mmr"),
+        ).orderBy(F.col("mmr").desc(), "vid").limit(1)
+        sel = sel.union(pick.select("vid"))
+        picks.append(
+            pick.select(F.lit(r).alias("rank"), "vid", "rel", "mmr")
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        "rank",
+        F.col("vid").alias("vec_id"),
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )

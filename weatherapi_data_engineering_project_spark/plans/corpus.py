@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators import graph as G
 from ..operators import similarity as SIM
 from ..schemas import load_table
 from .llm import _KM_CTES, _SCORE
@@ -134,9 +135,169 @@ def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(e, n_clusters=16, n_iters=3, threshold=0.4)
 
 
+def q88_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR diverse re-rank for query vec_id=0: top-16 relevance
+    pool, 5 greedy rounds of lam=0.7 relevance vs mu=0.3 redundancy,
+    unrolled into one declarative plan (see operators/similarity.py::
+    mmr_rerank). The oracle unrolls the same 5 rounds as CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.mmr_rerank(
+        e, query_id=0, pool_k=16, select_k=5, lam=0.7, mu=0.3
+    )
+
+
+def _mmr_round(r: int) -> str:
+    """One unrolled greedy-MMR round (q88 oracle): candidates are the
+    pool minus the selected set; each keeps its max similarity to any
+    selected item; the pick maximizes ROUND(0.7*rel - 0.3*mx, 6) with a
+    vid tiebreak. Both engines round before ranking, so orderings are
+    engine-identical."""
+    p = r - 1
+    return f"""
+        cand{r} AS (SELECT c.vid, c.rel, MAX(s.sim) AS mx
+                    FROM pool c
+                    JOIN psim s ON s.a = c.vid
+                    JOIN sel{p} t ON t.vid = s.b
+                    WHERE c.vid NOT IN (SELECT vid FROM sel{p})
+                    GROUP BY c.vid, c.rel),
+        pick{r} AS (SELECT vid, rel, ROUND(0.7 * rel - 0.3 * mx, 6) AS mmr
+                    FROM cand{r} ORDER BY mmr DESC, vid LIMIT 1),
+        sel{r} AS (SELECT vid FROM sel{p}
+                   UNION ALL SELECT vid FROM pick{r})"""
+
+
+def q89_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round PageRank (3 rounds, d=0.85) over the bidirectional
+    customer-supplier trading graph (distinct lineitem x orders pairs,
+    each undirected edge emitted in both directions, so no dangling
+    sinks). Top-10 nodes by the round-3 rank, which after the
+    per-round float32 snap is bit-identical across engines (see
+    operators/graph.py). Output: (rn, node, rank) rounded to 10dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    ranks = G.pagerank_fixed(edges, n_rounds=3, damping=0.85)
+    top = (
+        ranks.select("node", F.round("rank", 10).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(10)
+    )
+    from pyspark.sql.window import Window
+
+    return top.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("rank").desc(), "node")
+        ),
+    ).select("rn", "node", "rank")
+
+
+def _pr_round(i: int) -> str:
+    """One unrolled PageRank round (q89 oracle): row-local double
+    contribution, decimal per-destination sum, float32 snap (see
+    operators/graph.py for the cross-engine rationale)."""
+    p = i - 1
+    return f"""
+        r{i} AS (SELECT e.dst AS node,
+                        CAST(CAST((1.0 - 0.85) / nn.n
+                                  + 0.85 * CAST(SUM(CAST(r.rank / e.outdeg
+                                        AS DECIMAL(38,25))) AS DOUBLE)
+                             AS REAL) AS DOUBLE) AS rank
+                 FROM ed e JOIN r{p} r ON r.node = e.src, nn
+                 GROUP BY e.dst, nn.n)"""
+
+
+def q91_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic scorer over the q51
+    feature set with PLAN-LITERAL weights — the fastText/classifier
+    quality-filter shape (CCNet/LLaMA pipelines) with the model inlined
+    into the projection. A real learned model would either export to
+    this same linear form or run as an Arrow-batched Pandas UDF; the
+    Spark-side plumbing (feature extraction, scoring, thresholding) is
+    identical and fully codegen'd here — ZERO shuffle, scales with scan
+    splits.
+
+    z is written in one fixed left-associated chain and both engines
+    round the sigmoid to 6dp before the keep threshold, so the
+    keep/drop decision is engine-identical (ln/exp differ in the last
+    ulp across libms; ROUND absorbs it — the q82 convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_tok = F.size(toks)
+    punct_ratio = TX.punct_count("text").cast("double") / F.length("text")
+    stop_ratio = TX.stopword_count(toks).cast("double") / n_tok
+    avg_len = (
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok
+    )
+    z = (
+        F.lit(-1.2)
+        + F.lit(0.35) * F.log(F.lit(1.0) + n_tok)
+        - F.lit(8.0) * punct_ratio
+        + F.lit(6.0) * stop_ratio
+        - F.lit(0.15) * avg_len
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+def q92_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per source: pieces/word and chars/piece
+    under the BPE-ish regex pre-tokenizer (q61's subword counter rolled
+    up per domain) — the standard signal for how expensive each corpus
+    domain is to tokenize. All counts are exact integers summed
+    map-side; the two ratios divide once per source."""
+    from .extensions import _BPE_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    words = F.size(TX.tokens("text"))
+    per = d.select(
+        "source",
+        F.length("text").alias("nc"),
+        pieces.alias("np"),
+        words.alias("nw"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.sum("np").alias("total_pieces"),
+        F.sum("nw").alias("total_words"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_pieces",
+        "total_words",
+        F.round(F.col("total_pieces") / F.col("total_words"), 6).alias(
+            "pieces_per_word"
+        ),
+        F.round(F.col("total_chars") / F.col("total_pieces"), 6).alias(
+            "chars_per_piece"
+        ),
+    )
+
+
 QUERIES = {
     "q86_dup_spans": q86_dup_spans,
     "q87_semantic_dedup": q87_semantic_dedup,
+    "q88_mmr_rerank": q88_mmr_rerank,
+    "q89_pagerank": q89_pagerank,
+    "q91_quality_model": q91_quality_model,
+    "q92_tokenizer_fertility": q92_tokenizer_fertility,
 }
 
 ORACLE = {
@@ -224,4 +385,122 @@ ORACLE = {
         FROM kassign a LEFT JOIN dropped dr ON dr.vid = a.vid
         GROUP BY a.cid
     """,
+    # q88: pool + pairwise-sim CTEs, then the 5 greedy rounds unrolled
+    # (round 1 is pure relevance: empty-selected-set max = 0).
+    "q88_mmr_rerank": f"""
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        qd AS (SELECT x.vec_id AS vid,
+                      SUM(CAST(q.v * x.v AS DECIMAL(38,25))) AS dot
+               FROM e q JOIN e x ON x.pos = q.pos AND x.vec_id <> 0
+               WHERE q.vec_id = 0
+               GROUP BY x.vec_id),
+        rels AS (SELECT d.vid,
+                        {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nx.n2")}
+                            AS rel
+                 FROM qd d
+                 JOIN norms nq ON nq.vec_id = 0
+                 JOIN norms nx ON nx.vec_id = d.vid),
+        pool AS (SELECT vid, rel FROM (
+                   SELECT vid, rel,
+                          ROW_NUMBER() OVER (ORDER BY rel DESC, vid) AS rn
+                   FROM rels) WHERE rn <= 16),
+        pd AS (SELECT a.vid AS a, b.vid AS b,
+                      SUM(CAST(ea.v * eb.v AS DECIMAL(38,25))) AS dot
+               FROM pool a JOIN pool b ON a.vid <> b.vid
+               JOIN e ea ON ea.vec_id = a.vid
+               JOIN e eb ON eb.vec_id = b.vid AND eb.pos = ea.pos
+               GROUP BY a.vid, b.vid),
+        psim AS (SELECT d.a, d.b,
+                        {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")}
+                            AS sim
+                 FROM pd d
+                 JOIN norms na ON na.vec_id = d.a
+                 JOIN norms nb ON nb.vec_id = d.b),
+        pick1 AS (SELECT vid, rel, ROUND(0.7 * rel, 6) AS mmr
+                  FROM pool ORDER BY rel DESC, vid LIMIT 1),
+        sel1 AS (SELECT vid FROM pick1),"""
+    + ",".join(_mmr_round(r) for r in range(2, 6))
+    + """
+        SELECT 1 AS rank, vid AS vec_id, rel AS relevance, mmr AS mmr_score
+        FROM pick1
+        UNION ALL SELECT 2, vid, rel, mmr FROM pick2
+        UNION ALL SELECT 3, vid, rel, mmr FROM pick3
+        UNION ALL SELECT 4, vid, rel, mmr FROM pick4
+        UNION ALL SELECT 5, vid, rel, mmr FROM pick5
+    """,
+    # q89: graph CTEs + 3 unrolled PageRank rounds (float32-snapped).
+    "q89_pagerank": """
+        WITH pairs AS (SELECT DISTINCT
+                           'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                           's' || CAST(l.l_suppkey AS VARCHAR) AS s
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        e AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        ed AS (SELECT e.src, e.dst, od.outdeg
+               FROM e JOIN od ON od.src = e.src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),"""
+    + ",".join(_pr_round(i) for i in (1, 2, 3))
+    + """
+        SELECT ROW_NUMBER() OVER (ORDER BY ROUND(rank, 10) DESC, node)
+                   AS rn,
+               node, ROUND(rank, 10) AS rank
+        FROM r3
+        ORDER BY rn LIMIT 10
+    """,
+    "q91_quality_model": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                   CAST(len(list_filter({_TOK},
+                            t -> t IN ('the','a','of','and','to','in',
+                                       'is','it'))) AS DOUBLE)
+                       / len({_TOK}) AS stop_ratio,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS DOUBLE) / len({_TOK}) AS avg_tok_len
+            FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(-1.2
+                       + 0.35 * ln(1.0 + n_tokens)
+                       - 8.0 * punct_ratio
+                       + 6.0 * stop_ratio
+                       - 0.15 * avg_tok_len))), 6) AS quality_prob
+            FROM feats)
+        SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep
+        FROM scored
+    """,
+    "q92_tokenizer_fertility": f"""
+        WITH per AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '{{BPE}}'))) AS BIGINT) AS total_pieces,
+                   CAST(SUM(len({_TOK})) AS BIGINT) AS total_words
+            FROM documents GROUP BY source)
+        SELECT source, n_docs, total_chars, total_pieces, total_words,
+               ROUND(CAST(total_pieces AS DOUBLE) / total_words, 6)
+                   AS pieces_per_word,
+               ROUND(CAST(total_chars AS DOUBLE) / total_pieces, 6)
+                   AS chars_per_piece
+        FROM per
+    """,
 }
+
+# splice the BPE pattern in after dict construction (it contains quotes
+# that must be SQL-escaped the same way q61's oracle escapes them)
+from .extensions import _BPE_PATTERN as _BPE  # noqa: E402
+
+ORACLE["q92_tokenizer_fertility"] = ORACLE["q92_tokenizer_fertility"].replace(
+    "{BPE}", _BPE.replace("'", "''")
+)

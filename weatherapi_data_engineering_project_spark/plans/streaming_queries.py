@@ -347,12 +347,99 @@ def q84_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the canonical streaming
+    dimension join: each arriving event is joined (broadcast, zero
+    stream-side shuffle for the join) to a STATIC per-user profile
+    computed from the warehouse, then rolled up per event_type into
+    counts of events beating their user's historical mean.
+
+    Like q70/q76 the replay copy is ONE file => one micro-batch, so
+    the drained result equals the batch join exactly and the query
+    carries a full SQL oracle — hash-certifying the stream-static join
+    plan itself. The above-mean test multiplies through by the count
+    (value * n > sum, all exact decimal) instead of dividing, so no
+    float division enters the comparison on either engine.
+
+    Scale: the profile is dimension-sized and explicitly broadcast;
+    the stream side never shuffles before the (map-side) join; the
+    rollup is a partial agg over event_type. At production scale the
+    profile would refresh per trigger from the upsert path (M1) —
+    the join plan is identical.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _work_dir("q90", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    s2 = _cloned_session(spark)
+    profile = (
+        load_table(s2, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("hist_sum"),
+            F.count(F.lit(1)).alias("hist_n"),
+        )
+    )
+    stream = s2.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ).parquet(src)
+    above = (
+        F.col("value").cast("decimal(18,2)") * F.col("hist_n")
+        > F.col("hist_sum")
+    ).cast("long")
+    agg = (
+        stream.join(F.broadcast(profile), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(above).alias("n_above_user_mean"),
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events bigint, "
+            "n_above_user_mean bigint, above_ratio double",
+        )
+    res = spark.read.parquet(out)
+    return res.select(
+        "event_type",
+        "n_events",
+        "n_above_user_mean",
+        F.round(F.col("n_above_user_mean") / F.col("n_events"), 6).alias(
+            "above_ratio"
+        ),
+    )
+
+
 QUERIES = {
     "q42_stateful_totals": q42_stateful_totals,
     "q43_approx_distinct": q43_approx_distinct,
     "q70_stream_interval_join": q70_stream_interval_join,
     "q76_stream_dedup": q76_stream_dedup,
     "q84_continuous_rollup": q84_continuous_rollup,
+    "q90_stream_static_enrich": q90_stream_static_enrich,
 }
 
 # q42/q43 are rows-only (state-store program / foreign sketch); q70's
@@ -361,6 +448,24 @@ QUERIES = {
 # batch-boundary-INdependent, so its multi-batch drain carries a full
 # oracle too.
 ORACLE: dict[str, str] = {
+    "q90_stream_static_enrich": """
+        WITH prof AS (SELECT user_id,
+                             SUM(CAST(value AS DECIMAL(18,2))) AS hist_sum,
+                             COUNT(*) AS hist_n
+                      FROM events GROUP BY user_id)
+        SELECT e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(18,2)) * p.hist_n
+                                  > p.hist_sum
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above_user_mean,
+               ROUND(CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(18,2))
+                                        * p.hist_n > p.hist_sum
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS above_ratio
+        FROM events e JOIN prof p ON p.user_id = e.user_id
+        GROUP BY e.event_type
+    """,
     "q84_continuous_rollup": """
         SELECT date_trunc('hour', ts) AS hour_start,
                event_type,
