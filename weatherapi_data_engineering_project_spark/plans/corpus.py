@@ -291,6 +291,114 @@ def q92_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_of(c):
+    """The q79 deterministic split rule applied to an id column — first
+    md5 byte carves <5% test / ~5% val / rest train, reproducible under
+    any partitioning."""
+    h2 = F.substring(F.md5(c.cast("string")), 1, 2)
+    return (
+        F.when(h2 < "0d", F.lit("test"))
+        .when(h2 < "1a", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def q93_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/test contamination audit: q63 catches shingle
+    overlap, this catches paraphrase-level leakage — a test-split
+    vector with a train-split neighbor at cosine >= 0.35. Composes two
+    verified components: the q29 banded sign-LSH near-dup pairs (the
+    candidates-only quadratic guard) and the q79 deterministic split
+    rule, applied to vec_id. Output: one row per contaminated test
+    vector with its train-neighbor count and worst (max) cosine.
+
+    Scale: identical to q29 (signatures shuffle, verifiers see
+    candidate pairs only) plus a projection — the split labels are
+    row-local md5 arithmetic, never a join against a split table."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_neardup_pairs(
+        e, threshold=0.35, n_bands=4, band_bits=4
+    )
+    p = pairs.select(
+        "id1", "id2", "cosine",
+        _split_of(F.col("id1")).alias("s1"),
+        _split_of(F.col("id2")).alias("s2"),
+    )
+    cross = p.filter(
+        ((F.col("s1") == "test") & (F.col("s2") == "train"))
+        | ((F.col("s1") == "train") & (F.col("s2") == "test"))
+    )
+    t = cross.select(
+        F.when(F.col("s1") == "test", F.col("id1"))
+        .otherwise(F.col("id2"))
+        .alias("test_id"),
+        "cosine",
+    )
+    return t.groupBy("test_id").agg(
+        F.count(F.lit(1)).alias("n_train_neighbors"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def q94_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q86's ACTIONABLE twin (q72 is to q47 what this is to q86):
+    actually remove the cross-document duplicated spans. A token is
+    scrubbed iff it is covered by any flagged 8-token window of its
+    document; the retained tokens are re-joined and fingerprinted.
+    Output per affected doc: before/after token counts + the scrubbed
+    text's md5 (docs with nothing to scrub are excluded — the rewrite
+    set, not the whole corpus).
+
+    Plan shape: the q86 pipeline up to the flagged (doc_id, pos) set,
+    then ONE aggregation collecting each affected doc's flagged
+    positions into an array and a row-local higher-order filter over
+    the token array (coverage test per token against the tiny per-doc
+    position list) — the corpus text itself never shuffles; only
+    affected docs re-materialize."""
+    d = load_table(spark, sf_dir, "documents")
+    k = _SPAN_K
+    toks = d.select("doc_id", TX.tokens("text").alias("t"))
+    n = F.size("t")
+    span_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = (
+        toks.select("doc_id", F.posexplode_outer(span_arr).alias("pos0", "h"))
+        .filter(F.col("h").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = spans.join(dup, "h", "left_semi").groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("ps")
+    )
+    scrubbed = flagged.join(toks, "doc_id").select(
+        "doc_id",
+        F.size("t").alias("n_tokens_before"),
+        F.filter(
+            F.col("t"),
+            lambda tok, i: ~F.exists(
+                F.col("ps"),
+                lambda p: (p <= i + 1) & (i + 1 <= p + (k - 1)),
+            ),
+        ).alias("kept"),
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_tokens_before",
+        F.size("kept").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("scrubbed_fp"),
+    )
+
+
 QUERIES = {
     "q86_dup_spans": q86_dup_spans,
     "q87_semantic_dedup": q87_semantic_dedup,
@@ -298,6 +406,8 @@ QUERIES = {
     "q89_pagerank": q89_pagerank,
     "q91_quality_model": q91_quality_model,
     "q92_tokenizer_fertility": q92_tokenizer_fertility,
+    "q93_semantic_contamination": q93_semantic_contamination,
+    "q94_span_scrub": q94_span_scrub,
 }
 
 ORACLE = {
@@ -455,6 +565,41 @@ ORACLE = {
         FROM r3
         ORDER BY rn LIMIT 10
     """,
+    # q94: q86's span pipeline with positions, then a per-doc list
+    # rebuild. DuckDB zips parallel unnests (the q29 band idiom) to
+    # pair each position with its hash; the coverage test is a nested
+    # list_filter lambda (1-based index; Spark's HOF index is 0-based,
+    # hence the +1 on the Spark side).
+    "q94_span_scrub": f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        spans AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - {_SPAN_K - 2})) AS pos,
+                   unnest(list_transform(
+                       range(1, len(t) - {_SPAN_K - 2}),
+                       i -> md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' '))
+                   )) AS h
+            FROM toks WHERE len(t) >= {_SPAN_K}),
+        dup AS (SELECT h FROM spans
+                GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        flagged AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+                    FROM spans WHERE h IN (SELECT h FROM dup)
+                    GROUP BY doc_id),
+        scr AS (SELECT f.doc_id,
+                       len(t.t) AS n_tokens_before,
+                       list_filter(t.t,
+                           (tok, i) -> len(list_filter(f.ps,
+                               p -> p <= i AND i <= p + {_SPAN_K - 1})) = 0
+                       ) AS kept
+                FROM flagged f JOIN toks t ON t.doc_id = f.doc_id)
+        SELECT doc_id, n_tokens_before,
+               len(kept) AS n_tokens_after,
+               -- COALESCE: array_to_string([]) is NULL in DuckDB but
+               -- concat_ws('') is '' in Spark (fully-scrubbed docs)
+               md5(COALESCE(array_to_string(kept, ' '), ''))
+                   AS scrubbed_fp
+        FROM scr
+    """,
     "q91_quality_model": f"""
         WITH feats AS (
             SELECT doc_id,
@@ -504,3 +649,36 @@ from .extensions import _BPE_PATTERN as _BPE  # noqa: E402
 ORACLE["q92_tokenizer_fertility"] = ORACLE["q92_tokenizer_fertility"].replace(
     "{BPE}", _BPE.replace("'", "''")
 )
+
+# q93's oracle nests q29's whole verified near-dup oracle as the pair
+# source (same bands, same decimal verify) at the q93 threshold, then
+# applies the q79 split rule and the cross-split rollup.
+from .llm import ORACLE as _LLM_ORACLE  # noqa: E402
+
+_PAIRS_35 = _LLM_ORACLE["q29_embed_neardup"].replace(
+    "WHERE cosine >= 0.4", "WHERE cosine >= 0.35"
+)
+assert "WHERE cosine >= 0.35" in _PAIRS_35  # guard against q29 edits
+
+_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < '0d' THEN 'test' "
+    "WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < '1a' THEN 'val' "
+    "ELSE 'train' END"
+)
+
+ORACLE["q93_semantic_contamination"] = f"""
+    WITH pairs AS ({_PAIRS_35}),
+    lab AS (SELECT id1, id2, cosine,
+                   {_SPLIT_SQL.format(c="id1")} AS s1,
+                   {_SPLIT_SQL.format(c="id2")} AS s2
+            FROM pairs),
+    x AS (SELECT CASE WHEN s1 = 'test' THEN id1 ELSE id2 END AS test_id,
+                 cosine
+          FROM lab
+          WHERE (s1 = 'test' AND s2 = 'train')
+             OR (s1 = 'train' AND s2 = 'test'))
+    SELECT test_id,
+           COUNT(*) AS n_train_neighbors,
+           MAX(cosine) AS max_cosine
+    FROM x GROUP BY test_id
+"""
