@@ -1195,13 +1195,21 @@ def mmr_rerank(
         _norm2_array(F.col("qvec")),
         _norm2_array(F.col("xvec")),
     )
-    pool = persist_tracked(
+    # localCheckpoint (EAGER), not lazy persist: the final plan is a
+    # UNION of select_k picks, each referencing pool/psim — a lazy
+    # cache materializes inside that one action and the concurrent
+    # union branches each re-derive the corpus-sized scoring subplan
+    # before the cache fills (measured ~3x the wall on the first
+    # bench). Checkpointing the 16-row pool up front makes every
+    # greedy round read a tiny materialized frame.
+    pool = (
         embeddings.filter(F.col(id_col) != query_id)
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("xvec"))
         .crossJoin(q)
         .select("vid", "xvec", rel.alias("rel"))
         .orderBy(F.col("rel").desc(), "vid")
         .limit(pool_k)
+        .localCheckpoint()
     )
     sim = _score(
         _dot_arrays(F.col("avec"), F.col("bvec")),
@@ -1210,9 +1218,9 @@ def mmr_rerank(
     )
     pa = pool.select(F.col("vid").alias("a"), F.col("xvec").alias("avec"))
     pb = pool.select(F.col("vid").alias("b"), F.col("xvec").alias("bvec"))
-    psim = persist_tracked(
-        pa.join(pb, pa.a != pb.b).select("a", "b", sim.alias("sim"))
-    )
+    psim = pa.join(pb, pa.a != pb.b).select(
+        "a", "b", sim.alias("sim")
+    ).localCheckpoint()
     slim = pool.select("vid", "rel")
 
     picks = []
