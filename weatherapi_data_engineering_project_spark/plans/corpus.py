@@ -232,12 +232,24 @@ def q91_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop decision is engine-identical (ln/exp differ in the last
     ulp across libms; ROUND absorbs it — the q82 convention)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
+    prob = _quality_prob()
+    return d.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+def _quality_prob(text_col: str = "text"):
+    """The q91 logistic scorer as a reusable column (shared with the
+    q96 composite so the model cannot drift between them)."""
+    toks = TX.tokens(text_col)
     n_tok = F.size(toks)
-    punct_ratio = TX.punct_count("text").cast("double") / F.length("text")
+    punct_ratio = TX.punct_count(text_col).cast("double") / F.length(text_col)
     stop_ratio = TX.stopword_count(toks).cast("double") / n_tok
     avg_len = (
-        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok
+        F.length(F.regexp_replace(text_col, r"\s+", "")).cast("double")
+        / n_tok
     )
     z = (
         F.lit(-1.2)
@@ -246,12 +258,7 @@ def q91_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(6.0) * stop_ratio
         - F.lit(0.15) * avg_len
     )
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return d.select(
-        "doc_id",
-        prob.alias("quality_prob"),
-        (prob >= 0.5).alias("keep"),
-    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
 
 
 def q92_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,6 +406,82 @@ def q94_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (P50/P90/P99 of lineitem extendedprice) —
+    the exact twin of q62's GK sketches, computed distributed with NO
+    single-task sort AND with bucket pruning: an approxQuantile stats
+    pass carves ~32 value buckets, the per-bucket count vector (a ≤33
+    row collect) locates which buckets contain the target ranks, and
+    ONLY those buckets are re-scanned and locally ranked — the exact
+    answer touches ~3/32 of the data after the stats pass. Boundary
+    choice cannot affect the answer (ranks are exact whatever the
+    buckets are; the q49/q65 technique).
+
+    Quantile contract: type-1 (k-th smallest, k = ceil(q*N) computed in
+    INTEGER arithmetic — 0.9*N in binary floats can straddle a whole
+    number), ties broken by (l_orderkey, l_linenumber) so both engines
+    rank identically."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_extendedprice").cast("double").alias("pd"),
+    )
+    bnds = sorted(
+        set(li.approxQuantile("pd", [i / 32 for i in range(1, 32)], 0.01))
+    )
+    bucket = F.size(
+        F.filter(
+            F.lit(bnds).cast("array<double>"), lambda b: b < F.col("pd")
+        )
+    )
+    bucketed = li.withColumn("bkt", bucket)
+    counts = {
+        int(r["bkt"]): int(r["n"])
+        for r in bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
+    n_buckets = (max(counts) + 1) if counts else 1
+    offs, acc = [], 0
+    for b in range(n_buckets):
+        offs.append(acc)
+        acc += counts.get(b, 0)
+    targets = {
+        "p50": (n + 1) // 2,
+        "p90": (9 * n + 9) // 10,
+        "p99": (99 * n + 99) // 100,
+    }
+    hit_buckets = set()
+    for k in targets.values():
+        for b in range(n_buckets):
+            if offs[b] < k <= offs[b] + counts.get(b, 0):
+                hit_buckets.add(b)
+    from pyspark.sql.window import Window
+
+    pruned = bucketed.filter(F.col("bkt").isin(sorted(hit_buckets)))
+    wl = Window.partitionBy("bkt").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    off_arr = "array(" + ",".join(f"{x}L" for x in offs) + ")"
+    ranked = pruned.withColumn("lr", F.row_number().over(wl)).withColumn(
+        "gr", F.expr(f"element_at({off_arr}, bkt + 1) + lr")
+    )
+    label = F.lit(None).cast("string")
+    for name, k in sorted(targets.items()):
+        label = F.when(F.col("gr") == k, F.lit(name)).otherwise(label)
+    return (
+        ranked.withColumn("q", label)
+        .filter(F.col("q").isNotNull())
+        .select(
+            "q",
+            F.col("gr").alias("k"),
+            F.col("price").cast("double").alias("value"),
+        )
+    )
+
+
 QUERIES = {
     "q86_dup_spans": q86_dup_spans,
     "q87_semantic_dedup": q87_semantic_dedup,
@@ -408,7 +491,85 @@ QUERIES = {
     "q92_tokenizer_fertility": q92_tokenizer_fertility,
     "q93_semantic_contamination": q93_semantic_contamination,
     "q94_span_scrub": q94_span_scrub,
+    "q95_exact_quantiles": q95_exact_quantiles,
 }
+
+
+def q96_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second flagship composite (q77's curation-side sibling), chaining
+    the round-4b operators end to end over raw documents:
+    1. model-based quality gate — keep docs with q91 prob >= 0.5;
+    2. span-level scrub among the SURVIVORS — q86/q94's duplicated
+       8-token windows recomputed on the kept set (dedup after
+       filtering, the production order), covered tokens removed;
+    3. minimum-length gate — drop docs left with < 5 tokens;
+    4. q79 split carve + per (source, split) doc/token budgets —
+       the manifest a training run materializes.
+    Every stage is a verified component; the oracle is the same CTE
+    chain, so the COMPOSITION (filter pushdown across stages, the
+    survivor-only dup recompute) is what this query certifies.
+
+    Scale: quality gate is a scan-side projection (pushes below
+    everything); span scrub shuffles only 16-byte hashes of the
+    surviving corpus; the rollup is a partial agg on (source, split).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k = _SPAN_K
+    kept_docs = d.filter(_quality_prob() >= 0.5)
+    toks = kept_docs.select(
+        "doc_id", "source", TX.tokens("text").alias("t")
+    )
+    n = F.size("t")
+    span_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = (
+        toks.select("doc_id", F.posexplode_outer(span_arr).alias("pos0", "h"))
+        .filter(F.col("h").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = spans.join(dup, "h", "left_semi").groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("ps")
+    )
+    scrubbed = toks.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.when(F.col("ps").isNull(), F.col("t"))
+        .otherwise(
+            F.filter(
+                F.col("t"),
+                lambda tok, i: ~F.exists(
+                    F.col("ps"),
+                    lambda p: (p <= i + 1) & (i + 1 <= p + (k - 1)),
+                ),
+            )
+        )
+        .alias("kept"),
+    )
+    final = scrubbed.select(
+        "doc_id", "source", F.size("kept").alias("nt")
+    ).filter(F.col("nt") >= 5)
+    return (
+        final.select("source", _split_of(F.col("doc_id")).alias("split"), "nt")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+
+
+QUERIES["q96_curation_pipeline"] = q96_curation_pipeline
 
 ORACLE = {
     "q86_dup_spans": f"""
@@ -564,6 +725,83 @@ ORACLE = {
                node, ROUND(rank, 10) AS rank
         FROM r3
         ORDER BY rn LIMIT 10
+    """,
+    # q96: the q91 scorer CTE -> survivor-only q94 span scrub -> length
+    # gate -> q79 split carve -> (source, split) rollup, as one chain.
+    "q96_curation_pipeline": f"""
+        WITH feats AS (
+            SELECT doc_id, source, text,
+                   len({_TOK}) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                   CAST(len(list_filter({_TOK},
+                            t -> t IN ('the','a','of','and','to','in',
+                                       'is','it'))) AS DOUBLE)
+                       / len({_TOK}) AS stop_ratio,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS DOUBLE) / len({_TOK}) AS avg_tok_len
+            FROM documents),
+        kept_docs AS (
+            SELECT doc_id, source, text FROM feats
+            WHERE ROUND(1.0 / (1.0 + exp(-(-1.2
+                      + 0.35 * ln(1.0 + n_tokens)
+                      - 8.0 * punct_ratio
+                      + 6.0 * stop_ratio
+                      - 0.15 * avg_tok_len))), 6) >= 0.5),
+        toks AS (SELECT doc_id, source, {_TOK} AS t FROM kept_docs),
+        spans AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - {_SPAN_K - 2})) AS pos,
+                   unnest(list_transform(
+                       range(1, len(t) - {_SPAN_K - 2}),
+                       i -> md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' '))
+                   )) AS h
+            FROM toks WHERE len(t) >= {_SPAN_K}),
+        dup AS (SELECT h FROM spans
+                GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        flagged AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+                    FROM spans WHERE h IN (SELECT h FROM dup)
+                    GROUP BY doc_id),
+        scrubbed AS (
+            SELECT t.doc_id, t.source,
+                   CASE WHEN f.ps IS NULL THEN len(t.t)
+                        ELSE len(list_filter(t.t,
+                            (tok, i) -> len(list_filter(f.ps,
+                                p -> p <= i AND i <= p + {_SPAN_K - 1})) = 0))
+                        END AS nt
+            FROM toks t LEFT JOIN flagged f ON f.doc_id = t.doc_id),
+        final AS (SELECT * FROM scrubbed WHERE nt >= 5)
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                    THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'val'
+                    ELSE 'train' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM final
+        GROUP BY 1, 2
+    """,
+    # q95: type-1 quantiles — k-th smallest with k in INTEGER ceil
+    # arithmetic, (price, orderkey, linenumber) tiebreak. The oracle is
+    # the single-window form; the engine's bucketed plan must land on
+    # the identical rows.
+    "q95_exact_quantiles": """
+        WITH r AS (SELECT l_extendedprice AS price,
+                          ROW_NUMBER() OVER (
+                              ORDER BY l_extendedprice, l_orderkey,
+                                       l_linenumber) AS rn
+                   FROM lineitem),
+        nn AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT 'p50' AS q, CAST(rn AS BIGINT) AS k,
+               CAST(price AS DOUBLE) AS value
+        FROM r, nn WHERE rn = (nn.n + 1) // 2
+        UNION ALL
+        SELECT 'p90', CAST(rn AS BIGINT), CAST(price AS DOUBLE)
+        FROM r, nn WHERE rn = (9 * nn.n + 9) // 10
+        UNION ALL
+        SELECT 'p99', CAST(rn AS BIGINT), CAST(price AS DOUBLE)
+        FROM r, nn WHERE rn = (99 * nn.n + 99) // 100
     """,
     # q94: q86's span pipeline with positions, then a per-doc list
     # rebuild. DuckDB zips parallel unnests (the q29 band idiom) to
