@@ -1,0 +1,225 @@
+"""Event-behavior analytics + frequency mining (round 4b, part 2).
+
+Engine extensions beyond the reference (SURVEY.md §2.I): the event-log
+analytics a product warehouse runs daily (ordered funnels, retention
+cohorts) and an exact heavy-hitters operator whose candidate stage is
+the per-batch frequent-items pruning trick — the only Python in this
+module, and it is an Arrow-vectorized candidate GENERATOR whose final
+answer is recomputed exactly in SQL-land (so the query still carries a
+full DuckDB oracle).
+
+Scale notes (100 TB story):
+- q97/q98 are join + partial-agg chains keyed on user_id — no windows,
+  no single-task stages; the per-user min-timestamp frames shuffle one
+  row per user per step.
+- q99's candidate stage reads each Arrow batch once and emits only
+  terms that are frequent WITHIN that batch (pigeonhole: a term with
+  global share >= theta must reach theta-share in at least one batch,
+  so the union of per-batch frequent terms is a guaranteed superset of
+  the true heavy hitters). The exact verify then counts ONLY rows
+  matching candidates — the full distinct-term aggregation never
+  happens, which is the point at a 100 TB vocabulary. The threshold
+  compare is integer arithmetic (count*1000 >= 34*N), never a float.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..schemas import load_table
+
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# q99 heavy-hitter share: theta = 34/1000 (3.4%) — chosen inside the
+# testdata's term-share spread so the cut is non-trivial at every SF.
+_HH_NUM = 34
+_HH_DEN = 1000
+
+
+def q97_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event log: per user, the
+    earliest 'view', then the earliest 'click' within (0, 1 hour]
+    after it, then the earliest 'purchase' within (0, 1 hour] after
+    that; a user's depth is how many stages they completed (0..3).
+    Output: depth, n_users. The stage window is what makes the funnel
+    discriminate — unbounded stages saturate on any dense log.
+
+    The classic warehouse funnel without MATCH_RECOGNIZE: each stage is
+    one (filtered) min-timestamp aggregate joined to the previous
+    stage — per-user single rows shuffle, never event history."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        users.join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .select(
+            (
+                F.coalesce(F.col("s1"), F.lit(0))
+                + F.coalesce(F.col("s2"), F.lit(0))
+                + F.coalesce(F.col("s3"), F.lit(0))
+            ).alias("depth")
+        )
+    )
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def q98_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-activity day,
+    then for each later active day the distinct-user count at that day
+    offset — the standard cohort-retention matrix. Two partial aggs
+    (first-day per user, distinct activity days) and one join; the
+    matrix is (days x days)-sized, never event-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _frequent_in_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-Arrow-batch frequent-term candidate generator (q99): exact
+    value_counts within the batch, emit terms at >= theta share OF THE
+    BATCH. Vectorized (no per-row Python); superset guarantee by
+    pigeonhole — see module docstring."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        vc = pdf["term"].value_counts()
+        yield pd.DataFrame(
+            {"term": vc[vc * _HH_DEN >= _HH_NUM * len(pdf)].index}
+        )
+
+
+def q99_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (terms with share >= 3.4%) without
+    aggregating the full vocabulary: an Arrow-batched per-batch
+    frequent-items pass emits a guaranteed-superset candidate list
+    (tiny), the token stream is semi-joined to it, and only candidate
+    terms get exact counts. The final threshold is the integer compare
+    count*1000 >= 34*N — the answer is bit-exact and the oracle is the
+    plain GROUP BY ... HAVING twin."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode_outer(TX.tokens("text")).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    cands = (
+        toks.mapInPandas(_frequent_in_batch, "term string")
+        .distinct()
+    )
+    n = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        toks.join(cands, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("n_term") * _HH_DEN >= F.lit(_HH_NUM) * F.col("n_total")
+        )
+        .select(
+            "term",
+            "n_term",
+            F.round(F.col("n_term") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+QUERIES = {
+    "q97_funnel_depth": q97_funnel_depth,
+    "q98_retention_cohorts": q98_retention_cohorts,
+    "q99_heavy_hitters": q99_heavy_hitters,
+}
+
+ORACLE = {
+    "q97_funnel_depth": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+                AND e.ts <= v.t1 + INTERVAL 1 HOUR
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                AND e.ts <= c.t2 + INTERVAL 1 HOUR
+              GROUP BY e.user_id),
+        d AS (SELECT (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+                         AS depth
+              FROM u LEFT JOIN v ON v.user_id = u.user_id
+                     LEFT JOIN c ON c.user_id = u.user_id
+                     LEFT JOIN p ON p.user_id = u.user_id)
+        SELECT depth, COUNT(*) AS n_users FROM d GROUP BY depth
+    """,
+    "q98_retention_cohorts": """
+        WITH first AS (SELECT user_id,
+                              CAST(date_trunc('day', MIN(ts)) AS DATE)
+                                  AS cohort_day
+                       FROM events GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS DATE) AS day
+                   FROM events)
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, a.day) AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first f ON f.user_id = a.user_id
+        GROUP BY 1, 2
+    """,
+    "q99_heavy_hitters": f"""
+        WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents),
+        nn AS (SELECT COUNT(*) AS n_total FROM tok)
+        SELECT term,
+               COUNT(*) AS n_term,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / nn.n_total, 6) AS share
+        FROM tok, nn
+        GROUP BY term, nn.n_total
+        HAVING COUNT(*) * {_HH_DEN} >= {_HH_NUM} * nn.n_total
+    """,
+}
