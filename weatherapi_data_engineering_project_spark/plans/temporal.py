@@ -1,0 +1,229 @@
+"""Temporal warehouse operators (round 4b, part 3): SCD2 dimension
+history, time-weighted averages, calendar gap-filling.
+
+Engine extensions beyond the reference (SURVEY.md §2.I), extending its
+warehouse theme: the reference's MERGE upserts keep only current state
+(type-1); q100 derives the full type-2 validity history. q101/q102 are
+the hypertable-style time-series operators (TWAP, gapfill+locf) that a
+metrics warehouse layers on an event log.
+
+Scale notes (100 TB story):
+- All three window over (user_id) partitions — per-entity history is
+  the natural partition and is bounded; no global sorts anywhere.
+- q101's weighted sums accumulate decimal(value) x integer(microsecond
+  duration) — both exact, so the per-user TWAP is partitioning-
+  independent and the only float op is the final division.
+- q102 generates each user's calendar with sequence() row-locally
+  (days-per-user array, no cross join against a calendar table) and
+  forward-fills with last(..., ignorenulls=True) over the bounded
+  per-user frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+
+
+def q100_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history derived from the event
+    log: per user, consecutive runs of the same event_type collapse
+    into one VERSION row with [valid_from, valid_to) bounds and an
+    is_current flag — the gaps-and-islands + LEAD construction every
+    warehouse uses to upgrade type-1 state to auditable history
+    (the reference's MERGE keeps only current state; this is the
+    history it discards). Ties broken by event_id so version
+    boundaries are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "is_new",
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).cast("long"),
+    )
+    versioned = marked.withColumn(
+        "version",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+def q101_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over the event series:
+    each event's value holds until the user's next event (piecewise-
+    constant), weighted by that duration in microseconds; the last
+    event carries zero weight. TWAP = sum(value * dur) / sum(dur),
+    accumulated as exact decimal x integer so the result is
+    partitioning-independent; only the final division is float,
+    rounded to 6dp on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    agg = delta.groupBy("user_id").agg(
+        F.sum(F.col("v") * F.col("dur_us")).alias("wsum"),
+        F.sum("dur_us").alias("dsum"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        F.round(
+            F.col("wsum").cast("double") / F.col("dsum").cast("double"), 6
+        ).alias("twap"),
+    )
+
+
+def q102_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with last-observation-carried-forward: per
+    user, every day from first to last activity; days with events
+    report that day's LAST value (by ts, event_id), silent days carry
+    the previous value forward and are flagged filled=true — the
+    time_bucket_gapfill + locf pair of hypertable warehouses. The
+    calendar is generated row-locally per user (sequence over the
+    day span), never via a cross join against a calendar table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.struct("ts", "event_id", F.col("value").alias("v")).alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max("s")["v"].alias("day_value"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(wfill).alias("value"),
+        F.col("day_value").isNull().alias("filled"),
+    )
+
+
+QUERIES = {
+    "q100_scd2_history": q100_scd2_history,
+    "q101_twap": q101_twap,
+    "q102_gapfill_locf": q102_gapfill_locf,
+}
+
+ORACLE = {
+    "q100_scd2_history": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER w IS NULL
+                             OR LAG(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        versioned AS (
+            SELECT user_id, ts, event_type,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+            FROM marked),
+        runs AS (
+            SELECT user_id, version,
+                   any_value(event_type) AS state,
+                   MIN(ts) AS valid_from,
+                   COUNT(*) AS n_events
+            FROM versioned GROUP BY user_id, version)
+        SELECT user_id, version, state, valid_from,
+               LEAD(valid_from) OVER wv AS valid_to,
+               LEAD(valid_from) OVER wv IS NULL AS is_current,
+               n_events
+        FROM runs
+        WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+    "q101_twap": """
+        WITH delta AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(18,2)) AS v,
+                   epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dur_us
+            FROM events),
+        agg AS (
+            SELECT user_id,
+                   SUM(v * dur_us) AS wsum,
+                   CAST(SUM(dur_us) AS BIGINT) AS dsum,
+                   COUNT(*) AS n_intervals
+            FROM delta WHERE dur_us IS NOT NULL
+            GROUP BY user_id)
+        SELECT user_id, n_intervals,
+               ROUND(CAST(wsum AS DOUBLE) / CAST(dsum AS DOUBLE), 6)
+                   AS twap
+        FROM agg
+    """,
+    "q102_gapfill_locf": """
+        WITH daily AS (
+            -- arg-max by (ts, event_id): this DuckDB's max_by has no
+            -- struct key, so rank instead (same deterministic winner
+            -- as Spark's max(struct(ts, event_id, v)))
+            SELECT user_id, day, value AS day_value FROM (
+                SELECT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day,
+                       value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id,
+                                        CAST(date_trunc('day', ts) AS DATE)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                 FROM daily GROUP BY user_id),
+        cal AS (SELECT user_id,
+                       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                   CAST(d1 AS TIMESTAMP),
+                                                   INTERVAL 1 DAY)) AS DATE)
+                           AS day
+                FROM span)
+        SELECT c.user_id, c.day,
+               last_value(d.day_value IGNORE NULLS) OVER (
+                   PARTITION BY c.user_id ORDER BY c.day
+                   ROWS UNBOUNDED PRECEDING) AS value,
+               d.day_value IS NULL AS filled
+        FROM cal c LEFT JOIN daily d
+          ON d.user_id = c.user_id AND d.day = c.day
+    """,
+}
