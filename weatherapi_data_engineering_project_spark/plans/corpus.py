@@ -482,6 +482,149 @@ def q95_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a QUERY: recall@3 of the q30 IVF
+    index against exact brute-force truth for the same 20 queries —
+    the eval loop every ANN deployment runs, expressed as a join of
+    the two verified retrieval plans. Output per query:
+    (query_id, n_hits, recall). The oracle nests q30's whole verified
+    oracle as the index side and a generalized q26 brute CTE as truth,
+    so the audit itself is differentially certified."""
+    from ..operators.similarity import (
+        _dot_arrays,
+        _norm2_array,
+        _score,
+        ivf_topk,
+    )
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    cv = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        _norm2_array(F.col("qvec")),
+        _norm2_array(F.col("cvec")),
+    )
+    truth = (
+        qv.crossJoin(cv)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("cand_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    hits = truth.join(
+        ivf.select("query_id", F.col("vec_id").alias("cand_id"), F.lit(1).alias("hit")),
+        ["query_id", "cand_id"],
+        "left",
+    ).groupBy("query_id").agg(F.count("hit").alias("n_hits"))
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / 3.0, 6).alias("recall"),
+    )
+
+
+def q104_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: keep each doc with
+    probability equal to its q91 quality score, using a DETERMINISTIC
+    uniform — the Knuth multiplicative hash of doc_id over 2^32 — so
+    the same subset materializes on any cluster, any partitioning, no
+    RNG state (the q39/q79 discipline applied to weighted selection,
+    the data-selection step of quality-scored pretraining pipelines).
+    Output per source: docs, kept docs, expected vs actual keep rate
+    (expected = mean quality prob, accumulated in exact decimal)."""
+    d = load_table(spark, sf_dir, "documents")
+    prob = _quality_prob()
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    scored = d.select(
+        "source",
+        prob.alias("p"),
+        (u < prob).cast("long").alias("kept"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.sum(F.col("p").cast("decimal(18,6)")).alias("psum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("psum").cast("double") / F.col("n_docs"), 6).alias(
+            "expected_rate"
+        ),
+        F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("actual_rate"),
+    )
+
+
+def q105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus LM perplexity filtering (the CCNet/KenLM shape, built
+    from the corpus itself so it is fully SQL-expressible): train an
+    add-1-smoothed bigram LM on the whole corpus (q68's count
+    machinery), then score every doc by its mean token log-probability
+    and perplexity. Low-probability docs are the quality-filter
+    candidates.
+
+    Cross-engine float discipline: ln() differs in the last ulp across
+    libms, so each term is ROUND(...,6)-snapped and cast to
+    decimal(18,6) BEFORE the per-doc sum (binary doubles never sit on
+    decimal midpoints, so the cast is engine-identical) — the sum is
+    then exact and partitioning-independent; only the final mean /
+    exp are float, re-rounded to 6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("t"))
+    n = F.size("t")
+    big = toks.select(
+        "doc_id",
+        F.arrays_zip(
+            F.slice("t", 1, n - 1).alias("w1"),
+            F.slice(F.col("t"), 2, n - 1).alias("w2"),
+        ).alias("bg"),
+    ).select("doc_id", F.explode_outer("bg").alias("b")).filter(
+        F.col("b").isNotNull()
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode_outer("t").alias("w")).filter(
+        F.col("w").isNotNull()
+    ).agg(F.count_distinct("w").alias("v"))
+    lnp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    per_doc = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(lnp).alias("lsum"),
+        )
+    )
+    avg = F.col("lsum").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )
+
+
 QUERIES = {
     "q86_dup_spans": q86_dup_spans,
     "q87_semantic_dedup": q87_semantic_dedup,
@@ -492,6 +635,9 @@ QUERIES = {
     "q93_semantic_contamination": q93_semantic_contamination,
     "q94_span_scrub": q94_span_scrub,
     "q95_exact_quantiles": q95_exact_quantiles,
+    "q103_ann_recall_audit": q103_ann_recall_audit,
+    "q104_importance_sampling": q104_importance_sampling,
+    "q105_bigram_lm_score": q105_bigram_lm_score,
 }
 
 
@@ -782,6 +928,70 @@ ORACLE = {
         FROM final
         GROUP BY 1, 2
     """,
+    # q104: the q91 scorer + Knuth-hash deterministic uniform.
+    "q104_importance_sampling": f"""
+        WITH feats AS (
+            SELECT doc_id, source,
+                   len({_TOK}) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                   CAST(len(list_filter({_TOK},
+                            t -> t IN ('the','a','of','and','to','in',
+                                       'is','it'))) AS DOUBLE)
+                       / len({_TOK}) AS stop_ratio,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS DOUBLE) / len({_TOK}) AS avg_tok_len
+            FROM documents),
+        scored AS (
+            SELECT doc_id, source,
+                   ROUND(1.0 / (1.0 + exp(-(-1.2
+                       + 0.35 * ln(1.0 + n_tokens)
+                       - 8.0 * punct_ratio
+                       + 6.0 * stop_ratio
+                       - 0.15 * avg_tok_len))), 6) AS p,
+                   CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                       / 4294967296.0 AS u
+            FROM feats),
+        agg AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   SUM(CAST(p AS DECIMAL(18,6))) AS psum
+            FROM scored GROUP BY source)
+        SELECT source, n_docs, n_kept,
+               ROUND(CAST(psum AS DOUBLE) / n_docs, 6) AS expected_rate,
+               ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS actual_rate
+        FROM agg
+    """,
+    # q105: corpus bigram LM + per-doc mean log-prob; each ln term is
+    # round-6-snapped then decimal-cast before summation (see
+    # docstring for the cross-engine libm argument).
+    "q105_bigram_lm_score": f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        big AS (SELECT doc_id,
+                       unnest(t[1:len(t) - 1]) AS w1,
+                       unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+                   (SELECT unnest(t) AS w FROM toks)),
+        terms AS (SELECT b.doc_id,
+                         CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + vv.v)), 6)
+                              AS DECIMAL(18,6)) AS lnp
+                  FROM big b
+                  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+                  JOIN c1 ON c1.w1 = b.w1, vv),
+        per_doc AS (SELECT doc_id,
+                           COUNT(*) AS n_bigrams,
+                           SUM(lnp) AS lsum
+                    FROM terms GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               ROUND(CAST(lsum AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+               ROUND(exp(-(CAST(lsum AS DOUBLE) / n_bigrams)), 6) AS ppl
+        FROM per_doc
+    """,
     # q95: type-1 quantiles — k-th smallest with k in INTEGER ceil
     # arithmetic, (price, orderkey, linenumber) tiebreak. The oracle is
     # the single-window form; the engine's bucketed plan must land on
@@ -897,6 +1107,40 @@ _PAIRS_35 = _LLM_ORACLE["q29_embed_neardup"].replace(
     "WHERE cosine >= 0.4", "WHERE cosine >= 0.35"
 )
 assert "WHERE cosine >= 0.35" in _PAIRS_35  # guard against q29 edits
+
+# q103's oracle: q30's whole oracle nested as the index side, a
+# generalized q26-shape brute CTE as truth, LEFT JOIN + recall rollup.
+ORACLE["q103_ann_recall_audit"] = f"""
+    WITH ivf AS ({_LLM_ORACLE["q30_ivf_ann"]}),
+    e2 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+    norms2 AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+               FROM e2 GROUP BY vec_id),
+    bdots AS (SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+                     SUM(CAST(q.v * x.v AS DECIMAL(38,25))) AS dot
+              FROM e2 q JOIN e2 x ON x.pos = q.pos
+                                 AND x.vec_id <> q.vec_id
+              WHERE q.vec_id < 20
+              GROUP BY q.vec_id, x.vec_id),
+    truth AS (SELECT query_id, cand_id FROM (
+                SELECT d.query_id, d.cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.query_id
+                           ORDER BY {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} DESC,
+                                    d.cand_id) AS rn
+                FROM bdots d
+                JOIN norms2 nq ON nq.vec_id = d.query_id
+                JOIN norms2 nc ON nc.vec_id = d.cand_id)
+              WHERE rn <= 3),
+    hits AS (SELECT t.query_id, COUNT(i.vec_id) AS n_hits
+             FROM truth t LEFT JOIN ivf i
+               ON i.query_id = t.query_id AND i.vec_id = t.cand_id
+             GROUP BY t.query_id)
+    SELECT query_id, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall
+    FROM hits
+"""
 
 _SPLIT_SQL = (
     "CASE WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < '0d' THEN 'test' "
