@@ -490,12 +490,7 @@ def q103_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, n_hits, recall). The oracle nests q30's whole verified
     oracle as the index side and a generalized q26 brute CTE as truth,
     so the audit itself is differentially certified."""
-    from ..operators.similarity import (
-        _dot_arrays,
-        _norm2_array,
-        _score,
-        ivf_topk,
-    )
+    from ..operators.similarity import _dot_arrays, _norm2_array, _score
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
