@@ -1,0 +1,92 @@
+"""Layout & sketch queries (q106-q108): differentials + the sketch
+invariants that make each operator trustworthy at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, SF_DIR_ORACLE, compare_query_to_oracle
+from weatherapi_data_engineering_project_spark.plans import layout as L
+
+
+@pytest.mark.parametrize("name", sorted(L.ORACLE))
+def test_layout_oracle_differential(spark, name):
+    compare_query_to_oracle(
+        spark, name, L.QUERIES[name], L.ORACLE[name], SF_DIR_ORACLE
+    )
+
+
+def test_zorder_buckets_are_tight_on_both_dims(spark):
+    """The point of the z-layout: per-bucket bounding boxes must be
+    narrow on BOTH dimensions (each leading-6-bit bucket spans 3 of
+    each dim's 16 quantized bits -> ~1/8 of the range + edge slack)."""
+    rows = L.q106_zorder_layout(spark, SF_DIR_ORACLE).collect()
+    assert rows and sum(r.n for r in rows) > 0
+    span_cap = 65535 // 8 + 2  # 3 leading bits per dim -> 1/8 range
+    for r in rows:
+        assert 0 <= r.min_xq <= r.max_xq <= 65535
+        assert 0 <= r.min_yq <= r.max_yq <= 65535
+        assert r.max_xq - r.min_xq <= span_cap
+        assert r.max_yq - r.min_yq <= span_cap
+
+
+def test_zorder_projection_has_no_extra_shuffle(spark):
+    """z-value + bucket assignment must be a projection: exactly the
+    scalar-range broadcast and the final 64-key audit aggregate may
+    exchange — no shuffle touches the fact rows before bucketing."""
+    plan = L.q106_zorder_layout(spark, SF_DIR)._jdf.queryExecution().toString()
+    # one shuffle for the audit groupBy (+AQE may note it); the fact
+    # side itself must never hash-repartition before the aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_countmin_never_underestimates(spark):
+    rows = L.q107_countmin_sketch(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.overest >= 0
+        assert r.cms_est == r.exact_n + r.overest
+
+
+def test_countmin_matches_definition(spark):
+    """cms_est for a key equals the min over seeds of that key's
+    bucket counter, recomputed independently in Python."""
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = [r.user_id for r in load_table(spark, SF_DIR, "events")
+          .select("user_id").collect()]
+    grid = [Counter() for _ in L._CMS_SEEDS]
+    for uid in ev:
+        for (i, a, b) in L._CMS_SEEDS:
+            grid[i][((a * uid + b) % L._CMS_P) % L._CMS_W] += 1
+    for r in L.q107_countmin_sketch(spark, SF_DIR).collect():
+        expect = min(
+            grid[i][((a * r.user_id + b) % L._CMS_P) % L._CMS_W]
+            for (i, a, b) in L._CMS_SEEDS
+        )
+        assert r.cms_est == expect
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every true member that appears on the probe side must pass the
+    bloom — false positives are allowed, false negatives never."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    out = {r.l_suppkey: r.is_member
+           for r in L.q108_bloom_prune(spark, SF_DIR_ORACLE).collect()}
+    sup = load_table(spark, SF_DIR_ORACLE, "supplier")
+    members = {r.s_suppkey for r in
+               sup.filter(F.col("s_nationkey") <= 2).select("s_suppkey")
+               .collect()}
+    probed = {r.l_suppkey for r in
+              load_table(spark, SF_DIR_ORACLE, "lineitem")
+              .select("l_suppkey").distinct().collect()}
+    for k in members & probed:
+        assert k in out and out[k] is True
+    # everything the bloom passes that isn't a member is flagged FP
+    for k, is_m in out.items():
+        assert is_m == (k in members)

@@ -17,7 +17,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULE_NAMES = (
     "star", "llm", "weather", "analytics", "streaming_queries", "extensions",
-    "curation", "corpus", "behavior", "temporal",
+    "curation", "corpus", "behavior", "temporal", "layout",
 )
 # star is the core relational surface with no optional dependencies —
 # if it cannot import, the engine is broken and an empty-but-"successful"
