@@ -490,21 +490,38 @@ def q103_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, n_hits, recall). The oracle nests q30's whole verified
     oracle as the index side and a generalized q26 brute CTE as truth,
     so the audit itself is differentially certified."""
-    from ..operators.similarity import _dot_arrays, _norm2_array, _score
+    from ..operators.similarity import (
+        _dot_arrays,
+        _ensure_parallelism,
+        _norm2_array,
+        _score,
+    )
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
     ivf = SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
+    # Both norms are hoisted OUT of the pair expression: in a 20xN
+    # cross join each candidate row is scored 20 times and each query
+    # N times, so an inline norm would redo the interpreted decimal
+    # fold that many times (3x the per-pair HOF work). The candidate
+    # side is also spread first — a single-file parquet scan arrives
+    # as ONE partition and would score all 20xN pairs in one task.
     qv = F.broadcast(
         e.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            _norm2_array(F.col("embedding")).alias("qn2"),
         )
     )
-    cv = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    cv = _ensure_parallelism(e).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+        _norm2_array(F.col("embedding")).alias("cn2"),
+    )
     cos = _score(
         _dot_arrays(F.col("qvec"), F.col("cvec")),
-        _norm2_array(F.col("qvec")),
-        _norm2_array(F.col("cvec")),
+        F.col("qn2"),
+        F.col("cn2"),
     )
     truth = (
         qv.crossJoin(cv)
