@@ -64,3 +64,58 @@ def test_zipf_window_is_group_limited_not_single_partition(spark):
     )
     assert "WindowGroupLimit" in plan
     assert "SinglePartition" not in plan
+
+
+def test_negative_sampling_ring_invariants(spark):
+    """No self-pairs, exactly the configured slots, and every doc in a
+    multi-doc shard gets its negatives."""
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.plans.curation import (
+        _NEG_PER_DOC,
+        _RING_MOD,
+        _RING_MULT,
+        _RING_SHARDS,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = C.q109_negative_sampling(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.neg_id != r.doc_id
+        assert 1 <= r.slot <= _NEG_PER_DOC
+    docs = [r.doc_id for r in
+            load_table(spark, SF_DIR, "documents").select("doc_id").collect()]
+    shard_sizes = Counter(
+        ((d * _RING_MULT) % _RING_MOD) % _RING_SHARDS for d in docs
+    )
+    per_doc = Counter(r.doc_id for r in rows)
+    for d in docs:
+        size = shard_sizes[((d * _RING_MULT) % _RING_MOD) % _RING_SHARDS]
+        if size >= _NEG_PER_DOC + 1:
+            assert per_doc[d] == _NEG_PER_DOC
+        elif size == 1:
+            assert per_doc[d] == 0
+
+
+def test_ngram_novelty_partitions_first_appearances(spark):
+    """Rates are probabilities, and summed n_novel equals the corpus's
+    distinct-shingle count: every shingle is novel for exactly one doc
+    (its min-doc_id owner)."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = C.q110_ngram_novelty(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.novelty_rate <= 1.0
+        assert 0 <= r.n_novel <= r.n_shingles
+    d = load_table(spark, SF_DIR, "documents")
+    n_distinct = (
+        d.select(F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct

@@ -174,11 +174,107 @@ def q82_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q109 ring geometry: the multiplicative (Knuth) hash spreads doc_ids
+# around a 2^32 ring; _RING_SHARDS bounds every window partition and is
+# the parallelism knob (at real scale set shards ~ corpus_size / 1e6).
+_RING_MULT = 2654435761
+_RING_MOD = 4294967296
+_RING_SHARDS = 32
+_NEG_PER_DOC = 2
+
+
+def q109_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative mining for contrastive training:
+    place every doc on a hash ring (Knuth multiplicative hash of
+    doc_id), shard the ring, and take each anchor's next
+    ``_NEG_PER_DOC`` ring neighbors (wrapping within the shard) as its
+    negatives — reproducible on any cluster, no RNG state, and
+    hash-distance ~ random so neighbors are unbiased negatives.
+    Output long-format (doc_id, slot, neg_id); self-pairs from
+    tiny shards are filtered.
+
+    Scale shape: the rank window runs per shard (bounded by
+    corpus/shards), and the neighbor lookup is ONE equi-join on
+    (shard, ring position) — co-partitioned, never doc x doc."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ring = d.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(_RING_MULT)) % F.lit(_RING_MOD)).alias("h"),
+    ).withColumn("shard", F.col("h") % F.lit(_RING_SHARDS))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = ring.select(
+        "shard",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("cnt"),
+    )
+    slots = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _NEG_PER_DOC + 1)])
+    )
+    anchors = pos.select(
+        "shard", "doc_id", "rn", "cnt", slots.alias("slot")
+    ).withColumn(
+        "target_rn", ((F.col("rn") - 1 + F.col("slot")) % F.col("cnt")) + 1
+    )
+    neigh = pos.select(
+        F.col("shard").alias("n_shard"),
+        F.col("rn").alias("n_rn"),
+        F.col("doc_id").alias("neg_id"),
+    )
+    return (
+        anchors.join(
+            neigh,
+            (F.col("shard") == F.col("n_shard"))
+            & (F.col("target_rn") == F.col("n_rn")),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", "slot", "neg_id")
+    )
+
+
+def q110_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the curation signal for "does this
+    doc add anything the corpus hasn't seen": share of the doc's
+    distinct word 5-grams whose FIRST appearance (min doc_id over the
+    whole corpus) is this doc. Duplicates score ~0, fresh content ~1;
+    mid values flag partial rehashes q23/q25 miss. Same shingle
+    vocabulary as q63's contamination audit.
+
+    Scale shape: identical to q63 — both sides reduce to
+    (doc, shingle) rows before ONE shuffle on the shingle string
+    (min-aggregated map-side), then a (doc) partial agg; linear in
+    corpus size, never doc x doc."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh")
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles"))
+            .alias("novelty_rate"),
+        )
+    )
+
+
 QUERIES = {
     "q79_split_assign": q79_split_assign,
     "q80_pii_scrub": q80_pii_scrub,
     "q81_temperature_mix": q81_temperature_mix,
     "q82_zipf_slope": q82_zipf_slope,
+    "q109_negative_sampling": q109_negative_sampling,
+    "q110_ngram_novelty": q110_ngram_novelty,
 }
 
 ORACLE = {
@@ -244,5 +340,48 @@ ORACLE = {
                COUNT(*) AS n_terms,
                ROUND(regr_slope(ln(freq), ln(rn)), 6) AS zipf_slope
         FROM head GROUP BY source
+    """,
+    "q109_negative_sampling": f"""
+        WITH ring AS (
+            SELECT doc_id,
+                   (doc_id * {_RING_MULT}) % {_RING_MOD} AS h
+            FROM documents),
+        pos AS (
+            SELECT doc_id,
+                   h % {_RING_SHARDS} AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY h % {_RING_SHARDS}
+                                      ORDER BY h, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY h % {_RING_SHARDS}) AS cnt
+            FROM ring),
+        slots(slot) AS (VALUES {", ".join(f"({i})" for i in range(1, _NEG_PER_DOC + 1))}),
+        anchors AS (
+            SELECT p.doc_id, p.shard, p.cnt, s.slot,
+                   ((p.rn - 1 + s.slot) % p.cnt) + 1 AS target_rn
+            FROM pos p CROSS JOIN slots s)
+        SELECT a.doc_id,
+               CAST(a.slot AS INT) AS slot,
+               n.doc_id AS neg_id
+        FROM anchors a
+        JOIN pos n ON n.shard = a.shard AND n.rn = a.target_rn
+        WHERE n.doc_id <> a.doc_id
+    """,
+    "q110_ngram_novelty": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len({_TOK}) - 3),
+                       i -> array_to_string(({_TOK})[i:i+4], ' ')))
+                       AS shs
+            FROM documents),
+        e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        f AS (SELECT sh, MIN(doc_id) AS first_doc FROM e GROUP BY 1)
+        SELECT e.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS novelty_rate
+        FROM e JOIN f USING (sh)
+        GROUP BY e.doc_id
     """,
 }
