@@ -76,3 +76,32 @@ def test_q43_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(2, 0.06 * n), (et, approx[et], n)
+
+
+def test_table_stats_matches_direct_aggregates(spark):
+    """The melted stats equal per-column aggregates computed directly
+    on the wide frame (no Expand) — same numbers, different plan."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.plans.analytics import (
+        _STATS_COLS,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    got = {r.col_name: r for r in A.q111_table_stats(spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    n = li.count()
+    for c in _STATS_COLS:
+        direct = li.agg(
+            F.countDistinct(c).alias("ndv"),
+            F.min(c).alias("mn"),
+            F.max(c).alias("mx"),
+            F.sum(F.col(c).cast("decimal(18,2)")).cast("double").alias("s"),
+        ).collect()[0]
+        r = got[c]
+        assert r.n_rows == n and r.n_null == 0
+        assert r.ndv == direct.ndv
+        assert r.min_val == direct.mn and r.max_val == direct.mx
+        assert r.sum_val == direct.s

@@ -119,3 +119,23 @@ def test_ngram_novelty_partitions_first_appearances(spark):
         .count()
     )
     assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_vocab_coverage_totals_and_bounds(spark):
+    """Per-source token counts sum to the corpus token count and OOV
+    occurrences equal total minus in-vocab occurrences."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = C.q112_vocab_coverage(spark, SF_DIR).collect()
+    assert rows
+    d = load_table(spark, SF_DIR, "documents")
+    total = d.select(
+        F.sum(F.size(TX.tokens("text"))).alias("n")
+    ).collect()[0].n
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0

@@ -277,6 +277,42 @@ def q78_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q111's audited numeric columns. All four are 2-decimal money/rate
+# doubles in this dataset, so the decimal(18,2) sum is exact and the
+# final CAST ... AS DOUBLE is the repo's q01 convention.
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q111_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics as a query — the stats
+    collector a cost-based optimizer (and every data-quality monitor)
+    runs per table: for each audited numeric column of lineitem, row
+    count, null count, exact distinct count, min/max, and the
+    decimal-exact sum. The wide table melts via ``unpivot`` (q78's
+    Expand node — one pass, rows x k, no shuffle), then ONE grouped
+    aggregate per column name computes everything; the exact ndv is a
+    (col_name, val)-keyed partial agg, the distributed shape of
+    ANALYZE .. COMPUTE STATISTICS (which would use HLL where q43
+    shows the sketch path)."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_STATS_COLS)
+    long = li.unpivot(
+        ids=[],
+        values=list(_STATS_COLS),
+        variableColumnName="col_name",
+        valueColumnName="val",
+    )
+    return long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).alias("n_null"),
+        F.countDistinct("val").alias("ndv"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(F.col("val").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_val"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
@@ -288,6 +324,7 @@ QUERIES = {
     "q44_range_join": q44_range_join,
     "q45_map_functions": q45_map_functions,
     "q78_unpivot": q78_unpivot,
+    "q111_table_stats": q111_table_stats,
 }
 
 ORACLE = {
@@ -417,5 +454,21 @@ ORACLE = {
         SELECT p_partkey, 'p_retailprice' AS metric,
                CAST(p_retailprice AS DOUBLE) AS value
         FROM part
+    """,
+    "q111_table_stats": f"""
+        WITH long AS (
+            {" UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, {c} AS val FROM lineitem"
+                for c in _STATS_COLS
+            )})
+        SELECT col_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               COUNT(DISTINCT val) AS ndv,
+               MIN(val) AS min_val,
+               MAX(val) AS max_val,
+               CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM long GROUP BY col_name
     """,
 }

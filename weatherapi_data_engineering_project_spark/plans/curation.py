@@ -268,6 +268,54 @@ def q110_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q112 vocabulary size: the top-V corpus tokens by (freq DESC, token)
+# form the "tokenizer vocab"; V is a plan literal so the global top-V
+# plans as TakeOrderedAndProject (per-task local heaps, driver merge).
+_VOCAB_V = 1000
+
+
+def q112_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV audit: build a frequency vocabulary of
+    the corpus's top-V tokens and report, per source, the token count
+    and the share of token OCCURRENCES that fall outside the vocab —
+    the coverage check run before freezing any tokenizer (high OOV in
+    a source means the vocab under-serves it; compare q92's fertility
+    audit, which measures pieces-per-word instead of misses).
+
+    Scale shape: token frequencies are one (token)-keyed partial agg;
+    the global top-V is TakeOrderedAndProject (never a global sort or
+    a single-task ranking window); the V-row vocab broadcasts into
+    the per-source join, so the token stream shuffles once, on its
+    natural (source) audit key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(_VOCAB_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 QUERIES = {
     "q79_split_assign": q79_split_assign,
     "q80_pii_scrub": q80_pii_scrub,
@@ -275,6 +323,7 @@ QUERIES = {
     "q82_zipf_slope": q82_zipf_slope,
     "q109_negative_sampling": q109_negative_sampling,
     "q110_ngram_novelty": q110_ngram_novelty,
+    "q112_vocab_coverage": q112_vocab_coverage,
 }
 
 ORACLE = {
@@ -383,5 +432,22 @@ ORACLE = {
                     AS DOUBLE) / COUNT(*) AS novelty_rate
         FROM e JOIN f USING (sh)
         GROUP BY e.doc_id
+    """,
+    "q112_vocab_coverage": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOK}) AS tok FROM documents),
+        vocab AS (
+            SELECT tok FROM toks
+            GROUP BY tok
+            ORDER BY COUNT(*) DESC, tok
+            LIMIT {_VOCAB_V})
+        SELECT t.source,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.source
     """,
 }
