@@ -60,3 +60,35 @@ def test_heavy_hitter_candidates_are_superset(spark):
     }
     con.close()
     assert res == truth
+
+
+def test_disorder_audit_recomputes_per_user(spark):
+    """Lateness recomputed in Python from each user's arrival-ordered
+    event list matches the window plan."""
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import behavior as B
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts")
+        .collect()
+    ):
+        ev[r.user_id].append((r.event_id, r.ts))
+    got = {r.user_id: r for r in
+           B.q113_disorder_audit(spark, SF_DIR).collect()}
+    assert set(got) == set(ev)
+    for uid, rows in ev.items():
+        rows.sort()
+        hwm, n_late, max_late = None, 0, 0
+        for _, ts in rows:
+            if hwm is not None and hwm > ts:
+                n_late += 1
+                max_late = max(max_late, int((hwm - ts).total_seconds() * 1e6))
+            hwm = ts if hwm is None else max(hwm, ts)
+        r = got[uid]
+        assert r.n_events == len(rows)
+        assert r.n_late == n_late
+        assert r.max_lateness_us == max_late

@@ -139,3 +139,26 @@ def test_vocab_coverage_totals_and_bounds(spark):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_length_buckets_account_for_every_doc(spark):
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.plans.curation import (
+        _LEN_BINS,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = C.q114_length_buckets(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    total_tok = d.select(
+        F.sum(F.size(TX.tokens("text"))).alias("n")
+    ).collect()[0].n
+    assert sum(r.n_tokens for r in rows) == total_tok
+    caps = set(_LEN_BINS) | {2 * _LEN_BINS[-1]}
+    for r in rows:
+        assert r.bucket_cap in caps
+        assert 0 <= r.waste_rate < 1
+        assert r.n_padding == r.bucket_cap * r.n_docs - r.n_tokens

@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as TX
 from ..schemas import load_table
@@ -168,10 +169,52 @@ def q99_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q113_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit — the measurement that SIZES a
+    streaming watermark: treating event_id as arrival order (the
+    generator's monotone sequence), an event is "late" if some
+    earlier-arriving event of the same user already carried a larger
+    event-time ts. Reports per user the event count, late count, and
+    the maximum lateness in microseconds — max_lateness over the fleet
+    is exactly the withWatermark() bound that would have dropped
+    nothing (see streaming/windows.py, which uses a fixed bound the
+    other direction).
+
+    Scale shape: one window over (user_id, arrival order) — the q31
+    sessionize shape, ONE exchange keyed by user, running max inside
+    the sorted partition, then a per-user partial agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.max("ts").over(w)).alias("hwm_us"),
+    ).select(
+        "user_id",
+        F.when(
+            F.col("hwm_us") > F.col("ts_us"),
+            F.col("hwm_us") - F.col("ts_us"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lateness_us"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("lateness_us") > 0).cast("long")).alias("n_late"),
+        F.max("lateness_us").alias("max_lateness_us"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q98_retention_cohorts": q98_retention_cohorts,
     "q99_heavy_hitters": q99_heavy_hitters,
+    "q113_disorder_audit": q113_disorder_audit,
 }
 
 ORACLE = {
@@ -221,5 +264,26 @@ ORACLE = {
         FROM tok, nn
         GROUP BY term, nn.n_total
         HAVING COUNT(*) * {_HH_DEN} >= {_HH_NUM} * nn.n_total
+    """,
+    "q113_disorder_audit": """
+        WITH marked AS (
+            SELECT user_id,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(MAX(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                       AS hwm_us
+            FROM events),
+        late AS (
+            SELECT user_id,
+                   CASE WHEN hwm_us > ts_us THEN hwm_us - ts_us
+                        ELSE 0 END AS lateness_us
+            FROM marked)
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+        FROM late GROUP BY user_id
     """,
 }

@@ -316,6 +316,47 @@ def q112_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q114 bucket caps: powers of two, chosen integer-exactly via a CASE
+# chain (log2-of-double would misround at exact powers). The same SQL
+# text runs on both engines.
+_LEN_BINS = (16, 32, 64, 128, 256, 512, 1024)
+_LEN_CASE = (
+    "CASE "
+    + " ".join(f"WHEN n_tok <= {b} THEN {b}" for b in _LEN_BINS)
+    + f" ELSE {2 * _LEN_BINS[-1]} END"
+)
+
+
+def q114_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for batch efficiency: assign each doc
+    to the smallest power-of-two token capacity that holds it (the
+    padding buckets a training/serving batcher uses so same-batch
+    sequences pad to the same cap), and report per bucket the doc
+    count, real token count, padding tokens, and padding waste rate —
+    the number that decides whether the batcher needs finer buckets
+    or sequence packing (q40) instead.
+
+    Scale shape: the bucket id is a scan-side CASE projection; ONE
+    partial agg on <= 8 bucket keys. Nothing else."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        F.size(TX.tokens("text")).alias("n_tok")
+    ).select("n_tok", F.expr(_LEN_CASE).alias("bucket_cap"))
+    return binned.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+        F.sum((F.col("bucket_cap") - F.col("n_tok")).cast("long")).alias(
+            "n_padding"
+        ),
+        F.round(
+            F.sum((F.col("bucket_cap") - F.col("n_tok")).cast("long"))
+            .cast("double")
+            / F.sum(F.col("bucket_cap").cast("long")).cast("double"),
+            6,
+        ).alias("waste_rate"),
+    )
+
+
 QUERIES = {
     "q79_split_assign": q79_split_assign,
     "q80_pii_scrub": q80_pii_scrub,
@@ -324,6 +365,7 @@ QUERIES = {
     "q109_negative_sampling": q109_negative_sampling,
     "q110_ngram_novelty": q110_ngram_novelty,
     "q112_vocab_coverage": q112_vocab_coverage,
+    "q114_length_buckets": q114_length_buckets,
 }
 
 ORACLE = {
@@ -449,5 +491,18 @@ ORACLE = {
                           AS DOUBLE) / COUNT(*), 6) AS oov_rate
         FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
         GROUP BY t.source
+    """,
+    "q114_length_buckets": f"""
+        WITH binned AS (
+            SELECT CAST(len({_TOK}) AS INT) AS n_tok,
+                   {_LEN_CASE} AS bucket_cap
+            FROM documents)
+        SELECT bucket_cap,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(bucket_cap - n_tok) AS BIGINT) AS n_padding,
+               ROUND(CAST(SUM(bucket_cap - n_tok) AS DOUBLE)
+                     / CAST(SUM(bucket_cap) AS DOUBLE), 6) AS waste_rate
+        FROM binned GROUP BY bucket_cap
     """,
 }
