@@ -105,3 +105,25 @@ def test_table_stats_matches_direct_aggregates(spark):
         assert r.ndv == direct.ndv
         assert r.min_val == direct.mn and r.max_val == direct.mx
         assert r.sum_val == direct.s
+
+
+def test_quality_constraints_detects_planted_violation(spark):
+    """The suite's temporal constraint flags the generator's real
+    ship-before-order rows; the clean constraints all pass."""
+    rows = {r.constraint_name: r
+            for r in A.q115_quality_constraints(spark, SF_DIR).collect()}
+    assert len(rows) == 6
+    temporal = rows["lineitem.l_shipdate >= order date"]
+    assert not temporal.passed and temporal.n_violations > 0
+    for name, r in rows.items():
+        if name != "lineitem.l_shipdate >= order date":
+            assert r.passed and r.n_violations == 0
+        assert r.n_checked > 0
+
+
+def test_join_cardinality_estimate_is_sane(spark):
+    r = A.q116_join_cardinality_estimate(spark, SF_DIR).collect()[0]
+    assert r.exact_n > 0 and r.est_n >= 0
+    # 1/8 pk-sample of a pk-fk join: estimate within 50% at tiny SF
+    assert abs(r.est_n - r.exact_n) / r.exact_n < 0.5
+    assert r.rel_err == round(abs(r.est_n - r.exact_n) / r.exact_n, 6)

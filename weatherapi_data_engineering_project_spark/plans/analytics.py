@@ -313,6 +313,138 @@ def q111_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite — the deequ/dbt-test shape: each
+    declared constraint (uniqueness, referential integrity, range,
+    accepted values, non-null) evaluates to one (constraint,
+    n_checked, n_violations, passed) row; the suite is the UNION of
+    independent scalar aggregates, so a scheduler can run it after
+    every load (the reference's G1/G2 COUNT-DISTINCT audits are the
+    two-table special case of this operator).
+
+    Scale shape: every constraint is one partial agg over its own
+    scan (count/distinct/conditional-sum); the FK check is one
+    broadcast anti-join keyed on the dim pk. No constraint ever
+    materializes violating ROWS — only counts travel."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name, checked_col, viol_col):
+        return F.struct(
+            F.lit(name).alias("constraint_name"),
+            checked_col.cast("long").alias("n_checked"),
+            viol_col.cast("long").alias("n_violations"),
+        )
+
+    uniq = o.agg(
+        row(
+            "orders.o_orderkey unique",
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        ).alias("r")
+    )
+    fk = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
+    ).agg(
+        row(
+            "lineitem.l_orderkey -> orders",
+            F.count(F.lit(1)),
+            F.sum(F.col("o_orderkey").isNull().cast("long")),
+        ).alias("r")
+    )
+    qty = li.agg(
+        row(
+            "lineitem.l_quantity in [1,50]",
+            F.count(F.lit(1)),
+            F.sum(
+                (~F.col("l_quantity").between(1.0, 50.0)).cast("long")
+            ),
+        ).alias("r")
+    )
+    disc = li.agg(
+        row(
+            "lineitem.l_discount in [0,0.1]",
+            F.count(F.lit(1)),
+            F.sum(
+                (~F.col("l_discount").between(0.0, 0.1)).cast("long")
+            ),
+        ).alias("r")
+    )
+    status = o.agg(
+        row(
+            "orders.o_orderstatus accepted",
+            F.count(F.lit(1)),
+            F.sum(
+                (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+            ),
+        ).alias("r")
+    )
+    # cross-table temporal invariant — the one this synthetic generator
+    # actually violates, proving the suite detects, not just rubber-stamps
+    temporal = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).agg(
+        row(
+            "lineitem.l_shipdate >= order date",
+            F.count(F.lit(1)),
+            F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("long")),
+        ).alias("r")
+    )
+    suite = (
+        uniq.unionByName(fk)
+        .unionByName(qty)
+        .unionByName(disc)
+        .unionByName(status)
+        .unionByName(temporal)
+    )
+    return suite.select("r.*").withColumn(
+        "passed", F.col("n_violations") == 0
+    )
+
+
+# q116 sampling rate: keep orders whose md5(o_orderkey) first byte is
+# < 0x20 — exactly 32/256 = 1/8 of hash space, deterministic on any
+# cluster (the q39 hash-sampling technique applied to cardinality
+# estimation, the sampled input to a cost-based join planner).
+_CARD_SCALE = 8
+
+
+def q116_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-cardinality estimation by deterministic key sampling:
+    join lineitem against a 1/8 md5-hash sample of orders, scale the
+    hit count back up, and report it against the exact join count
+    with the relative error — the statistics pass a cost-based
+    optimizer runs INSTEAD of the full join at 100 TB (here the exact
+    side exists only as the differential's truth). Sampling the DIM
+    side by its pk keeps the estimate unbiased for pk-fk joins: every
+    fact row's key is kept with probability exactly 1/8."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    samp = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "20"
+    )
+    est = li.join(
+        F.broadcast(samp), li.l_orderkey == samp.o_orderkey
+    ).agg((F.count(F.lit(1)) * _CARD_SCALE).alias("est_n"))
+    exact = li.join(
+        F.broadcast(o), li.l_orderkey == o.o_orderkey
+    ).agg(F.count(F.lit(1)).alias("exact_n"))
+    return exact.crossJoin(est).select(
+        "exact_n",
+        "est_n",
+        F.round(
+            F.abs(F.col("est_n") - F.col("exact_n")).cast("double")
+            / F.col("exact_n"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
@@ -325,6 +457,8 @@ QUERIES = {
     "q45_map_functions": q45_map_functions,
     "q78_unpivot": q78_unpivot,
     "q111_table_stats": q111_table_stats,
+    "q115_quality_constraints": q115_quality_constraints,
+    "q116_join_cardinality_estimate": q116_join_cardinality_estimate,
 }
 
 ORACLE = {
@@ -470,5 +604,62 @@ ORACLE = {
                MAX(val) AS max_val,
                CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         FROM long GROUP BY col_name
+    """,
+    "q115_quality_constraints": """
+        WITH suite AS (
+            SELECT 'orders.o_orderkey unique' AS constraint_name,
+                   COUNT(*) AS n_checked,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem.l_orderkey -> orders',
+                   COUNT(*),
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'lineitem.l_quantity in [1,50]',
+                   COUNT(*),
+                   CAST(SUM(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_discount in [0,0.1]',
+                   COUNT(*),
+                   CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders.o_orderstatus accepted',
+                   COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem.l_shipdate >= order date',
+                   COUNT(*),
+                   CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey)
+        SELECT constraint_name, n_checked, n_violations,
+               n_violations = 0 AS passed
+        FROM suite
+    """,
+    "q116_join_cardinality_estimate": """
+        WITH samp AS (
+            SELECT o_orderkey FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'),
+        est AS (
+            SELECT CAST(COUNT(*) * 8 AS BIGINT) AS est_n
+            FROM lineitem l JOIN samp s ON l.l_orderkey = s.o_orderkey),
+        exact AS (
+            SELECT COUNT(*) AS exact_n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT exact_n, est_n,
+               ROUND(CAST(ABS(est_n - exact_n) AS DOUBLE) / exact_n, 6)
+                   AS rel_err
+        FROM exact CROSS JOIN est
     """,
 }
