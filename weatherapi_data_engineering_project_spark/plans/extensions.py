@@ -421,13 +421,23 @@ def q63_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     one train row. Single pass: the left join marks hits and ONE
     grouped aggregate produces totals and hit counts together (no
     second read of the shingle frame)."""
-    d = load_table(spark, sf_dir, "documents")
-    t_sh = d.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id", F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh")
+    from ..caching import persist_tracked
+    from ..operators.similarity import _ensure_parallelism
+
+    # one spread scan + ONE shingle explode for both splits: the naive
+    # per-split explode tokenizes the corpus twice, single-threaded
+    # when the parquet arrives as one split (q110's lesson applied)
+    d = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh_all = persist_tracked(
+        d.select(
+            "doc_id",
+            F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh"),
+        )
     )
+    t_sh = sh_all.filter(F.col("doc_id") % 10 == 0)
     tr_sh = (
-        d.filter(F.col("doc_id") % 10 != 0)
-        .select(F.explode(TX.shingles(TX.tokens("text"), 5)).alias("sh"))
+        sh_all.filter(F.col("doc_id") % 10 != 0)
+        .select("sh")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -632,7 +642,9 @@ def q68_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a single w1-partitioned window pass over the already
     aggregated (distinct-bigram-sized) frame — no second pass over the
     corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.similarity import _ensure_parallelism
+
+    d = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens("text")
     n = F.size(toks)
     bigrams = F.when(
