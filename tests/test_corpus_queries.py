@@ -60,6 +60,71 @@ def test_semantic_dedup_drops_planted_twin(spark):
     assert sum(r.n_dropped for r in rows_out) == 1  # only the twin
 
 
+def test_semantic_dedup_giant_cluster_pair_count_bounded(spark):
+    """VERDICT r04 #3: one synthetic giant cluster must NOT pair
+    quadratically — _cluster_cells splits it into ceil(size/max) hashed
+    sub-cells, capping every pairing domain near max_cluster."""
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        _cluster_cells,
+    )
+
+    n, mx = 2000, 100
+    assign = spark.createDataFrame(
+        [(i, 7) for i in range(n)], "vid long, cid int"
+    )
+    cells = _cluster_cells(assign, mx).groupBy("cid", "sub").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    sizes = [r.sz for r in cells.collect()]
+    assert len(sizes) == 20  # ceil(2000/100) cells
+    assert sum(sizes) == n
+    # multiplicative hashing is near-uniform: no cell beyond ~2x target
+    assert max(sizes) <= 2 * mx
+    # pair count: quadratic per cell, linear in n overall — orders of
+    # magnitude under the unguarded n*(n-1)/2
+    pairs = sum(s * (s - 1) // 2 for s in sizes)
+    assert pairs < n * (n - 1) // 2 / 10
+
+
+def test_cluster_cells_matches_oracle_formula(spark):
+    """The split-cell rule is part of the q87 oracle contract: the
+    Spark cell assignment must equal DuckDB evaluating the same
+    (vid * 2654435761) %% 2^32 %% ceil(size/max) literals."""
+    import duckdb
+
+    n, mx = 500, 64
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        _cluster_cells,
+    )
+
+    assign = spark.createDataFrame(
+        [(i * 13 + 1, i % 2) for i in range(n)], "vid long, cid int"
+    )
+    got = {
+        (r.vid, r.cid): r.sub
+        for r in _cluster_cells(assign, mx).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE a AS SELECT (i * 13 + 1) AS vid, i % 2 AS cid "
+        "FROM range(500) t(i)"
+    )
+    want = {
+        (vid, cid): sub
+        for vid, cid, sub in con.execute(
+            """
+            WITH csz AS (SELECT cid, COUNT(*) AS csz FROM a GROUP BY cid)
+            SELECT a.vid, a.cid,
+                   ((a.vid * 2654435761) % 4294967296)
+                   % CAST(CEIL(CAST(c.csz AS DOUBLE) / 64.0) AS BIGINT)
+            FROM a JOIN csz c ON c.cid = a.cid
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
 def test_mmr_first_pick_is_max_relevance_and_set_is_diverse(spark):
     res = C.q88_mmr_rerank(spark, SF_DIR_ORACLE).collect()
     assert [r.rank for r in res] == [1, 2, 3, 4, 5]

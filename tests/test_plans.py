@@ -325,12 +325,47 @@ def test_dup_spans_no_broadcast_hint_no_single_partition(spark):
 
 def test_mmr_pool_is_take_ordered(spark):
     """q88: pool selection (the only corpus-sized stage) must plan as
-    TakeOrderedAndProject, not a global ranking window."""
-    from weatherapi_data_engineering_project_spark.plans import corpus as C
+    TakeOrderedAndProject, not a global ranking window. Inspected on the
+    lazy pool helper — in the full query the pool is checkpointed, so
+    the final plan only shows its LogicalRDD scan."""
+    from weatherapi_data_engineering_project_spark.operators import (
+        similarity as SIM,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
 
-    plan = _plan(C.q88_mmr_rerank(spark, SF_DIR))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(SIM._mmr_pool(emb, 0, 16, "vec_id", "embedding"))
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"Window \[.*row_number.*SinglePartition", plan)
+
+
+def test_mmr_plan_grows_linearly_in_select_k(spark):
+    """q88 (VERDICT r04 #1): each greedy pick is eagerly checkpointed,
+    so the returned plan is a union of select_k LogicalRDD scans —
+    node count LINEAR in select_k. The pre-fix plan nested every prior
+    pick's subplan twice per round (~2^k copies): doubling select_k
+    would far more than double the plan."""
+    from weatherapi_data_engineering_project_spark.operators import (
+        similarity as SIM,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+    from weatherapi_data_engineering_project_spark.caching import release_all
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def n_lines(k):
+        df = SIM.mmr_rerank(emb, select_k=k)
+        return len(
+            df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+
+    try:
+        n3, n6 = n_lines(3), n_lines(6)
+    finally:
+        release_all()
+    # linear: doubling k at most ~doubles the plan (+ slack for the
+    # fixed header); exponential would be ~8x here
+    assert n6 <= 2 * n3 + 4, (n3, n6)
 
 
 def test_pagerank_round_is_partial_agg(spark):
@@ -348,3 +383,52 @@ def test_pagerank_round_is_partial_agg(spark):
     plan = _plan(pagerank_fixed(edges, n_rounds=1, checkpoint=False))
     assert "partial" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_anomaly_zscore_window_is_partitioned(spark):
+    """q117: the rolling-baseline window must partition by event_type —
+    a SinglePartition window would funnel the (already tiny) hourly
+    frame AND would not survive a many-series scale-up."""
+    from weatherapi_data_engineering_project_spark.plans import behavior as B
+
+    plan = _plan(B.q117_anomaly_zscore(spark, SF_DIR))
+    assert not re.search(r"Window \[.*SinglePartition", plan)
+
+
+def test_pmi_vocab_and_final_cut_are_take_ordered(spark):
+    """q118: both rank cuts (vocabulary head, final top-20) must plan
+    as TakeOrderedAndProject — a global sort of the pair frame is the
+    scale failure mode."""
+    from weatherapi_data_engineering_project_spark.plans import curation as C
+
+    plan = _plan(C.q118_term_pmi(spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_tfidf_head_is_window_group_limit(spark):
+    """q119: the per-source top-5 must run under WindowGroupLimit
+    (bounded per-task state), like q82's Zipf head."""
+    from weatherapi_data_engineering_project_spark.plans import curation as C
+
+    plan = _plan(C.q119_tfidf_terms(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert not re.search(r"Window \[.*row_number.*SinglePartition", plan)
+
+
+def test_bm25_final_cut_is_take_ordered(spark):
+    """q122: the top-10 must be TakeOrderedAndProject, and the corpus
+    stats side must broadcast (1-row frame), never shuffle the docs."""
+    from weatherapi_data_engineering_project_spark.plans import curation as C
+
+    plan = _plan(C.q122_bm25_rank(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_register_agg_is_partial(spark):
+    """q120: the register build must push a map-side partial max ahead
+    of the (event_type, bucket) shuffle — registers combine before
+    they move, the property that makes sketch builds linear."""
+    from weatherapi_data_engineering_project_spark.plans import layout as L
+
+    plan = _plan(L.q120_hll_sketch(spark, SF_DIR))
+    assert "partial_max" in plan or "partial" in plan.lower()

@@ -28,7 +28,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
-from ..caching import persist_tracked
+from ..caching import checkpoint_tracked, persist_tracked
 
 from ..functions.text import fingerprint, shingles, tokens
 
@@ -481,12 +481,11 @@ def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
     # round under a 200-partition session) — but the slot count must
     # SCALE with the graph, not sit fixed at 16 (_label_slots)
     n_slots = _label_slots(e)
-    labels = (
+    labels = checkpoint_tracked(
         e.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("rep"))
         .coalesce(n_slots)
-        .localCheckpoint()
     )
     for _ in range(rounds):
         # one round = min over {own label} ∪ {neighbors' labels}: one
@@ -495,12 +494,11 @@ def label_propagation_clusters(pairs: DataFrame, rounds: int = 4) -> DataFrame:
         nbr = e.join(
             _labels_for_join(labels), on="b"
         ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
-        labels = (
+        labels = checkpoint_tracked(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("rep").alias("rep"))
             .coalesce(n_slots)
-            .localCheckpoint()
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep"))
 
@@ -539,23 +537,21 @@ def label_propagation_clusters_converged(
     # truncates lineage, keeping every round's plan flat. On a real
     # cluster prefer reliable checkpoint() to an HDFS dir (survives
     # executor loss); local mode has no such failure domain.
-    labels = (
+    labels = checkpoint_tracked(
         e.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("rep"))
         .coalesce(n_slots)
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         nbr = e.join(
             _labels_for_join(labels), on="b"
         ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
-        new_labels = (
+        new_labels = checkpoint_tracked(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("rep").alias("rep"))
             .coalesce(n_slots)
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

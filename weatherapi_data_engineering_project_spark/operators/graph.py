@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import checkpoint_tracked, persist_tracked
 
 _DEC = "decimal(38,25)"
 
@@ -77,5 +77,5 @@ def pagerank_fixed(
         # checkpoint=False keeps the (fixed-round, still-shallow) lazy
         # plan inspectable for the plan-shape regression tests
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = checkpoint_tracked(ranks)
     return ranks

@@ -210,11 +210,77 @@ def q113_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q117 z-score geometry: the trailing baseline is the 24 PRECEDING
+# hourly buckets (current hour excluded — it is the value under test),
+# with a 12-bucket minimum before any score is emitted. mean/variance
+# derive from exact integer window sums (count, sum, sum-of-squares),
+# so the ONLY float work is this one shared expression — explicit
+# DOUBLE casts for the q122/_HLL_EST reason (neither engine may route
+# the literals through its own decimal promotion), NULL when the
+# trailing window is degenerate (too short or zero variance).
+_Z_EXPR = (
+    "CASE WHEN n >= 12 AND (CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " > CAST(0.0 AS DOUBLE)"
+    " THEN ROUND((CAST(cnt AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / sqrt((CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))), 4)"
+    " ELSE NULL END"
+)
+
+
+def q117_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on event-rate time series:
+    hourly event counts per type, each hour scored against the mean and
+    sample stddev of its 24 PRECEDING hourly buckets — the ops-metrics
+    "is this hour's traffic abnormal" monitor (|z| >= 2 flags the
+    anomaly; the score is NULL until 12 baseline buckets exist or when
+    the baseline has zero variance, so cold starts never alert).
+
+    Scale shape: raw events collapse to an (hour, type) frame in ONE
+    partial-agg shuffle; the rolling window runs on that tiny frame
+    (hours x types rows), partitioned by event_type — never on events.
+    The baseline moments are exact integer window sums; the z-score is
+    a single shared float chain (``_Z_EXPR``) both engines run
+    identically."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    based = hourly.select(
+        "hour_start",
+        "event_type",
+        "cnt",
+        F.count(F.lit(1)).over(wb).alias("n"),
+        F.sum("cnt").over(wb).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wb).alias("s2"),
+    )
+    return based.select(
+        "hour_start",
+        "event_type",
+        "cnt",
+        F.col("n").alias("n_baseline"),
+        F.expr(_Z_EXPR).alias("zscore"),
+        (F.abs(F.coalesce(F.expr(_Z_EXPR), F.lit(0.0))) >= 2.0).alias(
+            "is_anomaly"
+        ),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q98_retention_cohorts": q98_retention_cohorts,
     "q99_heavy_hitters": q99_heavy_hitters,
     "q113_disorder_audit": q113_disorder_audit,
+    "q117_anomaly_zscore": q117_anomaly_zscore,
 }
 
 ORACLE = {
@@ -285,5 +351,25 @@ ORACLE = {
                     AS BIGINT) AS n_late,
                CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
         FROM late GROUP BY user_id
+    """,
+    "q117_anomaly_zscore": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_start,
+                   event_type,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2),
+        based AS (
+            SELECT hour_start, event_type, cnt,
+                   COUNT(*) OVER wb AS n,
+                   CAST(SUM(cnt) OVER wb AS BIGINT) AS s1,
+                   CAST(SUM(cnt * cnt) OVER wb AS BIGINT) AS s2
+            FROM hourly
+            WINDOW wb AS (PARTITION BY event_type ORDER BY hour_start
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT hour_start, event_type, cnt,
+               n AS n_baseline,
+               {_Z_EXPR} AS zscore,
+               COALESCE(ABS({_Z_EXPR}), 0.0) >= 2.0 AS is_anomaly
+        FROM based
     """,
 }

@@ -128,9 +128,12 @@ def dup_span_stats(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
 def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: q60's fixed-round Lloyd
     quantizer (identical params, so the oracle reuses the unrolled
-    _KM_CTES verbatim), within-cluster pairwise decimal cosine, and the
-    rank-free drop rule (drop x iff exists y < x in-cluster with
-    cosine >= 0.4). Per-cluster accounting output."""
+    _KM_CTES verbatim), within-cluster-cell pairwise decimal cosine,
+    and the rank-free drop rule (drop x iff exists y < x in the same
+    cell with cosine >= 0.4). Clusters over 4096 rows split into hashed
+    sub-cells (giant-cluster guard — inert at test scales, stated in
+    the oracle so both engines agree whenever it fires). Per-cluster
+    accounting output."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(e, n_clusters=16, n_iters=3, threshold=0.4)
 
@@ -767,11 +770,15 @@ ORACLE = {
     """,
     # q87: the q60 unrolled 3-round Lloyd trainer CTEs, the same
     # fast-assignment step (double dot / double norms, mirroring
-    # _probe_lists' assign_exact=False), then within-cluster pairwise
-    # decimal cosine and the rank-free drop rule stated verbatim.
+    # _probe_lists' assign_exact=False), then within-cluster-CELL
+    # pairwise decimal cosine and the rank-free drop rule stated
+    # verbatim — including the giant-cluster split: clusters over 4096
+    # rows re-split into ceil(size/4096) cells by the Knuth hash of vid
+    # (_cluster_cells' literals restated here).
     "q87_semantic_dedup": _KM_CTES
     + f""",
-        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+        norms AS MATERIALIZED (
+                  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
                   FROM e GROUP BY vec_id),
         cn AS (SELECT cid, SUM(CAST(v * v AS DECIMAL(38,25))) AS cn2
                FROM cent3 GROUP BY cid),
@@ -790,10 +797,17 @@ ORACLE = {
             FROM pdots d
             JOIN norms nv ON nv.vec_id = d.vid
             JOIN cn ON cn.cid = d.cid),
-        kassign AS (SELECT vid, cid FROM pranked WHERE crn = 1),
+        kassign AS MATERIALIZED (
+                    SELECT vid, cid FROM pranked WHERE crn = 1),
+        csz AS (SELECT cid, COUNT(*) AS csz FROM kassign GROUP BY cid),
+        kcell AS (SELECT k.vid, k.cid,
+                         ((k.vid * 2654435761) % 4294967296)
+                         % CAST(CEIL(CAST(c.csz AS DOUBLE) / 4096.0)
+                                AS BIGINT) AS sub
+                  FROM kassign k JOIN csz c ON c.cid = k.cid),
         pairs AS (SELECT a.vid AS id1, b.vid AS id2
-                  FROM kassign a JOIN kassign b
-                    ON b.cid = a.cid AND a.vid < b.vid),
+                  FROM kcell a JOIN kcell b
+                    ON b.cid = a.cid AND b.sub = a.sub AND a.vid < b.vid),
         sdots AS (SELECT p.id1, p.id2,
                          SUM(CAST(e1.v * e2.v AS DECIMAL(38,25))) AS dot
                   FROM pairs p
@@ -815,12 +829,19 @@ ORACLE = {
         GROUP BY a.cid
     """,
     # q88: pool + pairwise-sim CTEs, then the 5 greedy rounds unrolled
-    # (round 1 is pure relevance: empty-selected-set max = 0).
+    # (round 1 is pure relevance: empty-selected-set max = 0). The
+    # multiply-referenced CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    # default, so each greedy round re-derived the whole corpus-scoring
+    # subplan — the exact pathology the Spark side fixes with per-pick
+    # checkpoints — and the oracle alone cost 57 s at sf0.01 (0.3 s
+    # materialized, identical rows).
     "q88_mmr_rerank": f"""
-        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        WITH e AS MATERIALIZED (
+                   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                           CAST(unnest(embedding) AS DOUBLE) AS v
                    FROM embeddings),
-        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+        norms AS MATERIALIZED (
+                  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
                   FROM e GROUP BY vec_id),
         qd AS (SELECT x.vec_id AS vid,
                       SUM(CAST(q.v * x.v AS DECIMAL(38,25))) AS dot
@@ -833,7 +854,8 @@ ORACLE = {
                  FROM qd d
                  JOIN norms nq ON nq.vec_id = 0
                  JOIN norms nx ON nx.vec_id = d.vid),
-        pool AS (SELECT vid, rel FROM (
+        pool AS MATERIALIZED (
+                 SELECT vid, rel FROM (
                    SELECT vid, rel,
                           ROW_NUMBER() OVER (ORDER BY rel DESC, vid) AS rn
                    FROM rels) WHERE rn <= 16),
@@ -843,7 +865,8 @@ ORACLE = {
                JOIN e ea ON ea.vec_id = a.vid
                JOIN e eb ON eb.vec_id = b.vid AND eb.pos = ea.pos
                GROUP BY a.vid, b.vid),
-        psim AS (SELECT d.a, d.b,
+        psim AS MATERIALIZED (
+                 SELECT d.a, d.b,
                         {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")}
                             AS sim
                  FROM pd d

@@ -175,32 +175,44 @@ def q82_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # q109 ring geometry: the multiplicative (Knuth) hash spreads doc_ids
-# around a 2^32 ring; _RING_SHARDS bounds every window partition and is
-# the parallelism knob (at real scale set shards ~ corpus_size / 1e6).
+# around a 2^32 ring. The shard count is DATA-derived (VERDICT r04 #4 —
+# a fixed 32 meant corpus/32 rows in one rank-window task):
+# max(_RING_MIN_SHARDS, ceil(n_docs / _RING_TARGET)), so every window
+# partition is bounded by ~_RING_TARGET rows at any corpus size. The
+# rule is exact integer/ceil arithmetic both engines state verbatim, so
+# the oracle stays hash-comparable without a session-conf side channel.
 _RING_MULT = 2654435761
 _RING_MOD = 4294967296
-_RING_SHARDS = 32
+_RING_TARGET = 65536
+_RING_MIN_SHARDS = 32
 _NEG_PER_DOC = 2
 
 
-def q109_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic in-batch negative mining for contrastive training:
-    place every doc on a hash ring (Knuth multiplicative hash of
-    doc_id), shard the ring, and take each anchor's next
-    ``_NEG_PER_DOC`` ring neighbors (wrapping within the shard) as its
-    negatives — reproducible on any cluster, no RNG state, and
-    hash-distance ~ random so neighbors are unbiased negatives.
-    Output long-format (doc_id, slot, neg_id); self-pairs from
-    tiny shards are filtered.
-
-    Scale shape: the rank window runs per shard (bounded by
-    corpus/shards), and the neighbor lookup is ONE equi-join on
-    (shard, ring position) — co-partitioned, never doc x doc."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    ring = d.select(
-        "doc_id",
-        ((F.col("doc_id") * F.lit(_RING_MULT)) % F.lit(_RING_MOD)).alias("h"),
-    ).withColumn("shard", F.col("h") % F.lit(_RING_SHARDS))
+def _negative_ring(
+    d: DataFrame,
+    neg_per_doc: int = _NEG_PER_DOC,
+    target: int = _RING_TARGET,
+    min_shards: int = _RING_MIN_SHARDS,
+) -> DataFrame:
+    """Ring-neighbor negative mining over a (doc_id) frame. The 1-row
+    count aggregate broadcasts onto the scan, so deriving the shard
+    count costs one tiny job, not a corpus shuffle."""
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    nsh = F.greatest(
+        F.lit(min_shards).cast("bigint"),
+        F.ceil(F.col("n_docs") / F.lit(float(target))),
+    )
+    ring = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            ((F.col("doc_id") * F.lit(_RING_MULT)) % F.lit(_RING_MOD)).alias(
+                "h"
+            ),
+            nsh.alias("nsh"),
+        )
+        .withColumn("shard", F.col("h") % F.col("nsh"))
+    )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     pos = ring.select(
         "shard",
@@ -209,7 +221,7 @@ def q109_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("cnt"),
     )
     slots = F.explode(
-        F.array(*[F.lit(i) for i in range(1, _NEG_PER_DOC + 1)])
+        F.array(*[F.lit(i) for i in range(1, neg_per_doc + 1)])
     )
     anchors = pos.select(
         "shard", "doc_id", "rn", "cnt", slots.alias("slot")
@@ -230,6 +242,24 @@ def q109_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_id") != F.col("doc_id"))
         .select("doc_id", "slot", "neg_id")
     )
+
+
+def q109_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative mining for contrastive training:
+    place every doc on a hash ring (Knuth multiplicative hash of
+    doc_id), shard the ring, and take each anchor's next
+    ``_NEG_PER_DOC`` ring neighbors (wrapping within the shard) as its
+    negatives — reproducible on any cluster, no RNG state, and
+    hash-distance ~ random so neighbors are unbiased negatives.
+    Output long-format (doc_id, slot, neg_id); self-pairs from
+    tiny shards are filtered.
+
+    Scale shape: the rank window runs per shard, and the shard count
+    scales with the corpus (``_negative_ring``) so no partition exceeds
+    ~``_RING_TARGET`` rows; the neighbor lookup is ONE equi-join on
+    (shard, ring position) — co-partitioned, never doc x doc."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _negative_ring(d)
 
 
 def q110_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +410,187 @@ def q114_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 characteristic terms by TF-IDF — the standard
+    "what makes this domain different" profile over a mixed corpus
+    (the curation signal behind per-domain vocabulary pruning and
+    mixture diagnostics). idf = ln(n_sources / df) over SOURCE
+    document frequency; scores round to 6 decimals BEFORE ranking and
+    ties break by term, so the top-5 cut is engine-identical.
+
+    Scale shape: two partial-agg shuffles on (source, term) / (term) —
+    signatures of the corpus, never text; the source count is a 1-row
+    broadcast; the per-source ranking window filters row_number <= 5,
+    which Spark plans as WindowGroupLimit (bounded per-task state,
+    exactly like q82's head)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nsrc = d.select("source").distinct().agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_src").cast("double")
+                    / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# q122 BM25 geometry: Okapi BM25 with the textbook k1/b and a fixed
+# 3-term query. The scoring expression is ONE shared SQL string (every
+# operand explicitly double-cast so neither engine silently routes the
+# 0.5/0.75 literals through its own decimal-promotion rules), evaluated
+# by Spark via F.expr and pasted verbatim into the oracle — textual
+# identity is what makes the float chain engine-identical. Per-term
+# contributions snap to DECIMAL(18,6) before the per-doc sum so the
+# 3-term addition is exact and order-independent.
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_CONTRIB = (
+    "CAST(ROUND("
+    "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+    " * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+    " + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)"
+    " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)"
+    " AS DECIMAL(18,6))"
+)
+
+
+# q118 PMI geometry: co-occurrence is computed over the top-_PMI_V
+# document-frequency terms only — the vocabulary cap is what bounds the
+# per-document pair fan-out at V^2/2 regardless of document length or
+# corpus size (the same constant-vocabulary trick as q112). Pairs below
+# _PMI_MIN_SUPPORT docs are noise and excluded before ranking.
+_PMI_V = 50
+_PMI_MIN_SUPPORT = 5
+
+
+def q118_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — top-20 term pairs by pointwise mutual
+    information over document co-occurrence: PMI = ln(P(a,b) /
+    (P(a)P(b))) with probabilities as document fractions, the classic
+    "which terms travel together" signal behind phrase detection and
+    tokenizer-merge candidates. All counts are exact integers; the
+    single ln runs on one exact integer ratio, rounded to 6 before the
+    (pmi desc, term_a, term_b) rank, so the cut is engine-identical.
+
+    Scale shape: the vocabulary is a TakeOrderedAndProject head
+    (_PMI_V rows, broadcast); per-doc distinct vocab terms self-join
+    within doc_id only — <= V^2/2 pairs per doc, LINEAR in corpus
+    size; pair counting is one partial-agg shuffle on (a, b); the
+    final cut is TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("term")
+    ).distinct()
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_PMI_V)
+    )
+    vt = toks.join(F.broadcast(vocab), "term")
+    pairs = (
+        vt.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"), "doc_id")
+        .join(
+            vt.select(
+                F.col("term").alias("term_b"),
+                F.col("df").alias("df_b"),
+                "doc_id",
+            ),
+            "doc_id",
+        )
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        "n_ab",
+        "df_a",
+        "df_b",
+        F.round(
+            F.log(
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double")
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return scored.orderBy(F.col("pmi").desc(), "term_a", "term_b").limit(20)
+
+
+def q122_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table for the fixed
+    query {hash, join, vector} (k1=1.2, b=0.75): the lexical-retrieval
+    baseline every corpus search/contamination tool starts from. Docs
+    containing none of the query terms are unscored by contract; the
+    top 10 by (score desc, doc_id) are returned.
+
+    Scale shape: doc lengths and corpus stats are one scan + a 1-row
+    broadcast; term frequencies only exist for the 3 query terms
+    (the isin filter pushes into the exploded projection), so the
+    scored frame is tiny regardless of corpus size; final cut is
+    TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens("text").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.expr(_BM25_CONTRIB).alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("c").cast("double").alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q79_split_assign": q79_split_assign,
     "q80_pii_scrub": q80_pii_scrub,
@@ -389,6 +600,9 @@ QUERIES = {
     "q110_ngram_novelty": q110_ngram_novelty,
     "q112_vocab_coverage": q112_vocab_coverage,
     "q114_length_buckets": q114_length_buckets,
+    "q118_term_pmi": q118_term_pmi,
+    "q119_tfidf_terms": q119_tfidf_terms,
+    "q122_bm25_rank": q122_bm25_rank,
 }
 
 ORACLE = {
@@ -456,16 +670,22 @@ ORACLE = {
         FROM head GROUP BY source
     """,
     "q109_negative_sampling": f"""
-        WITH ring AS (
-            SELECT doc_id,
-                   (doc_id * {_RING_MULT}) % {_RING_MOD} AS h
+        WITH tot AS (
+            SELECT GREATEST({_RING_MIN_SHARDS},
+                            CAST(CEIL(COUNT(*) / {_RING_TARGET}.0)
+                                 AS BIGINT)) AS nsh
             FROM documents),
+        ring AS (
+            SELECT doc_id,
+                   (doc_id * {_RING_MULT}) % {_RING_MOD} AS h,
+                   ((doc_id * {_RING_MULT}) % {_RING_MOD}) % t.nsh AS shard
+            FROM documents CROSS JOIN tot t),
         pos AS (
             SELECT doc_id,
-                   h % {_RING_SHARDS} AS shard,
-                   ROW_NUMBER() OVER (PARTITION BY h % {_RING_SHARDS}
+                   shard,
+                   ROW_NUMBER() OVER (PARTITION BY shard
                                       ORDER BY h, doc_id) AS rn,
-                   COUNT(*) OVER (PARTITION BY h % {_RING_SHARDS}) AS cnt
+                   COUNT(*) OVER (PARTITION BY shard) AS cnt
             FROM ring),
         slots(slot) AS (VALUES {", ".join(f"({i})" for i in range(1, _NEG_PER_DOC + 1))}),
         anchors AS (
@@ -527,5 +747,73 @@ ORACLE = {
                ROUND(CAST(SUM(bucket_cap - n_tok) AS DOUBLE)
                      / CAST(SUM(bucket_cap) AS DOUBLE), 6) AS waste_rate
         FROM binned GROUP BY bucket_cap
+    """,
+    "q118_term_pmi": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, term
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)),
+        vocab AS (
+            SELECT term, COUNT(*) AS df FROM toks
+            GROUP BY term
+            ORDER BY df DESC, term
+            LIMIT {_PMI_V}),
+        vt AS (SELECT t.doc_id, t.term, v.df
+               FROM toks t JOIN vocab v USING (term)),
+        pairs AS (
+            SELECT a.term AS term_a, b.term AS term_b,
+                   a.df AS df_a, b.df AS df_b,
+                   COUNT(*) AS n_ab
+            FROM vt a JOIN vt b
+              ON b.doc_id = a.doc_id AND a.term < b.term
+            GROUP BY 1, 2, 3, 4
+            HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT term_a, term_b, n_ab, df_a, df_b,
+               ROUND(ln(CAST(n_ab * n_docs AS DOUBLE)
+                        / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+        FROM pairs CROSS JOIN nd
+        ORDER BY pmi DESC, term_a, term_b LIMIT 20
+    """,
+    "q119_tfidf_terms": f"""
+        WITH tf AS (
+            SELECT source, term, COUNT(*) AS tf
+            FROM (SELECT source, unnest({_TOK}) AS term FROM documents)
+            GROUP BY source, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        nsrc AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+        scored AS (
+            SELECT t.source, t.term, t.tf, d.df,
+                   ROUND(t.tf * ln(CAST(n.n_src AS DOUBLE)
+                                   / CAST(d.df AS DOUBLE)), 6) AS tfidf
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN nsrc n)
+        SELECT source, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+        FROM (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY tfidf DESC, term) AS rn
+              FROM scored)
+        WHERE rn <= 5
+    """,
+    "q122_bm25_rank": f"""
+        WITH dtok AS (
+            SELECT doc_id, {_TOK} AS toks FROM documents),
+        dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+                 FROM dtok),
+        stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT)
+                             AS sum_dl
+                  FROM dlen),
+        tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dlen)
+            WHERE term IN {_BM25_TERMS!r}
+            GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT t.doc_id, t.dl, {_BM25_CONTRIB} AS c
+            FROM tf t JOIN dfreq USING (term) CROSS JOIN stats)
+        SELECT doc_id, dl,
+               COUNT(*) AS n_terms_hit,
+               CAST(SUM(c) AS DOUBLE) AS bm25
+        FROM contrib GROUP BY doc_id, dl
+        ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
 }

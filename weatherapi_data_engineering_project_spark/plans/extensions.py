@@ -1043,3 +1043,36 @@ ORACLE = {
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 }
+
+# Error-bound differential for the GK-sketch query (VERDICT r04 missing
+# #3): percentile_approx(accuracy=10000) guarantees a value whose RANK is
+# within eps = 1/10000 of the target percentile. The bound brackets each
+# approx value between DuckDB's exact discrete quantiles at p ± 0.002
+# (20x eps — slack for the two engines' rank-rounding conventions, still
+# a sub-percent rank window). Consumed by tools/full_differential.py.
+BOUNDS: dict[str, dict] = {
+    "q62_approx_quantiles": {
+        "sql": """
+            SELECT o_orderpriority,
+                   quantile_disc(CAST(o_totalprice AS DOUBLE), 0.248)
+                       AS lo_p25_approx,
+                   quantile_disc(CAST(o_totalprice AS DOUBLE), 0.252)
+                       AS hi_p25_approx,
+                   quantile_disc(CAST(o_totalprice AS DOUBLE), 0.498)
+                       AS lo_p50_approx,
+                   quantile_disc(CAST(o_totalprice AS DOUBLE), 0.502)
+                       AS hi_p50_approx,
+                   quantile_disc(CAST(o_totalprice AS DOUBLE), 0.748)
+                       AS lo_p75_approx,
+                   quantile_disc(CAST(o_totalprice AS DOUBLE), 0.752)
+                       AS hi_p75_approx
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "key": ["o_orderpriority"],
+        "checks": [
+            ("p25_approx", "lo_p25_approx", "hi_p25_approx"),
+            ("p50_approx", "lo_p50_approx", "hi_p50_approx"),
+            ("p75_approx", "lo_p75_approx", "hi_p75_approx"),
+        ],
+    },
+}

@@ -259,10 +259,144 @@ def q108_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q120: deterministic HyperLogLog ----------------------------------
+
+# m = 64 registers (p = 6) over a 31-bit hash domain: rest < 2^25, so
+# rank = 26 - bitlength(rest) in [1, 25], 26 when rest = 0. A bare
+# linear-congruential hash has NO avalanche on consecutive ids (first
+# attempt estimated 5182 for 150 true distinct — every low id maps to
+# a tiny remainder and a giant rank), so the hash is a two-round
+# multiply + xor-shift mixer, still pure integer plan literals. All
+# intermediates stay under 2^62, inside BIGINT for both engines
+# (DuckDB errors on overflow rather than wrapping). Like q107-vs-q43
+# for count-min: engine-native HLL (q43) uses opaque registers and can
+# only be error-bound-checked; THIS sketch states its hash as plan
+# literals, so registers, the harmonic estimate, and the
+# linear-counting fallback are all exactly reproducible in SQL — a
+# fully hash-matched HLL.
+_HLL_M = 64
+_HLL_MOD = 2_147_483_648  # 2^31
+_HLL_A1 = 1_103_515_245
+_HLL_B1 = 12_345
+_HLL_A2 = 1_299_709
+_HLL_MAXRANK = 26  # 25-bit rest field + 1
+
+
+def _hll_mix_sql(x: str, xor_fmt, shr) -> str:
+    """The mixer as engine-portable SQL text: ``xor_fmt(a, b)`` and
+    ``shr(e, i)`` format bitwise xor / right-shift for the target
+    engine (Spark ``a ^ b`` / ``shiftright``, DuckDB ``xor(a, b)`` /
+    ``>>`` — same split as q106's _spark_shr/_duck_shr)."""
+    h0 = f"(({x} % {_HLL_MOD}) * {_HLL_A1} + {_HLL_B1}) % {_HLL_MOD}"
+    h1 = xor_fmt(f"({h0})", f"({shr(f'({h0})', 15)})")
+    h2 = f"(({h1}) * {_HLL_A2}) % {_HLL_MOD}"
+    return xor_fmt(f"({h2})", f"({shr(f'({h2})', 13)})")
+
+
+def _spark_xor(a: str, b: str) -> str:
+    return f"({a} ^ {b})"
+
+
+def _duck_xor(a: str, b: str) -> str:
+    return f"xor({a}, {b})"
+
+
+# the Flajolet alpha for m = 64, and the textbook small-range rule:
+# linear counting when E <= 2.5 m and zero registers remain. Every
+# float operand double-cast for the same reason as q122's BM25 string:
+# both engines must run the identical IEEE chain. 4096 = m^2;
+# 67108864 = 2^26 rescales the exact integer register sum
+# s_int = sum 2^(26 - reg) back to sum 2^(-reg).
+_HLL_EST = (
+    "CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)"
+    " * CAST(67108864.0 AS DOUBLE) / CAST(s_int AS DOUBLE)"
+    " <= CAST(160.0 AS DOUBLE) AND v > 0"
+    " THEN ROUND(CAST(64.0 AS DOUBLE)"
+    " * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE)), 3)"
+    " ELSE ROUND(CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)"
+    " * CAST(67108864.0 AS DOUBLE) / CAST(s_int AS DOUBLE), 3) END"
+)
+
+
+def q120_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user counts per event type —
+    q43's task with a plan-literal hash, so unlike engine-native HLL
+    the whole sketch is SQL-reproducible and hash-matched: bucket =
+    h % 64, rank = leading-zero rank of the 25-bit remainder (via the
+    binary-string length, exact integer semantics — no float log2),
+    register = max rank per bucket, harmonic estimate with the
+    small-range linear-counting fallback, audited against the exact
+    distinct count.
+
+    Scale shape: registers come from ONE partial-agg shuffle on
+    (event_type, bucket) — 64 rows per group regardless of input; the
+    integer register sum Σ 2^(15-reg) makes the harmonic mean exact
+    and order-independent, so the only float ops are the two final
+    literal chains both engines run identically. (The exact count is
+    the audit column, not part of the sketch path.)"""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    mix = _hll_mix_sql("user_id", _spark_xor, _spark_shr)
+    hashed = ev.select(
+        "event_type",
+        F.expr(f"({mix}) % {_HLL_M}").alias("bucket"),
+        F.expr(f"({mix}) div {_HLL_M}").alias("rest"),
+    )
+    ranks = hashed.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("rest") == 0, F.lit(_HLL_MAXRANK)).otherwise(
+                F.lit(_HLL_MAXRANK) - F.length(F.bin("rest"))
+            )
+        ).alias("reg")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_HLL_M - 1))
+            ).alias("bucket"),
+        )
+    )
+    regs = spine.join(ranks, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(1, {_HLL_MAXRANK} - reg) AS BIGINT)")
+        ).alias("s_int"),
+        F.sum((F.col("reg") == 0).cast("bigint")).alias("v"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("v").alias("n_zero_registers"),
+            F.expr(_HLL_EST).alias("est_users"),
+            "exact_users",
+        )
+        .select(
+            "event_type",
+            "n_zero_registers",
+            "est_users",
+            "exact_users",
+            F.round(
+                (F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
     "q107_countmin_sketch": q107_countmin_sketch,
     "q108_bloom_prune": q108_bloom_prune,
+    "q120_hll_sketch": q120_hll_sketch,
 }
 
 _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
@@ -339,5 +473,48 @@ ORACLE = {
         SELECT h.l_suppkey,
                COALESCE(m.s_suppkey IS NOT NULL, FALSE) AS is_member
         FROM hits h LEFT JOIN members m ON m.s_suppkey = h.l_suppkey
+    """,
+    # q120: the same hash/rank/register/estimate literals; ranks via
+    # binary-string length (integer-exact both engines), the register
+    # sum as exact integers, and the shared _HLL_EST float chain.
+    "q120_hll_sketch": f"""
+        WITH h AS (
+            SELECT event_type,
+                   ({_hll_mix_sql("user_id", _duck_xor, _duck_shr)})
+                       % {_HLL_M} AS bucket,
+                   ({_hll_mix_sql("user_id", _duck_xor, _duck_shr)})
+                       // {_HLL_M} AS rest
+            FROM events),
+        ranks AS (
+            SELECT event_type, bucket,
+                   MAX(CASE WHEN rest = 0 THEN {_HLL_MAXRANK}
+                            ELSE {_HLL_MAXRANK}
+                                 - length(printf('%b', rest)) END) AS reg
+            FROM h GROUP BY event_type, bucket),
+        spine AS (
+            SELECT t.event_type, b.bucket
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(range({_HLL_M})) AS bucket) b),
+        regs AS (
+            SELECT s.event_type, COALESCE(r.reg, 0) AS reg
+            FROM spine s LEFT JOIN ranks r
+              ON r.event_type = s.event_type AND r.bucket = s.bucket),
+        per_type AS (
+            SELECT event_type,
+                   CAST(SUM(1 << ({_HLL_MAXRANK} - reg)) AS BIGINT)
+                       AS s_int,
+                   CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v
+            FROM regs GROUP BY event_type),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type)
+        SELECT p.event_type,
+               p.v AS n_zero_registers,
+               {_HLL_EST} AS est_users,
+               e.exact_users,
+               ROUND(({_HLL_EST} - e.exact_users) / e.exact_users, 4)
+                   AS rel_err
+        FROM per_type p JOIN exact e ON e.event_type = p.event_type
     """,
 }

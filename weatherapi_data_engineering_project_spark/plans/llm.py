@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import checkpoint_tracked
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
@@ -302,7 +303,7 @@ def _pack_bins(f: DataFrame, budget: int = 4096) -> DataFrame:
     (quantiles, offsets, final) scan the 3-column frame — not the text
     column or any upstream pipeline — exactly once.
     """
-    f = f.localCheckpoint(eager=True)
+    f = checkpoint_tracked(f)
     try:
         nb = int(f.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
@@ -652,7 +653,7 @@ def _km_iter(i: int, prev: str) -> str:
                          CAST(CAST(AVG(e.v) AS REAL) AS DOUBLE) AS v
                   FROM ka{i} a JOIN e ON e.vec_id = a.vid
                   GROUP BY a.cid, e.pos),
-        cent{i} AS (SELECT p.cid, p.pos, COALESCE(m.v, p.v) AS v
+        cent{i} AS MATERIALIZED (SELECT p.cid, p.pos, COALESCE(m.v, p.v) AS v
                     FROM {prev} p LEFT JOIN km{i} m
                       ON m.cid = p.cid AND m.pos = p.pos)"""
 
@@ -663,8 +664,13 @@ def _km_iter(i: int, prev: str) -> str:
 # ivf_topk's assign_exact=False) and q30's exact decimal re-rank over
 # the probed lists. init = vectors with vec_id < 16.
 _KM_CTES = (
+    # e and every unrolled-round centroid CTE are MATERIALIZED: DuckDB
+    # inlines CTEs by default, so the multi-round references otherwise
+    # re-derive each prior round per consumer (q87's appendix made the
+    # un-materialized form cost 8.3 s vs 0.6 s at sf0.01).
     """
-        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        WITH e AS MATERIALIZED (
+                   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                           CAST(unnest(embedding) AS DOUBLE) AS v
                    FROM embeddings),
         cent0 AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 16),"""

@@ -64,3 +64,14 @@ def all_oracles() -> dict[str, str]:
     for m in _modules():
         out.update(getattr(m, "ORACLE", {}))
     return out
+
+
+def all_bounds() -> dict[str, dict]:
+    """Error-bound differentials for sketch queries with no exact SQL
+    twin (q43 HLL++, q62 GK): each entry's ``sql`` computes per-key
+    [lo, hi] brackets from exact DuckDB aggregates, and ``checks`` lists
+    (spark_col, lo_col, hi_col) triples the harness asserts per row."""
+    out: dict[str, dict] = {}
+    for m in _modules():
+        out.update(getattr(m, "BOUNDS", {}))
+    return out

@@ -347,6 +347,82 @@ def q84_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_stream_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-based session windows through the REAL streaming engine:
+    the events replay drains under ``Trigger.AvailableNow`` into the
+    built-in ``session_window`` aggregation (30-minute gap) in
+    COMPLETE output mode, each trigger overwriting the session table —
+    so the drained result equals batch gap-sessionization regardless
+    of watermark progress (append mode would hold back every session
+    younger than the watermark delay and silently truncate the tail).
+
+    The oracle states session_window's merge rule as gaps-and-islands
+    SQL verbatim: a new session starts iff the gap since the previous
+    event is >= 30 minutes (window intervals are [ts, ts+gap)), and
+    session_end is last_ts + gap. Decimal-exact value sums make the
+    per-session aggregate batch-boundary-independent, exactly like
+    q84's additive merge.
+
+    Scale shape: session state is per-user and watermark-bounded in a
+    production append-mode run; the complete-mode drain here is the
+    oracle harness, not the deployment shape (the operator itself —
+    ``streaming/windows.session_counts`` — is the same either way).
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import session_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _work_dir("q121", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.select("event_id", "ts", "user_id", "value").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        tmp = f"{out}.tmp-{bid}"
+        batch.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+    s2 = _cloned_session(spark)
+    q = (
+        session_counts(
+            s2.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            ).parquet(src),
+            gap="30 minutes",
+            watermark="8 hours",
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, session_start timestamp, "
+            "session_end timestamp, n_events bigint, sum_value double",
+        )
+    return spark.read.parquet(out).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment — the canonical streaming
     dimension join: each arriving event is joined (broadcast, zero
@@ -440,6 +516,7 @@ QUERIES = {
     "q76_stream_dedup": q76_stream_dedup,
     "q84_continuous_rollup": q84_continuous_rollup,
     "q90_stream_static_enrich": q90_stream_static_enrich,
+    "q121_stream_session_window": q121_stream_session_window,
 }
 
 # q42/q43 are rows-only (state-store program / foreign sketch); q70's
@@ -493,4 +570,55 @@ ORACLE: dict[str, str] = {
          AND p.ts >= e.ts
          AND p.ts <= e.ts + INTERVAL 1 HOUR
     """,
+    # q121: session_window's merge rule as gaps-and-islands — a new
+    # session iff the gap >= 30 min ([ts, ts+gap) intervals), end =
+    # last_ts + gap. Complete-mode drain => no watermark truncation.
+    "q121_stream_session_window": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+            FROM marked)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM numbered GROUP BY user_id, seq
+    """,
+}
+
+# Error-bound differential for the sketch query (VERDICT r04 missing #3):
+# HLL++ has no cross-engine value oracle, but its PUBLISHED accuracy
+# contract is checkable — approx_count_distinct(rsd=0.02) must land
+# within a few standard errors of DuckDB's exact COUNT(DISTINCT). The
+# window is ±4*rsd = ±8% (4-sigma; the sf0.01/sf0.1 groups are far above
+# the sketch's small-cardinality exact regime, so the bound is the real
+# probabilistic one, not vacuous). Consumed by tools/full_differential.py
+# which records a bound_match row instead of a bare no_oracle sentinel.
+BOUNDS: dict[str, dict] = {
+    "q43_approx_distinct": {
+        "sql": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) * 0.92 AS DOUBLE)
+                       AS lo_n_users_approx,
+                   CAST(COUNT(DISTINCT user_id) * 1.08 AS DOUBLE)
+                       AS hi_n_users_approx
+            FROM events GROUP BY event_type
+        """,
+        "key": ["event_type"],
+        "checks": [
+            ("n_users_approx", "lo_n_users_approx", "hi_n_users_approx"),
+        ],
+    },
 }
