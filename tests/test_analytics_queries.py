@@ -127,3 +127,258 @@ def test_join_cardinality_estimate_is_sane(spark):
     # 1/8 pk-sample of a pk-fk join: estimate within 50% at tiny SF
     assert abs(r.est_n - r.exact_n) / r.exact_n < 0.5
     assert r.rel_err == round(abs(r.est_n - r.exact_n) / r.exact_n, 6)
+
+
+def test_chisq_contingency_invariants(spark):
+    """Cell contributions sum to the repeated table statistic, expected
+    counts preserve the grand total, and dof matches the observed
+    table dimensions."""
+    rows = A.q124_chisq_independence(spark, SF_DIR).collect()
+    assert rows
+    chi2 = rows[0].chi2
+    dof = rows[0].dof
+    assert all(r.chi2 == chi2 and r.dof == dof for r in rows)
+    assert abs(sum(r.contrib for r in rows) - chi2) < 1e-6
+    n_src = len({r.source for r in rows})
+    n_buck = len({r.bucket_cap for r in rows})
+    assert dof == (n_src - 1) * (n_buck - 1)
+    # expected under independence preserves the grand total
+    assert abs(sum(r.expected for r in rows) - sum(r.o for r in rows)) < 0.01
+    assert all(r.contrib >= 0 for r in rows)
+
+
+def test_ols_fit_matches_numpy(spark):
+    """Closed-form per-source OLS agrees with numpy's lstsq fit."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = {r.source: r for r in A.q126_ols_fit(spark, SF_DIR).collect()}
+    assert rows
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "source",
+            F.size(TX.tokens("text")).alias("x"),
+            F.col("n_chars").alias("y"),
+        )
+        .collect()
+    )
+    src = next(iter(rows))
+    xs = np.array([r.x for r in d if r.source == src], dtype=float)
+    ys = np.array([r.y for r in d if r.source == src], dtype=float)
+    slope, icept = np.polyfit(xs, ys, 1)
+    got = rows[src]
+    assert abs(got.slope - slope) < 1e-4
+    assert abs(got.intercept - icept) < 1e-3
+    assert got.n == len(xs)
+    for r in rows.values():
+        assert 0.0 <= r.r2 <= 1.0
+        # chars grow with tokens: every source's slope is positive
+        assert r.slope > 0
+
+
+def test_ks_drift_matches_scipy_style_ecdf(spark):
+    """KS statistic equals the brute-force max ECDF gap for one pair,
+    every pair appears once, and the stat is a valid distance."""
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = A.q127_ks_drift(spark, SF_DIR).collect()
+    langs = {r.lang1 for r in rows} | {r.lang2 for r in rows}
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .select("lang", F.size(TX.tokens("text")).alias("v"))
+        .collect()
+    )
+    r0 = rows[0]
+    s1 = sorted(x.v for x in d if x.lang == r0.lang1)
+    s2 = sorted(x.v for x in d if x.lang == r0.lang2)
+    grid = sorted(set(s1) | set(s2))
+    ks = max(
+        abs(
+            sum(1 for x in s1 if x <= v) / len(s1)
+            - sum(1 for x in s2 if x <= v) / len(s2)
+        )
+        for v in grid
+    )
+    assert abs(r0.ks - ks) < 1e-6
+    assert r0.n1 == len(s1) and r0.n2 == len(s2)
+    for r in rows:
+        assert 0.0 <= r.ks <= 1.0
+        assert r.peak_len in {x.v for x in d}
+
+
+def test_mad_outliers_matches_numpy(spark):
+    """Median and MAD agree with numpy's interpolated median per
+    source, and the outlier count is the brute-force count."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = {r.source: r for r in A.q131_mad_outliers(spark, SF_DIR).collect()}
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", F.size(TX.tokens("text")).alias("v"))
+        .collect()
+    )
+    by_src = {}
+    for r in d:
+        by_src.setdefault(r.source, []).append(r.v)
+    assert set(rows) == set(by_src)
+    for src, vals in by_src.items():
+        got = rows[src]
+        med = float(np.median(vals))
+        devs = [abs(v - med) for v in vals]
+        mad = float(np.median(devs))
+        assert got.median_tok == med
+        assert got.mad == mad
+        assert got.n_outliers == sum(1 for dv in devs if dv > 3 * mad)
+        assert got.n_docs == len(vals)
+
+
+def test_key_skew_audit_matches_numpy_moments(spark):
+    """Closed-form moment profile equals numpy's population moments of
+    the per-supplier count distribution."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    r = A.q135_key_skew_audit(spark, SF_DIR).collect()[0]
+    counts = np.array(
+        [
+            x.k
+            for x in load_table(spark, SF_DIR, "lineitem")
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .collect()
+        ],
+        dtype=float,
+    )
+    mean = counts.mean()
+    m2 = ((counts - mean) ** 2).mean()
+    m3 = ((counts - mean) ** 3).mean()
+    m4 = ((counts - mean) ** 4).mean()
+    assert r.n_keys == len(counts)
+    assert abs(r.mean_ct - mean) < 1e-6
+    assert abs(r.variance - m2) < 1e-4
+    assert abs(r.skewness - m3 / m2**1.5) < 1e-4
+    assert abs(r.kurtosis_excess - (m4 / m2**2 - 3)) < 1e-4
+    assert r.max_ct == counts.max()
+    assert abs(r.max_over_mean - counts.max() / mean) < 1e-6
+
+
+def test_global_ntile_matches_builtin_ntile(spark):
+    """The two-phase bucketed ntile reproduces F.ntile over a single
+    global window bit-for-bit, including the remainder rule and
+    tiebreaks, on a frame with heavy ties."""
+    from pyspark.sql.window import Window as Wnd
+
+    from weatherapi_data_engineering_project_spark.plans.analytics import (
+        _global_ntile,
+    )
+
+    rows = [(i, (i * 7) % 13) for i in range(257)]  # ties everywhere
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.s
+        for r in _global_ntile(df, "v", "id", 4, "s").collect()
+    }
+    want = {
+        r.id: r.s
+        for r in df.select(
+            "id", F.ntile(4).over(Wnd.orderBy("v", "id")).alias("s")
+        ).collect()
+    }
+    assert got == want
+    desc_got = {
+        r.id: r.s
+        for r in _global_ntile(
+            df, "v", "id", 4, "s", ascending=False
+        ).collect()
+    }
+    desc_want = {
+        r.id: r.s
+        for r in df.select(
+            "id",
+            F.ntile(4)
+            .over(Wnd.orderBy(F.desc("v"), F.asc("id")))
+            .alias("s"),
+        ).collect()
+    }
+    assert desc_got == desc_want
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    """Every ordering customer lands in exactly one cell; quartile
+    scores are 1..4 and cell sizes are near-balanced per axis."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = A.q137_rfm_segments(spark, SF_DIR).collect()
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[getattr(r, axis)] = per.get(getattr(r, axis), 0) + r.n_customers
+        assert set(per) == {1, 2, 3, 4}
+        assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_brand_affinity_lift_brute_force(spark):
+    """Lift values match the brute-force basket computation."""
+    from collections import Counter
+    from itertools import combinations
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    got = {
+        (r.brand1, r.brand2): (r.co_orders, r.lift)
+        for r in A.q138_brand_affinity(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part")
+    rows = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.p_brand)
+    n = len(baskets)
+    bc = Counter(b for s in baskets.values() for b in s)
+    co = Counter(
+        pair
+        for s in baskets.values()
+        for pair in combinations(sorted(s), 2)
+    )
+    want = {
+        pair: (c, round(c * n / (bc[pair[0]] * bc[pair[1]]), 6))
+        for pair, c in co.items()
+        if c >= 5
+    }
+    assert got == want
+
+
+def test_fd_audit_verdicts(spark):
+    """The control PK dependency and the dimensional hierarchy hold;
+    the two expected violations are detected with real counts."""
+    rows = {r.fd: r for r in A.q140_fd_audit(spark, SF_DIR).collect()}
+    assert len(rows) == 4
+    assert rows["nation.n_nationkey -> n_regionkey"].holds
+    assert rows["documents.doc_id -> lang"].holds
+    src_lang = rows["documents.source -> lang"]
+    assert not src_lang.holds and src_lang.n_violating_groups > 0
+    assert src_lang.max_distinct_rhs > 1
+    cust = rows["orders.o_custkey -> o_orderpriority"]
+    assert not cust.holds and cust.n_violating_groups > 0

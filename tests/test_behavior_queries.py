@@ -92,3 +92,92 @@ def test_disorder_audit_recomputes_per_user(spark):
         assert r.n_events == len(rows)
         assert r.n_late == n_late
         assert r.max_lateness_us == max_late
+
+
+def test_touch_attribution_credits_balance(spark):
+    """First- and last-touch credits each sum to the number of
+    converting users that had a touch, and no type earns more credit
+    than it has touches."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = B.q130_touch_attribution(spark, SF_DIR).collect()
+    assert rows
+    total_first = sum(r.n_first_touch for r in rows)
+    total_last = sum(r.n_last_touch for r in rows)
+    assert total_first == total_last
+    ev = load_table(spark, SF_DIR, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("cv"))
+    )
+    with_touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("cv.ts"))
+            | (
+                (F.col("ts") == F.col("cv.ts"))
+                & (F.col("event_id") < F.col("cv.event_id"))
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total_first == with_touch
+    for r in rows:
+        assert r.n_first_touch <= r.n_touches
+        assert r.n_last_touch <= r.n_touches
+
+
+def test_time_to_convert_invariants(spark):
+    """Latencies are positive, ordered min <= median <= max, and the
+    converter total equals the independent view-then-purchase count."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = B.q134_time_to_convert(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_ttc_s <= r.median_ttc_s <= r.max_ttc_s
+        assert r.n_converters > 0
+    ev = load_table(spark, SF_DIR, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    n_conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_converters for r in rows) == n_conv
+
+
+def test_event_transitions_probabilities_normalize(spark):
+    """Per from_type, the conditional probabilities sum to ~1 and
+    transition counts equal n_events - n_users (each user contributes
+    len-1 transitions)."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = B.q139_event_transitions(spark, SF_DIR).collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for frm, rs in by_from.items():
+        assert abs(sum(r.p_to_given_from for r in rs) - 1.0) < 1e-4

@@ -205,3 +205,111 @@ def test_length_buckets_account_for_every_doc(spark):
         assert r.bucket_cap in caps
         assert 0 <= r.waste_rate < 1
         assert r.n_padding == r.bucket_cap * r.n_docs - r.n_tokens
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES draw is exactly k rows, bit-reproducible across runs, and
+    longer docs are overrepresented vs a uniform draw (the weights
+    actually bias selection)."""
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.plans.curation import _WS_K
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    r1 = C.q125_weighted_sample(spark, SF_DIR).collect()
+    r2 = C.q125_weighted_sample(spark, SF_DIR).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert len(r1) == _WS_K
+    assert all(r.n_tokens > 0 and r.samp_key >= 0 for r in r1)
+    d = load_table(spark, SF_DIR, "documents")
+    mean_all = (
+        d.select(F.avg(F.size(TX.tokens("text"))).alias("m")).collect()[0].m
+    )
+    mean_sample = sum(r.n_tokens for r in r1) / len(r1)
+    assert mean_sample > mean_all
+
+
+def test_boilerplate_prefix_groups_share_prefix(spark):
+    """Every reported group's member docs really share their first 8
+    tokens, and singleton prefixes are never reported."""
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.plans.curation import (
+        _PREFIX_K,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    groups = C.q128_boilerplate_prefix(spark, SF_DIR).collect()
+    assert groups, "sf0.01 planted near-dups share prefixes"
+    d = load_table(spark, SF_DIR, "documents")
+    fp = (
+        d.select("doc_id", "source", TX.tokens("text").alias("t"))
+        .filter(F.size("t") >= _PREFIX_K)
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.slice("t", 1, _PREFIX_K)).alias("p"),
+        )
+        .collect()
+    )
+    by_prefix = {}
+    for r in fp:
+        by_prefix.setdefault(r.p, []).append(r)
+    multi = {p: rs for p, rs in by_prefix.items() if len(rs) >= 2}
+    assert len(groups) == len(multi)
+    sizes = sorted(g.n_docs for g in groups)
+    assert sizes == sorted(len(rs) for rs in multi.values())
+    for g in groups:
+        assert g.n_docs >= 2 and 1 <= g.n_sources <= g.n_docs
+
+
+def test_unigram_entropy_bounds_and_brute_force(spark):
+    """Entropy is in [0, ln V], normalized in [0, 1], and matches the
+    brute-force Shannon computation for one source."""
+    import math
+
+    from weatherapi_data_engineering_project_spark.functions import text as TX
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = {r.source: r for r in C.q132_unigram_entropy(spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.entropy <= math.log(r.vocab) + 1e-9
+        assert 0 <= r.norm_entropy <= 1 + 1e-9
+        assert r.vocab <= r.n_tokens
+    src = next(iter(rows))
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("source") == src)
+        .select(F.explode(TX.tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .collect()
+    )
+    from collections import Counter
+
+    cnt = Counter(x.t for x in d)
+    n = sum(cnt.values())
+    h = sum((c / n) * math.log(n / c) for c in cnt.values())
+    assert abs(rows[src].entropy - h) < 1e-4
+    assert rows[src].n_tokens == n and rows[src].vocab == len(cnt)
+
+
+def test_lang_diversity_simpson_brute_force(spark):
+    """Simpson index and majority share match the per-source language
+    histogram exactly."""
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = {r.source: r for r in C.q133_lang_diversity(spark, SF_DIR).collect()}
+    d = load_table(spark, SF_DIR, "documents").select("source", "lang").collect()
+    by_src = {}
+    for r in d:
+        by_src.setdefault(r.source, []).append(r.lang)
+    assert set(rows) == set(by_src)
+    for src, langs in by_src.items():
+        cnt = Counter(langs)
+        n = len(langs)
+        simpson = 1 - sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+        got = rows[src]
+        assert got.n_docs == n and got.n_langs == len(cnt)
+        assert abs(got.simpson - simpson) < 1e-6
+        assert abs(got.majority_share - max(cnt.values()) / n) < 1e-6

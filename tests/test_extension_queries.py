@@ -125,3 +125,47 @@ def test_approx_quantiles_error_bound(spark):
             # rank tolerance: n/accuracy, plus one element of slack
             tol = n / 10000 + 1
             assert lo - tol <= target <= hi - 1 + tol, (prio, p, lo, hi, target)
+
+
+def test_centroid_similarity_agrees_with_q66_centroids(spark):
+    """The pair matrix reproduces numpy cosine/L2 over the q66
+    centroids, covers every label pair once, and stays in range."""
+    import math
+
+    cents = {
+        r.label: r.centroid
+        for r in X.q66_label_centroids(spark, SF_DIR).collect()
+    }
+    rows = X.q129_centroid_similarity(spark, SF_DIR).collect()
+    k = len(cents)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        c1, c2 = cents[r.label1], cents[r.label2]
+        dot = sum(a * b for a, b in zip(c1, c2))
+        n1 = math.sqrt(sum(a * a for a in c1))
+        n2 = math.sqrt(sum(b * b for b in c2))
+        assert abs(r.cos_sim - dot / (n1 * n2)) < 1e-5
+        l2 = math.sqrt(sum((a - b) ** 2 for a, b in zip(c1, c2)))
+        assert abs(r.l2_dist - l2) < 1e-5
+        assert -1.0 <= r.cos_sim <= 1.0 and r.l2_dist >= 0
+
+
+def test_embedding_dim_health_matches_numpy(spark):
+    """Per-dimension stats agree with numpy over the collected
+    embedding matrix (variance compared against the rounded-squares
+    definition the query states)."""
+    import numpy as np
+
+    rows = {r.pos: r for r in X.q142_embedding_dim_health(spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    m = np.array([r.embedding for r in e], dtype=np.float64)
+    assert set(rows) == set(range(m.shape[1]))
+    for pos in range(m.shape[1]):
+        col = m[:, pos]
+        got = rows[pos]
+        assert got.c == len(col)
+        assert abs(got.mean_v - col.mean()) < 1e-5
+        var_rounded = np.round(col * col, 12).mean() - col.mean() ** 2
+        assert abs(got.var_v - var_rounded) < 1e-5
+        assert got.min_v == col.min() and got.max_v == col.max()
+        assert abs(got.zero_rate - (col == 0).mean()) < 1e-9

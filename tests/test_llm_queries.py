@@ -505,3 +505,49 @@ def test_pack_bins_edges_and_semantics(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one has near-zero
+    Jaccard but containment 1.0 — the asymmetric case q123 exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    pairs = DD.containment_pairs(df, "text", "doc_id", 0.9).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert {p.id1, p.id2} == {1, 2}
+    # the short side is fully contained; symmetric jaccard is small
+    assert max(p.c_1_in_2, p.c_2_in_1) == 1.0
+    assert p.jaccard < 0.5
+    # and the jaccard path at the same threshold finds nothing
+    sym = DD.jaccard_pairs(df, "text", "doc_id", 0.9).collect()
+    assert sym == []
+
+
+def test_containment_pairs_bounds_on_corpus(spark):
+    """Both containment directions and jaccard are valid ratios, and
+    jaccard never exceeds either containment (set algebra)."""
+    d = load_table(spark, SF_DIR, "documents")
+    rows = DD.containment_pairs(d, "text", "doc_id", 0.6).collect()
+    assert rows, "sf0.01 planted near-dups should produce pairs"
+    for r in rows:
+        assert 0 < r.c_1_in_2 <= 1.0 and 0 < r.c_2_in_1 <= 1.0
+        assert r.jaccard <= min(r.c_1_in_2, r.c_2_in_1) + 1e-9
+        assert max(r.c_1_in_2, r.c_2_in_1) >= 0.6
+
+
+def test_dedup_savings_consistent_with_exact_dedup(spark):
+    """Dropped-doc total equals (n_docs - n_fingerprints) from q23's
+    exact dedup, and rates are valid ratios."""
+    d = load_table(spark, SF_DIR, "documents")
+    rows = llm.q141_dedup_savings(spark, SF_DIR).collect()
+    n_docs = d.count()
+    n_groups = llm.q23_exact_dedup(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_dropped_docs for r in rows) == n_docs - n_groups
+    for r in rows:
+        assert 0 <= r.token_savings_rate < 1
+        assert r.n_dropped_tokens <= r.n_tokens

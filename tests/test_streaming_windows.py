@@ -365,3 +365,37 @@ def test_continuous_rollup_drains_multiple_batches(spark):
     )
     batches = [f for f in os.listdir(offsets) if not f.startswith(".")]
     assert len(batches) >= 4, batches
+
+
+def test_sliding_counts_batch_parity_and_coverage(spark):
+    """The streaming sliding-window drain equals the batch run of the
+    same operator, and every event is counted in exactly 4 windows
+    (1 h / 15 min)."""
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        q136_stream_sliding_window,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = {
+        (r.window_start, r.window_end, r.event_type): (
+            r.n_events,
+            r.sum_value,
+        )
+        for r in W.sliding_counts(
+            ev.select("event_id", "ts", "event_type", "value"),
+            watermark=None,
+        ).collect()
+    }
+    streamed = {
+        (r.window_start, r.window_end, r.event_type): (
+            r.n_events,
+            r.sum_value,
+        )
+        for r in q136_stream_sliding_window(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    n_events = ev.count()
+    assert sum(v[0] for v in batch.values()) == 4 * n_events
+    for (ws, we, _t), _v in batch.items():
+        assert (we - ws).total_seconds() == 3600
+        assert ws.minute % 15 == 0 and ws.second == 0

@@ -645,3 +645,77 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures_from_shingles(ex)
     cands = minhash_band_candidates(sigs)
     return jaccard_from_shingles(ex, threshold, candidates=cands)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Asymmetric containment dedup: C(A ⊆ B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)| — the Broder containment coefficient.
+    Symmetric Jaccard misses subset duplication (a short doc embedded
+    verbatim in a much longer one scores J = |A|/|B| ≈ 0 while
+    C(A ⊆ B) = 1); curation pipelines score both and drop on EITHER.
+
+    Candidates deliberately do NOT come from MinHash banding: the
+    banding collision curve is a function of JACCARD, so a contained
+    short doc (J ≈ 0, C = 1) would almost never band-collide with its
+    container — the one pair class this operator exists to catch.
+    Instead candidates are the df-capped shingle equi-join (the q24
+    blocking): any pair sharing ≥1 surviving shingle is scored, which
+    is containment-complete up to the cap (a contained doc shares ALL
+    its shingles, so it survives unless every one of them is hotter
+    than max_doc_freq). Semantics are containment over the CAPPED
+    shingle sets — well-defined and mirrored exactly by the oracle,
+    like df-capped Jaccard. Every pair reports containment BOTH ways
+    plus Jaccard; pairs pass when the larger containment direction
+    reaches ``threshold``. All ratios round to 6 decimals BEFORE the
+    threshold compare, so the cut is engine-identical.
+
+    Scale shape: q24's — the hot-list is a broadcast anti-join, the
+    self-join is bounded at max_doc_freq² rows per shingle, sizes are
+    one partial-agg int per doc joined at the end, never a window.
+    """
+    ex = persist_tracked(shingle_sets(df, text_col, id_col, k))
+    kept = persist_tracked(_capped_shingles(ex, max_doc_freq))
+    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        kept.select(F.col("doc").alias("id1"), "shingle")
+        .join(kept.select(F.col("doc").alias("id2"), "shingle"), on="shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            sizes.select(F.col("doc").alias("id1"), F.col("n_sh").alias("n1")),
+            on="id1",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id2"), F.col("n_sh").alias("n2")),
+            on="id2",
+        )
+    )
+    c12 = F.round(F.col("n_common").cast("double") / F.col("n1"), 6)
+    c21 = F.round(F.col("n_common").cast("double") / F.col("n2"), 6)
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        6,
+    )
+    return (
+        inter.select(
+            "id1",
+            "id2",
+            "n_common",
+            c12.alias("c_1_in_2"),
+            c21.alias("c_2_in_1"),
+            jac.alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("c_1_in_2"), F.col("c_2_in_1"))
+            >= F.lit(threshold)
+        )
+    )

@@ -30,9 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import text as TX
 from ..schemas import load_table
 
 SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h gap closes a session
+
+# DuckDB-side tokenizer macro, identical to the other plan modules'
+_ATOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
 
 
 def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +450,643 @@ def q116_join_cardinality_estimate(
     )
 
 
+# q124 geometry: the contingency table is source x token-length bucket
+# (4 fixed caps, integer-exact CASE like q114's). The chi-square per-
+# cell contribution is the only float work — ONE shared expression
+# (explicit DOUBLE casts, q122/BM25 convention) with the per-cell term
+# snapped to DECIMAL(18,6) so the statistic is an EXACT sum, order-
+# independent at any parallelism.
+_CHI_CASE = (
+    "CASE WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256"
+    " WHEN n_tok <= 512 THEN 512 ELSE 1024 END"
+)
+_CHI_CONTRIB = (
+    "CAST(ROUND("
+    "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    " * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+    " AS DECIMAL(18,6))"
+)
+
+
+def q124_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document source and
+    token-length bucket — the corpus-health audit for "do sources have
+    different length profiles" (a significant statistic here means
+    per-source length normalization before mixing). Output is the full
+    contingency table: one row per observed (source, bucket) cell with
+    observed count, expected count under independence, the cell's
+    chi-square contribution, and the table-level statistic + degrees
+    of freedom repeated on every row (so one query carries both the
+    cells and the test result).
+
+    Scale shape: raw docs collapse to the cell table in ONE partial-agg
+    shuffle; marginals and the statistic are aggregates OF the tiny
+    cell table (sources x 4 rows); every float term is the shared
+    ``_CHI_CONTRIB`` chain snapped to decimal before the exact sum."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            "source", F.size(TX.tokens("text")).alias("n_tok")
+        )
+        .select("source", F.expr(_CHI_CASE).alias("bucket_cap"))
+        .groupBy("source", "bucket_cap")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_t = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    cols_t = cells.groupBy("bucket_cap").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    full = (
+        cells.join(F.broadcast(rows_t), "source")
+        .join(F.broadcast(cols_t), "bucket_cap")
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = full.select(
+        "source",
+        "bucket_cap",
+        "o",
+        F.round(
+            F.col("rt").cast("double")
+            * F.col("ct").cast("double")
+            / F.col("n").cast("double"),
+            4,
+        ).alias("expected"),
+        F.expr(_CHI_CONTRIB).alias("contrib"),
+    )
+    dims = scored.agg(
+        F.sum("contrib").cast("double").alias("chi2"),
+        (
+            (F.count_distinct("source") - F.lit(1))
+            * (F.count_distinct("bucket_cap") - F.lit(1))
+        ).alias("dof"),
+    )
+    return scored.crossJoin(F.broadcast(dims)).select(
+        "source",
+        "bucket_cap",
+        "o",
+        "expected",
+        F.col("contrib").cast("double").alias("contrib"),
+        "chi2",
+        "dof",
+    )
+
+
+# q126 geometry: per-source OLS of n_chars on token count. The six
+# sufficient statistics (n, Σx, Σy, Σxx, Σyy, Σxy) are ONE map-side-
+# combined groupBy — the regression never sees rows twice and nothing
+# but six numbers per source crosses the shuffle. Products are built
+# from int columns BEFORE the sum so each sum is an exact integer;
+# the closed-form slope/intercept/r² are one shared double chain over
+# those exact sums (q122 convention), rounded to 6.
+_OLS_SLOPE = (
+    "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+_OLS_ICEPT = (
+    "ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE), 6)"
+)
+_OLS_R2 = (
+    "ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+def q126_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ordinary-least-squares fit of character count on
+    token count — the closed-form "scaling relationship" regression a
+    curation pipeline runs to spot sources whose length profile breaks
+    the corpus trend (an outlier slope means a different tokenization
+    or content mix; a low r² means the source is heterogeneous).
+    Output: one row per source with n, slope, intercept, and r².
+
+    Scale shape: the classic sufficient-statistics trick — the fit is
+    ONE partial-agg groupBy carrying six exact integer sums per
+    source; the algebra runs on the 20-row aggregate, so the plan is
+    a scan + one narrow shuffle regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    xy = d.select(
+        "source",
+        F.size(TX.tokens("text")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    stats = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return stats.select(
+        "source",
+        "n",
+        F.expr(_OLS_SLOPE).alias("slope"),
+        F.expr(_OLS_ICEPT).alias("intercept"),
+        F.expr(_OLS_R2).alias("r2"),
+    )
+
+
+def q127_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between every pair of
+    languages' token-length distributions — the distribution-drift
+    audit a pipeline runs before mixing corpora ("does zh have the
+    same length profile as en?"). Output: one row per unordered lang
+    pair with both sample sizes, the KS statistic, and the length at
+    which the ECDF gap peaks.
+
+    Exactness: the ECDF gap is kept INTEGRAL until the last step —
+    ECDF₁(v) − ECDF₂(v) = (cum1·n2 − cum2·n1) / (n1·n2), so the max
+    runs over exact integers (cross-engine-identical by construction)
+    and only the final KS ratio is a rounded double. The argmax length
+    is the smallest v attaining the max, a deterministic tiebreak.
+
+    Scale shape: docs collapse to per-(lang, length) counts in one
+    partial-agg shuffle; the ECDF grid is (distinct lengths × langs) —
+    bounded by the value domain, not the corpus — built by a cumulative
+    window per lang; the pair join runs on that tiny grid."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.size(TX.tokens("text")).alias("v"))
+        .groupBy("lang", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # dense (lang × global grid) frame: every lang needs an ECDF value
+    # at every jump point of EVERY lang, else the pair join misses gaps
+    # that peak between one lang's own jumps
+    grid = counts.select("v").distinct()
+    langs = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    dense = langs.crossJoin(grid).join(
+        counts, on=["lang", "v"], how="left"
+    ).fillna(0, subset=["c"])
+    w = Window.partitionBy("lang").orderBy("v")
+    ecdf = dense.select(
+        "lang",
+        "n_l",
+        "v",
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    a = ecdf.select(
+        F.col("lang").alias("lang1"),
+        F.col("n_l").alias("n1"),
+        "v",
+        F.col("cum").alias("cum1"),
+    )
+    b = ecdf.select(
+        F.col("lang").alias("lang2"),
+        F.col("n_l").alias("n2"),
+        "v",
+        F.col("cum").alias("cum2"),
+    )
+    gaps = (
+        a.join(b, on="v")
+        .filter(F.col("lang1") < F.col("lang2"))
+        .select(
+            "lang1",
+            "lang2",
+            "n1",
+            "n2",
+            "v",
+            F.abs(
+                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            ).alias("gap_num"),
+        )
+    )
+    peak = gaps.groupBy("lang1", "lang2", "n1", "n2").agg(
+        F.max("gap_num").alias("ks_num")
+    )
+    return (
+        gaps.join(peak, on=["lang1", "lang2", "n1", "n2"])
+        .filter(F.col("gap_num") == F.col("ks_num"))
+        .groupBy("lang1", "lang2", "n1", "n2", "ks_num")
+        .agg(F.min("v").alias("peak_len"))
+        .select(
+            "lang1",
+            "lang2",
+            "n1",
+            "n2",
+            F.round(
+                F.col("ks_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks"),
+            "peak_len",
+        )
+    )
+
+
+def q131_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier audit via median absolute deviation:
+    per source, the exact median token count, the exact MAD, and how
+    many documents sit beyond 3·MAD — the heavy-tail detector quality
+    pipelines prefer over z-scores because one pathological document
+    can't move the cut (it CAN move a mean/stddev cut, which is what
+    q117 uses on counts).
+
+    Exactness without decimals: both medians are q36's rank-vs-count
+    selection, so each is the average of ≤2 INTEGER (or half-integer)
+    values — dyadic rationals that doubles represent exactly, making
+    every comparison cross-engine-exact with no decimal casts at all.
+
+    Scale shape: two per-source sort windows (the price of exact
+    medians — the approximate path is q62's GK sketch) over a frame
+    that is (source, int, id) wide, never documents; the outlier
+    count is one broadcast-joined filter agg."""
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        "source",
+        F.size(TX.tokens("text")).alias("v"),
+        "doc_id",
+    )
+    from ..caching import persist_tracked
+
+    x = persist_tracked(x)
+    wn = Window.partitionBy("source")
+    w1 = Window.partitionBy("source").orderBy("v", "doc_id")
+    r1 = x.select(
+        "source",
+        "v",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    ).groupBy("source").agg(
+        F.avg("v").alias("med"), F.max("n").alias("n_docs")
+    )
+    dev = persist_tracked(
+        x.join(F.broadcast(med), "source").select(
+            "source",
+            "doc_id",
+            "n_docs",
+            "med",
+            F.abs(F.col("v") - F.col("med")).alias("dev"),
+        )
+    )
+    w2 = Window.partitionBy("source").orderBy("dev", "doc_id")
+    r2 = dev.select(
+        "source",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    ).groupBy("source").agg(F.avg("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("med").alias("median_tok"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("dev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# q135 moment algebra: population mean/variance/skewness/excess-
+# kurtosis of the per-key row-count distribution, in closed form from
+# the exact power sums S1..S4. The sums stay INTEGER end-to-end
+# (Spark: decimal(38,0) products of a decimal(20,0) key count; DuckDB:
+# HUGEINT), so the shared double chain below starts from identical
+# integers in both engines.
+_KM_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_KM_M2 = (
+    f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_KM_MEAN} * {_KM_MEAN})"
+)
+_KM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3 * {_KM_MEAN} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 2 * {_KM_MEAN} * {_KM_MEAN} * {_KM_MEAN})"
+)
+_KM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4 * {_KM_MEAN} * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 6 * {_KM_MEAN} * {_KM_MEAN}"
+    f" * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3 * {_KM_MEAN} * {_KM_MEAN} * {_KM_MEAN} * {_KM_MEAN})"
+)
+
+
+def q135_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: the moment profile of lineitem's
+    per-supplier row counts — mean, variance, skewness, excess
+    kurtosis, the hottest key's count, and its ratio to the mean.
+    This is the audit that decides whether a planned join needs q69's
+    salting (high max/mean) or plain hash partitioning (ratio ≈ 1):
+    run it BEFORE the 100-TB join, not after the straggler.
+
+    Scale shape: per-key counts are one map-side-combined groupBy;
+    the four power sums collapse those counts to ONE row in a second
+    partial agg (products computed per key in decimal(38,0), so the
+    sums are exact integers at any corpus size); the closed-form
+    moments are driver-side-free scalar math on that row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    kd = F.col("k").cast("decimal(20,0)")
+    sums = per_key.select(
+        F.col("k"),
+        (kd * kd).alias("k2"),
+        (kd * kd * kd).alias("k3"),
+        (kd * kd * kd * kd).alias("k4"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s1"),
+        F.sum("k2").alias("s2"),
+        F.sum("k3").alias("s3"),
+        F.sum("k4").alias("s4"),
+        F.max("k").alias("max_ct"),
+    )
+    return sums.select(
+        F.col("n").alias("n_keys"),
+        F.expr(f"ROUND({_KM_MEAN}, 6)").alias("mean_ct"),
+        F.expr(f"ROUND({_KM_M2}, 6)").alias("variance"),
+        F.expr(
+            f"ROUND({_KM_M3} / pow({_KM_M2}, 1.5), 6)"
+        ).alias("skewness"),
+        F.expr(
+            f"ROUND({_KM_M4} / ({_KM_M2} * {_KM_M2}) - 3, 6)"
+        ).alias("kurtosis_excess"),
+        "max_ct",
+        F.expr(
+            f"ROUND(CAST(max_ct AS DOUBLE) / {_KM_MEAN}, 6)"
+        ).alias("max_over_mean"),
+    )
+
+
+def _global_ntile(
+    df: DataFrame,
+    metric: str,
+    id_col: str,
+    k: int,
+    out: str,
+    ascending: bool = True,
+) -> DataFrame:
+    """Exact global NTILE(k) WITHOUT the single-task sort a bare
+    ``Window.orderBy`` degenerates to — q65's two-phase rewrite
+    (sampled range boundaries → bucket-local row_number → broadcast
+    offsets) plus the SQL-standard ntile remainder rule applied to the
+    reconstructed global rank: with n rows and q, r = divmod(n, k),
+    the first r buckets get q+1 rows. Boundary placement affects only
+    balance, never the result — ties share a bucket and split on the
+    ``id_col`` tiebreak, exactly like NTILE OVER (ORDER BY metric,
+    id)."""
+    key = F.col(metric).cast("double")
+    if not ascending:
+        key = -key
+    probe = df.select(key.alias("_k"))
+    bnds = sorted(
+        set(probe.approxQuantile("_k", [i / 16 for i in range(1, 16)], 0.01))
+    )
+    bucketed = df.withColumn("_k", key).withColumn(
+        "_bkt",
+        F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("_k"),
+            )
+        ),
+    )
+    offsets = (
+        bucketed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+        .select("_bkt", "_off", "_tot")
+    )
+    wl = Window.partitionBy("_bkt").orderBy("_k", id_col)
+    rn = F.col("_off") + F.row_number().over(wl)
+    q = F.floor(F.col("_tot") / k)
+    r = F.col("_tot") % k
+    head = r * (q + 1)
+    score = F.when(
+        rn <= head, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((rn - head - 1) / q) + 1)
+    return (
+        bucketed.join(F.broadcast(offsets), on="_bkt")
+        .withColumn(out, score.cast("int"))
+        .drop("_k", "_bkt", "_off", "_tot")
+    )
+
+
+def q137_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-score every ordering
+    customer on Recency (days since their last order, vs the corpus'
+    latest order date), Frequency (order count) and Monetary (total
+    spend), then report each (R,F,M) cell's size and exact average
+    spend — the classic warehouse segmentation rollup.
+
+    Determinism: every quartile orders by (metric, custkey), so tied
+    metrics split identically in any engine; spend stays decimal(18,2)
+    until the final rounded-double average. Scale shape: one partial
+    agg to a per-customer row, then three ``_global_ntile`` passes
+    over THAT persisted frame — each is a bucketed two-phase rank, so
+    no single-task global window ever materializes (the oracle's bare
+    NTILE is the semantics statement, not the plan)."""
+    from ..caching import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    maxd = per_cust.agg(F.max("last_order").alias("corpus_last"))
+    scored = persist_tracked(
+        per_cust.crossJoin(F.broadcast(maxd)).select(
+            "o_custkey",
+            F.datediff("corpus_last", "last_order").alias("recency_d"),
+            "freq",
+            "spend",
+        )
+    )
+    cells = _global_ntile(
+        _global_ntile(
+            _global_ntile(
+                scored, "recency_d", "o_custkey", 4, "r_score"
+            ),
+            "freq",
+            "o_custkey",
+            4,
+            "f_score",
+            ascending=False,
+        ),
+        "spend",
+        "o_custkey",
+        4,
+        "m_score",
+        ascending=False,
+    )
+    # cent-exact average: ROUND(double, 2) diverges across engines on
+    # true half-cent midpoints (sum/n CAN be x.445 exactly), so the
+    # rounding runs in INTEGER cents — (2·sum_cents + n) div (2n) is
+    # round-half-up of sum_cents/n — and only the final /100 is float
+    return (
+        cells.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum((F.col("spend") * 100).cast("long")).alias("sc"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            (
+                F.expr(
+                    "CAST((2 * sc + n_customers)"
+                    " DIV (2 * n_customers) AS BIGINT)"
+                ).cast("double")
+                / 100
+            ).alias("avg_spend"),
+        )
+    )
+
+
+def q138_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: for every pair of part brands
+    co-purchased in ≥5 orders, the lift
+    P(b1,b2) / (P(b1)·P(b2)) — the cross-sell signal behind "brands
+    bought together". Counts stay integers; the lift is one final
+    rounded double of exact integers (the q127 discipline).
+
+    Scale shape: orders collapse to DISTINCT (order, brand) rows
+    first (25 brands cap the per-order set), the pair fan-out is a
+    self-equi-join on the order key — bounded at 25²/2 rows per order
+    — and brand marginals broadcast onto the tiny pair table."""
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = persist_tracked(
+        li.join(
+            F.broadcast(p),
+            li.l_partkey == p.p_partkey,
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.agg(
+        F.count_distinct("l_orderkey").alias("n_ord")
+    )
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand1"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand2"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand1") < F.col("brand2"))
+        .groupBy("brand1", "brand2")
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= 5)
+    )
+    return (
+        co.join(
+            F.broadcast(bc.select(F.col("p_brand").alias("brand1"),
+                                  F.col("c").alias("c1"))),
+            "brand1",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("p_brand").alias("brand2"),
+                                  F.col("c").alias("c2"))),
+            "brand2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand1",
+            "brand2",
+            "co_orders",
+            F.round(
+                F.col("co_orders").cast("double")
+                * F.col("n_ord").cast("double")
+                / (
+                    F.col("c1").cast("double")
+                    * F.col("c2").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# q140's candidate FDs: one trivially-true PK dependency as the
+# control row, one true dimensional hierarchy, and two expected
+# violations — the discovery-shaped output a profiler emits.
+_FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+
+def q140_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate X → Y, how many
+    X-groups exist, how many carry more than one distinct Y (the
+    violations), and the worst group's distinct-Y count — the profiler
+    pass that discovers real constraints before they're assumed by a
+    MERGE or a dimension build (q115 checks DECLARED constraints; this
+    one measures candidate ones).
+
+    Scale shape: each candidate is ONE partial-agg groupBy collapsing
+    the table to (x, distinct-y) group rows, then a scalar agg of that
+    group table; candidates union into a 4-row result."""
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.count_distinct(rhs).alias("k"))
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("k") > 1).cast("long")).alias(
+                    "n_violating_groups"
+                ),
+                F.max("k").alias("max_distinct_rhs"),
+            ).select(
+                F.lit(f"{table}.{lhs} -> {rhs}").alias("fd"),
+                "n_groups",
+                "n_violating_groups",
+                "max_distinct_rhs",
+                (F.col("max_distinct_rhs") == 1).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
@@ -459,6 +1101,14 @@ QUERIES = {
     "q111_table_stats": q111_table_stats,
     "q115_quality_constraints": q115_quality_constraints,
     "q116_join_cardinality_estimate": q116_join_cardinality_estimate,
+    "q124_chisq_independence": q124_chisq_independence,
+    "q126_ols_fit": q126_ols_fit,
+    "q127_ks_drift": q127_ks_drift,
+    "q131_mad_outliers": q131_mad_outliers,
+    "q135_key_skew_audit": q135_key_skew_audit,
+    "q137_rfm_segments": q137_rfm_segments,
+    "q138_brand_affinity": q138_brand_affinity,
+    "q140_fd_audit": q140_fd_audit,
 }
 
 ORACLE = {
@@ -661,5 +1311,240 @@ ORACLE = {
                ROUND(CAST(ABS(est_n - exact_n) AS DOUBLE) / exact_n, 6)
                    AS rel_err
         FROM exact CROSS JOIN est
+    """,
+    "q124_chisq_independence": f"""
+        WITH cells AS (
+            SELECT source,
+                   {_CHI_CASE.replace("n_tok", f"CAST(len({_ATOK}) AS INT)")} AS bucket_cap,
+                   COUNT(*) AS o
+            FROM documents GROUP BY 1, 2),
+        rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt
+               FROM cells GROUP BY source),
+        ct AS (SELECT bucket_cap, CAST(SUM(o) AS BIGINT) AS ct
+               FROM cells GROUP BY bucket_cap),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        scored AS (
+            SELECT c.source, c.bucket_cap, c.o,
+                   ROUND(CAST(r.rt AS DOUBLE) * CAST(x.ct AS DOUBLE)
+                         / CAST(t.n AS DOUBLE), 4) AS expected,
+                   {_CHI_CONTRIB.replace("rt AS DOUBLE", "r.rt AS DOUBLE").replace("ct AS DOUBLE", "x.ct AS DOUBLE").replace("n AS DOUBLE", "t.n AS DOUBLE").replace("o AS DOUBLE", "c.o AS DOUBLE")} AS contrib
+            FROM cells c
+            JOIN rt r ON r.source = c.source
+            JOIN ct x ON x.bucket_cap = c.bucket_cap
+            CROSS JOIN tot t),
+        dims AS (SELECT CAST(SUM(contrib) AS DOUBLE) AS chi2,
+                        (COUNT(DISTINCT source) - 1)
+                        * (COUNT(DISTINCT bucket_cap) - 1) AS dof
+                 FROM scored)
+        SELECT s.source, s.bucket_cap, s.o, s.expected,
+               CAST(s.contrib AS DOUBLE) AS contrib,
+               d.chi2, d.dof
+        FROM scored s CROSS JOIN dims d
+    """,
+    "q126_ols_fit": f"""
+        WITH xy AS (
+            SELECT source,
+                   CAST(len({_ATOK}) AS BIGINT) AS x,
+                   n_chars AS y
+            FROM documents),
+        stats AS (
+            SELECT source, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM xy GROUP BY source)
+        SELECT source, n,
+               {_OLS_SLOPE} AS slope,
+               {_OLS_ICEPT} AS intercept,
+               {_OLS_R2} AS r2
+        FROM stats
+    """,
+    "q127_ks_drift": f"""
+        WITH counts AS (
+            SELECT lang, CAST(len({_ATOK}) AS INT) AS v, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT v FROM counts),
+        langs AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l
+                  FROM counts GROUP BY lang),
+        dense AS (
+            SELECT l.lang, l.n_l, g.v, COALESCE(c.c, 0) AS c
+            FROM langs l CROSS JOIN grid g
+            LEFT JOIN counts c ON c.lang = l.lang AND c.v = g.v),
+        ecdf AS (
+            SELECT lang, n_l, v,
+                   CAST(SUM(c) OVER (
+                       PARTITION BY lang ORDER BY v) AS BIGINT) AS cum
+            FROM dense),
+        gaps AS (
+            SELECT a.lang AS lang1, b.lang AS lang2,
+                   a.n_l AS n1, b.n_l AS n2, a.v,
+                   CAST(ABS(a.cum * b.n_l - b.cum * a.n_l) AS BIGINT)
+                       AS gap_num
+            FROM ecdf a JOIN ecdf b
+              ON a.v = b.v AND a.lang < b.lang),
+        peak AS (
+            SELECT lang1, lang2, n1, n2, MAX(gap_num) AS ks_num
+            FROM gaps GROUP BY 1, 2, 3, 4)
+        SELECT g.lang1, g.lang2, g.n1, g.n2,
+               ROUND(CAST(p.ks_num AS DOUBLE)
+                     / CAST(g.n1 * g.n2 AS DOUBLE), 6) AS ks,
+               MIN(g.v) AS peak_len
+        FROM gaps g
+        JOIN peak p ON p.lang1 = g.lang1 AND p.lang2 = g.lang2
+                   AND g.gap_num = p.ks_num
+        GROUP BY g.lang1, g.lang2, g.n1, g.n2, p.ks_num
+    """,
+    "q131_mad_outliers": f"""
+        WITH x AS (
+            SELECT source, CAST(len({_ATOK}) AS INT) AS v, doc_id
+            FROM documents),
+        r1 AS (
+            SELECT source, v,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY v, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM x),
+        med AS (
+            SELECT source, AVG(v) AS med, MAX(n) AS n_docs
+            FROM r1
+            WHERE rn = floor((n + 1) / 2.0) OR rn = floor(n / 2.0) + 1
+            GROUP BY source),
+        dev AS (
+            SELECT x.source, x.doc_id, m.n_docs, m.med,
+                   ABS(x.v - m.med) AS dev
+            FROM x JOIN med m ON m.source = x.source),
+        r2 AS (
+            SELECT source, dev,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY dev, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM dev),
+        mad AS (
+            SELECT source, AVG(dev) AS mad
+            FROM r2
+            WHERE rn = floor((n + 1) / 2.0) OR rn = floor(n / 2.0) + 1
+            GROUP BY source)
+        SELECT d.source,
+               CAST(MAX(d.n_docs) AS BIGINT) AS n_docs,
+               MAX(d.med) AS median_tok,
+               MAX(m.mad) AS mad,
+               CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON m.source = d.source
+        GROUP BY d.source
+    """,
+    "q135_key_skew_audit": f"""
+        WITH per_key AS (
+            SELECT l_suppkey, COUNT(*) AS k
+            FROM lineitem GROUP BY l_suppkey),
+        sums AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS s1,
+                   SUM(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS s2,
+                   SUM(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)
+                       * CAST(k AS HUGEINT)) AS s3,
+                   SUM(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)
+                       * CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS s4,
+                   CAST(MAX(k) AS BIGINT) AS max_ct
+            FROM per_key)
+        SELECT n AS n_keys,
+               ROUND({_KM_MEAN}, 6) AS mean_ct,
+               ROUND({_KM_M2}, 6) AS variance,
+               ROUND({_KM_M3} / pow({_KM_M2}, 1.5), 6) AS skewness,
+               ROUND({_KM_M4} / ({_KM_M2} * {_KM_M2}) - 3, 6)
+                   AS kurtosis_excess,
+               max_ct,
+               ROUND(CAST(max_ct AS DOUBLE) / {_KM_MEAN}, 6)
+                   AS max_over_mean
+        FROM sums
+    """,
+    "q137_rfm_segments": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS freq,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+            FROM orders GROUP BY o_custkey),
+        scored AS (
+            SELECT o_custkey,
+                   date_diff('day', last_order,
+                             (SELECT MAX(last_order) FROM per_cust))
+                       AS recency_d,
+                   freq, spend
+            FROM per_cust),
+        cells AS (
+            SELECT CAST(NTILE(4) OVER (
+                       ORDER BY recency_d, o_custkey) AS INT) AS r_score,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY freq DESC, o_custkey) AS INT) AS f_score,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY spend DESC, o_custkey) AS INT) AS m_score,
+                   spend
+            FROM scored)
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_customers,
+               CAST(CAST((2 * SUM(CAST(spend * 100 AS BIGINT)) + COUNT(*))
+                         // (2 * COUNT(*)) AS BIGINT) AS DOUBLE) / 100
+                   AS avg_spend
+        FROM cells
+        GROUP BY r_score, f_score, m_score
+    """,
+    "q138_brand_affinity": """
+        WITH ob AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_ord FROM ob),
+        bc AS (SELECT p_brand, COUNT(*) AS c FROM ob GROUP BY p_brand),
+        co AS (
+            SELECT a.p_brand AS brand1, b.p_brand AS brand2,
+                   COUNT(*) AS co_orders
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5)
+        SELECT co.brand1, co.brand2, co.co_orders,
+               ROUND(CAST(co.co_orders AS DOUBLE)
+                     * CAST(n.n_ord AS DOUBLE)
+                     / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)), 6)
+                   AS lift
+        FROM co
+        JOIN bc c1 ON c1.p_brand = co.brand1
+        JOIN bc c2 ON c2.p_brand = co.brand2
+        CROSS JOIN n
+    """,
+    "q140_fd_audit": """
+        WITH g1 AS (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS k
+                    FROM nation GROUP BY 1),
+        g2 AS (SELECT doc_id, COUNT(DISTINCT lang) AS k
+               FROM documents GROUP BY 1),
+        g3 AS (SELECT source, COUNT(DISTINCT lang) AS k
+               FROM documents GROUP BY 1),
+        g4 AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+               FROM orders GROUP BY 1)
+        SELECT 'nation.n_nationkey -> n_regionkey' AS fd,
+               COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_groups,
+               MAX(k) AS max_distinct_rhs,
+               MAX(k) = 1 AS holds
+        FROM g1
+        UNION ALL
+        SELECT 'documents.doc_id -> lang', COUNT(*),
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               MAX(k), MAX(k) = 1
+        FROM g2
+        UNION ALL
+        SELECT 'documents.source -> lang', COUNT(*),
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               MAX(k), MAX(k) = 1
+        FROM g3
+        UNION ALL
+        SELECT 'orders.o_custkey -> o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               MAX(k), MAX(k) = 1
+        FROM g4
     """,
 }

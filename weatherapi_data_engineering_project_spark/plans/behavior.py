@@ -275,12 +275,191 @@ def q117_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per acquisition cohort: users grouped by
+    first-activity day; a converter's latency is the integer seconds
+    from their first 'view' to the first 'purchase' AFTER that view.
+    Output per cohort day: converter count and the exact min / median
+    / max latency — the "how fast does this cohort monetize" rollup.
+
+    The median is q36's rank-vs-count selection over integer seconds
+    (exact in both engines); latencies are epoch differences, so no
+    timezone or calendar arithmetic touches the value. Scale shape:
+    three per-user min aggregates and one per-cohort sort window over
+    single-row-per-converter frames — event history never sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    lat = (
+        p.join(v, "user_id")
+        .join(first, "user_id")
+        .select(
+            "cohort_day",
+            "user_id",
+            # exact microsecond difference floor-divided to seconds:
+            # second-granularity epoch casts disagree across engines on
+            # fractional seconds (Spark floors, DuckDB rounds)
+            (
+                (F.unix_micros("tp") - F.unix_micros("tv"))
+                / F.lit(1_000_000)
+            ).cast("long").alias("ttc_s"),
+        )
+    )
+    from ..caching import persist_tracked
+
+    lat = persist_tracked(lat)
+    w = Window.partitionBy("cohort_day").orderBy("ttc_s", "user_id")
+    wn = Window.partitionBy("cohort_day")
+    ranked = lat.select(
+        "cohort_day",
+        "ttc_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    ).groupBy("cohort_day").agg(F.avg("ttc_s").alias("median_ttc_s"))
+    stats = lat.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.min("ttc_s").alias("min_ttc_s"),
+        F.max("ttc_s").alias("max_ttc_s"),
+    )
+    return stats.join(med, "cohort_day").select(
+        "cohort_day",
+        "n_converters",
+        "min_ttc_s",
+        "median_ttc_s",
+        "max_ttc_s",
+    )
+
+
+def q139_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (from_type, to_type) pair of CONSECUTIVE events within a
+    user's timeline, the transition count and conditional probability
+    P(to | from) — the behavioral fingerprint that powers next-action
+    prediction baselines and funnel-shape drift alerts.
+
+    Determinism: consecutive = lead() over (ts, event_id), the q50
+    ordering. The probability is one rounded double of two exact
+    integers. Scale shape: one per-user window sort (narrow — rows are
+    (user, type, ts, id)), then a partial-agg pair count; the
+    marginals broadcast onto the 25-cell matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    marg = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return pairs.join(F.broadcast(marg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.col("n_from").cast("double"),
+            6,
+        ).alias("p_to_given_from"),
+    )
+
+
+def q130_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch conversion attribution: for every user whose
+    log contains a purchase, the touches are all non-purchase events
+    strictly before the FIRST purchase; the earliest touch earns
+    first-touch credit, the latest earns last-touch credit. Output:
+    one row per event type seen as a touch, with both credit counts
+    and the type's total touch volume — the marketing-attribution
+    rollup every event warehouse ships.
+
+    Determinism: "first purchase" and first/last touch all order by
+    (ts, event_id) — event_id breaks timestamp ties, so the credited
+    rows are unique. Scale shape: conversions are ONE min-struct
+    partial agg (per-user single rows shuffle, not histories); touch
+    credits are another min/max-struct agg over the touch set, so no
+    window ever sorts the event log; the persisted touch frame feeds
+    both the credit agg and the volume agg."""
+    from ..caching import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("cv"))
+        .select(
+            "user_id",
+            F.col("cv.ts").alias("cts"),
+            F.col("cv.event_id").alias("ceid"),
+        )
+    )
+    touches = persist_tracked(
+        ev.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("cts"))
+            | (
+                (F.col("ts") == F.col("cts"))
+                & (F.col("event_id") < F.col("ceid"))
+            )
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    picks = touches.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("ft"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("lt"),
+    )
+    first = picks.groupBy(
+        F.col("ft.event_type").alias("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_first"))
+    last = picks.groupBy(
+        F.col("lt.event_type").alias("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_last"))
+    vol = touches.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    return (
+        vol.join(first, "event_type", "left")
+        .join(last, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_first", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last", F.lit(0)).alias("n_last_touch"),
+            "n_touches",
+        )
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q98_retention_cohorts": q98_retention_cohorts,
     "q99_heavy_hitters": q99_heavy_hitters,
     "q113_disorder_audit": q113_disorder_audit,
     "q117_anomaly_zscore": q117_anomaly_zscore,
+    "q130_touch_attribution": q130_touch_attribution,
+    "q134_time_to_convert": q134_time_to_convert,
+    "q139_event_transitions": q139_event_transitions,
 }
 
 ORACLE = {
@@ -371,5 +550,98 @@ ORACLE = {
                {_Z_EXPR} AS zscore,
                COALESCE(ABS({_Z_EXPR}), 0.0) >= 2.0 AS is_anomaly
         FROM based
+    """,
+    "q130_touch_attribution": """
+        WITH conv AS (
+            SELECT user_id, ts AS cts, event_id AS ceid FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_type = 'purchase')
+            WHERE rn = 1),
+        touches AS (
+            SELECT e.user_id, e.event_type, e.ts, e.event_id
+            FROM events e JOIN conv c ON c.user_id = e.user_id
+            WHERE e.event_type <> 'purchase'
+              AND (e.ts < c.cts
+                   OR (e.ts = c.cts AND e.event_id < c.ceid))),
+        picks AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rl
+            FROM touches),
+        t AS (SELECT event_type, COUNT(*) AS n_touches
+              FROM touches GROUP BY 1),
+        f AS (SELECT event_type, COUNT(*) AS n_first
+              FROM picks WHERE rf = 1 GROUP BY 1),
+        l AS (SELECT event_type, COUNT(*) AS n_last
+              FROM picks WHERE rl = 1 GROUP BY 1)
+        SELECT t.event_type,
+               CAST(COALESCE(f.n_first, 0) AS BIGINT) AS n_first_touch,
+               CAST(COALESCE(l.n_last, 0) AS BIGINT) AS n_last_touch,
+               t.n_touches
+        FROM t
+        LEFT JOIN f ON f.event_type = t.event_type
+        LEFT JOIN l ON l.event_type = t.event_type
+    """,
+    "q134_time_to_convert": """
+        WITH first AS (SELECT user_id,
+                              CAST(date_trunc('day', MIN(ts)) AS DATE)
+                                  AS cohort_day
+                       FROM events GROUP BY user_id),
+        v AS (SELECT user_id, MIN(ts) AS tv FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS tp
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > v.tv
+              GROUP BY e.user_id),
+        lat AS (
+            SELECT f.cohort_day, p.user_id,
+                   CAST((epoch_us(p.tp) - epoch_us(v.tv)) // 1000000
+                        AS BIGINT) AS ttc_s
+            FROM p
+            JOIN v ON v.user_id = p.user_id
+            JOIN first f ON f.user_id = p.user_id),
+        ranked AS (
+            SELECT cohort_day, ttc_s,
+                   ROW_NUMBER() OVER (PARTITION BY cohort_day
+                                      ORDER BY ttc_s, user_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY cohort_day) AS n
+            FROM lat),
+        med AS (
+            SELECT cohort_day, AVG(ttc_s) AS median_ttc_s
+            FROM ranked
+            WHERE rn = floor((n + 1) / 2.0) OR rn = floor(n / 2.0) + 1
+            GROUP BY cohort_day)
+        SELECT l.cohort_day,
+               COUNT(*) AS n_converters,
+               MIN(l.ttc_s) AS min_ttc_s,
+               MAX(m.median_ttc_s) AS median_ttc_s,
+               MAX(l.ttc_s) AS max_ttc_s
+        FROM lat l JOIN med m ON m.cohort_day = l.cohort_day
+        GROUP BY l.cohort_day
+    """,
+    "q139_event_transitions": """
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS to_type
+            FROM events),
+        pairs AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type),
+        marg AS (
+            SELECT from_type,
+                   CAST(SUM(n_transitions) AS BIGINT) AS n_from
+            FROM pairs GROUP BY from_type)
+        SELECT p.from_type, p.to_type, p.n_transitions,
+               ROUND(CAST(p.n_transitions AS DOUBLE)
+                     / CAST(m.n_from AS DOUBLE), 6) AS p_to_given_from
+        FROM pairs p JOIN marg m ON m.from_type = p.from_type
     """,
 }

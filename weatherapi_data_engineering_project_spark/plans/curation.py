@@ -480,6 +480,178 @@ _BM25_CONTRIB = (
 )
 
 
+# q125 weighted-sampling geometry: Efraimidis-Spirakis A-ES — each item
+# draws u ~ Uniform(0,1] and keys on -ln(u)/w; the k SMALLEST keys are a
+# weighted sample without replacement. The uniform comes from the Knuth
+# hash of doc_id ((h+1)/2^32, never 0), so the "random" sample is fully
+# deterministic and reproducible on any cluster — the q39/q104 no-RNG
+# discipline applied to WEIGHTED selection. The key expression is one
+# shared double-cast chain (q122 convention), rounded to 9 before the
+# (key, doc_id) order so the top-k cut is engine-identical.
+_WS_K = 32
+_WS_KEY = (
+    "ROUND(-ln((CAST(h AS DOUBLE) + CAST(1.0 AS DOUBLE))"
+    " / CAST(4294967296.0 AS DOUBLE)) / CAST(w AS DOUBLE), 9)"
+)
+
+
+def q125_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES,
+    Efraimidis & Spirakis 2006): select 32 documents with probability
+    proportional to token count — the "sample long docs more" draw a
+    curation pipeline uses for human review and eval-set construction,
+    reproducible bit-for-bit on any cluster because the uniforms are
+    hashed, not drawn.
+
+    Scale shape: one scan computes (weight, hash, key) row-locally;
+    the k-smallest cut is TakeOrderedAndProject (per-partition heaps,
+    driver merges k rows) — no global sort, no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        TX.token_count("text").alias("w"),
+        (
+            (F.col("doc_id") * F.lit(_RING_MULT)) % F.lit(_RING_MOD)
+        ).alias("h"),
+    ).filter(F.col("w") > 0)
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            F.col("w").alias("n_tokens"),
+            F.expr(_WS_KEY).alias("samp_key"),
+        )
+        .orderBy("samp_key", "doc_id")
+        .limit(_WS_K)
+    )
+
+
+# q128 geometry: boilerplate = distinct documents sharing their first
+# _PREFIX_K tokens verbatim (site headers, license preambles, template
+# intros). The md5 of the joined prefix is the group key, so only a
+# 32-char fingerprint per doc crosses the shuffle — never the prefix
+# text — and the group table is one partial-agg groupBy.
+_PREFIX_K = 8
+
+
+def q128_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection: fingerprint every document's first
+    8 tokens and report fingerprints shared by ≥2 documents — the
+    template/header audit a curation pipeline runs before training
+    (shared prefixes across SOURCES are site chrome worth stripping;
+    within one source they're usually a license preamble). Output: one
+    row per shared prefix with its cardinality, source spread, the
+    smallest member doc_id, and the prefix's token count share.
+
+    Scale shape: one scan computes the fingerprint row-locally (the
+    token array is materialized once behind its own projection); the
+    group table is a single map-side-combined groupBy on the 32-char
+    hash, and the ≥2 filter prunes it before anything else happens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", TX.tokens("text").alias("t")
+    )
+    fp = toks.filter(F.size("t") >= _PREFIX_K).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice("t", 1, _PREFIX_K))
+        ).alias("prefix_fp"),
+    )
+    return (
+        fp.groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("representative"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# q132 exactness: each term's entropy contribution p·ln(1/p) =
+# (c/N)·ln(N/c) is a double chain over exact integer counts, snapped
+# to DECIMAL(18,9) so the per-source entropy is an EXACT sum — order-
+# independent at any parallelism (the q124 contribution pattern).
+_ENT_TERM = (
+    "CAST(ROUND((CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))"
+    " * ln(CAST(nt AS DOUBLE) / CAST(c AS DOUBLE)), 9)"
+    " AS DECIMAL(18,9))"
+)
+
+
+def q132_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy (nats) with its normalized
+    form H/ln(V) — the lexical-diversity score curation pipelines use
+    to flag template farms (low entropy: the same tokens over and
+    over) and noise sources (entropy ≈ ln V: near-uniform gibberish).
+    Output: source, token total, vocabulary size, entropy, normalized
+    entropy.
+
+    Scale shape: tokens collapse to (source, term) counts in ONE
+    map-side-combined shuffle; the entropy is an exact decimal sum
+    over that term table, and vocabulary is the same table's row
+    count — nothing rescans the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = (
+        d.select("source", F.explode_outer(TX.tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = terms.groupBy("source").agg(
+        F.sum("c").alias("nt"), F.count(F.lit(1)).alias("vocab")
+    )
+    contrib = terms.join(F.broadcast(per_src), "source").select(
+        "source", "nt", "vocab", F.expr(_ENT_TERM).alias("h_term")
+    )
+    return contrib.groupBy("source", "nt", "vocab").agg(
+        F.round(F.sum("h_term").cast("double"), 6).alias("entropy"),
+        F.round(
+            F.sum("h_term").cast("double")
+            / F.log(F.col("vocab").cast("double")),
+            6,
+        ).alias("norm_entropy"),
+    ).select(
+        "source",
+        F.col("nt").alias("n_tokens"),
+        "vocab",
+        "entropy",
+        "norm_entropy",
+    )
+
+
+def q133_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity audit: Simpson's diversity index
+    1 − Σc(c−1)/(N(N−1)) over the language mix plus the majority-
+    language share — the "is this source monolingual?" check before
+    per-language routing. Integer-exact until two final divisions
+    (the q127 discipline), so any partitioning yields the same bits.
+
+    Scale shape: one (source, lang) partial-agg shuffle, then
+    aggregates of that tiny cell table."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return cells.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+            / (
+                F.sum("c") * (F.sum("c") - F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("simpson"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("majority_share"),
+    )
+
+
 # q118 PMI geometry: co-occurrence is computed over the top-_PMI_V
 # document-frequency terms only — the vocabulary cap is what bounds the
 # per-document pair fan-out at V^2/2 regardless of document length or
@@ -603,6 +775,10 @@ QUERIES = {
     "q118_term_pmi": q118_term_pmi,
     "q119_tfidf_terms": q119_tfidf_terms,
     "q122_bm25_rank": q122_bm25_rank,
+    "q125_weighted_sample": q125_weighted_sample,
+    "q128_boilerplate_prefix": q128_boilerplate_prefix,
+    "q132_unigram_entropy": q132_unigram_entropy,
+    "q133_lang_diversity": q133_lang_diversity,
 }
 
 ORACLE = {
@@ -747,6 +923,67 @@ ORACLE = {
                ROUND(CAST(SUM(bucket_cap - n_tok) AS DOUBLE)
                      / CAST(SUM(bucket_cap) AS DOUBLE), 6) AS waste_rate
         FROM binned GROUP BY bucket_cap
+    """,
+    "q125_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOK}) AS BIGINT) AS w,
+                   (doc_id * {_RING_MULT}) % {_RING_MOD} AS h
+            FROM documents
+            WHERE len({_TOK}) > 0)
+        SELECT doc_id, source, w AS n_tokens,
+               {_WS_KEY} AS samp_key
+        FROM keyed
+        ORDER BY samp_key, doc_id LIMIT {_WS_K}
+    """,
+    "q128_boilerplate_prefix": f"""
+        WITH tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+        fp AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       list_slice(t, 1, {_PREFIX_K}), ' ')) AS prefix_fp
+            FROM tok WHERE len(t) >= {_PREFIX_K})
+        SELECT prefix_fp, COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               MIN(doc_id) AS representative
+        FROM fp GROUP BY prefix_fp HAVING COUNT(*) >= 2
+    """,
+    "q132_unigram_entropy": f"""
+        WITH terms AS (
+            SELECT source, unnest({_TOK}) AS term FROM documents),
+        counts AS (
+            SELECT source, term, COUNT(*) AS c
+            FROM terms WHERE term IS NOT NULL AND term <> ''
+            GROUP BY source, term),
+        per_src AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS nt,
+                   COUNT(*) AS vocab
+            FROM counts GROUP BY source),
+        contrib AS (
+            SELECT c.source, p.nt, p.vocab,
+                   {_ENT_TERM} AS h_term
+            FROM counts c JOIN per_src p ON p.source = c.source)
+        SELECT source, nt AS n_tokens, vocab,
+               ROUND(CAST(SUM(h_term) AS DOUBLE), 6) AS entropy,
+               ROUND(CAST(SUM(h_term) AS DOUBLE)
+                     / ln(CAST(vocab AS DOUBLE)), 6) AS norm_entropy
+        FROM contrib
+        GROUP BY source, nt, vocab
+    """,
+    "q133_lang_diversity": """
+        WITH cells AS (
+            SELECT source, lang, COUNT(*) AS c
+            FROM documents GROUP BY source, lang)
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_langs,
+               ROUND(1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+                     / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE), 6)
+                   AS simpson,
+               ROUND(CAST(MAX(c) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE), 6) AS majority_share
+        FROM cells
+        GROUP BY source
     """,
     "q118_term_pmi": f"""
         WITH toks AS (

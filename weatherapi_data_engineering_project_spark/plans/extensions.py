@@ -709,6 +709,144 @@ def q69_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q129 exactness: the per-position centroid means snap to
+# DECIMAL(18,6) (the rounded double round-trips to the same 6-dp
+# decimal in both engines), so dot products and squared norms are
+# EXACT decimal sums — (18,6)×(18,6) widens to (37,12), inside both
+# engines' 38-digit cap — and only the final cosine/L2 expressions
+# touch floats, as one shared double chain rounded to 6.
+_CSIM = (
+    "ROUND(CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(ss1 AS DOUBLE)) * sqrt(CAST(ss2 AS DOUBLE))), 6)"
+)
+_CL2 = (
+    "ROUND(sqrt(CAST(ss1 AS DOUBLE) + CAST(ss2 AS DOUBLE)"
+    " - 2 * CAST(dot AS DOUBLE)), 6)"
+)
+
+
+def q129_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid similarity matrix: cosine and L2 distance
+    between every pair of label centroids — the class-confusability
+    audit behind label-quality triage (two labels whose centroids sit
+    at cosine ≈ 1 are candidates for merging; a label far from all
+    others is a candidate outlier class). Complements q66, which emits
+    the centroids themselves.
+
+    Scale shape: vectors collapse to (label × dim) decimal partial
+    sums in one shuffle (vectors never travel whole — q66's shape);
+    everything after runs on that k×d frame, persisted because three
+    consumers (two join sides + norms) would otherwise re-aggregate
+    the corpus. The pair join is k²d/2 rows of the TINY frame."""
+    from ..caching import persist_tracked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    per = persist_tracked(
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,25)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("c"), 6)
+            .cast("decimal(18,6)")
+            .alias("m"),
+        )
+    )
+    norms = per.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).alias("ss")
+    )
+    a = per.select(
+        F.col("label").alias("label1"), "pos", F.col("m").alias("m1")
+    )
+    b = per.select(
+        F.col("label").alias("label2"), "pos", F.col("m").alias("m2")
+    )
+    dots = (
+        a.join(b, on="pos")
+        .filter(F.col("label1") < F.col("label2"))
+        .groupBy("label1", "label2")
+        .agg(F.sum(F.col("m1") * F.col("m2")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(
+                F.col("label").alias("label1"), F.col("ss").alias("ss1")
+            ),
+            on="label1",
+        )
+        .join(
+            norms.select(
+                F.col("label").alias("label2"), F.col("ss").alias("ss2")
+            ),
+            on="label2",
+        )
+        .select(
+            "label1",
+            "label2",
+            F.expr(_CSIM).alias("cos_sim"),
+            F.expr(_CL2).alias("l2_dist"),
+        )
+    )
+
+
+# q142 exactness: means use q66's decimal(38,25) exact sums; the
+# second moment snaps each v² to DECIMAL(18,12) BEFORE summing (q124's
+# contribution pattern — the variance is then "variance of the rounded
+# squares", stated identically in the oracle), so every aggregate is
+# order-independent and the final float chain is shared verbatim.
+_DIM_VAR = (
+    "ROUND(CAST(s2 AS DOUBLE) / CAST(c AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE)), 6)"
+)
+
+
+def q142_embedding_dim_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension embedding health audit: mean, variance, zero
+    rate, and min/max per vector position — the pre-flight that
+    catches dead dimensions (variance ≈ 0 wastes index bits and
+    distance budget), biased encoders (|mean| >> 0), and saturated
+    positions (min/max at a clamp) before an ANN index is built over
+    100 TB of vectors.
+
+    Scale shape: ONE posexplode rides one map-side-combined shuffle
+    carrying (dim × 4) partial aggregates per task — vectors never
+    shuffle whole, and the result is dim-sized regardless of corpus
+    size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per = e.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).groupBy("pos").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("v").cast("decimal(38,25)")).alias("s1"),
+        F.sum(
+            F.expr("CAST(ROUND(v * v, 12) AS DECIMAL(18,12))")
+        ).alias("s2"),
+        F.sum((F.col("v") == 0).cast("long")).alias("n_zero"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    return per.select(
+        "pos",
+        "c",
+        F.round(
+            F.col("s1").cast("double") / F.col("c").cast("double"), 6
+        ).alias("mean_v"),
+        F.expr(_DIM_VAR).alias("var_v"),
+        F.round(
+            F.col("n_zero").cast("double") / F.col("c").cast("double"), 6
+        ).alias("zero_rate"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+    )
+
+
 QUERIES = {
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
@@ -728,6 +866,8 @@ QUERIES = {
     "q64_rare_term_weights": q64_rare_term_weights,
     "q65_global_rank": q65_global_rank,
     "q66_label_centroids": q66_label_centroids,
+    "q129_centroid_similarity": q129_centroid_similarity,
+    "q142_embedding_dim_health": q142_embedding_dim_health,
     "q67_window_gauntlet": q67_window_gauntlet,
     "q68_bigram_stats": q68_bigram_stats,
     "q69_salted_join": q69_salted_join,
@@ -975,6 +1115,53 @@ ORACLE = {
                CAST(MAX(c) AS BIGINT) AS n_vecs
         FROM per
         GROUP BY label
+    """,
+    "q142_embedding_dim_health": f"""
+        WITH e AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        per AS (
+            SELECT pos, COUNT(*) AS c,
+                   SUM(CAST(v AS DECIMAL(38,25))) AS s1,
+                   SUM(CAST(ROUND(v * v, 12) AS DECIMAL(18,12))) AS s2,
+                   CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero,
+                   MIN(v) AS min_v, MAX(v) AS max_v
+            FROM e GROUP BY pos)
+        SELECT pos, c,
+               ROUND(CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE), 6)
+                   AS mean_v,
+               {_DIM_VAR} AS var_v,
+               ROUND(CAST(n_zero AS DOUBLE) / CAST(c AS DOUBLE), 6)
+                   AS zero_rate,
+               min_v, max_v
+        FROM per
+    """,
+    "q129_centroid_similarity": f"""
+        WITH e AS (SELECT label,
+                          generate_subscripts(embedding, 1) AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        per AS (
+            SELECT label, pos,
+                   CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,25))) AS DOUBLE)
+                       / COUNT(*), 6) AS DECIMAL(18,6)) AS m
+            FROM e
+            GROUP BY label, pos),
+        norms AS (
+            SELECT label, SUM(m * m) AS ss FROM per GROUP BY label),
+        dots AS (
+            SELECT a.label AS label1, b.label AS label2,
+                   SUM(a.m * b.m) AS dot
+            FROM per a JOIN per b
+              ON a.pos = b.pos AND a.label < b.label
+            GROUP BY a.label, b.label)
+        SELECT d.label1, d.label2,
+               {_CSIM.replace("dot", "d.dot").replace("ss1", "n1.ss").replace("ss2", "n2.ss")} AS cos_sim,
+               {_CL2.replace("dot", "d.dot").replace("ss1", "n1.ss").replace("ss2", "n2.ss")} AS l2_dist
+        FROM dots d
+        JOIN norms n1 ON n1.label = d.label1
+        JOIN norms n2 ON n2.label = d.label2
     """,
     "q67_window_gauntlet": """
         SELECT o_orderkey, o_orderpriority,

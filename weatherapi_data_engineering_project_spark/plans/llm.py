@@ -98,6 +98,63 @@ def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.6  # containment >= jaccard, so this widens q25
+
+
+def q123_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: df-capped shingle-blocked
+    candidates scored with the Broder containment coefficient BOTH
+    ways (|A∩B|/|A| and /|B|) — catches a short doc embedded in a
+    longer one, which symmetric Jaccard (q24/q25) structurally cannot
+    see and Jaccard-tuned LSH banding cannot even propose
+    (operators/dedup.py::containment_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        d, "text", "doc_id", CONTAINMENT_THRESHOLD,
+        max_doc_freq=MAX_SHINGLE_DF,
+    )
+
+
+def q141_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting: what exact dedup (q23's min-id
+    keep rule over the q22 content fingerprint) would save, in
+    documents AND tokens — the number a curation pipeline quotes
+    before paying for the dedup pass ("source X is 30% duplicate
+    tokens"). Duplicate groups may span sources; the keeper is global
+    (smallest doc_id), so a source holding only the copies loses all
+    of them — exactly how a global dedup behaves.
+
+    Scale shape: fingerprints + token counts are row-local
+    projections; the keeper is one partial-agg MIN per fingerprint
+    joined back (AQE broadcasts it when small); the rollup is one
+    partial agg per source. Integer-exact until the final rounded
+    savings rate."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        TX.fingerprint("text").alias("fp"),
+        TX.token_count("text").alias("n_tok"),
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    flagged = fp.join(keep, "fp").select(
+        "source",
+        "n_tok",
+        (F.col("doc_id") != F.col("keeper")).cast("long").alias("dropped"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("dropped").alias("n_dropped_docs"),
+        F.sum(F.col("dropped") * F.col("n_tok")).alias("n_dropped_tokens"),
+        F.round(
+            F.sum(F.col("dropped") * F.col("n_tok")).cast("double")
+            / F.sum("n_tok").cast("double"),
+            6,
+        ).alias("token_savings_rate"),
+    )
+
+
 INCREMENTAL_SPLIT = 400  # docs ≥ this are the "arriving batch"
 
 
@@ -533,6 +590,8 @@ QUERIES = {
     "q23_exact_dedup": q23_exact_dedup,
     "q24_jaccard_pairs": q24_jaccard_pairs,
     "q25_minhash_lsh": q25_minhash_lsh,
+    "q123_containment_dedup": q123_containment_dedup,
+    "q141_dedup_savings": q141_dedup_savings,
     "q71_incremental_neardup": q71_incremental_neardup,
     "q26_cosine_topk": q26_cosine_topk,
     "q27_ann_signlsh": q27_ann_signlsh,
@@ -835,6 +894,30 @@ ORACLE = {
                    AS n_same
         FROM documents
     """,
+    "q141_dedup_savings": f"""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tok
+            FROM documents),
+        keep AS (SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp),
+        flagged AS (
+            SELECT f.source, f.n_tok,
+                   CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END
+                       AS dropped
+            FROM fp f JOIN keep k ON k.fp = f.fp)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(dropped) AS BIGINT) AS n_dropped_docs,
+               CAST(SUM(dropped * n_tok) AS BIGINT) AS n_dropped_tokens,
+               ROUND(CAST(SUM(dropped * n_tok) AS DOUBLE)
+                     / CAST(SUM(n_tok) AS DOUBLE), 6)
+                   AS token_savings_rate
+        FROM flagged
+        GROUP BY source
+    """,
     "q23_exact_dedup": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                MIN(doc_id) AS representative,
@@ -885,6 +968,33 @@ ORACLE = {
         JOIN documents da ON da.doc_id = p.id1
         JOIN documents db ON db.doc_id = p.id2
         GROUP BY 1, 2
+    """,
+    "q123_containment_dedup": f"""
+        WITH {_SHINGLES_CTE},
+        hot AS (SELECT shingle FROM ex
+                GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+        exc AS (SELECT e.doc_id, e.shingle FROM ex e
+                ANTI JOIN hot h ON e.shingle = h.shingle),
+        exn AS (SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
+                       shingle
+                FROM exc),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   COUNT(*) AS n_common,
+                   MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2
+            FROM exn a JOIN exn b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT s.id1, s.id2, s.n_common,
+               ROUND(CAST(s.n_common AS DOUBLE) / s.n1, 6) AS c_1_in_2,
+               ROUND(CAST(s.n_common AS DOUBLE) / s.n2, 6) AS c_2_in_1,
+               ROUND(CAST(s.n_common AS DOUBLE)
+                     / (s.n1 + s.n2 - s.n_common), 6) AS jaccard
+        FROM scored s
+        WHERE GREATEST(ROUND(CAST(s.n_common AS DOUBLE) / s.n1, 6),
+                       ROUND(CAST(s.n_common AS DOUBLE) / s.n2, 6))
+              >= {CONTAINMENT_THRESHOLD}
     """,
     "q25_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},

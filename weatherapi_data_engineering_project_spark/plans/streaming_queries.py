@@ -423,6 +423,83 @@ def q121_stream_session_window(
     )
 
 
+def q136_stream_sliding_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding (hopping) event-time windows through the REAL streaming
+    engine: the events replay drains under ``Trigger.AvailableNow``
+    into a 1-hour window sliding every 15 minutes (each event lands in
+    4 overlapping windows), COMPLETE output mode so the drained table
+    equals the batch computation regardless of watermark progress —
+    the q121 harness pattern applied to ``F.window``'s slide arm,
+    which q57's tumbling drain doesn't exercise.
+
+    The oracle restates Spark's window assignment arithmetically:
+    fixed-duration windows are epoch-aligned, so an event at ts lands
+    in the 4 windows whose 15-minute slot index is
+    floor(epoch_us/9e8) - {0,1,2,3} — integer slot math, no calendar
+    functions, identical in both engines. Value sums are decimal-exact
+    (batch-boundary-independent, q84's discipline).
+
+    Scale shape: streaming state is O(windows_in_watermark × types),
+    independent of stream length; the 4× row fan-out happens INSIDE
+    the window operator's state update, never as a materialized
+    explode of the stream."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _work_dir("q136", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.select("event_id", "ts", "event_type", "value").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        tmp = f"{out}.tmp-{bid}"
+        batch.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+    s2 = _cloned_session(spark)
+    q = (
+        sliding_counts(
+            s2.readStream.schema(
+                "event_id bigint, ts timestamp, "
+                "event_type string, value double"
+            ).parquet(src),
+            window="1 hour",
+            slide="15 minutes",
+            watermark="2 hours",
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, window_end timestamp, "
+            "event_type string, n_events bigint, sum_value double",
+        )
+    return spark.read.parquet(out).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment — the canonical streaming
     dimension join: each arriving event is joined (broadcast, zero
@@ -517,6 +594,7 @@ QUERIES = {
     "q84_continuous_rollup": q84_continuous_rollup,
     "q90_stream_static_enrich": q90_stream_static_enrich,
     "q121_stream_session_window": q121_stream_session_window,
+    "q136_stream_sliding_window": q136_stream_sliding_window,
 }
 
 # q42/q43 are rows-only (state-store program / foreign sketch); q70's
@@ -525,6 +603,25 @@ QUERIES = {
 # batch-boundary-INdependent, so its multi-batch drain carries a full
 # oracle too.
 ORACLE: dict[str, str] = {
+    "q136_stream_sliding_window": """
+        WITH slots AS (
+            SELECT event_type, value,
+                   epoch_us(ts) // 900000000 AS slot
+            FROM events),
+        expanded AS (
+            SELECT s.event_type, s.value, s.slot - o.i AS wslot
+            FROM slots s
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) o)
+        SELECT make_timestamp(wslot * 900000000) AS window_start,
+               make_timestamp(wslot * 900000000 + 3600000000)
+                   AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM expanded
+        GROUP BY 1, 2, 3
+    """,
     "q90_stream_static_enrich": """
         WITH prof AS (SELECT user_id,
                              SUM(CAST(value AS DECIMAL(18,2))) AS hist_sum,

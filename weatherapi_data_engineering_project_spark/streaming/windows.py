@@ -97,6 +97,40 @@ def session_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows × event_type: every event
+    lands in window_len/slide overlapping windows (4 for 1h/15m) —
+    the smoothed rate monitor tumbling windows can't express (a spike
+    on a tumbling boundary splits across two buckets; a slide shows it
+    whole in some window). Same decimal-exact value sums as
+    ``windowed_counts``; state is O(windows_in_watermark × groups).
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(
+            F.window("ts", window, slide).alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
