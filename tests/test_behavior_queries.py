@@ -181,3 +181,21 @@ def test_event_transitions_probabilities_normalize(spark):
         by_from.setdefault(r.from_type, []).append(r)
     for frm, rs in by_from.items():
         assert abs(sum(r.p_to_given_from for r in rs) - 1.0) < 1e-4
+
+
+def test_watermark_planner_curve_monotone(spark):
+    """Drops are non-increasing in the delay, the zero-delay row counts
+    every late delivery under the jitter model, and rates are
+    consistent ratios."""
+    rows = sorted(
+        B.q145_watermark_planner(spark, SF_DIR).collect(),
+        key=lambda r: r.delay_s,
+    )
+    assert [r.delay_s for r in rows] == [0, 1, 10, 60, 300, 1800, 3600]
+    n = rows[0].n_events
+    assert all(r.n_events == n for r in rows)
+    drops = [r.n_dropped for r in rows]
+    assert all(a >= b for a, b in zip(drops, drops[1:]))
+    assert drops[0] > 0, "jitter model must produce SOME late deliveries"
+    for r in rows:
+        assert r.drop_rate == round(r.n_dropped / n, 6)

@@ -313,3 +313,20 @@ def test_lang_diversity_simpson_brute_force(spark):
         assert got.n_docs == n and got.n_langs == len(cnt)
         assert abs(got.simpson - simpson) < 1e-6
         assert abs(got.majority_share - max(cnt.values()) / n) < 1e-6
+
+
+def test_split_term_drift_table_invariants(spark):
+    """Contingency invariants: per-term observed counts sum to the
+    term's corpus total, contributions sum to the repeated statistic,
+    and dof matches the densified table dimensions."""
+    rows = C.q143_split_term_drift(spark, SF_DIR).collect()
+    assert rows
+    chi2, dof = rows[0].chi2, rows[0].dof
+    assert all(r.chi2 == chi2 and r.dof == dof for r in rows)
+    assert abs(sum(r.contrib for r in rows) - chi2) < 1e-6
+    terms = {r.term for r in rows}
+    grps = {r.grp for r in rows}
+    assert grps == {"train", "heldout"}
+    assert len(rows) == len(terms) * 2  # densified: every cell present
+    assert dof == (len(terms) - 1) * (len(grps) - 1)
+    assert all(r.contrib >= 0 for r in rows)

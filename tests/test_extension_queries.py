@@ -169,3 +169,21 @@ def test_embedding_dim_health_matches_numpy(spark):
         assert abs(got.var_v - var_rounded) < 1e-5
         assert got.min_v == col.min() and got.max_v == col.max()
         assert abs(got.zero_rate - (col == 0).mean()) < 1e-9
+
+
+def test_grouping_sets_subtotals_consistent(spark):
+    """The grand total equals the table count, per-returnflag
+    subtotals equal the sum of their leaf cells, and exactly the three
+    requested grouping sets appear (no per-linestatus marginals)."""
+    rows = X.q144_grouping_sets(spark, SF_DIR).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 3}
+    li_count = load_table(spark, SF_DIR, "lineitem").count()
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].n_rows == li_count
+    leaves = [r for r in rows if r.gid == 0]
+    subs = {r.returnflag: r for r in rows if r.gid == 1}
+    for rf, sub in subs.items():
+        mine = [r for r in leaves if r.returnflag == rf]
+        assert sum(r.n_rows for r in mine) == sub.n_rows
+        assert abs(sum(r.revenue for r in mine) - sub.revenue) < 1e-4

@@ -347,6 +347,85 @@ def q134_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q145 candidate watermark delays (seconds) — a fixed audit grid, so
+# the whole curve is ONE aggregate pass with one conditional sum per
+# candidate, never a delay × event fan-out. Arrival time is simulated
+# as event time plus a deterministic Knuth-hash network delay in
+# [0, 600 s) — the generator's log is perfectly ordered (q113 measures
+# zero native disorder), so an honest watermark exercise needs a
+# stated delivery-delay model, and a hashed one keeps the whole curve
+# reproducible on any cluster (the q39/q125 no-RNG discipline).
+_WM_GRID = (0, 1, 10, 60, 300, 1800, 3600)
+_WM_JIT_MULT = 2654435761
+_WM_JIT_MOD = 4294967296
+_WM_JIT_SPAN_US = 600 * 1_000_000
+
+
+def q145_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing curve: for each candidate ``withWatermark``
+    delay, how many events the stream would DROP (lateness under the
+    stated hash-jitter delivery model exceeds the delay) and the drop
+    rate — the table an engineer reads to pick the smallest delay with
+    acceptable loss, instead of guessing and silently losing sessions.
+    An event is late by hwm − ts where hwm is the largest event time
+    already DELIVERED for that user (arrival order = ts + jitter).
+
+    Scale shape: lateness is one user-keyed window over arrival order
+    (q113's shape); the seven candidate counts are conditional sums
+    inside ONE partial agg (the grid never multiplies the event
+    table), unpivoted with stack into the 7-row curve."""
+    ev = load_table(spark, sf_dir, "events")
+    jit = (
+        F.col("event_id") * F.lit(_WM_JIT_MULT) % F.lit(_WM_JIT_MOD)
+    ) % F.lit(_WM_JIT_SPAN_US)
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (F.unix_micros(F.col("ts")) + jit).alias("arr_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = arr.select(
+        "ts_us",
+        F.max("ts_us").over(w).alias("hwm_us"),
+    ).select(
+        F.when(
+            F.col("hwm_us") > F.col("ts_us"),
+            F.col("hwm_us") - F.col("ts_us"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lateness_us"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        F.sum(
+            (F.col("lateness_us") > d * 1_000_000).cast("long")
+        ).alias(f"d{d}")
+        for d in _WM_GRID
+    ]
+    wide = late.agg(*aggs)
+    stack = ", ".join(f"{d}, d{d}" for d in _WM_GRID)
+    return wide.select(
+        "n_events",
+        F.expr(
+            f"stack({len(_WM_GRID)}, {stack}) AS (delay_s, n_dropped)"
+        ),
+    ).select(
+        F.col("delay_s").cast("int").alias("delay_s"),
+        "n_events",
+        "n_dropped",
+        F.round(
+            F.col("n_dropped").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("drop_rate"),
+    )
+
+
 def q139_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream: for
     every (from_type, to_type) pair of CONSECUTIVE events within a
@@ -460,6 +539,7 @@ QUERIES = {
     "q130_touch_attribution": q130_touch_attribution,
     "q134_time_to_convert": q134_time_to_convert,
     "q139_event_transitions": q139_event_transitions,
+    "q145_watermark_planner": q145_watermark_planner,
 }
 
 ORACLE = {
@@ -623,6 +703,77 @@ ORACLE = {
                MAX(l.ttc_s) AS max_ttc_s
         FROM lat l JOIN med m ON m.cohort_day = l.cohort_day
         GROUP BY l.cohort_day
+    """,
+    "q145_watermark_planner": """
+        WITH arr AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(ts)
+                   + ((event_id * 2654435761) % 4294967296) % 600000000
+                       AS arr_us
+            FROM events),
+        marked AS (
+            SELECT ts_us,
+                   MAX(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY arr_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS hwm_us
+            FROM arr),
+        late AS (
+            SELECT CASE WHEN hwm_us > ts_us THEN hwm_us - ts_us
+                        ELSE 0 END AS lateness_us
+            FROM marked),
+        wide AS (
+            SELECT COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+                   CAST(SUM(CASE WHEN lateness_us > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN lateness_us > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS d10,
+                   CAST(SUM(CASE WHEN lateness_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+                   CAST(SUM(CASE WHEN lateness_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS d300,
+                   CAST(SUM(CASE WHEN lateness_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1800,
+                   CAST(SUM(CASE WHEN lateness_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d3600
+            FROM late)
+        SELECT 0 AS delay_s, n_events,
+               d0 AS n_dropped,
+               ROUND(CAST(d0 AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS drop_rate
+        FROM wide
+        UNION ALL
+        SELECT 1 AS delay_s, n_events,
+               d1 AS n_dropped,
+               ROUND(CAST(d1 AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS drop_rate
+        FROM wide
+        UNION ALL
+        SELECT 10 AS delay_s, n_events,
+               d10 AS n_dropped,
+               ROUND(CAST(d10 AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS drop_rate
+        FROM wide
+        UNION ALL
+        SELECT 60 AS delay_s, n_events,
+               d60 AS n_dropped,
+               ROUND(CAST(d60 AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS drop_rate
+        FROM wide
+        UNION ALL
+        SELECT 300 AS delay_s, n_events,
+               d300 AS n_dropped,
+               ROUND(CAST(d300 AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS drop_rate
+        FROM wide
+        UNION ALL
+        SELECT 1800 AS delay_s, n_events,
+               d1800 AS n_dropped,
+               ROUND(CAST(d1800 AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS drop_rate
+        FROM wide
+        UNION ALL
+        SELECT 3600 AS delay_s, n_events,
+               d3600 AS n_dropped,
+               ROUND(CAST(d3600 AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                   AS drop_rate
+        FROM wide
     """,
     "q139_event_transitions": """
         WITH seq AS (

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from ..functions import text as TX
 from ..schemas import load_table
+from .analytics import _CHI_CONTRIB
 
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -652,6 +653,87 @@ def q133_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q143 vocabulary cap: the drift test runs over the top-_DRIFT_V
+# total-count terms (deterministic count-desc, term-asc cut), so the
+# contingency table is (V × 2) regardless of vocabulary size — the
+# q118 capping idea applied to a two-sample homogeneity test.
+_DRIFT_V = 32
+
+
+def q143_split_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/heldout term-distribution drift: a chi-square homogeneity
+    test between the training split and the held-out split (q79's
+    deterministic md5 carve) over the top-32 corpus terms — the
+    leakage/shift audit run before trusting a validation loss (a
+    significant statistic means the heldout set is NOT the same
+    distribution, and eval numbers will mislead). Output: the full
+    (term × split) contingency table with observed, expected, per-cell
+    contribution, and the table statistic + dof on every row (q124's
+    layout).
+
+    Scale shape: tokens collapse to (split, term) counts in ONE
+    partial-agg shuffle; the vocabulary cut is TakeOrderedAndProject
+    over the term-total table; every margin is an aggregate of the
+    V×2 DENSIFIED cell table (missing cells count as observed 0, so
+    absent-in-heldout terms contribute their full expected mass)."""
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    grp = F.when(h2 < "1a", F.lit("heldout")).otherwise(F.lit("train"))
+    counts = (
+        d.select(grp.alias("grp"), F.explode_outer(TX.tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from ..caching import persist_tracked
+
+    counts = persist_tracked(counts)
+    vocab = (
+        counts.groupBy("term")
+        .agg(F.sum("c").alias("rt"))
+        .orderBy(F.desc("rt"), F.asc("term"))
+        .limit(_DRIFT_V)
+    )
+    grps = counts.select("grp").distinct()
+    cells = (
+        vocab.crossJoin(grps)
+        .join(counts, on=["term", "grp"], how="left")
+        .fillna(0, subset=["c"])
+        .select("term", "rt", "grp", F.col("c").alias("o"))
+    )
+    ct = cells.groupBy("grp").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    full = cells.join(F.broadcast(ct), "grp").crossJoin(F.broadcast(tot))
+    scored = full.select(
+        "term",
+        "grp",
+        "o",
+        F.round(
+            F.col("rt").cast("double")
+            * F.col("ct").cast("double")
+            / F.col("n").cast("double"),
+            4,
+        ).alias("expected"),
+        F.expr(_CHI_CONTRIB).alias("contrib"),
+    )
+    dims = scored.agg(
+        F.sum("contrib").cast("double").alias("chi2"),
+        (
+            (F.count_distinct("term") - F.lit(1))
+            * (F.count_distinct("grp") - F.lit(1))
+        ).alias("dof"),
+    )
+    return scored.crossJoin(F.broadcast(dims)).select(
+        "term",
+        "grp",
+        "o",
+        "expected",
+        F.col("contrib").cast("double").alias("contrib"),
+        "chi2",
+        "dof",
+    )
+
+
 # q118 PMI geometry: co-occurrence is computed over the top-_PMI_V
 # document-frequency terms only — the vocabulary cap is what bounds the
 # per-document pair fan-out at V^2/2 regardless of document length or
@@ -779,6 +861,7 @@ QUERIES = {
     "q128_boilerplate_prefix": q128_boilerplate_prefix,
     "q132_unigram_entropy": q132_unigram_entropy,
     "q133_lang_diversity": q133_lang_diversity,
+    "q143_split_term_drift": q143_split_term_drift,
 }
 
 ORACLE = {
@@ -984,6 +1067,47 @@ ORACLE = {
                      / CAST(SUM(c) AS DOUBLE), 6) AS majority_share
         FROM cells
         GROUP BY source
+    """,
+    "q143_split_term_drift": f"""
+        WITH sp AS (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '1a'
+                        THEN 'heldout' ELSE 'train' END AS grp,
+                   text
+            FROM documents),
+        terms AS (SELECT grp, unnest({_TOK}) AS term FROM sp),
+        counts AS (
+            SELECT grp, term, COUNT(*) AS c
+            FROM terms WHERE term IS NOT NULL AND term <> ''
+            GROUP BY grp, term),
+        vocab AS (
+            SELECT term, CAST(SUM(c) AS BIGINT) AS rt
+            FROM counts GROUP BY term
+            ORDER BY SUM(c) DESC, term LIMIT {_DRIFT_V}),
+        grps AS (SELECT DISTINCT grp FROM counts),
+        cells AS (
+            SELECT v.term, v.rt, g.grp, COALESCE(c.c, 0) AS o
+            FROM vocab v CROSS JOIN grps g
+            LEFT JOIN counts c ON c.term = v.term AND c.grp = g.grp),
+        ct AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS ct
+               FROM cells GROUP BY grp),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        scored AS (
+            SELECT s.term, s.grp, s.o,
+                   ROUND(CAST(s.rt AS DOUBLE) * CAST(x.ct AS DOUBLE)
+                         / CAST(t.n AS DOUBLE), 4) AS expected,
+                   {_CHI_CONTRIB.replace("rt AS DOUBLE", "s.rt AS DOUBLE").replace("ct AS DOUBLE", "x.ct AS DOUBLE").replace("n AS DOUBLE", "t.n AS DOUBLE").replace("o AS DOUBLE", "s.o AS DOUBLE")} AS contrib
+            FROM cells s
+            JOIN ct x ON x.grp = s.grp
+            CROSS JOIN tot t),
+        dims AS (SELECT CAST(SUM(contrib) AS DOUBLE) AS chi2,
+                        (COUNT(DISTINCT term) - 1)
+                        * (COUNT(DISTINCT grp) - 1) AS dof
+                 FROM scored)
+        SELECT s.term, s.grp, s.o, s.expected,
+               CAST(s.contrib AS DOUBLE) AS contrib,
+               d.chi2, d.dof
+        FROM scored s CROSS JOIN dims d
     """,
     "q118_term_pmi": f"""
         WITH toks AS (

@@ -793,6 +793,45 @@ def q129_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric subtotal layout CUBE
+    (q48) and ROLLUP (q33) can't express: (returnflag × linestatus),
+    per-returnflag subtotals, and the grand total, but deliberately NO
+    per-linestatus marginals (the set a report actually asks for).
+    ``grouping_id`` disambiguates subtotal rows from real NULL groups,
+    like q48. One Expand + one shuffle — Catalyst plans all three sets
+    in a single hash aggregate pass.
+
+    Measures stay exact: counts integer, revenue summed as
+    decimal(18,2) and exposed as double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
 # q142 exactness: means use q66's decimal(38,25) exact sums; the
 # second moment snaps each v² to DECIMAL(18,12) BEFORE summing (q124's
 # contribution pattern — the variance is then "variance of the rounded
@@ -868,6 +907,7 @@ QUERIES = {
     "q66_label_centroids": q66_label_centroids,
     "q129_centroid_similarity": q129_centroid_similarity,
     "q142_embedding_dim_health": q142_embedding_dim_health,
+    "q144_grouping_sets": q144_grouping_sets,
     "q67_window_gauntlet": q67_window_gauntlet,
     "q68_bigram_stats": q68_bigram_stats,
     "q69_salted_join": q69_salted_join,
@@ -1115,6 +1155,17 @@ ORACLE = {
                CAST(MAX(c) AS BIGINT) AS n_vecs
         FROM per
         GROUP BY label
+    """,
+    "q144_grouping_sets": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
     """,
     "q142_embedding_dim_health": f"""
         WITH e AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
