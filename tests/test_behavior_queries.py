@@ -199,3 +199,36 @@ def test_watermark_planner_curve_monotone(spark):
     assert drops[0] > 0, "jitter model must produce SOME late deliveries"
     for r in rows:
         assert r.drop_rate == round(r.n_dropped / n, 6)
+
+
+def test_sequence_match_brute_force(spark):
+    """Regex funnel counts match a pure-Python re count over
+    independently reconstructed per-user sequences, and every user is
+    accounted for exactly once."""
+    import re as _re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    got = {r.n_matches: r.n_users
+           for r in B.q146_sequence_match(spark, SF_DIR).collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    ch = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    want = Counter()
+    for rows in by_user.values():
+        seq = "".join(
+            ch.get(r.event_type, "e")
+            for r in sorted(rows, key=lambda r: (r.ts, r.event_id))
+        )
+        want[len(_re.findall("vc*p", seq))] += 1
+    assert got == dict(want)
+    assert sum(got.values()) == len(by_user)

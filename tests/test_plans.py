@@ -432,3 +432,56 @@ def test_hll_register_agg_is_partial(spark):
 
     plan = _plan(L.q120_hll_sketch(spark, SF_DIR))
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_rfm_ntile_windows_partition_by_bucket(spark):
+    """q137: each of the three quartile rankings must run inside a
+    bucket-partitioned window (the q65/q49 two-phase shape) — a bare
+    NTILE window would move every customer into ONE task. The offsets
+    frames (≤17-row aggs) may legitimately single-partition."""
+    plan = _plan(A.q137_rfm_segments(spark, SF_DIR))
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln
+    ]
+    assert len(data_windows) >= 3, "expected three bucketed rankings"
+    for ln in data_windows:
+        assert "_bkt" in ln, f"ranking window not bucket-partitioned: {ln}"
+
+
+def test_ks_drift_windows_partition_by_lang(spark):
+    """q127: the ECDF cumulative windows partition by lang — the grid
+    frame is (langs × distinct lengths), and no window on it may
+    collapse to a single partition."""
+    plan = _plan(A.q127_ks_drift(spark, SF_DIR))
+    cum_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "cum" in ln
+    ]
+    assert cum_windows
+    for ln in cum_windows:
+        assert "lang" in ln
+        assert "SinglePartition" not in ln
+
+
+def test_chisq_single_shuffle_to_cells(spark):
+    """q124: raw documents collapse to the contingency cells in ONE
+    hash-aggregate exchange; the marginal joins must all broadcast
+    (the cell table is sources × 4 rows)."""
+    plan = _plan(A.q124_chisq_independence(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3
+
+
+def test_containment_join_is_capped_not_banded(spark):
+    """q123: the candidate join must be the df-capped shingle
+    equi-join (anti-join against the hot list present), NOT a MinHash
+    band join — banding would silently reintroduce the Jaccard
+    collision curve and miss subset duplicates."""
+    from weatherapi_data_engineering_project_spark.plans import llm
+
+    plan = _plan(llm.q123_containment_dedup(spark, SF_DIR))
+    assert "band" not in plan.lower()
+    # the hot-shingle guard: one anti join on the shingle column
+    assert "LeftAnti" in plan

@@ -426,6 +426,57 @@ def q145_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q146 alphabet: one char per event type keeps the per-user sequence
+# string tiny and the pattern readable. The funnel pattern is
+# "view, then purchase with only clicks between" — non-overlapping
+# leftmost matches, identical in Java regex and RE2 for this
+# backreference-free pattern.
+_SEQ_CASE = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'"
+    " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END"
+)
+_SEQ_PATTERN = "vc*p"
+
+
+def q146_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching without
+    MATCH_RECOGNIZE: each user's event history becomes a compact
+    symbol string (ordered by ts, event_id), and the funnel pattern
+    ``vc*p`` — a view converting to a purchase through clicks only —
+    is counted per user with non-overlapping regex semantics. Output:
+    how many users achieved each match count (0 included: the users
+    the funnel never converts).
+
+    Scale shape: ONE user-keyed aggregate builds the ordered symbol
+    string (collect_list + array_sort — per-user history lives in one
+    task, the q31 sessionize assumption); the regex runs row-locally
+    on the per-user string; the rollup is a tiny count-by-count agg."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.expr(_SEQ_CASE).alias("ch")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda t: t["ch"]
+                ),
+            ).alias("seq")
+        )
+    )
+    per_user = seq.select(
+        F.regexp_count("seq", F.lit(_SEQ_PATTERN)).alias("n_matches")
+    )
+    return per_user.groupBy("n_matches").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def q139_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream: for
     every (from_type, to_type) pair of CONSECUTIVE events within a
@@ -540,6 +591,7 @@ QUERIES = {
     "q134_time_to_convert": q134_time_to_convert,
     "q139_event_transitions": q139_event_transitions,
     "q145_watermark_planner": q145_watermark_planner,
+    "q146_sequence_match": q146_sequence_match,
 }
 
 ORACLE = {
@@ -703,6 +755,19 @@ ORACLE = {
                MAX(l.ttc_s) AS max_ttc_s
         FROM lat l JOIN med m ON m.cohort_day = l.cohort_day
         GROUP BY l.cohort_day
+    """,
+    "q146_sequence_match": f"""
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg({_SEQ_CASE}, '' ORDER BY ts, event_id)
+                       AS seq
+            FROM events GROUP BY user_id),
+        per_user AS (
+            SELECT CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}'))
+                        AS INT) AS n_matches
+            FROM seq)
+        SELECT n_matches, COUNT(*) AS n_users
+        FROM per_user GROUP BY n_matches
     """,
     "q145_watermark_planner": """
         WITH arr AS (
