@@ -551,3 +551,57 @@ def test_dedup_savings_consistent_with_exact_dedup(spark):
     for r in rows:
         assert 0 <= r.token_savings_rate < 1
         assert r.n_dropped_tokens <= r.n_tokens
+
+
+def test_wav_codec_round_trip_and_chunk_walk(spark):
+    """The RIFF parser recovers the exact int16 samples it encoded,
+    tolerates extra chunks between fmt and data (real WAVs carry
+    LIST/INFO), and rejects non-WAV payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from weatherapi_data_engineering_project_spark.functions.multimodal import (
+        decode_wav_pcm,
+        synth_wav_pcm,
+    )
+
+    for mid in (0, 7, 63, 64, 12345):
+        b = synth_wav_pcm(mid)
+        sr, s = decode_wav_pcm(b)
+        p = 64 + mid % 64
+        idx = np.arange(2000, dtype=np.int64)
+        want = (idx % p) * 2000 // p - 1000
+        assert sr == 8000 and (s.astype(np.int64) == want).all()
+    # splice a LIST chunk between fmt and data: still decodes
+    b = synth_wav_pcm(5)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = b[:36] + extra + b[36:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr2, s2 = decode_wav_pcm(spliced)
+    assert sr2 == 8000 and (s2 == decode_wav_pcm(b)[1]).all()
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"not a wav at all")
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+
+
+def test_audio_energy_features_exact(spark):
+    """Per-frame energies from the decoded stream equal the numpy
+    closed-form for a sample of media ids."""
+    import numpy as np
+
+    rows = {r.media_id: r
+            for r in llm.q147_audio_energy(spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    for mid in (0, 17, 131):
+        p = 64 + mid % 64
+        idx = np.arange(2000, dtype=np.int64)
+        s = (idx % p) * 2000 // p - 1000
+        got = rows[mid]
+        assert got.sr == 8000 and got.n_samples == 2000
+        assert got.duration_ms == 250
+        for j in range(8):
+            want = int((s[j * 250 : (j + 1) * 250] ** 2).sum())
+            assert getattr(got, f"e{j}") == want

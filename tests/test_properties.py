@@ -141,3 +141,100 @@ def test_bounded_box_properties(w, h, max_px):
             assert nh >= nw
         else:
             assert nw == nh
+
+
+@given(
+    mids=st.lists(
+        st.integers(min_value=0, max_value=100_000),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_wav_codec_round_trip_property(mids):
+    """decode(synth(id)) recovers the exact sawtooth for ANY id — the
+    codec pair is lossless over its whole domain (pure numpy, no
+    Spark action needed)."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.functions.multimodal import (
+        decode_wav_pcm,
+        synth_wav_pcm,
+    )
+
+    for mid in mids:
+        sr, s = decode_wav_pcm(synth_wav_pcm(mid))
+        p = 64 + mid % 64
+        idx = np.arange(2000, dtype=np.int64)
+        assert sr == 8000
+        assert (s.astype(np.int64) == (idx % p) * 2000 // p - 1000).all()
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_global_ntile_equals_builtin_property(spark, vals, k):
+    """The two-phase bucketed ntile equals F.ntile for arbitrary
+    heavy-tie frames and any k — including k > n (every row gets its
+    own bucket)."""
+    from pyspark.sql.window import Window as Wnd
+
+    from weatherapi_data_engineering_project_spark.plans.analytics import (
+        _global_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: r.s for r in _global_ntile(df, "v", "id", k, "s").collect()
+    }
+    want = {
+        r.id: r.s
+        for r in df.select(
+            "id", F.ntile(k).over(Wnd.orderBy("v", "id")).alias("s")
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_containment_verbatim_substring_property(spark, docs):
+    """If doc A's text appears verbatim inside doc B's (and A has ≥3
+    tokens), the pair's larger containment direction is 1.0 — the
+    subset-duplication guarantee q123 exists for."""
+    from weatherapi_data_engineering_project_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    base = [(i, t) for i, t in enumerate(docs)]
+    # plant a guaranteed containment pair on top of the random corpus
+    short = "alpha beta gamma delta"
+    long_ = "prefix words " + short + " suffix tail words here"
+    rows = base + [(100, short), (101, long_)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        frozenset((r.id1, r.id2)): r
+        for r in containment_pairs(df, "text", "doc_id", 0.99).collect()
+    }
+    planted = got.get(frozenset((100, 101)))
+    assert planted is not None
+    assert max(planted.c_1_in_2, planted.c_2_in_1) == 1.0

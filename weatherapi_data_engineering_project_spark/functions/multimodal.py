@@ -273,3 +273,122 @@ def _resize_blob(content: bytes, nw: int, nh: int) -> bytes:
     return hashlib.sha256(
         content + nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
     ).digest()
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec path: WAV (RIFF) PCM-16 — parsed byte-for-byte with
+# numpy, no external audio library. The synthetic generator emits pure
+# INTEGER sawtooth samples, so every decoded feature is an exact
+# integer a SQL oracle can recompute closed-form — a real byte-level
+# codec round-trip with a hash-matched differential, unlike the
+# sha256 stubs above (which exist because ffmpeg/torchaudio are not in
+# this environment; WAV needs neither).
+
+_WAV_SR = 8000
+_WAV_N = 2000  # 250 ms at 8 kHz
+
+
+def synth_wav_pcm(media_id: int, sr: int = _WAV_SR, n: int = _WAV_N) -> bytes:
+    """Deterministic mono PCM-16 WAV: an integer sawtooth with period
+    64 + media_id % 64 samples, amplitude ±1000 — byte-exact RIFF
+    container (44-byte canonical header)."""
+    import struct
+
+    p = 64 + media_id % 64
+    idx = np.arange(n, dtype=np.int64)
+    samples = ((idx % p) * 2000 // p - 1000).astype("<i2")
+    data = samples.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm(content: bytes) -> tuple[int, np.ndarray]:
+    """REAL RIFF/WAVE parser: walks the chunk list (not fixed offsets —
+    tolerates extra chunks like LIST/INFO), validates PCM-16 mono, and
+    returns (sample_rate, int16 sample array). Raises ValueError on
+    anything that is not a PCM-16 WAV — the contract a swapped-in
+    ffmpeg path would also honor."""
+    b = bytes(content)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data_body = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt_body[0:2], "little")
+    n_ch = int.from_bytes(fmt_body[2:4], "little")
+    sr = int.from_bytes(fmt_body[4:8], "little")
+    bits = int.from_bytes(fmt_body[14:16], "little")
+    if audio_fmt != 1 or n_ch != 1 or bits != 16:
+        raise ValueError("only PCM-16 mono supported")
+    return sr, np.frombuffer(data_body, dtype="<i2")
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType()),
+     T.StructField("sr", T.IntegerType()),
+     T.StructField("n_samples", T.IntegerType()),
+     T.StructField("duration_ms", T.IntegerType())]
+    + [T.StructField(f"e{j}", T.LongType()) for j in range(8)]
+)
+
+
+def synth_wav_blobs(ids: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, content) with real WAV bytes, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["media_id"].map(
+                        lambda i: synth_wav_pcm(int(i))
+                    ),
+                }
+            )
+
+    return ids.mapInPandas(run, schema="media_id long, content binary")
+
+
+def audio_frame_energies(
+    media: DataFrame, n_frames: int = 8, frame: int = 250
+) -> DataFrame:
+    """Decode WAV blobs and emit per-frame sum-of-squares energies —
+    vectorized int64 numpy over the decoded sample array; every output
+    is an exact integer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                sr, s = decode_wav_pcm(blob)
+                s64 = s.astype(np.int64)
+                row = {
+                    "media_id": int(mid),
+                    "sr": sr,
+                    "n_samples": len(s),
+                    "duration_ms": len(s) * 1000 // sr,
+                }
+                for j in range(n_frames):
+                    seg = s64[j * frame : (j + 1) * frame]
+                    row[f"e{j}"] = int((seg * seg).sum())
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_ENERGY_SCHEMA)

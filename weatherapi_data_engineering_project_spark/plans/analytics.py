@@ -843,6 +843,7 @@ def _global_ntile(
     k: int,
     out: str,
     ascending: bool = True,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Exact global NTILE(k) WITHOUT the single-task sort a bare
     ``Window.orderBy`` degenerates to — q65's two-phase rewrite
@@ -856,10 +857,20 @@ def _global_ntile(
     key = F.col(metric).cast("double")
     if not ascending:
         key = -key
-    probe = df.select(key.alias("_k"))
-    bnds = sorted(
-        set(probe.approxQuantile("_k", [i / 16 for i in range(1, 16)], 0.01))
-    )
+    if boundaries is None:
+        probe = df.select(key.alias("_k"))
+        bnds = sorted(
+            set(
+                probe.approxQuantile(
+                    "_k", [i / 16 for i in range(1, 16)], 0.01
+                )
+            )
+        )
+    else:
+        # caller pre-probed (e.g. one multi-column approxQuantile pass
+        # shared across several rankings) — boundaries are of the KEY
+        # domain, i.e. already negated for descending rankings
+        bnds = sorted(set(boundaries))
     bucketed = df.withColumn("_k", key).withColumn(
         "_bkt",
         F.size(
@@ -910,11 +921,14 @@ def q137_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every quartile orders by (metric, custkey), so tied
     metrics split identically in any engine; spend stays decimal(18,2)
-    until the final rounded-double average. Scale shape: one partial
-    agg to a per-customer row, then three ``_global_ntile`` passes
-    over THAT persisted frame — each is a bucketed two-phase rank, so
-    no single-task global window ever materializes (the oracle's bare
-    NTILE is the semantics statement, not the plan)."""
+    until the final integer-cent average. Scale shape: one partial
+    agg to a per-customer row, ONE multi-column approxQuantile pass
+    probes all three metrics' bucket boundaries, then three
+    independent ``_global_ntile`` rankings read the PERSISTED frame
+    (thin (custkey, score) outputs joined at the end) — no single-task
+    global window ever materializes, and no ranking re-evaluates
+    another's plan (the oracle's bare NTILE is the semantics
+    statement, not the plan)."""
     from ..caching import persist_tracked
 
     o = load_table(spark, sf_dir, "orders")
@@ -930,25 +944,40 @@ def q137_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("corpus_last", "last_order").alias("recency_d"),
             "freq",
             "spend",
+            F.col("spend").cast("double").alias("spend_d"),
         )
     )
-    cells = _global_ntile(
-        _global_ntile(
-            _global_ntile(
-                scored, "recency_d", "o_custkey", 4, "r_score"
-            ),
-            "freq",
-            "o_custkey",
-            4,
-            "f_score",
-            ascending=False,
-        ),
+    probs = [i / 16 for i in range(1, 16)]
+    b_r, b_f, b_m = scored.approxQuantile(
+        ["recency_d", "freq", "spend_d"], probs, 0.01
+    )
+    r = _global_ntile(
+        scored.select("o_custkey", "recency_d"),
+        "recency_d",
+        "o_custkey",
+        4,
+        "r_score",
+        boundaries=b_r,
+    ).select("o_custkey", "r_score")
+    f = _global_ntile(
+        scored.select("o_custkey", "freq"),
+        "freq",
+        "o_custkey",
+        4,
+        "f_score",
+        ascending=False,
+        boundaries=[-x for x in b_f],
+    ).select("o_custkey", "f_score")
+    m = _global_ntile(
+        scored.select("o_custkey", "spend"),
         "spend",
         "o_custkey",
         4,
         "m_score",
         ascending=False,
-    )
+        boundaries=[-x for x in b_m],
+    ).select("o_custkey", "m_score", "spend")
+    cells = r.join(f, "o_custkey").join(m, "o_custkey")
     # cent-exact average: ROUND(double, 2) diverges across engines on
     # true half-cent midpoints (sum/n CAN be x.445 exactly), so the
     # rounding runs in INTEGER cents — (2·sum_cents + n) div (2n) is

@@ -294,6 +294,30 @@ def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path end-to-end: deterministic PCM-16 WAV
+    blobs (integer sawtooth per media_id) are synthesized in one
+    Arrow stage, cross the DataFrame boundary as a genuine ``binary``
+    column, and a second Arrow stage PARSES the RIFF container
+    byte-for-byte (functions/multimodal.py::decode_wav_pcm — chunk
+    walk, PCM-16 validation, numpy frombuffer) and emits per-frame
+    sum-of-squares energies. Because the samples are integers, every
+    decoded feature is an exact integer the SQL oracle recomputes
+    closed-form from the sawtooth definition — a byte-level codec
+    round-trip with a hash-matched differential, unlike the sha256
+    stub paths (q35/q59) that stand in for ffmpeg-class codecs.
+
+    Scale shape: both stages are Arrow-batched mapInPandas with
+    vectorized numpy bodies; blobs never shuffle (synthesis and decode
+    pipeline within one task chain), and the output is one thin row
+    per media file."""
+    from ..functions.multimodal import audio_frame_energies, synth_wav_blobs
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select(F.col("doc_id").alias("media_id"))
+    return audio_frame_energies(synth_wav_blobs(ids))
+
+
 def q75_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize end-to-end: documents re-cast as image blobs
     with synthetic-but-deterministic dimensions, pushed through the
@@ -603,6 +627,7 @@ QUERIES = {
     "q74_pq_rerank_ann": q74_pq_rerank_ann,
     "q83_ivfpq_ann": q83_ivfpq_ann,
     "q35_multimodal_features": q35_multimodal_features,
+    "q147_audio_energy": q147_audio_energy,
     "q75_image_resize": q75_image_resize,
     "q39_deterministic_sample": q39_deterministic_sample,
     "q40_sequence_pack": q40_sequence_pack,
@@ -886,6 +911,37 @@ ORACLE = {
         FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
               FROM documents)
         GROUP BY source
+    """,
+    "q147_audio_energy": """
+        WITH base AS (
+            SELECT doc_id AS media_id, 64 + doc_id % 64 AS p
+            FROM documents),
+        grid AS (
+            SELECT b.media_id, b.p, g.n
+            FROM base b
+            CROSS JOIN (SELECT unnest(range(0, 2000)) AS n) g),
+        s AS (
+            SELECT media_id, n // 250 AS frame,
+                   ((n % p) * 2000) // p - 1000 AS v
+            FROM grid),
+        e AS (
+            SELECT media_id, frame,
+                   CAST(SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT))
+                        AS BIGINT) AS en
+            FROM s GROUP BY media_id, frame)
+        SELECT media_id,
+               CAST(8000 AS INT) AS sr,
+               CAST(2000 AS INT) AS n_samples,
+               CAST(250 AS INT) AS duration_ms,
+               MAX(CASE WHEN frame = 0 THEN en END) AS e0,
+               MAX(CASE WHEN frame = 1 THEN en END) AS e1,
+               MAX(CASE WHEN frame = 2 THEN en END) AS e2,
+               MAX(CASE WHEN frame = 3 THEN en END) AS e3,
+               MAX(CASE WHEN frame = 4 THEN en END) AS e4,
+               MAX(CASE WHEN frame = 5 THEN en END) AS e5,
+               MAX(CASE WHEN frame = 6 THEN en END) AS e6,
+               MAX(CASE WHEN frame = 7 THEN en END) AS e7
+        FROM e GROUP BY media_id
     """,
     "q22_fingerprint": """
         SELECT doc_id,
