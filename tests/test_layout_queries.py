@@ -90,3 +90,19 @@ def test_bloom_has_no_false_negatives(spark):
     # everything the bloom passes that isn't a member is flagged FP
     for k, is_m in out.items():
         assert is_m == (k in members)
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Mergeability: zero register mismatches between the partition-
+    merged and direct-pass sketches, and the merged estimate equals
+    q120's single-pass estimate exactly (same registers → same
+    float chain)."""
+    merged = {r.event_type: r for r in L.q148_hll_merge(spark, SF_DIR).collect()}
+    direct = {r.event_type: r for r in L.q120_hll_sketch(spark, SF_DIR).collect()}
+    assert set(merged) == set(direct)
+    for t, m in merged.items():
+        assert m.n_register_mismatches == 0
+        assert m.est_users == direct[t].est_users
+        assert m.exact_users == direct[t].exact_users
+        # m=64 HLL: |rel_err| within 4x the 1.04/sqrt(64) rsd
+        assert abs(m.rel_err) < 4 * 1.04 / 8

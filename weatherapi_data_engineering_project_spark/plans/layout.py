@@ -392,11 +392,106 @@ def q120_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes sketches work at
+    100 TB: registers built independently per partition (here the
+    event log split in two by event_id parity, standing in for two
+    data centers or two daily loads) and combined by register-wise
+    MAX must equal the registers of a direct pass over the union,
+    BIT-FOR-BIT. Output per event type: the per-register mismatch
+    count between merge and direct (always 0 — the audit IS the
+    theorem), the estimate from the MERGED registers, and the exact
+    distinct count with relative error. Same plan-literal q120 hash,
+    so the whole merge algebra is SQL-reproducible and hash-matched.
+
+    Scale shape: per-partition registers are one partial-agg shuffle
+    on (type, part, bucket) — 2 × 64 rows per group; the merge is an
+    aggregate OF that tiny frame. Nothing about the plan changes if
+    'part' becomes 10 000 daily loads: the merge stays
+    registers-sized, which is the entire point."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", (F.col("event_id") % 2).alias("part")
+    )
+    mix = _hll_mix_sql("user_id", _spark_xor, _spark_shr)
+    hashed = ev.select(
+        "event_type",
+        "part",
+        F.expr(f"({mix}) % {_HLL_M}").alias("bucket"),
+        F.expr(f"({mix}) div {_HLL_M}").alias("rest"),
+    )
+    rank = F.when(F.col("rest") == 0, F.lit(_HLL_MAXRANK)).otherwise(
+        F.lit(_HLL_MAXRANK) - F.length(F.bin("rest"))
+    )
+    from ..caching import persist_tracked
+
+    per_part = persist_tracked(
+        hashed.groupBy("event_type", "part", "bucket").agg(
+            F.max(rank).alias("reg")
+        )
+    )
+    merged = per_part.groupBy("event_type", "bucket").agg(
+        F.max("reg").alias("reg_m")
+    )
+    direct = hashed.groupBy("event_type", "bucket").agg(
+        F.max(rank).alias("reg_d")
+    )
+    audit = (
+        merged.join(direct, ["event_type", "bucket"], "full")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.coalesce("reg_m", F.lit(-1))
+                    != F.coalesce("reg_d", F.lit(-2))
+                ).cast("long")
+            ).alias("n_register_mismatches")
+        )
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias(
+                "bucket"
+            ),
+        )
+    )
+    regs = spine.join(merged, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce("reg_m", F.lit(0)).alias("reg")
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(1, {_HLL_MAXRANK} - reg) AS BIGINT)")
+        ).alias("s_int"),
+        F.sum((F.col("reg") == 0).cast("bigint")).alias("v"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        per_type.join(audit, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_register_mismatches",
+            F.expr(_HLL_EST).alias("est_users"),
+            "exact_users",
+            F.round(
+                (F.expr(_HLL_EST) - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
     "q107_countmin_sketch": q107_countmin_sketch,
     "q108_bloom_prune": q108_bloom_prune,
     "q120_hll_sketch": q120_hll_sketch,
+    "q148_hll_merge": q148_hll_merge,
 }
 
 _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
@@ -516,5 +611,68 @@ ORACLE = {
                ROUND(({_HLL_EST} - e.exact_users) / e.exact_users, 4)
                    AS rel_err
         FROM per_type p JOIN exact e ON e.event_type = p.event_type
+    """,
+    # q148: the merge algebra with the same literals — per-partition
+    # registers, register-wise MAX merge, direct-pass registers, and
+    # the mismatch audit (always 0: max is associative).
+    "q148_hll_merge": f"""
+        WITH h AS (
+            SELECT event_type, event_id % 2 AS part,
+                   ({_hll_mix_sql("user_id", _duck_xor, _duck_shr)})
+                       % {_HLL_M} AS bucket,
+                   ({_hll_mix_sql("user_id", _duck_xor, _duck_shr)})
+                       // {_HLL_M} AS rest
+            FROM events),
+        per_part AS (
+            SELECT event_type, part, bucket,
+                   MAX(CASE WHEN rest = 0 THEN {_HLL_MAXRANK}
+                            ELSE {_HLL_MAXRANK}
+                                 - length(printf('%b', rest)) END) AS reg
+            FROM h GROUP BY event_type, part, bucket),
+        merged AS (
+            SELECT event_type, bucket, MAX(reg) AS reg_m
+            FROM per_part GROUP BY event_type, bucket),
+        direct AS (
+            SELECT event_type, bucket,
+                   MAX(CASE WHEN rest = 0 THEN {_HLL_MAXRANK}
+                            ELSE {_HLL_MAXRANK}
+                                 - length(printf('%b', rest)) END) AS reg_d
+            FROM h GROUP BY event_type, bucket),
+        audit AS (
+            SELECT COALESCE(m.event_type, d.event_type) AS event_type,
+                   CAST(SUM(CASE WHEN COALESCE(m.reg_m, -1)
+                                      <> COALESCE(d.reg_d, -2)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_register_mismatches
+            FROM merged m FULL JOIN direct d
+              ON d.event_type = m.event_type AND d.bucket = m.bucket
+            GROUP BY 1),
+        spine AS (
+            SELECT t.event_type, b.bucket
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(range({_HLL_M})) AS bucket) b),
+        regs AS (
+            SELECT s.event_type, COALESCE(m.reg_m, 0) AS reg
+            FROM spine s LEFT JOIN merged m
+              ON m.event_type = s.event_type AND m.bucket = s.bucket),
+        per_type AS (
+            SELECT event_type,
+                   CAST(SUM(1 << ({_HLL_MAXRANK} - reg)) AS BIGINT)
+                       AS s_int,
+                   CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v
+            FROM regs GROUP BY event_type),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type)
+        SELECT p.event_type,
+               a.n_register_mismatches,
+               {_HLL_EST} AS est_users,
+               e.exact_users,
+               ROUND(({_HLL_EST} - e.exact_users) / e.exact_users, 4)
+                   AS rel_err
+        FROM per_type p
+        JOIN audit a ON a.event_type = p.event_type
+        JOIN exact e ON e.event_type = p.event_type
     """,
 }
