@@ -605,3 +605,22 @@ def test_audio_energy_features_exact(spark):
         for j in range(8):
             want = int((s[j * 250 : (j + 1) * 250] ** 2).sum())
             assert getattr(got, f"e{j}") == want
+
+
+def test_prefix_filter_is_lossless_at_threshold(spark):
+    """Prefix filtering's theorem: its pair set EQUALS the brute-force
+    all-pairs shingle Jaccard >= 1/2 result — no candidate is missed
+    (unlike banding) and none invented."""
+    d = load_table(spark, SF_DIR, "documents")
+    brute = {
+        (r.id1, r.id2): round(r.jaccard, 6)
+        for r in DD.jaccard_pairs(d, "text", "doc_id", 0.5).collect()
+    }
+    pf = {
+        (r.id1, r.id2): r.jaccard
+        for r in DD.prefix_filter_pairs(d, "text", "doc_id").collect()
+    }
+    assert set(pf) == set(brute)
+    for pair, j in pf.items():
+        assert abs(j - brute[pair]) < 1e-9
+        assert 0.5 <= j <= 1.0

@@ -28,6 +28,8 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
 from ..caching import checkpoint_tracked, persist_tracked
 
 from ..functions.text import fingerprint, shingles, tokens
@@ -717,5 +719,96 @@ def containment_pairs(
         .filter(
             F.greatest(F.col("c_1_in_2"), F.col("c_2_in_1"))
             >= F.lit(threshold)
+        )
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Set-similarity self-join at SHINGLE-set Jaccard ≥ 1/2 via
+    PREFIX FILTERING (Chaudhuri et al. SSJoin / Bayardo AllPairs):
+    order each document's shingles globally by (document frequency,
+    shingle) — rarest first — and keep only the first
+    n − ceil(n/2) + 1 as the document's prefix. Any pair with J ≥ 1/2
+    MUST collide on at least one prefix shingle (pigeonhole on the
+    overlap bound ceil(n/2)), so the candidate join runs on prefixes
+    only; survivors get an exact verify. The third candidate-
+    generation strategy in this engine, algorithmically distinct from
+    MinHash banding (q25 — probabilistic recall) and df-capped
+    blocking (q24/q123 — semantic cap): prefix filtering is LOSSLESS
+    at its threshold, with no banding curve and no cap parameter —
+    hot shingles sort LAST, so they fall outside most prefixes
+    instead of being dropped.
+
+    Exactness: the global order is the total order (df, shingle) — no
+    dense rank materializes, so no vocab-sized window exists; the
+    verify threshold is the INTEGER compare 3·inter ≥ n1 + n2
+    (equivalent to inter/(n1+n2−inter) ≥ 1/2), and the reported
+    jaccard is one rounded double of exact integers.
+
+    Scale shape: df counts are one partial agg joined back onto the
+    shingle frame; prefix selection is a per-DOC window (narrow,
+    keyed by doc); the candidate join is prefix×prefix, and the
+    verify join is candidate-driven."""
+    ex = persist_tracked(
+        shingle_sets(df, text_col, id_col, k).select("doc", "shingle")
+    )
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_ct"))
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .join(sizes, "doc")
+        .select(
+            "doc",
+            "shingle",
+            "n",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc").orderBy("df_ct", "shingle")
+            )
+            .alias("pos"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
+    )
+    cands = (
+        prefix.select(F.col("doc").alias("id1"), "shingle")
+        .join(prefix.select(F.col("doc").alias("id2"), "shingle"), "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    a = ex.select(F.col("doc").alias("id1"), "shingle")
+    b = ex.select(F.col("doc").alias("id2"), "shingle")
+    inter = (
+        cands.join(a, "id1")
+        .join(b, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    n1 = sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(n1, "id1")
+        .join(n2, "id2")
+        .filter(3 * F.col("inter") >= F.col("n1") + F.col("n2"))
+        .select(
+            "id1",
+            "id2",
+            "inter",
+            "n1",
+            "n2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
         )
     )

@@ -155,6 +155,18 @@ def q141_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join at shingle-set Jaccard ≥ 1/2 via PREFIX
+    FILTERING (AllPairs/SSJoin) — lossless-at-threshold candidate
+    generation, algorithmically distinct from MinHash banding (q25)
+    and df-capped blocking (q24/q123): rarest-first token prefixes
+    must collide for any qualifying pair, by pigeonhole
+    (operators/dedup.py::prefix_filter_pairs). Threshold compare is
+    the integer 3·inter ≥ n1 + n2."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.prefix_filter_pairs(d, "text", "doc_id")
+
+
 INCREMENTAL_SPLIT = 400  # docs ≥ this are the "arriving batch"
 
 
@@ -616,6 +628,7 @@ QUERIES = {
     "q25_minhash_lsh": q25_minhash_lsh,
     "q123_containment_dedup": q123_containment_dedup,
     "q141_dedup_savings": q141_dedup_savings,
+    "q149_prefix_join": q149_prefix_join,
     "q71_incremental_neardup": q71_incremental_neardup,
     "q26_cosine_topk": q26_cosine_topk,
     "q27_ann_signlsh": q27_ann_signlsh,
@@ -949,6 +962,41 @@ ORACLE = {
                COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
                    AS n_same
         FROM documents
+    """,
+    "q149_prefix_join": f"""
+        WITH {_SHINGLES_CTE},
+        sets AS (SELECT doc_id AS doc, shingle FROM ex),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM sets GROUP BY doc),
+        dfreq AS (SELECT shingle, COUNT(*) AS df_ct
+                  FROM sets GROUP BY shingle),
+        ranked AS (
+            SELECT st.doc, st.shingle, sz.n,
+                   ROW_NUMBER() OVER (PARTITION BY st.doc
+                                      ORDER BY d.df_ct, st.shingle) AS pos
+            FROM sets st
+            JOIN dfreq d ON d.shingle = st.shingle
+            JOIN sizes sz ON sz.doc = st.doc),
+        prefix AS (
+            SELECT doc, shingle FROM ranked
+            WHERE pos <= n - CAST((n + 1) / 2 AS BIGINT) + 1),
+        cands AS (
+            SELECT DISTINCT a.doc AS id1, b.doc AS id2
+            FROM prefix a JOIN prefix b
+              ON a.shingle = b.shingle AND a.doc < b.doc),
+        inter AS (
+            SELECT c.id1, c.id2, COUNT(*) AS inter
+            FROM cands c
+            JOIN sets a ON a.doc = c.id1
+            JOIN sets b ON b.doc = c.id2 AND b.shingle = a.shingle
+            GROUP BY c.id1, c.id2)
+        SELECT i.id1, i.id2, i.inter, s1.n AS n1, s2.n AS n2,
+               ROUND(CAST(i.inter AS DOUBLE)
+                     / CAST(s1.n + s2.n - i.inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes s1 ON s1.doc = i.id1
+        JOIN sizes s2 ON s2.doc = i.id2
+        WHERE 3 * i.inter >= s1.n + s2.n
     """,
     "q141_dedup_savings": f"""
         WITH fp AS (
