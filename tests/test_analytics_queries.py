@@ -382,3 +382,26 @@ def test_fd_audit_verdicts(spark):
     assert src_lang.max_distinct_rhs > 1
     cust = rows["orders.o_custkey -> o_orderpriority"]
     assert not cust.holds and cust.n_violating_groups > 0
+
+
+def test_pareto_abc_partitions_and_order(spark):
+    """Classes partition all ordering customers; shares sum to 1; the
+    A class really carries ~80% with the fewest-per-revenue customers
+    (its avg spend exceeds C's)."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = {r.abc_class: r for r in A.q150_pareto_abc(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows.values()) == n_cust
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-4
+    assert rows["A"].revenue_share <= 0.8 + 1e-9
+    assert (
+        rows["A"].revenue / rows["A"].n_customers
+        > rows["C"].revenue / rows["C"].n_customers
+    )

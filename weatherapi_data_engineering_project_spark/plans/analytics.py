@@ -1116,6 +1116,99 @@ def q140_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q150_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue classification: customers ranked by spend,
+    classed A while the running revenue share is ≤ 80%, B to ≤ 95%, C
+    after — the classic "which 20% of customers carry 80% of revenue"
+    rollup. Output per class: customer count, revenue, revenue share.
+
+    Scale shape: the global cumulative sum — normally a single-task
+    ORDER BY window — runs as the q65 two-phase rewrite applied to
+    SUM: sampled boundaries bucket customers by spend, each bucket
+    cumsums locally (decimal-exact), and broadcast per-bucket revenue
+    offsets lift local prefix sums to global ones. Class cuts compare
+    INTEGER cents (5·cum ≤ 4·total for A, 20·cum ≤ 19·total for B),
+    so the classification is bit-exact at any parallelism."""
+    from ..caching import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = persist_tracked(
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "spend"
+            )
+        )
+        .select(
+            "o_custkey",
+            "spend",
+            (F.col("spend") * 100).cast("long").alias("cents"),
+            (-F.col("spend").cast("double")).alias("_k"),
+        )
+    )
+    bnds = sorted(
+        set(rev.approxQuantile("_k", [i / 16 for i in range(1, 16)], 0.01))
+    )
+    bucketed = rev.withColumn(
+        "_bkt",
+        F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("_k"),
+            )
+        ),
+    )
+    offsets = (
+        bucketed.groupBy("_bkt")
+        .agg(F.sum("cents").alias("_bc"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bc").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_tot", F.sum("_bc").over(Window.partitionBy()))
+        .select("_bkt", "_off", "_tot")
+    )
+    wl = Window.partitionBy("_bkt").orderBy("_k", "o_custkey")
+    cum = (
+        bucketed.withColumn(
+            "_lc",
+            F.sum("cents").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .join(F.broadcast(offsets), "_bkt")
+        .select(
+            "spend",
+            "cents",
+            (F.col("_off") + F.col("_lc")).alias("cum_cents"),
+            "_tot",
+        )
+    )
+    classed = cum.select(
+        "cents",
+        "_tot",
+        F.when(5 * F.col("cum_cents") <= 4 * F.col("_tot"), F.lit("A"))
+        .when(20 * F.col("cum_cents") <= 19 * F.col("_tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("cents").cast("double") / 100).alias("revenue"),
+        F.round(
+            F.sum("cents").cast("double") / F.max("_tot").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
@@ -1138,6 +1231,7 @@ QUERIES = {
     "q137_rfm_segments": q137_rfm_segments,
     "q138_brand_affinity": q138_brand_affinity,
     "q140_fd_audit": q140_fd_audit,
+    "q150_pareto_abc": q150_pareto_abc,
 }
 
 ORACLE = {
@@ -1543,6 +1637,33 @@ ORACLE = {
         JOIN bc c1 ON c1.p_brand = co.brand1
         JOIN bc c2 ON c2.p_brand = co.brand2
         CROSS JOIN n
+    """,
+    "q150_pareto_abc": """
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey),
+        cum AS (
+            SELECT cents,
+                   CAST(SUM(cents) OVER (
+                       ORDER BY cents DESC, o_custkey) AS BIGINT)
+                       AS cum_cents,
+                   CAST(SUM(cents) OVER () AS BIGINT) AS tot
+            FROM rev),
+        classed AS (
+            SELECT cents, tot,
+                   CASE WHEN 5 * cum_cents <= 4 * tot THEN 'A'
+                        WHEN 20 * cum_cents <= 19 * tot THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM cum)
+        SELECT abc_class,
+               COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
+               ROUND(CAST(SUM(cents) AS DOUBLE)
+                     / CAST(MAX(tot) AS DOUBLE), 6) AS revenue_share
+        FROM classed
+        GROUP BY abc_class
     """,
     "q140_fd_audit": """
         WITH g1 AS (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS k
