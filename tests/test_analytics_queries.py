@@ -405,3 +405,21 @@ def test_pareto_abc_partitions_and_order(spark):
         rows["A"].revenue / rows["A"].n_customers
         > rows["C"].revenue / rows["C"].n_customers
     )
+
+
+def test_amount_reconciliation_detects_generator_drift(spark):
+    """The audit covers every order and correctly reports that this
+    generator draws header totals independently of line items (100%
+    mismatch beyond the 5-cent tolerance, zero orders without
+    lines)."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = A.q152_amount_reconciliation(spark, SF_DIR).collect()
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        # every order WITH lines mismatches; line-less orders are
+        # excluded from the tolerance count (NULL comparison)
+        assert r.n_mismatched == r.n_orders - r.n_no_lines
+        assert r.max_abs_delta > 0
+        assert r.sum_abs_delta >= r.max_abs_delta

@@ -330,3 +330,23 @@ def test_split_term_drift_table_invariants(spark):
     assert len(rows) == len(terms) * 2  # densified: every cell present
     assert dof == (len(terms) - 1) * (len(grps) - 1)
     assert all(r.contrib >= 0 for r in rows)
+
+
+def test_psi_drift_terms_and_totals(spark):
+    """PSI terms are individually non-negative ((p-q)ln(p/q) >= 0),
+    sum to the repeated index, smoothed shares sum to ~1 per side,
+    and the bin counts partition both splits."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = C.q151_psi_drift(spark, SF_DIR).collect()
+    assert len(rows) >= 2, "bins must discriminate on this corpus"
+    psi = rows[0].psi
+    assert all(r.psi == psi for r in rows)
+    assert abs(sum(r.psi_term for r in rows) - psi) < 1e-6
+    assert all(r.psi_term >= 0 for r in rows)
+    assert abs(sum(r.p_train for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.p_heldout for r in rows) - 1.0) < 1e-3
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.ca + r.cb for r in rows) == n_docs

@@ -457,8 +457,8 @@ def q116_join_cardinality_estimate(
 # snapped to DECIMAL(18,6) so the statistic is an EXACT sum, order-
 # independent at any parallelism.
 _CHI_CASE = (
-    "CASE WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256"
-    " WHEN n_tok <= 512 THEN 512 ELSE 1024 END"
+    "CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 56 THEN 56"
+    " WHEN n_tok <= 80 THEN 80 ELSE 128 END"
 )
 _CHI_CONTRIB = (
     "CAST(ROUND("
@@ -1209,6 +1209,61 @@ def q150_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_amount_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table financial reconciliation: does each order's header
+    total equal the sum of its line charges (extprice × (1+tax) ×
+    (1−discount))? The audit every warehouse runs before trusting
+    revenue numbers — and on THIS generator it correctly reports that
+    the identity does NOT hold (header totals are drawn independently
+    of line items), which is precisely what the audit exists to
+    surface. Output per order priority: order count, orders without
+    lines, mismatches beyond a 5-cent tolerance, and the total /
+    worst absolute delta.
+
+    Exactness: line charges snap to decimal(18,6) — the 3-factor
+    product of 2-decimal inputs has EXACTLY 6 true decimals, so the
+    cast recovers the true value in both engines (scale 4 would round
+    at a digit where true half-way points exist and the engines'
+    double→decimal rounding disagrees) — the header stays
+    decimal(18,2), and the delta/tolerance compare runs in decimal —
+    no float enters any comparison; only the two reported magnitudes
+    are final rounded doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    charged = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+            ).cast("decimal(18,6)")
+        ).alias("charged")
+    )
+    j = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+    ).join(
+        charged, o.o_orderkey == charged.l_orderkey, "left"
+    )
+    delta = F.abs(F.col("tp") - F.col("charged"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("charged").isNull().cast("long")).alias("n_no_lines"),
+        F.sum(
+            (delta > F.lit("0.05").cast("decimal(18,6)")).cast("long")
+        ).alias("n_mismatched"),
+        # no ROUND: the scale-4 decimal sums convert to double EXACTLY
+        # (value*10^4 is an integer far below 2^53), while rounding to
+        # cents would hit true half-cent midpoints where the engines'
+        # ROUND(double) disagree
+        F.sum(delta).cast("double").alias("sum_abs_delta"),
+        F.max(delta).cast("double").alias("max_abs_delta"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q32_asof_join": q32_asof_join,
@@ -1232,6 +1287,7 @@ QUERIES = {
     "q138_brand_affinity": q138_brand_affinity,
     "q140_fd_audit": q140_fd_audit,
     "q150_pareto_abc": q150_pareto_abc,
+    "q152_amount_reconciliation": q152_amount_reconciliation,
 }
 
 ORACLE = {
@@ -1637,6 +1693,34 @@ ORACLE = {
         JOIN bc c1 ON c1.p_brand = co.brand1
         JOIN bc c2 ON c2.p_brand = co.brand2
         CROSS JOIN n
+    """,
+    "q152_amount_reconciliation": """
+        WITH charged AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice * (1 + l_tax)
+                            * (1 - l_discount) AS DECIMAL(18,6)))
+                       AS charged
+            FROM lineitem GROUP BY l_orderkey),
+        j AS (
+            SELECT o.o_orderpriority,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS tp,
+                   c.charged
+            FROM orders o
+            LEFT JOIN charged c ON c.l_orderkey = o.o_orderkey)
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN charged IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_lines,
+               CAST(SUM(CASE WHEN ABS(tp - charged)
+                                  > CAST('0.05' AS DECIMAL(18,6))
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mismatched,
+               CAST(SUM(ABS(tp - charged)) AS DOUBLE)
+                   AS sum_abs_delta,
+               CAST(MAX(ABS(tp - charged)) AS DOUBLE)
+                   AS max_abs_delta
+        FROM j
+        GROUP BY o_orderpriority
     """,
     "q150_pareto_abc": """
         WITH rev AS (

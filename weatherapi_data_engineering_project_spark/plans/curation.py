@@ -734,6 +734,96 @@ def q143_split_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q151 PSI bins: the q114 length caps reused as the fixed binning —
+# PSI needs STATED bins (unlike KS) and fixed caps keep the bin rule
+# a plan literal both engines evaluate identically. The per-bin PSI
+# term (p−q)·ln(p/q) is a double chain over exact integer counts,
+# snapped to DECIMAL(18,9) before the exact sum (q132's discipline);
+# Laplace-style +1 smoothing keeps empty bins finite and is part of
+# the stated metric.
+_PSI_TERM = (
+    "CAST(ROUND((CAST(ca + 1 AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(cb + 1 AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " * ln((CAST(ca + 1 AS DOUBLE) / CAST(na AS DOUBLE))"
+    " / (CAST(cb + 1 AS DOUBLE) / CAST(nb AS DOUBLE))), 9)"
+    " AS DECIMAL(18,9))"
+)
+_PSI_CASE = (
+    "CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 56 THEN 56"
+    " WHEN n_tok <= 80 THEN 80 ELSE 128 END"
+)
+
+
+def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the train and held-out
+    splits' token-length distributions — the industry-standard model-
+    monitoring drift score (rule of thumb: <0.1 stable, >0.25 shifted),
+    completing the drift toolbox beside q127's KS (bin-free, max-gap)
+    and q143's chi-square (count-significance): PSI weighs RELATIVE
+    bin shifts symmetrically, which is what makes it the production
+    alarm metric. Output: one row per bin with both smoothed shares
+    and the bin's PSI term, plus the total index on every row.
+
+    Scale shape: docs collapse to (split, bin) counts in one partial-
+    agg shuffle; everything after runs on the 4×2 cell table; the PSI
+    sum is exact decimal (q124's layout)."""
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    grp = F.when(h2 < "1a", F.lit("heldout")).otherwise(F.lit("train"))
+    cells = (
+        d.select(
+            grp.alias("grp"),
+            F.size(TX.tokens("text")).alias("n_tok"),
+        )
+        .select("grp", F.expr(_PSI_CASE).alias("bin_cap"))
+        .groupBy("grp", "bin_cap")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bins = cells.select("bin_cap").distinct()
+    a = cells.filter(F.col("grp") == "train").select(
+        "bin_cap", F.col("c").alias("ca")
+    )
+    b = cells.filter(F.col("grp") == "heldout").select(
+        "bin_cap", F.col("c").alias("cb")
+    )
+    dense = (
+        bins.join(a, "bin_cap", "left")
+        .join(b, "bin_cap", "left")
+        .fillna(0, subset=["ca", "cb"])
+    )
+    # smoothed denominators: n + n_bins (each bin gets +1)
+    tot = dense.agg(
+        (F.sum("ca") + F.count(F.lit(1))).alias("na"),
+        (F.sum("cb") + F.count(F.lit(1))).alias("nb"),
+    )
+    scored = dense.crossJoin(F.broadcast(tot)).select(
+        "bin_cap",
+        "ca",
+        "cb",
+        F.round(
+            (F.col("ca") + 1).cast("double") / F.col("na").cast("double"),
+            6,
+        ).alias("p_train"),
+        F.round(
+            (F.col("cb") + 1).cast("double") / F.col("nb").cast("double"),
+            6,
+        ).alias("p_heldout"),
+        F.expr(_PSI_TERM).alias("psi_term"),
+    )
+    total = scored.agg(
+        F.round(F.sum("psi_term").cast("double"), 6).alias("psi")
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "bin_cap",
+        "ca",
+        "cb",
+        "p_train",
+        "p_heldout",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        "psi",
+    )
+
+
 # q118 PMI geometry: co-occurrence is computed over the top-_PMI_V
 # document-frequency terms only — the vocabulary cap is what bounds the
 # per-document pair fan-out at V^2/2 regardless of document length or
@@ -862,6 +952,7 @@ QUERIES = {
     "q132_unigram_entropy": q132_unigram_entropy,
     "q133_lang_diversity": q133_lang_diversity,
     "q143_split_term_drift": q143_split_term_drift,
+    "q151_psi_drift": q151_psi_drift,
 }
 
 ORACLE = {
@@ -1067,6 +1158,44 @@ ORACLE = {
                      / CAST(SUM(c) AS DOUBLE), 6) AS majority_share
         FROM cells
         GROUP BY source
+    """,
+    "q151_psi_drift": f"""
+        WITH sp AS (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '1a'
+                        THEN 'heldout' ELSE 'train' END AS grp,
+                   CAST(len({_TOK}) AS INT) AS n_tok
+            FROM documents),
+        cells AS (
+            SELECT grp, {_PSI_CASE} AS bin_cap, COUNT(*) AS c
+            FROM sp GROUP BY 1, 2),
+        bins AS (SELECT DISTINCT bin_cap FROM cells),
+        dense AS (
+            SELECT bn.bin_cap,
+                   CAST(COALESCE(a.c, 0) AS BIGINT) AS ca,
+                   CAST(COALESCE(b.c, 0) AS BIGINT) AS cb
+            FROM bins bn
+            LEFT JOIN cells a ON a.bin_cap = bn.bin_cap
+                             AND a.grp = 'train'
+            LEFT JOIN cells b ON b.bin_cap = bn.bin_cap
+                             AND b.grp = 'heldout'),
+        tot AS (
+            SELECT CAST(SUM(ca) + COUNT(*) AS BIGINT) AS na,
+                   CAST(SUM(cb) + COUNT(*) AS BIGINT) AS nb
+            FROM dense),
+        scored AS (
+            SELECT d.bin_cap, d.ca, d.cb,
+                   ROUND(CAST(d.ca + 1 AS DOUBLE)
+                         / CAST(t.na AS DOUBLE), 6) AS p_train,
+                   ROUND(CAST(d.cb + 1 AS DOUBLE)
+                         / CAST(t.nb AS DOUBLE), 6) AS p_heldout,
+                   {_PSI_TERM.replace("na AS DOUBLE", "t.na AS DOUBLE").replace("nb AS DOUBLE", "t.nb AS DOUBLE").replace("ca + 1 AS DOUBLE", "d.ca + 1 AS DOUBLE").replace("cb + 1 AS DOUBLE", "d.cb + 1 AS DOUBLE")} AS psi_term
+            FROM dense d CROSS JOIN tot t),
+        total AS (SELECT ROUND(CAST(SUM(psi_term) AS DOUBLE), 6) AS psi
+                  FROM scored)
+        SELECT s.bin_cap, s.ca, s.cb, s.p_train, s.p_heldout,
+               CAST(s.psi_term AS DOUBLE) AS psi_term, t.psi
+        FROM scored s CROSS JOIN total t
     """,
     "q143_split_term_drift": f"""
         WITH sp AS (
