@@ -232,3 +232,21 @@ def test_sequence_match_brute_force(spark):
         want[len(_re.findall("vc*p", seq))] += 1
     assert got == dict(want)
     assert sum(got.values()) == len(by_user)
+
+
+def test_ab_test_matches_scipy_style_ztest(spark):
+    """The pooled z statistic equals the textbook formula computed in
+    Python from the four counts, and the null assignment (user_id
+    parity is independent of spend) is correctly NOT significant."""
+    import math
+
+    r = B.q153_ab_test(spark, SF_DIR).collect()[0]
+    assert r.na > 0 and r.nb > 0
+    assert 0 < r.xa < r.na or 0 < r.xb < r.nb  # non-degenerate outcome
+    p = (r.xa + r.xb) / (r.na + r.nb)
+    z = (r.xa / r.na - r.xb / r.nb) / math.sqrt(
+        p * (1 - p) * (1 / r.na + 1 / r.nb)
+    )
+    assert abs(r.z_score - z) < 1e-5
+    assert r.significant == (abs(z) > 1.96)
+    assert not r.significant, "parity split must not correlate with spend"

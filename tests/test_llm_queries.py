@@ -624,3 +624,14 @@ def test_prefix_filter_is_lossless_at_threshold(spark):
     for pair, j in pf.items():
         assert abs(j - brute[pair]) < 1e-9
         assert 0.5 <= j <= 1.0
+
+
+def test_neardup_degrees_account_for_every_vector(spark):
+    """Degree histogram covers every vector exactly once, and the
+    edge-endpoint total equals twice the q29 pair count."""
+    rows = llm.q154_neardup_degrees(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    n_pairs = llm.q29_embed_neardup(spark, SF_DIR).count()
+    assert sum(r.degree * r.n_vecs for r in rows) == 2 * n_pairs
+    assert any(r.degree == 0 for r in rows), "clean vectors must appear"

@@ -426,6 +426,94 @@ def q145_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q153's z statistic as ONE shared double chain over the four exact
+# integer counts (xa, na, xb, nb) — pooled two-proportion z-test, the
+# q122/_Z_EXPR convention of explicit DOUBLE casts throughout.
+# The whole statistic is CASE-guarded: ANSI Spark evaluates the
+# projection against partial-aggregate rows (where counts are 0 and
+# the pooled variance collapses to 0 — double/0 RAISES under ANSI),
+# and a degenerate pooled rate (0 or 1) leaves z undefined anyway —
+# NULL is the correct value in both situations.
+_AB_Z = (
+    "CASE WHEN na > 0 AND nb > 0 AND xa + xb > 0"
+    " AND xa + xb < na + nb THEN"
+    " ROUND((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+    " * (1 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+    " * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)"
+    " ELSE NULL END"
+)
+
+
+def q153_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between a deterministic 50/50 experiment
+    assignment (variant = user_id % 2 — stated, reproducible, the q39
+    no-RNG discipline applied to experiment bucketing) on the outcome
+    "user's purchase spend exceeds the global per-user mean" — chosen
+    over ever-purchased because EVERY synthetic user purchases (a
+    saturated outcome has zero variance and the test degenerates);
+    above-mean splits users non-trivially by construction. The compare
+    runs in exact decimal (s·n > total — multiplied through, no
+    division). Output: one row with both arms' sizes, conversions and
+    rates, the pooled z statistic, and the |z| > 1.96 verdict — the
+    experimentation-platform readout every event warehouse serves.
+
+    Scale shape: spend collapses to one row per user in a single
+    partial agg; the mean compare is one broadcast scalar; the four
+    test counts are conditional sums in ONE aggregate; the z chain is
+    scalar math on that single row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        ).alias("s")
+    )
+    tot = per_user.agg(
+        F.sum("s").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    flagged = per_user.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        (F.col("s") * F.col("n_users") > F.col("total"))
+        .cast("int")
+        .alias("converted"),
+    )
+    counts = flagged.select(
+        "converted", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("na"),
+        F.sum(
+            ((F.col("variant") == 0) & (F.col("converted") == 1)).cast(
+                "long"
+            )
+        ).alias("xa"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("nb"),
+        F.sum(
+            ((F.col("variant") == 1) & (F.col("converted") == 1)).cast(
+                "long"
+            )
+        ).alias("xb"),
+    )
+    return counts.select(
+        "na",
+        "xa",
+        F.round(
+            F.col("xa").cast("double") / F.expr("nullif(na, 0)"), 6
+        ).alias("rate_a"),
+        "nb",
+        "xb",
+        F.round(
+            F.col("xb").cast("double") / F.expr("nullif(nb, 0)"), 6
+        ).alias("rate_b"),
+        F.expr(_AB_Z).alias("z_score"),
+        (F.abs(F.expr(_AB_Z)) > 1.96).alias("significant"),
+    )
+
+
 # q146 alphabet: one char per event type keeps the per-user sequence
 # string tiny and the pattern readable. The funnel pattern is
 # "view, then purchase with only clicks between" — non-overlapping
@@ -592,6 +680,7 @@ QUERIES = {
     "q139_event_transitions": q139_event_transitions,
     "q145_watermark_planner": q145_watermark_planner,
     "q146_sequence_match": q146_sequence_match,
+    "q153_ab_test": q153_ab_test,
 }
 
 ORACLE = {
@@ -755,6 +844,39 @@ ORACLE = {
                MAX(l.ttc_s) AS max_ttc_s
         FROM lat l JOIN med m ON m.cohort_day = l.cohort_day
         GROUP BY l.cohort_day
+    """,
+    "q153_ab_test": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   SUM(CAST(CASE WHEN event_type = 'purchase'
+                                 THEN value ELSE 0.0 END
+                            AS DECIMAL(18,6))) AS s
+            FROM events GROUP BY user_id),
+        tot AS (SELECT SUM(s) AS total, COUNT(*) AS n_users
+                FROM per_user),
+        flagged AS (
+            SELECT p.user_id,
+                   CASE WHEN p.s * t.n_users > t.total
+                        THEN 1 ELSE 0 END AS converted
+            FROM per_user p CROSS JOIN tot t),
+        counts AS (
+            SELECT
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS na,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 AND converted = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nb,
+                CAST(SUM(CASE WHEN user_id % 2 = 1 AND converted = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS xb
+            FROM flagged)
+        SELECT na, xa,
+               ROUND(CAST(xa AS DOUBLE) / nullif(na, 0), 6) AS rate_a,
+               nb, xb,
+               ROUND(CAST(xb AS DOUBLE) / nullif(nb, 0), 6) AS rate_b,
+               {_AB_Z} AS z_score,
+               ABS({_AB_Z}) > 1.96 AS significant
+        FROM counts
     """,
     "q146_sequence_match": f"""
         WITH seq AS (

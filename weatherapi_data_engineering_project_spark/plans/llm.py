@@ -213,6 +213,35 @@ def q29_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_neardup_pairs(e, threshold=0.4, n_bands=4, band_bits=4)
 
 
+def q154_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the embedding near-dup graph (q29's edges):
+    for every vector, how many near-duplicates it has — the pre-dedup
+    sizing audit that predicts cluster structure BEFORE running the
+    full connected-components pass (a heavy tail here means giant
+    clusters and a q87-style re-split will fire; all-zeros means
+    dedup will be a no-op). Degree-0 vectors are included — the
+    isolated majority is the signal that most of the corpus is clean.
+
+    Scale shape: edges are the banded-LSH verified pairs (candidates
+    only, never the quadratic join); degrees are one partial-agg
+    shuffle over the edge list; the left join against the full id set
+    is dimension-sized and the output is one row per distinct degree."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_neardup_pairs(
+        e, threshold=0.4, n_bands=4, band_bits=4
+    ).select("id1", "id2")
+    edges = pairs.select(F.col("id1").alias("id")).unionAll(
+        pairs.select(F.col("id2").alias("id"))
+    )
+    deg = edges.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    full = (
+        e.select(F.col("vec_id").alias("id"))
+        .join(deg, "id", "left")
+        .fillna(0, subset=["degree"])
+    )
+    return full.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
 def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: 16 deterministic centroid lists, probe top-2,
     exact top-3 re-rank within probed lists for queries vec_id < 20."""
@@ -634,6 +663,7 @@ QUERIES = {
     "q27_ann_signlsh": q27_ann_signlsh,
     "q28_simhash": q28_simhash,
     "q29_embed_neardup": q29_embed_neardup,
+    "q154_neardup_degrees": q154_neardup_degrees,
     "q30_ivf_ann": q30_ivf_ann,
     "q60_ivf_kmeans_ann": q60_ivf_kmeans_ann,
     "q73_pq_ann": q73_pq_ann,
@@ -887,6 +917,42 @@ _CLUSTER_CTES = f"""
             GROUP BY l.id, l.rep)"""
     for k in range(1, 5)
 )
+
+_Q29_SQL = f"""
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        proj AS (SELECT vec_id, bit,
+                        SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
+                                       THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
+                 FROM e CROSS JOIN (SELECT unnest(range(0, {_NEARDUP_BITS})) AS bit)
+                 GROUP BY vec_id, bit),
+        buckets AS (SELECT vec_id, {_ND_BUCKET} AS bucket
+                    FROM (SELECT vec_id, bit,
+                                 CASE WHEN p >= 0 THEN '1' ELSE '0' END AS b FROM proj)
+                    GROUP BY vec_id),
+        bands AS (SELECT vec_id, unnest([{_ND_BAND_VALS}]) AS band_val,
+                         unnest([0, 1, 2, 3]) AS band_idx
+                  FROM buckets),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.vec_id < b.vec_id),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        dots AS (SELECT c.id1, c.id2, SUM(CAST(ae.v * be.v AS DECIMAL(38,25))) AS dot
+                 FROM cand c
+                 JOIN e ae ON ae.vec_id = c.id1
+                 JOIN e be ON be.vec_id = c.id2 AND be.pos = ae.pos
+                 GROUP BY c.id1, c.id2)
+        SELECT id1, id2, cosine FROM (
+            SELECT d.id1, d.id2,
+                   {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")} AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.id1
+            JOIN norms nb ON nb.vec_id = d.id2)
+        WHERE cosine >= 0.4
+    """
 
 ORACLE = {
     "q19_text_stats": """
@@ -1314,41 +1380,22 @@ ORACLE = {
             JOIN bits y ON y.doc_id = c.id2)
         WHERE hamming <= 6
     """,
-    "q29_embed_neardup": f"""
-        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                          CAST(unnest(embedding) AS DOUBLE) AS v
-                   FROM embeddings),
-        proj AS (SELECT vec_id, bit,
-                        SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
-                                       THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
-                 FROM e CROSS JOIN (SELECT unnest(range(0, {_NEARDUP_BITS})) AS bit)
-                 GROUP BY vec_id, bit),
-        buckets AS (SELECT vec_id, {_ND_BUCKET} AS bucket
-                    FROM (SELECT vec_id, bit,
-                                 CASE WHEN p >= 0 THEN '1' ELSE '0' END AS b FROM proj)
-                    GROUP BY vec_id),
-        bands AS (SELECT vec_id, unnest([{_ND_BAND_VALS}]) AS band_val,
-                         unnest([0, 1, 2, 3]) AS band_idx
-                  FROM buckets),
-        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-                 FROM bands a JOIN bands b
-                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                  AND a.vec_id < b.vec_id),
-        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
-                  FROM e GROUP BY vec_id),
-        dots AS (SELECT c.id1, c.id2, SUM(CAST(ae.v * be.v AS DECIMAL(38,25))) AS dot
-                 FROM cand c
-                 JOIN e ae ON ae.vec_id = c.id1
-                 JOIN e be ON be.vec_id = c.id2 AND be.pos = ae.pos
-                 GROUP BY c.id1, c.id2)
-        SELECT id1, id2, cosine FROM (
-            SELECT d.id1, d.id2,
-                   {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")} AS cosine
-            FROM dots d
-            JOIN norms na ON na.vec_id = d.id1
-            JOIN norms nb ON nb.vec_id = d.id2)
-        WHERE cosine >= 0.4
+    "q29_embed_neardup": _Q29_SQL,
+    "q154_neardup_degrees": f"""
+        WITH pairs AS (SELECT id1, id2 FROM ({_Q29_SQL}) q29),
+        edges AS (SELECT id1 AS id FROM pairs
+                  UNION ALL
+                  SELECT id2 AS id FROM pairs),
+        deg AS (SELECT id, COUNT(*) AS degree FROM edges GROUP BY id),
+        fulld AS (
+            SELECT e.vec_id, CAST(COALESCE(d.degree, 0) AS BIGINT)
+                       AS degree
+            FROM (SELECT DISTINCT vec_id FROM embeddings) e
+            LEFT JOIN deg d ON d.id = e.vec_id)
+        SELECT degree, COUNT(*) AS n_vecs
+        FROM fulld GROUP BY degree
     """,
+
     "q30_ivf_ann": f"""
         WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                           CAST(unnest(embedding) AS DOUBLE) AS v
