@@ -423,3 +423,126 @@ def test_amount_reconciliation_detects_generator_drift(spark):
         assert r.n_mismatched == r.n_orders - r.n_no_lines
         assert r.max_abs_delta > 0
         assert r.sum_abs_delta >= r.max_abs_delta
+
+
+def test_auc_equals_numpy_tie_averaged_rank_sum(spark):
+    """The rank-sum AUC equals the textbook tie-averaged computation
+    done in Python over the raw rows (what sklearn's roc_auc_score
+    computes), and Gini is its affine twin."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    r = A.q155_score_auc(spark, SF_DIR).collect()[0]
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .select("n_chars", "lang")
+        .collect()
+    )
+    sc = np.array([x.n_chars for x in rows], dtype=float)
+    y = np.array([1 if x.lang == "en" else 0 for x in rows])
+    order = np.argsort(sc, kind="stable")
+    rk = np.empty(len(sc))
+    s = sc[order]
+    i, pos = 0, 1
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        rk[order[i:j]] = (2 * pos + (j - i) - 1) / 2
+        pos += j - i
+        i = j
+    n1, n0 = int(y.sum()), int(len(y) - y.sum())
+    auc = (rk[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert (r.n_pos, r.n_neg) == (n1, n0)
+    assert abs(r.auc - auc) < 1e-6
+    assert abs(r.gini - (2 * r.auc - 1)) < 1e-9
+
+
+def test_benford_audit_flags_uniform_generator(spark):
+    """Chi-square/MAD recompute from raw counts in Python; the uniform
+    price generator must fail Benford conformity decisively."""
+    import math
+
+    rows = sorted(
+        A.q161_benford_audit(spark, SF_DIR).collect(),
+        key=lambda r: r.digit,
+    )
+    n = sum(r.o for r in rows)
+    chi2 = mad = 0.0
+    for r in rows:
+        p = round(math.log10(1 + 1 / r.digit), 9)
+        assert abs(r.benford_share - p) < 1e-9
+        e = n * p
+        chi2 += (r.o - e) ** 2 / e
+        mad += abs(round(r.o / n, 6) - p)
+    mad /= len(rows)
+    assert abs(rows[0].chi2 - chi2) < max(1e-6 * chi2, 1e-4)
+    assert abs(rows[0].mad - mad) < 1e-5
+    assert rows[0].chi2 > 100, "uniform prices must fail Benford hard"
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+
+
+def test_session_restatement_matches_python_resessionize(spark):
+    """Classify sessions by re-sessionizing both snapshots in Python
+    (4 h gap, ts+event_id order) and diffing on (user, start)."""
+    import calendar
+
+    from weatherapi_data_engineering_project_spark.plans.analytics import (
+        _RESTATE_CUTOFF_US,
+        SESSION_GAP_US,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+
+    def sessions(rows):
+        out = {}  # (user, start) -> (end, count)
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r[0], []).append((r[2], r[1]))
+        for u, evs in by_user.items():
+            evs.sort()
+            st = en = evs[0][0]
+            c = 0
+            for us, _ in evs:
+                if us - en > SESSION_GAP_US:
+                    out[(u, st)] = (en, c)
+                    st, c = us, 0
+                en = us
+                c += 1
+            out[(u, st)] = (en, c)
+        return out
+
+    raw = []
+    for e in ev:
+        us = (
+            calendar.timegm(e.ts.timetuple()) * 1_000_000
+            + e.ts.microsecond
+        )
+        raw.append((e.user_id, e.event_id, us))
+    s2 = sessions(raw)
+    s1 = sessions([r for r in raw if r[2] <= _RESTATE_CUTOFF_US])
+    want = {}
+    for key, (en2, c2) in s2.items():
+        if key not in s1:
+            st = "new"
+        elif s1[key] == (en2, c2):
+            st = "unchanged"
+        else:
+            st = "extended"
+        n, users = want.setdefault(st, [0, set()])
+        want[st][0] += 1
+        want[st][1].add(key[0])
+    assert not (set(s1) - set(s2)), "a snapshot session vanished"
+
+    rows = A.q164_session_restatement(spark, SF_DIR).collect()
+    got = {r.status: (r.n_sessions, r.n_users) for r in rows}
+    assert "vanished" not in got
+    assert got == {
+        st: (n, len(users)) for st, (n, users) in want.items()
+    }
+    # the audit is only interesting if the cutoff splits the log
+    assert "new" in got and "unchanged" in got

@@ -250,3 +250,102 @@ def test_ab_test_matches_scipy_style_ztest(spark):
     assert abs(r.z_score - z) < 1e-5
     assert r.significant == (abs(z) > 1.96)
     assert not r.significant, "parity split must not correlate with spend"
+
+
+def test_kaplan_meier_equals_python_product_limit(spark):
+    """The survival curve equals a dict-based product-limit estimator
+    computed in Python from the raw event log (same cutoff rule)."""
+    from weatherapi_data_engineering_project_spark.plans.behavior import (
+        _KM_CUTOFF_US,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    import calendar
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    t0, tp = {}, {}
+    for e in ev:
+        us = (
+            calendar.timegm(e.ts.timetuple()) * 1_000_000
+            + e.ts.microsecond
+        )
+        t0[e.user_id] = min(t0.get(e.user_id, us), us)
+        if e.event_type == "purchase":
+            tp[e.user_id] = min(tp.get(e.user_id, us), us)
+    durs = []  # (dur_h, is_event)
+    for u, start in t0.items():
+        if start > _KM_CUTOFF_US:
+            continue
+        p = tp.get(u)
+        if p is not None and p <= _KM_CUTOFF_US:
+            durs.append(((p - start) // 3_600_000_000, 1))
+        else:
+            durs.append(((_KM_CUTOFF_US - start) // 3_600_000_000, 0))
+    rows = sorted(
+        B.q159_kaplan_meier(spark, SF_DIR).collect(),
+        key=lambda r: r.dur_h,
+    )
+    surv = 1.0
+    got_times = set()
+    for r in rows:
+        at_risk = sum(1 for d, _ in durs if d >= r.dur_h)
+        d_t = sum(1 for d, e in durs if d == r.dur_h and e == 1)
+        c_t = sum(1 for d, e in durs if d == r.dur_h and e == 0)
+        assert (r.n_risk, r.n_events, r.n_censored) == (at_risk, d_t, c_t)
+        surv *= 1 - d_t / at_risk
+        assert abs(r.survival - surv) < 1e-4
+        got_times.add(r.dur_h)
+    want_times = {d for d, e in durs if e == 1}
+    # sf0.001 collapses to a single event time; the 18-row curve shape
+    # is exercised by the sf0.01 differential
+    assert got_times == want_times and len(rows) >= 1
+    assert any(e == 0 for _, e in durs), "cutoff must censor someone"
+
+
+def test_decayed_engagement_matches_python_ewma(spark):
+    """Per-user decayed score recomputed in Python from the raw event
+    log with the same literal decay table and snap conventions."""
+    from decimal import Decimal
+
+    from weatherapi_data_engineering_project_spark.plans.behavior import (
+        _ENG_DECAY,
+        _ENG_REF_US,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    import calendar
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).collect()
+    want: dict[int, list] = {}
+    for e in ev:
+        if e.event_type != "purchase":
+            continue
+        us = (
+            calendar.timegm(e.ts.timetuple()) * 1_000_000
+            + e.ts.microsecond
+        )
+        age = (_ENG_REF_US - us) // 86_400_000_000
+        decay = _ENG_DECAY[age] if 0 <= age < 64 else 0.0
+        v = float(Decimal(str(e.value)).quantize(Decimal("0.000001")))
+        rec = want.setdefault(e.user_id, [0, Decimal(0), Decimal(0)])
+        rec[0] += 1
+        rec[1] += Decimal(str(e.value)).quantize(Decimal("0.000001"))
+        rec[2] += Decimal(str(round(v * decay, 9))).quantize(
+            Decimal("0.000000001")
+        )
+    rows = B.q162_decayed_engagement(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, spend, eng = want[r.user_id]
+        assert r.n_purchases == n
+        assert abs(r.lifetime_spend - float(spend)) < 1e-9
+        assert abs(r.engagement - round(float(eng), 6)) < 1e-9
+    # decay must actually discriminate: someone's engagement is far
+    # below their flat spend (old purchases) unless all data is recent
+    assert any(
+        r.engagement < 0.5 * r.lifetime_spend for r in rows
+    ), "decay table applied nothing - check the age arithmetic"

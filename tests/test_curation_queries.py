@@ -350,3 +350,85 @@ def test_psi_drift_terms_and_totals(spark):
     assert abs(sum(r.p_heldout for r in rows) - 1.0) < 1e-3
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert sum(r.ca + r.cb for r in rows) == n_docs
+
+
+def test_k_anonymity_tiers_partition_the_table(spark):
+    """Tier rows partition customers exactly; singleton groups have
+    n_groups == n_rows; shares sum to 1."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = {r.k_tier: r for r in C.q158_k_anonymity(spark, SF_DIR).collect()}
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r.n_rows for r in rows.values()) == n_cust
+    if "1" in rows:
+        assert rows["1"].n_groups == rows["1"].n_rows
+    assert abs(sum(r.row_share for r in rows.values()) - 1.0) < 1e-4
+    for r in rows.values():
+        assert r.n_groups <= r.n_rows
+
+
+def test_inverted_index_equals_python_index(spark):
+    """Postings match a dict-based index built in Python over the raw
+    text with the same tokenizer."""
+    import re
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    want = {}
+    for d in docs:
+        for pos, w in enumerate(re.split(r"\s+", d.text.strip().lower())):
+            key = (w, d.doc_id)
+            want.setdefault(key, []).append(pos)
+    got = {
+        (r.term, r.doc_id): (r.tf, r.positions)
+        for r in C.q160_inverted_index(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for key, positions in want.items():
+        assert got[key] == (len(positions), ",".join(map(str, positions)))
+
+
+def test_mutual_information_matches_python_recompute(spark):
+    """MI / marginal entropies / NMI recomputed from the raw
+    (source, lang) contingency table with the same snap conventions;
+    cross-checks the information-theoretic identities."""
+    import math
+    from decimal import Decimal
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "lang"
+    ).collect()
+    cells: dict[tuple, int] = {}
+    for d in docs:
+        cells[(d.source, d.lang)] = cells.get((d.source, d.lang), 0) + 1
+    n = sum(cells.values())
+    rc: dict[str, int] = {}
+    tc: dict[str, int] = {}
+    for (s, l), c in cells.items():
+        rc[s] = rc.get(s, 0) + c
+        tc[l] = tc.get(l, 0) + c
+
+    def snap9(x):
+        return Decimal(str(round(x, 9))).quantize(Decimal("1e-9"))
+
+    mi = float(
+        sum(
+            snap9(c / n * math.log(c * n / (rc[s] * tc[l])))
+            for (s, l), c in cells.items()
+        )
+    )
+    hs = float(sum(snap9(-(c / n) * math.log(c / n)) for c in rc.values()))
+    hl = float(sum(snap9(-(c / n) * math.log(c / n)) for c in tc.values()))
+
+    r = C.q165_mutual_information(spark, SF_DIR).collect()[0]
+    assert r.n_cells == len(cells)
+    assert abs(r.mi - round(mi, 6)) < 1e-9
+    assert abs(r.h_source - round(hs, 6)) < 1e-9
+    assert abs(r.h_lang - round(hl, 6)) < 1e-9
+    assert abs(r.nmi - round(mi / math.sqrt(hs * hl), 6)) < 1e-5
+    # identities: 0 <= MI <= min(H_source, H_lang); NMI in [0, 1]
+    assert -1e-9 <= r.mi <= min(r.h_source, r.h_lang) + 1e-9
+    assert -1e-9 <= r.nmi <= 1 + 1e-9

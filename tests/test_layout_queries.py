@@ -106,3 +106,42 @@ def test_hll_merge_equals_direct_sketch(spark):
         assert m.exact_users == direct[t].exact_users
         # m=64 HLL: |rel_err| within 4x the 1.04/sqrt(64) rsd
         assert abs(m.rel_err) < 4 * 1.04 / 8
+
+
+def test_rle_audit_matches_python_run_count(spark):
+    """Run counts recomputed in Python under the same total order
+    (k1, k2, value); the two-phase bucketed scan must be exact."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_suppkey",
+    ).collect()
+    cols = {
+        "l_returnflag": lambda r: r.l_returnflag,
+        "l_linestatus": lambda r: r.l_linestatus,
+        "l_suppkey": lambda r: str(r.l_suppkey),
+    }
+    want = {}
+    for name, get in cols.items():
+        seq = [
+            get(r)
+            for r in sorted(
+                li,
+                key=lambda r: (r.l_orderkey, r.l_linenumber, get(r)),
+            )
+        ]
+        runs = sum(
+            1 for i, v in enumerate(seq) if i == 0 or v != seq[i - 1]
+        )
+        want[name] = runs
+    rows = L.q163_rle_audit(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_rows == len(li)
+        assert r.n_runs == want[r.column_name]
+        assert abs(r.avg_run_len - round(len(li) / r.n_runs, 6)) < 1e-9
+    by = {r.column_name: r.n_runs for r in rows}
+    # the audit's point: flag columns run long, suppkey doesn't
+    assert by["l_returnflag"] < by["l_suppkey"]
+    assert by["l_linestatus"] < by["l_suppkey"]

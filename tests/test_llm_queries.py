@@ -635,3 +635,68 @@ def test_neardup_degrees_account_for_every_vector(spark):
     n_pairs = llm.q29_embed_neardup(spark, SF_DIR).count()
     assert sum(r.degree * r.n_vecs for r in rows) == 2 * n_pairs
     assert any(r.degree == 0 for r in rows), "clean vectors must appear"
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_equals_python_bruteforce(spark):
+    """The SymSpell deletion-neighborhood join returns EXACTLY the
+    pairs a quadratic Python Levenshtein scan finds (losslessness of
+    the candidate rule), with correct distances."""
+    names = {
+        r.c_custkey: r.c_name
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    got = {
+        (r.id1, r.id2): r.dist
+        for r in llm.q156_fuzzy_name_join(spark, SF_DIR).collect()
+    }
+    keys = sorted(names)
+    want = {}
+    for i, k1 in enumerate(keys):
+        for k2 in keys[i + 1 :]:
+            d = _lev(names[k1], names[k2])
+            if d <= 1:
+                want[(k1, k2)] = d
+    assert got == want
+    assert len(got) > 0, "generator names must yield distance-1 pairs"
+
+
+def test_triangle_census_equals_python_graph(spark):
+    """Edge/wedge/triangle counts equal an adjacency-set computation
+    in Python over the operator's own verified edge list."""
+    from weatherapi_data_engineering_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    edges = {
+        (r.id1, r.id2)
+        for r in SIM.cosine_neardup_pairs(
+            e, threshold=0.25, n_bands=4, band_bits=4
+        ).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tris = sum(
+        len(adj[a] & adj[b]) for a, b in edges
+    ) // 3 if edges else 0
+    r = llm.q157_graph_triangles(spark, SF_DIR).collect()[0]
+    assert r.n_edges == len(edges)
+    assert r.n_wedges == (wedges if edges else None)
+    assert r.n_triangles == tris
+    if wedges:
+        assert abs(r.global_clustering - 3 * tris / wedges) < 1e-6

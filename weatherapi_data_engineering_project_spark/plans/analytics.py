@@ -1209,6 +1209,222 @@ def q150_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q164 cutoff: the "yesterday's run" snapshot boundary
+# (2024-01-16T00:00:00Z as epoch micros; all clock math in integer
+# microseconds, the q134 convention).
+_RESTATE_CUTOFF_US = 1_705_363_200_000_000
+
+
+def _us_sessions(ev: DataFrame) -> DataFrame:
+    """Gap-sessionize (4 h, q31's rule) on epoch-microsecond columns:
+    one row per (user_id, session_start) with end + event count."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sid = marked.withColumn(
+        "sid",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sid.groupBy("user_id", "sid").agg(
+        F.min("us").alias("st"),
+        F.max("us").alias("en"),
+        F.count(F.lit(1)).alias("c"),
+    )
+
+
+def q164_session_restatement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental-recompute restatement audit: sessionize the event
+    log as of a snapshot cutoff, sessionize the full log, and classify
+    every session by what late-arriving data did to it — `unchanged`
+    (same end, same events), `extended` (the gap a batch job thought
+    closed a session actually didn't — THE correctness hazard of
+    incremental sessionization), `new` (entirely post-cutoff), and
+    `vanished` (a sanity class that must stay empty: appending
+    later-timestamped events can never delete a session start). This
+    is the audit that tells a warehouse whether yesterday's
+    materialized sessions can be appended to or must be re-stated.
+
+    Scale shape: two single-shuffle sessionization windows (both
+    hash-partitioned by user_id — the q31 plan), then one join keyed
+    (user_id, session_start); the classification collapses to ≤4 rows
+    in a final partial agg. The snapshot side filters BEFORE its
+    window, so it scans the same data once, not twice."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    s1 = _us_sessions(
+        ev.filter(F.col("us") <= _RESTATE_CUTOFF_US)
+    ).select(
+        "user_id", "st", F.col("en").alias("en1"), F.col("c").alias("c1")
+    )
+    s2 = _us_sessions(ev).select(
+        "user_id", "st", F.col("en").alias("en2"), F.col("c").alias("c2")
+    )
+    status = (
+        F.when(F.col("c1").isNull(), F.lit("new"))
+        .when(F.col("c2").isNull(), F.lit("vanished"))
+        .when(
+            (F.col("en1") == F.col("en2"))
+            & (F.col("c1") == F.col("c2")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("extended"))
+    )
+    return (
+        s2.join(s1, ["user_id", "st"], "full_outer")
+        .select("user_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# q161's Benford machinery. First significant digit via integer-cents
+# string math (CAST(ROUND(price*100) AS BIGINT) — exact for 2-decimal
+# money, and integer→string is engine-identical, unlike double→string
+# or log10-of-double digit extraction which can misplace exact powers
+# of 10). Expected shares are log10(1 + 1/d) snapped to 9 decimals;
+# each cell's chi-square contribution follows the q124 convention
+# (double chain over exact counts, ROUND 6, decimal-cast, exact SUM).
+_BEN_DIGIT = (
+    "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    " AS STRING), 1, 1) AS INT)"
+)
+_BEN_P = "ROUND(log10(1.0 + 1.0 / digit), 9)"
+_BEN_CONTRIB = (
+    "CAST(ROUND((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)"
+    " * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)"
+    " / (CAST(n AS DOUBLE) * p), 6) AS DECIMAL(18,6))"
+)
+
+
+def q161_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality screen for fabricated or machine-generated amounts
+    (natural multi-scale amounts follow P(d) = log10(1+1/d); uniform
+    generators don't). Output: one row per leading digit with observed
+    count/share, the Benford expectation, the cell's chi-square
+    contribution, and the table-level statistic + mean-absolute-
+    deviation repeated per row (the two standard conformity measures).
+    This synthetic generator draws prices uniformly, so the audit
+    CORRECTLY screams — digits 1–4 carry ~10x the share of 5–9.
+
+    Scale shape: the table collapses to ≤9 digit cells in one
+    partial-agg shuffle; every statistic is arithmetic on that 9-row
+    frame (broadcast scalar joins, q124's exact-sum convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(F.expr(_BEN_DIGIT).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    scored = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.expr(_BEN_P))
+        .withColumn("contrib", F.expr(_BEN_CONTRIB))
+    )
+    stats = scored.agg(
+        F.sum("contrib").cast("double").alias("chi2"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.round(
+                        F.col("o").cast("double") / F.col("n"), 6
+                    )
+                    - F.col("p")
+                ).cast("decimal(18,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mad"),
+    )
+    return scored.crossJoin(F.broadcast(stats)).select(
+        "digit",
+        "o",
+        F.round(F.col("o").cast("double") / F.col("n"), 6).alias(
+            "observed_share"
+        ),
+        F.col("p").alias("benford_share"),
+        F.col("contrib").cast("double").alias("contrib"),
+        "chi2",
+        "mad",
+    )
+
+
+# q155's AUC from the rank-sum: AUC = (R1 − n1(n1+1)/2) / (n1·n0) with
+# R1 the tie-averaged rank sum of positives. r2 carries 2·R1 so ties
+# stay integral (a tie group's doubled average rank 2·off + cnt + 1 is
+# always an integer). One shared double chain over the exact integer
+# aggregates (q122 convention); CASE-guarded because a single-class
+# label leaves AUC undefined (and ANSI Spark would raise on the
+# 0-division against partial-aggregate rows).
+_AUC = (
+    "CASE WHEN n_pos > 0 AND n_all - n_pos > 0 THEN"
+    " ROUND((CAST(r2 AS DOUBLE)"
+    " - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1))"
+    " / (2 * CAST(n_pos AS DOUBLE) * CAST(n_all - n_pos AS DOUBLE)), 6)"
+    " ELSE NULL END"
+)
+
+
+def q155_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (Mann–Whitney U) of document length as a classifier of
+    the English label — the model-evaluation primitive every
+    quality-scoring pipeline needs (rank a heuristic score against a
+    trusted label WITHOUT picking a threshold). Ties get the textbook
+    averaged rank, so the statistic equals sklearn's roc_auc_score
+    exactly. Output: one row with class sizes, AUC, and the Gini
+    coefficient 2·AUC − 1; AUC ≈ 0.5 here is itself the finding (length
+    does not separate English from non-English in this corpus).
+
+    Scale shape: the corpus collapses to one row PER DISTINCT SCORE in
+    a single partial-agg shuffle (cnt + positives per score); the rank
+    offsets are a running sum over that score-distinct frame — its
+    cardinality is the score DOMAIN (bounded: n_chars values), not the
+    corpus, so the unpartitioned window is dimension-sized; were the
+    score continuous/unbounded, the q150 two-phase bucketed prefix sum
+    is the drop-in rewrite. The doubled rank-sum r2 accumulates in
+    decimal(20,0) terms (q135 convention: HUGEINT on the oracle side)
+    because 2·R1 is O(n²) and would overflow BIGINT long before 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = lab.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.withColumn("off", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    a = r.agg(
+        F.sum(
+            F.col("pos").cast("decimal(20,0)")
+            * (2 * F.col("off") + F.col("cnt") + 1)
+        ).alias("r2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("cnt").alias("n_all"),
+    )
+    return a.select(
+        "n_pos",
+        (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+        F.expr(_AUC).alias("auc"),
+        F.expr(f"ROUND(2 * ({_AUC}) - 1, 6)").alias("gini"),
+    )
+
+
 def q152_amount_reconciliation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1288,6 +1504,9 @@ QUERIES = {
     "q140_fd_audit": q140_fd_audit,
     "q150_pareto_abc": q150_pareto_abc,
     "q152_amount_reconciliation": q152_amount_reconciliation,
+    "q155_score_auc": q155_score_auc,
+    "q161_benford_audit": q161_benford_audit,
+    "q164_session_restatement": q164_session_restatement,
 }
 
 ORACLE = {
@@ -1780,5 +1999,100 @@ ORACLE = {
                CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
                MAX(k), MAX(k) = 1
         FROM g4
+    """,
+    "q155_score_auc": f"""
+        WITH lab AS (
+            SELECT n_chars AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+        g AS (SELECT score, COUNT(*) AS cnt,
+                     CAST(SUM(y) AS BIGINT) AS pos
+              FROM lab GROUP BY score),
+        r AS (SELECT score, cnt, pos,
+                     CAST(COALESCE(SUM(cnt) OVER (
+                              ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+                         AS off
+              FROM g),
+        a AS (SELECT SUM(CAST(pos AS HUGEINT)
+                         * (2 * off + cnt + 1)) AS r2,
+                     CAST(SUM(pos) AS BIGINT) AS n_pos,
+                     CAST(SUM(cnt) AS BIGINT) AS n_all
+              FROM r)
+        SELECT n_pos, n_all - n_pos AS n_neg,
+               {_AUC} AS auc,
+               ROUND(2 * ({_AUC}) - 1, 6) AS gini
+        FROM a
+    """,
+    "q161_benford_audit": f"""
+        WITH cells AS (
+            SELECT {_BEN_DIGIT} AS digit, COUNT(*) AS o
+            FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        scored AS (
+            SELECT digit, o, n, {_BEN_P} AS p
+            FROM cells CROSS JOIN tot),
+        scored2 AS (
+            SELECT digit, o, n, p, {_BEN_CONTRIB} AS contrib
+            FROM scored),
+        stats AS (
+            SELECT CAST(SUM(contrib) AS DOUBLE) AS chi2,
+                   ROUND(CAST(SUM(CAST(ABS(ROUND(CAST(o AS DOUBLE)
+                                                 / n, 6) - p)
+                                       AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS mad
+            FROM scored2)
+        SELECT digit, o,
+               ROUND(CAST(o AS DOUBLE) / n, 6) AS observed_share,
+               p AS benford_share,
+               CAST(contrib AS DOUBLE) AS contrib,
+               chi2, mad
+        FROM scored2 CROSS JOIN stats
+    """,
+    "q164_session_restatement": f"""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                    FROM events),
+        m1 AS (
+            SELECT user_id, event_id, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS ns
+            FROM ev WHERE us <= {_RESTATE_CUTOFF_US}
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s1 AS (
+            SELECT user_id, MIN(us) AS st, MAX(us) AS en1,
+                   COUNT(*) AS c1
+            FROM (SELECT user_id, us,
+                         SUM(ns) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m1)
+            GROUP BY user_id, sid),
+        m2 AS (
+            SELECT user_id, event_id, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS ns
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s2 AS (
+            SELECT user_id, MIN(us) AS st, MAX(us) AS en2,
+                   COUNT(*) AS c2
+            FROM (SELECT user_id, us,
+                         SUM(ns) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m2)
+            GROUP BY user_id, sid)
+        SELECT CASE WHEN c1 IS NULL THEN 'new'
+                    WHEN c2 IS NULL THEN 'vanished'
+                    WHEN en1 = en2 AND c1 = c2 THEN 'unchanged'
+                    ELSE 'extended' END AS status,
+               COUNT(*) AS n_sessions,
+               COUNT(DISTINCT COALESCE(s2.user_id, s1.user_id))
+                   AS n_users
+        FROM s2 FULL OUTER JOIN s1 USING (user_id, st)
+        GROUP BY 1
     """,
 }

@@ -514,6 +514,164 @@ def q153_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q159 study design: clock starts at each user's first event, the
+# event of interest is the first purchase, and the study closes at an
+# administrative cutoff (2024-01-02T00:00:00Z as epoch micros) — users
+# whose first purchase lands after the cutoff are right-censored at it,
+# the standard "analysis date" censoring. Users entering after the
+# cutoff are out of study. All clock math runs on epoch MICROSECONDS
+# (Spark unix_micros == DuckDB epoch_us, the q134 convention) with
+# integer DIV to hours.
+_KM_CUTOFF_US = 1_704_153_600_000_000
+# Per-time hazard factor ln(1 - d/n) snapped to 9 decimals (the corpus
+# ln convention) so the cumulative-sum survival curve is exact and
+# order-independent; NULL when d = n_risk (survival hits exactly 0 —
+# handled by the zeroed flag, not the log).
+_KM_LOG = (
+    "CASE WHEN d < n_risk THEN"
+    " CAST(ROUND(ln(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)"
+    " AS DECIMAL(18,9)) ELSE NULL END"
+)
+_KM_SURV = (
+    "CASE WHEN zeroed = 1 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE ROUND(exp(CAST(cumlog AS DOUBLE)), 6) END"
+)
+
+
+def q159_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase with
+    right censoring at an administrative cutoff — the survival-analysis
+    primitive behind activation, churn, and retention questions that
+    q98's fixed cohort windows can't answer (censoring is what makes
+    naive "average time to convert" biased: users who haven't converted
+    YET still carry information). Output: one row per event time
+    (hours since first activity) with the at-risk count, events,
+    censorings at that time, and the product-limit survival estimate.
+
+    Scale shape: the event log collapses to one row per user in a
+    single partial agg (min timestamps only); users collapse to one row
+    per distinct duration-hour in a second — the curve frame is
+    DOMAIN-sized (hours in the study window), so the ordered windows
+    for at-risk counts and the cumulative hazard run over a bounded
+    frame (q155's domain-bounded-window argument; the q150 two-phase
+    cumsum is the rewrite if the time grid were unbounded). The
+    product limit itself is the corpus ln-snap convention: per-time
+    factors round to decimal(18,9), SUM is exact, exp at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.lit(_KM_CUTOFF_US)
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            )
+        ).alias("tp"),
+    )
+    st = pu.filter(F.col("t0") <= c).select(
+        F.when(
+            F.col("tp").isNotNull() & (F.col("tp") <= c), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("ev"),
+        F.expr(
+            f"CAST((LEAST(COALESCE(tp, {_KM_CUTOFF_US}),"
+            f" {_KM_CUTOFF_US}) - t0) DIV 3600000000 AS BIGINT)"
+        ).alias("dur_h"),
+    )
+    g = st.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("ev").alias("d")
+    )
+    w = Window.orderBy("dur_h")
+    r = (
+        g.withColumn(
+            "n_risk",
+            F.sum("n_at").over(
+                w.rowsBetween(0, Window.unboundedFollowing)
+            ),
+        )
+        .withColumn("lg", F.expr(_KM_LOG))
+        .withColumn(
+            "cumlog",
+            F.sum("lg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "zeroed",
+            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return r.filter(F.col("d") > 0).select(
+        "dur_h",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        (F.col("n_at") - F.col("d")).alias("n_censored"),
+        F.expr(_KM_SURV).alias("survival"),
+    )
+
+
+# q162 decay table: 0.9^d for integer ages, snapped to 9 decimals in
+# PYTHON and embedded as plan literals on BOTH engine sides — libm pow
+# is not correctly rounded, so evaluating 0.9^d at runtime could differ
+# by an ulp between the JVM and DuckDB; a 64-entry literal table (the
+# kmeans plan-literal convention) removes the risk entirely.
+# Contributions older than the horizon decay to exactly 0 (0.9^64 ≈
+# 1e-3 — the standard EWMA truncation, stated as part of the contract).
+_ENG_REF_US = 1_706_659_200_000_000  # 2024-01-31T00:00:00Z
+_ENG_DECAY = [round(0.9**d, 9) for d in range(64)]
+_ENG_SQL_ARR = "[" + ", ".join(f"{v:.9f}" for v in _ENG_DECAY) + "]"
+
+
+def q162_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user: purchase values weighted
+    by 0.9^(age in whole days from a fixed reference date) — the
+    recency-weighted feature every ranking/propensity model consumes
+    (a flat lifetime sum can't distinguish a lapsed big spender from an
+    active regular; exponential decay is the standard fix). Output:
+    one row per user with purchase count, flat lifetime spend, and the
+    decayed score.
+
+    Scale shape: a pure scan-side projection (age → literal-table
+    decay lookup → per-event contribution) followed by ONE partial-agg
+    shuffle keyed user_id; the 64-entry decay table rides the plan as
+    a literal array, so no join and no runtime pow() anywhere —
+    contributions snap to decimal(18,9) before the exact sum (q135
+    convention), making the score independent of aggregation order."""
+    ev = load_table(spark, sf_dir, "events")
+    age = F.expr(
+        f"CAST(({_ENG_REF_US} - unix_micros(ts)) DIV 86400000000"
+        " AS INT)"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.when(
+            (age >= 0) & (age < 64),
+            F.element_at(
+                F.lit(_ENG_DECAY).cast("array<double>"), age + 1
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("decay"),
+    )
+    scored = p.withColumn(
+        "contrib",
+        F.expr(
+            "CAST(ROUND(CAST(v AS DOUBLE) * decay, 9)"
+            " AS DECIMAL(18,9))"
+        ),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").cast("double").alias("lifetime_spend"),
+        F.round(F.sum("contrib").cast("double"), 6).alias(
+            "engagement"
+        ),
+    )
+
+
 # q146 alphabet: one char per event type keeps the per-user sequence
 # string tiny and the pattern readable. The funnel pattern is
 # "view, then purchase with only clicks between" — non-overlapping
@@ -681,6 +839,8 @@ QUERIES = {
     "q145_watermark_planner": q145_watermark_planner,
     "q146_sequence_match": q146_sequence_match,
     "q153_ab_test": q153_ab_test,
+    "q159_kaplan_meier": q159_kaplan_meier,
+    "q162_decayed_engagement": q162_decayed_engagement,
 }
 
 ORACLE = {
@@ -981,5 +1141,70 @@ ORACLE = {
                ROUND(CAST(p.n_transitions AS DOUBLE)
                      / CAST(m.n_from AS DOUBLE), 6) AS p_to_given_from
         FROM pairs p JOIN marg m ON m.from_type = p.from_type
+    """,
+    "q159_kaplan_meier": f"""
+        WITH pu AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts)) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS tp
+            FROM events GROUP BY user_id),
+        st AS (
+            SELECT CASE WHEN tp IS NOT NULL
+                         AND tp <= {_KM_CUTOFF_US} THEN 1 ELSE 0 END
+                       AS ev,
+                   CAST((LEAST(COALESCE(tp, {_KM_CUTOFF_US}),
+                               {_KM_CUTOFF_US}) - t0)
+                        // 3600000000 AS BIGINT) AS dur_h
+            FROM pu WHERE t0 <= {_KM_CUTOFF_US}),
+        g AS (SELECT dur_h, COUNT(*) AS n_at,
+                     CAST(SUM(ev) AS BIGINT) AS d
+              FROM st GROUP BY dur_h),
+        r AS (
+            SELECT dur_h, n_at, d,
+                   CAST(SUM(n_at) OVER (ORDER BY dur_h
+                            ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n_risk
+            FROM g),
+        r2 AS (
+            SELECT dur_h, n_at, d, n_risk, {_KM_LOG} AS lg
+            FROM r),
+        r3 AS (
+            SELECT dur_h, n_at, d, n_risk,
+                   SUM(lg) OVER (ORDER BY dur_h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cumlog,
+                   MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY dur_h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS zeroed
+            FROM r2)
+        SELECT dur_h, n_risk, d AS n_events,
+               n_at - d AS n_censored,
+               {_KM_SURV} AS survival
+        FROM r3 WHERE d > 0
+    """,
+    "q162_decayed_engagement": f"""
+        WITH p AS (
+            SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+                   CAST(({_ENG_REF_US} - epoch_us(ts))
+                        // 86400000000 AS INT) AS age
+            FROM events WHERE event_type = 'purchase'),
+        d AS (
+            SELECT user_id, v,
+                   CASE WHEN age >= 0 AND age < 64
+                        THEN ({_ENG_SQL_ARR})[age + 1]
+                        ELSE 0.0 END AS decay
+            FROM p),
+        s AS (
+            SELECT user_id, v,
+                   CAST(ROUND(CAST(v AS DOUBLE) * decay, 9)
+                        AS DECIMAL(18,9)) AS contrib
+            FROM d)
+        SELECT user_id, COUNT(*) AS n_purchases,
+               CAST(SUM(v) AS DOUBLE) AS lifetime_spend,
+               ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS engagement
+        FROM s GROUP BY user_id
     """,
 }

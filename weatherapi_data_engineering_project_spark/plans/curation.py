@@ -935,6 +935,172 @@ def q122_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the quasi-identifier triple (nation,
+    market segment, account-balance band): how many records share each
+    QI combination, bucketed into the standard risk tiers — k=1 means
+    the record is unique on its quasi-identifiers (re-identifiable by
+    linkage), k<5 is the conventional release threshold. The privacy
+    audit a training-data pipeline runs BEFORE publishing user-derived
+    data; the companion to q80's PII span scrub (q80 redacts direct
+    identifiers, this measures the indirect ones).
+
+    Scale shape: one partial-agg shuffle keyed on the QI tuple
+    collapses the table to group sizes; the tier histogram and the
+    row-share denominator are aggregates OF that group frame (a
+    broadcast scalar) — nothing row-sized crosses a second shuffle.
+    The balance band uses floor(x/1000): 2-decimal inputs sit ≥1e-5
+    from band boundaries, far above double ulp, so banding is exact."""
+    c = load_table(spark, sf_dir, "customer")
+    groups = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "bal_band"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    hist = groups.groupBy(
+        F.when(F.col("k") == 1, F.lit("1"))
+        .when(F.col("k") < 5, F.lit("2-4"))
+        .when(F.col("k") < 10, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+        .alias("k_tier")
+    ).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+    )
+    tot = hist.agg(F.sum("n_rows").alias("n_total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "k_tier",
+        "n_groups",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_total"), 6
+        ).alias("row_share"),
+    )
+
+
+def q160_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index construction: one posting row per
+    (term, document) with the term frequency and the comma-joined
+    sorted 0-based token positions — the materialization step under
+    every retrieval stack (q119's TF-IDF and q122's BM25 consume
+    exactly these statistics; phrase and proximity queries need the
+    positions). Building it as a table is the batch-index job.
+
+    Scale shape: tokenize + posexplode is scan-side; ONE partial-agg
+    shuffle keyed (term, doc_id) builds every posting — doc_id in the
+    key means a hot term ("the") spreads over all its documents
+    instead of funneling into one reducer, the standard index-build
+    partitioning. Positions sort inside each posting (bounded by
+    document length), never globally."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode_outer(TX.tokens("text")).alias("pos", "term"),
+    ).filter(F.col("term").isNotNull())
+    return tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
+    )
+
+
+# q165's information-theoretic chains (corpus ln-snap convention:
+# every transcendental term rounds to 9 decimals and sums as exact
+# decimal, so the aggregate is order-independent and engine-equal).
+_MI_TERM = (
+    "CAST(ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+    " * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
+    " / (CAST(rc AS DOUBLE) * CAST(tc AS DOUBLE))), 9)"
+    " AS DECIMAL(18,9))"
+)
+_H_TERM = (
+    "CAST(ROUND(-(CAST(mc AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(mc AS DOUBLE) / CAST(n AS DOUBLE)), 9)"
+    " AS DECIMAL(18,9))"
+)
+_NMI = (
+    "CASE WHEN h_source > 0 AND h_lang > 0 THEN"
+    " ROUND(mi / sqrt(h_source * h_lang), 6) ELSE NULL END"
+)
+
+
+def q165_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between document source and language, with
+    both marginal entropies and the normalized MI — the feature-
+    relevance / redundancy measure behind information-gain feature
+    selection and stratification design (q124's chi-square answers
+    "are they dependent?"; MI answers "by how many nats", and NMI
+    makes it comparable across label sets of different cardinality).
+    A near-zero NMI here certifies sources are language-balanced, so
+    per-source sampling won't skew the language mix.
+
+    Scale shape: the corpus collapses to the (source × lang)
+    contingency table in ONE partial-agg shuffle; marginals and the
+    total are aggregates of that ≤|S|·|L|-row frame (broadcast
+    scalars); every ln term is snapped to decimal(18,9) before the
+    exact sum (the q132 entropy convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rc = cells.groupBy("source").agg(F.sum("c").alias("rc"))
+    tc = cells.groupBy("lang").agg(F.sum("c").alias("tc"))
+    n = cells.agg(F.sum("c").alias("n"))
+    mi = (
+        cells.join(F.broadcast(rc), "source")
+        .join(F.broadcast(tc), "lang")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(F.expr(_MI_TERM)).cast("double"), 6
+            ).alias("mi"),
+        )
+    )
+    hs = (
+        rc.withColumnRenamed("rc", "mc")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.expr(_H_TERM)).cast("double"), 6).alias(
+                "h_source"
+            )
+        )
+    )
+    hl = (
+        tc.withColumnRenamed("tc", "mc")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.expr(_H_TERM)).cast("double"), 6).alias(
+                "h_lang"
+            )
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            "n_cells",
+            "mi",
+            "h_source",
+            "h_lang",
+            F.expr(_NMI).alias("nmi"),
+        )
+    )
+
+
 QUERIES = {
     "q79_split_assign": q79_split_assign,
     "q80_pii_scrub": q80_pii_scrub,
@@ -953,6 +1119,9 @@ QUERIES = {
     "q133_lang_diversity": q133_lang_diversity,
     "q143_split_term_drift": q143_split_term_drift,
     "q151_psi_drift": q151_psi_drift,
+    "q158_k_anonymity": q158_k_anonymity,
+    "q160_inverted_index": q160_inverted_index,
+    "q165_mutual_information": q165_mutual_information,
 }
 
 ORACLE = {
@@ -1305,5 +1474,59 @@ ORACLE = {
                CAST(SUM(c) AS DOUBLE) AS bm25
         FROM contrib GROUP BY doc_id, dl
         ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "q158_k_anonymity": """
+        WITH groups AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   COUNT(*) AS k
+            FROM customer GROUP BY 1, 2, 3),
+        hist AS (
+            SELECT CASE WHEN k = 1 THEN '1'
+                        WHEN k < 5 THEN '2-4'
+                        WHEN k < 10 THEN '5-9'
+                        ELSE '10+' END AS k_tier,
+                   COUNT(*) AS n_groups,
+                   CAST(SUM(k) AS BIGINT) AS n_rows
+            FROM groups GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM hist)
+        SELECT k_tier, n_groups, n_rows,
+               ROUND(CAST(n_rows AS DOUBLE) / n_total, 6) AS row_share
+        FROM hist CROSS JOIN tot
+    """,
+    "q160_inverted_index": f"""
+        WITH ex AS (
+            SELECT doc_id,
+                   generate_subscripts({_TOK}, 1) - 1 AS pos,
+                   unnest({_TOK}) AS term
+            FROM documents)
+        SELECT term, doc_id, COUNT(*) AS tf,
+               string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                   AS positions
+        FROM ex GROUP BY term, doc_id
+    """,
+    "q165_mutual_information": f"""
+        WITH cells AS (
+            SELECT source, lang, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2),
+        r AS (SELECT source, CAST(SUM(c) AS BIGINT) AS rc
+              FROM cells GROUP BY 1),
+        t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tc
+              FROM cells GROUP BY 1),
+        nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        mi AS (
+            SELECT COUNT(*) AS n_cells,
+                   ROUND(CAST(SUM({_MI_TERM}) AS DOUBLE), 6) AS mi
+            FROM cells JOIN r USING (source) JOIN t USING (lang)
+            CROSS JOIN nn),
+        hs AS (
+            SELECT ROUND(CAST(SUM({_H_TERM}) AS DOUBLE), 6)
+                       AS h_source
+            FROM (SELECT rc AS mc FROM r) CROSS JOIN nn),
+        hl AS (
+            SELECT ROUND(CAST(SUM({_H_TERM}) AS DOUBLE), 6) AS h_lang
+            FROM (SELECT tc AS mc FROM t) CROSS JOIN nn)
+        SELECT n_cells, mi, h_source, h_lang, {_NMI} AS nmi
+        FROM mi CROSS JOIN hs CROSS JOIN hl
     """,
 }

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..schemas import load_table
 
@@ -486,12 +487,145 @@ def q148_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q163: the three audited columns, read under the table's natural
+# (l_orderkey, l_linenumber) order. suppkey is cast to string on BOTH
+# sides so one generic run counter handles every column type (equality
+# of the cast is equality of the value).
+_RLE_COLS = ("rf", "ls", "sk")
+
+
+def q163_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encodability audit: for each candidate column, count
+    the value runs lineitem exhibits under its natural sort order and
+    report the average run length — the layout probe that predicts
+    parquet RLE/dictionary-page compression and tells the table
+    optimizer which sort key is worth a rewrite (q106's Z-order is the
+    rewrite; this measures whether it's needed: returnflag/linestatus
+    run long under orderkey clustering, suppkey doesn't).
+
+    Order contract: (l_orderkey, l_linenumber) is NOT unique in this
+    generator, so "natural order" alone would leave run counts
+    tie-order-nondeterministic ACROSS ENGINES. Each column's scan
+    therefore breaks key ties by the audited value itself — the
+    best-case RLE for the clustering (a writer is free to co-locate
+    equal values within one key), and a total, engine-independent
+    order for the run semantics.
+
+    Scale shape: the classic global ordered scan — normally a
+    single-task ORDER BY window — runs as the q150 two-phase rewrite
+    applied to run counting: sampled orderkey boundaries bucket the
+    table, every bucket counts its local runs independently (the
+    three per-column windows share ONE hash exchange on the bucket
+    key), and the per-bucket (first, last) value pairs — a ≤32-row
+    frame — stitch the boundaries (a run spanning two buckets was
+    counted twice, so adjacent equal edges subtract one). The result
+    is EXACTLY the global run count at any parallelism; the bucket
+    boundaries never appear in the output, so the oracle states the
+    simple global window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.col("l_orderkey").cast("double").alias("_kd"),
+        F.col("l_returnflag").alias("v_rf"),
+        F.col("l_linestatus").alias("v_ls"),
+        F.col("l_suppkey").cast("string").alias("v_sk"),
+    )
+    bnds = sorted(
+        set(base.approxQuantile("_kd", [i / 32 for i in range(1, 32)], 0.01))
+    )
+    bucketed = base.withColumn(
+        "_bkt",
+        F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("_kd"),
+            )
+        ),
+    )
+    # one window PER COLUMN: ties in (k1, k2) order by the audited
+    # value (see order contract above); all three share the _bkt hash
+    # partitioning, so Catalyst plans one exchange + per-column sorts
+    wins = {
+        c: Window.partitionBy("_bkt").orderBy("k1", "k2", f"v_{c}")
+        for c in _RLE_COLS
+    }
+    marked = bucketed.select(
+        "_bkt",
+        "k1",
+        "k2",
+        *[F.col(f"v_{c}") for c in _RLE_COLS],
+        *[
+            F.when(
+                F.lag(f"v_{c}").over(wins[c]).isNull()
+                | (F.lag(f"v_{c}").over(wins[c]) != F.col(f"v_{c}")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias(f"rs_{c}")
+            for c in _RLE_COLS
+        ],
+    )
+    loc = marked.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"rs_{c}").alias(f"runs_{c}") for c in _RLE_COLS],
+        *[
+            F.min_by(f"v_{c}", F.struct("k1", "k2", f"v_{c}")).alias(
+                f"first_{c}"
+            )
+            for c in _RLE_COLS
+        ],
+        *[
+            F.max_by(f"v_{c}", F.struct("k1", "k2", f"v_{c}")).alias(
+                f"last_{c}"
+            )
+            for c in _RLE_COLS
+        ],
+    )
+    # boundary stitch over the <=32-row bucket frame (driver-scale)
+    wb = Window.orderBy("_bkt")
+    stitched = loc.select(
+        "n",
+        *[
+            (
+                F.col(f"runs_{c}")
+                - F.when(
+                    F.lag(f"last_{c}").over(wb) == F.col(f"first_{c}"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias(f"runs_{c}")
+            for c in _RLE_COLS
+        ],
+    )
+    tot = stitched.agg(
+        F.sum("n").alias("n_rows"),
+        *[F.sum(f"runs_{c}").alias(f"runs_{c}") for c in _RLE_COLS],
+    )
+    return tot.select(
+        F.expr(
+            "stack(3,"
+            " 'l_returnflag', runs_rf,"
+            " 'l_linestatus', runs_ls,"
+            " 'l_suppkey', runs_sk) AS (column_name, n_runs)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_runs",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_runs"), 6
+        ).alias("avg_run_len"),
+    )
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
     "q107_countmin_sketch": q107_countmin_sketch,
     "q108_bloom_prune": q108_bloom_prune,
     "q120_hll_sketch": q120_hll_sketch,
     "q148_hll_merge": q148_hll_merge,
+    "q163_rle_audit": q163_rle_audit,
 }
 
 _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
@@ -674,5 +808,44 @@ ORACLE = {
         FROM per_type p
         JOIN audit a ON a.event_type = p.event_type
         JOIN exact e ON e.event_type = p.event_type
+    """,
+    "q163_rle_audit": """
+        WITH o AS (
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   CAST(l_suppkey AS STRING) AS sk,
+                   lag(l_returnflag) OVER wrf AS prf,
+                   lag(l_linestatus) OVER wls AS pls,
+                   lag(CAST(l_suppkey AS STRING)) OVER wsk AS psk
+            FROM lineitem
+            WINDOW
+              wrf AS (ORDER BY l_orderkey, l_linenumber, l_returnflag),
+              wls AS (ORDER BY l_orderkey, l_linenumber, l_linestatus),
+              wsk AS (ORDER BY l_orderkey, l_linenumber,
+                      CAST(l_suppkey AS STRING))),
+        t AS (
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN prf IS NULL OR prf <> rf
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS runs_rf,
+                   CAST(SUM(CASE WHEN pls IS NULL OR pls <> ls
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS runs_ls,
+                   CAST(SUM(CASE WHEN psk IS NULL OR psk <> sk
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS runs_sk
+            FROM o)
+        SELECT 'l_returnflag' AS column_name, n_rows,
+               runs_rf AS n_runs,
+               ROUND(CAST(n_rows AS DOUBLE) / runs_rf, 6)
+                   AS avg_run_len
+        FROM t
+        UNION ALL
+        SELECT 'l_linestatus', n_rows, runs_ls,
+               ROUND(CAST(n_rows AS DOUBLE) / runs_ls, 6)
+        FROM t
+        UNION ALL
+        SELECT 'l_suppkey', n_rows, runs_sk,
+               ROUND(CAST(n_rows AS DOUBLE) / runs_sk, 6)
+        FROM t
     """,
 }

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import checkpoint_tracked
+from ..caching import checkpoint_tracked, persist_tracked
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
@@ -240,6 +240,143 @@ def q154_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=["degree"])
     )
     return full.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+# q157's clustering coefficient as ONE shared SQL chain over the three
+# exact integer graph counts (q122 convention): guarded because a graph
+# with no wedges leaves the coefficient undefined (and ANSI Spark would
+# raise on the 0-division when evaluating partial-agg rows).
+_TRI_CC = (
+    "CASE WHEN n_wedges > 0 THEN"
+    " ROUND(3.0 * CAST(n_triangles AS DOUBLE)"
+    " / CAST(n_wedges AS DOUBLE), 6)"
+    " ELSE NULL END"
+)
+
+
+def q157_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the embedding near-dup graph at a looser 0.25
+    cosine threshold (same banded sign-LSH candidates as q29 — the
+    threshold only widens the verify filter, never the candidate join):
+    edge count, wedge count (paths of length 2), triangle count, and
+    the global clustering coefficient 3·T/W. Transitivity is the
+    structural audit q154's degrees can't see — high clustering means
+    near-dup neighborhoods are genuine clusters (dedup keeps one doc
+    per clique); low clustering means chains, where transitive-closure
+    dedup (q47) over-merges unrelated docs through middlemen.
+
+    Scale shape: edges stay candidate-bounded (banded LSH, verified
+    survivors only, persisted once for the three consumers); wedges are
+    one partial-agg over per-node degrees; the triangle join is the
+    standard ordered edge-edge-edge equi-join (a < b < c, so each
+    triangle counts exactly once) whose intermediate is wedge-bounded —
+    all shuffles key on node ids, never on the quadratic pair space."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = persist_tracked(
+        SIM.cosine_neardup_pairs(
+            e, threshold=0.25, n_bands=4, band_bits=4
+        ).select(F.col("id1").alias("i"), F.col("id2").alias("j"))
+    )
+    deg = (
+        pairs.select(F.col("i").alias("id"))
+        .unionAll(pairs.select(F.col("j").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.expr("CAST(sum(d * (d - 1)) DIV 2 AS BIGINT)").alias("n_wedges")
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    tri = (
+        pairs.alias("e1")
+        .join(pairs.alias("e2"), F.col("e1.j") == F.col("e2.i"))
+        .join(
+            pairs.alias("e3"),
+            (F.col("e3.i") == F.col("e1.i"))
+            & (F.col("e3.j") == F.col("e2.j")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(_TRI_CC).alias("global_clustering"),
+        )
+    )
+
+
+def q156_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy self-join on customer names via the
+    SymSpell deletion neighborhood: every record emits its name plus
+    each single-character-deletion variant; two names within Levenshtein
+    distance 1 MUST share a variant (equal → identity; substitution →
+    delete the differing char on both sides; insert/delete → delete the
+    extra char on the longer), so the variant equi-join is a lossless
+    candidate generator and the exact ``levenshtein`` verify runs on
+    candidates only. The fuzzy record-linkage primitive of entity
+    resolution, re-expressed as shuffle-on-variant instead of the
+    quadratic compare.
+
+    Scale shape: the blow-up is (L+1) variants per record — linear with
+    a string-length constant — and the join keys on the variant string,
+    so co-occurring candidates meet in one shuffle partition; the
+    verifier never sees a non-candidate pair. The oracle deliberately
+    uses the OTHER algorithm (length-blocked brute force), so the
+    differential checks the neighborhood rule's losslessness, not just
+    arithmetic parity."""
+    c = load_table(spark, sf_dir, "customer")
+    names = c.select(
+        F.col("c_custkey").alias("ck"), F.col("c_name").alias("name")
+    )
+    # explode_outer + isNotNull: a plain explode of a computed array
+    # re-runs the array expression as an inferred scan filter (see
+    # operators/dedup.py::shingle_sets).
+    var = persist_tracked(
+        names.select(
+            "ck",
+            F.explode_outer(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)),"
+                        " i -> concat(substring(name, 1, i - 1),"
+                        " substring(name, i + 1, length(name))))"
+                    ),
+                )
+            ).alias("var"),
+        ).filter(F.col("var").isNotNull())
+    )
+    cand = (
+        var.select(F.col("ck").alias("k1"), "var")
+        .join(var.select(F.col("ck").alias("k2"), "var"), "var")
+        .filter(F.col("k1") < F.col("k2"))
+        .select("k1", "k2")
+        .distinct()
+    )
+    return (
+        cand.join(
+            names.select(
+                F.col("ck").alias("k1"), F.col("name").alias("name1")
+            ),
+            "k1",
+        )
+        .join(
+            names.select(
+                F.col("ck").alias("k2"), F.col("name").alias("name2")
+            ),
+            "k2",
+        )
+        .select(
+            F.col("k1").alias("id1"),
+            F.col("k2").alias("id2"),
+            F.levenshtein("name1", "name2").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
 
 
 def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +801,8 @@ QUERIES = {
     "q28_simhash": q28_simhash,
     "q29_embed_neardup": q29_embed_neardup,
     "q154_neardup_degrees": q154_neardup_degrees,
+    "q156_fuzzy_name_join": q156_fuzzy_name_join,
+    "q157_graph_triangles": q157_graph_triangles,
     "q30_ivf_ann": q30_ivf_ann,
     "q60_ivf_kmeans_ann": q60_ivf_kmeans_ann,
     "q73_pq_ann": q73_pq_ann,
@@ -918,7 +1057,10 @@ _CLUSTER_CTES = f"""
     for k in range(1, 5)
 )
 
-_Q29_SQL = f"""
+# Banded sign-LSH near-dup pair SQL, shared by q29/q154/q157 — the
+# verify threshold is the only free parameter (candidates are
+# threshold-independent), injected via .format on the post-f-string.
+_Q29_SQL_TMPL = f"""
         WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                           CAST(unnest(embedding) AS DOUBLE) AS v
                    FROM embeddings),
@@ -951,8 +1093,10 @@ _Q29_SQL = f"""
             FROM dots d
             JOIN norms na ON na.vec_id = d.id1
             JOIN norms nb ON nb.vec_id = d.id2)
-        WHERE cosine >= 0.4
+        WHERE cosine >= {{threshold}}
     """
+
+_Q29_SQL = _Q29_SQL_TMPL.format(threshold="0.4")
 
 ORACLE = {
     "q19_text_stats": """
@@ -1394,6 +1538,35 @@ ORACLE = {
             LEFT JOIN deg d ON d.id = e.vec_id)
         SELECT degree, COUNT(*) AS n_vecs
         FROM fulld GROUP BY degree
+    """,
+    "q156_fuzzy_name_join": """
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND abs(len(a.c_name) - len(b.c_name)) <= 1
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "q157_graph_triangles": f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT id1 AS i, id2 AS j
+            FROM ({_Q29_SQL_TMPL.format(threshold="0.25")}) p),
+        deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+                FROM (SELECT i AS id FROM pairs
+                      UNION ALL SELECT j AS id FROM pairs)
+                GROUP BY id),
+        agg AS (SELECT
+            (SELECT COUNT(*) FROM pairs) AS n_edges,
+            (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) FROM deg)
+                AS n_wedges,
+            (SELECT COUNT(*)
+             FROM pairs e1
+             JOIN pairs e2 ON e2.i = e1.j
+             JOIN pairs e3 ON e3.i = e1.i AND e3.j = e2.j)
+                AS n_triangles)
+        SELECT n_edges, n_wedges, n_triangles,
+               {_TRI_CC} AS global_clustering
+        FROM agg
     """,
 
     "q30_ivf_ann": f"""
