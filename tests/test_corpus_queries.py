@@ -154,3 +154,58 @@ def test_pagerank_mass_conserved(spark):
     ranks = pagerank_fixed(df, n_rounds=3).collect()
     assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-6
     assert all(r.rank > 0 for r in ranks)
+
+
+def test_ann_ranking_eval_matches_numpy(spark):
+    """MRR/nDCG recomputed in Python from numpy brute-force truth and
+    the q30 index output (itself differentially certified)."""
+    import math
+
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.operators import (
+        similarity as SIM,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in e.collect()
+    }
+    truth = {}
+    for q in range(20):
+        scored = sorted(
+            (
+                -round(
+                    float(emb[q] @ v)
+                    / (np.linalg.norm(emb[q]) * np.linalg.norm(v)),
+                    6,
+                ),
+                c,
+            )
+            for c, v in emb.items()
+            if c != q
+        )
+        truth[q] = {c: rt + 1 for rt, (_, c) in enumerate(scored[:3])}
+    ivf = {}
+    for r in SIM.ivf_topk(
+        e, n_centroids=16, n_probe=2, k=3, max_query_id=20
+    ).collect():
+        ivf.setdefault(r.query_id, []).append((r.rn, r.vec_id))
+    w = [round(1 / math.log2(p + 1), 9) for p in (1, 2, 3)]
+    ideal = round(3 * w[0] + 2 * w[1] + 1 * w[2], 9)
+    rows = {r.query_id: r for r in C.q170_ann_ranking_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(20))
+    for q, items in ivf.items():
+        rels = [
+            (p, 4 - truth[q][c] if c in truth[q] else 0)
+            for p, c in sorted(items)
+        ]
+        dcg = sum(round(rel * w[p - 1], 9) for p, rel in rels)
+        first = min((p for p, rel in rels if rel > 0), default=None)
+        r = rows[q]
+        assert r.n_hits == sum(1 for _, rel in rels if rel > 0)
+        assert abs(r.ndcg - round(dcg / ideal, 6)) < 1e-6
+        assert abs(r.mrr - (round(1 / first, 6) if first else 0.0)) < 1e-9
+        assert 0 <= r.ndcg <= 1 + 1e-9

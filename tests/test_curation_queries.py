@@ -432,3 +432,116 @@ def test_mutual_information_matches_python_recompute(spark):
     # identities: 0 <= MI <= min(H_source, H_lang); NMI in [0, 1]
     assert -1e-9 <= r.mi <= min(r.h_source, r.h_lang) + 1e-9
     assert -1e-9 <= r.nmi <= 1 + 1e-9
+
+
+def test_bpe_merges_match_python_sennrich(spark):
+    """The 5 learned merges equal a pure-Python Sennrich trainer run
+    on the same word-frequency table (same tiebreak, same greedy
+    non-overlapping merge pass)."""
+    import re
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    wc = Counter()
+    for r in load_table(spark, SF_DIR, "documents").select("text").collect():
+        for w in re.split("[^a-z]+", r.text.lower()):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(5):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b, a + b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    rows = sorted(
+        C.q166_bpe_merges(spark, SF_DIR).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert [
+        (r.left_sym, r.right_sym, r.merged, r.pair_count) for r in rows
+    ] == merges
+
+
+def test_bpe_merge_pass_greedy_overlap_semantics(spark):
+    """The window parity rule equals sequential greedy on the hard
+    cases: identical-symbol runs (odd and even length) and adjacent
+    disjoint occurrences that a string replace would miss."""
+    from weatherapi_data_engineering_project_spark.plans.curation import (
+        _bpe_merge_pass,
+    )
+
+    rows = []
+    for word in ("aaa", "aaaa", "banana", "aab", "baa"):
+        for i, ch in enumerate(word):
+            rows.append((word, 1, i, ch))
+    sym = spark.createDataFrame(
+        rows, schema="word string, cnt int, idx int, sym string"
+    )
+    out = _bpe_merge_pass(sym, "a", "a").collect()
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.word, {})[r.idx] = r.sym
+    got = {w: [d[i] for i in sorted(d)] for w, d in seqs.items()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["banana"] == list("banana")
+    assert got["aab"] == ["aa", "b"]
+    assert got["baa"] == ["b", "aa"]
+    # disjoint adjacent occurrences of a two-symbol pair ("n","a"):
+    # both merge (string replace would consume the shared delimiter)
+    out2 = _bpe_merge_pass(sym, "n", "a").collect()
+    ban = sorted(
+        ((r.idx, r.sym) for r in out2 if r.word == "banana")
+    )
+    assert [s for _, s in ban] == ["b", "a", "na", "na"]
+
+
+def test_scaling_subsets_nesting_and_python_recount(spark):
+    """Counts recomputed with hashlib in Python; nesting is structural
+    (threshold containment) so docs/tokens must be monotone."""
+    import hashlib
+    import re
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    want = {"p10": [0, 0], "p25": [0, 0], "p50": [0, 0], "p100": [0, 0]}
+    for r in docs:
+        h2 = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2]
+        nt = len([t for t in re.split(r"\s+", r.text.lower().strip()) if t])
+        for name, thr in (("p10", "1a"), ("p25", "40"), ("p50", "80")):
+            if h2 < thr:
+                want[name][0] += 1
+                want[name][1] += nt
+        want["p100"][0] += 1
+        want["p100"][1] += nt
+    got = {
+        r.level: r for r in C.q171_scaling_subsets(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for name, (nd, ntk) in want.items():
+        assert (got[name].n_docs, got[name].n_tokens) == (nd, ntk)
+        assert abs(
+            got[name].token_share - round(ntk / want["p100"][1], 6)
+        ) < 1e-9
+    order = ["p10", "p25", "p50", "p100"]
+    for a, b in zip(order, order[1:]):
+        assert got[a].n_docs <= got[b].n_docs
+        assert got[a].n_tokens <= got[b].n_tokens
+    assert 0 < got["p10"].n_docs < got["p100"].n_docs

@@ -187,3 +187,136 @@ def test_grouping_sets_subtotals_consistent(spark):
         mine = [r for r in leaves if r.returnflag == rf]
         assert sum(r.n_rows for r in mine) == sub.n_rows
         assert abs(sum(r.revenue for r in mine) - sub.revenue) < 1e-4
+
+
+def test_label_mmd_matches_numpy(spark):
+    """MMD² recomputed with numpy from raw embeddings (means rounded
+    to 6 like both engines); linear-kernel identity ||mu_a - mu_b||²
+    and symmetry/coverage invariants."""
+    import numpy as np
+
+    rows = load_table(spark, SF_DIR, "embeddings").select(
+        "label", "embedding"
+    ).collect()
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r.label, []).append(
+            np.asarray(r.embedding, dtype=np.float64)
+        )
+    mus = {
+        lab: np.round(np.mean(np.stack(vs), axis=0), 6)
+        for lab, vs in groups.items()
+    }
+    got = {
+        (r.label_a, r.label_b): r
+        for r in X.q168_label_mmd(spark, SF_DIR).collect()
+    }
+    labs = sorted(groups)
+    want_keys = {
+        (a, b) for i, a in enumerate(labs) for b in labs[i + 1:]
+    }
+    assert set(got) == want_keys
+    for (a, b), r in got.items():
+        d = mus[a] - mus[b]
+        assert (r.n_a, r.n_b) == (len(groups[a]), len(groups[b]))
+        assert abs(r.mmd2 - float(np.sum(np.round(d * d, 9)))) < 1e-6
+        assert r.mmd2 >= 0
+
+
+def test_local_supplier_volume_matches_python(spark):
+    """Revenue recomputed in Python cents from the raw tables (same
+    decimal(18,4) product snap) over the same join predicate."""
+    from decimal import Decimal
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect()
+    o = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .collect()
+    }
+    c = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    s = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, SF_DIR, "supplier").collect()
+    }
+    n = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in load_table(spark, SF_DIR, "nation").collect()
+    }
+    asia = {
+        r.r_regionkey
+        for r in load_table(spark, SF_DIR, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .collect()
+    }
+    want: dict[str, list] = {}
+    for r in li:
+        ck = o.get(r.l_orderkey)
+        if ck is None or r.l_suppkey not in s:
+            continue
+        snat = s[r.l_suppkey]
+        if c.get(ck) != snat:
+            continue
+        name, reg = n[snat]
+        if reg not in asia:
+            continue
+        rec = want.setdefault(name, [0, Decimal(0)])
+        rec[0] += 1
+        rec[1] += Decimal(
+            str(r.l_extendedprice * (1 - r.l_discount))
+        ).quantize(Decimal("0.0001"))
+    got = {
+        r.n_name: r
+        for r in X.q175_local_supplier_volume(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for name, (cnt, rev) in want.items():
+        assert got[name].n_items == cnt
+        assert abs(got[name].revenue - float(rev)) < 1e-4
+
+
+def test_exclusive_fault_supplier_matches_python(spark):
+    """The EXISTS/NOT-EXISTS semantics brute-forced in Python over
+    per-order supplier sets."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    ).collect()
+    fin = {
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .collect()
+    }
+    sname = {
+        r.s_suppkey: r.s_name
+        for r in load_table(spark, SF_DIR, "supplier").collect()
+    }
+    supps: dict[int, set] = {}
+    rsupps: dict[int, set] = {}
+    for r in li:
+        supps.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+        if r.l_returnflag == "R":
+            rsupps.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+    want: dict[str, int] = {}
+    for r in li:
+        if r.l_orderkey not in fin or r.l_returnflag != "R":
+            continue
+        others = supps[r.l_orderkey] - {r.l_suppkey}
+        r_others = rsupps.get(r.l_orderkey, set()) - {r.l_suppkey}
+        if others and not r_others:
+            nm = sname[r.l_suppkey]
+            want[nm] = want.get(nm, 0) + 1
+    got = {
+        r.s_name: r.numwait
+        for r in X.q177_exclusive_fault_supplier(spark, SF_DIR).collect()
+    }
+    assert got == want and want

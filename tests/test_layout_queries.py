@@ -145,3 +145,48 @@ def test_rle_audit_matches_python_run_count(spark):
     # the audit's point: flag columns run long, suppkey doesn't
     assert by["l_returnflag"] < by["l_suppkey"]
     assert by["l_linestatus"] < by["l_suppkey"]
+
+
+def test_reshard_audit_matches_python_ring(spark):
+    """Ring assignment recomputed with bisect over the same literal
+    node positions; the consistent-hashing guarantee must hold: a key
+    moves iff its 48-ring owner is one of the 16 ADDED nodes, and the
+    ring moves strictly fewer keys than mod resharding."""
+    import bisect
+    import hashlib
+
+    from weatherapi_data_engineering_project_spark.plans.layout import (
+        _RING_NEW,
+        _RING_OLD,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    def assign(nodes, h):
+        i = bisect.bisect_right(nodes, h)
+        return nodes[i] if i < len(nodes) else nodes[0]
+
+    added = set(_RING_NEW) - set(_RING_OLD)
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    m_ring = m_mod = 0
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        a32, a48 = assign(_RING_OLD, h), assign(_RING_NEW, h)
+        moved = a32 != a48
+        assert moved == (a48 in added), "ring moved a key off a kept node"
+        m_ring += moved
+        m_mod += (k % 32) != (k % 48)
+    got = {
+        r.strategy: r for r in L.q172_reshard_audit(spark, SF_DIR).collect()
+    }
+    assert got["ring"].n_moved == m_ring
+    assert got["mod"].n_moved == m_mod
+    assert got["ring"].n_keys == got["mod"].n_keys == len(keys)
+    assert got["ring"].n_moved < got["mod"].n_moved
+    assert abs(
+        got["ring"].moved_share - round(m_ring / len(keys), 6)
+    ) < 1e-9

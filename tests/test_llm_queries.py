@@ -700,3 +700,152 @@ def test_triangle_census_equals_python_graph(spark):
     assert r.n_triangles == tris
     if wedges:
         assert abs(r.global_clustering - 3 * tris / wedges) < 1e-6
+
+
+def test_cluster_silhouette_matches_numpy(spark):
+    """Silhouette recomputed with numpy from the SAME trained
+    centroids (the trainer itself is pinned by the q60 tests):
+    assignment counts exact, means within float tolerance, plus the
+    silhouette range invariant."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.operators import (
+        similarity as SIM,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cents = {
+        int(r.cid): np.asarray(r.cvec, dtype=np.float64)
+        for r in SIM.kmeans_centroids(e, 16, 3).collect()
+    }
+    agg = {}
+    for r in e.select("vec_id", "embedding").collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        ds = sorted(
+            (
+                1.0
+                - round(
+                    float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)),
+                    6,
+                ),
+                cid,
+            )
+            for cid, c in cents.items()
+        )
+        (da, cid), (db, _) = ds[0], ds[1]
+        s = (db - da) / db if db > 0 else 0.0
+        n, sa, ss = agg.get(cid, (0, 0.0, 0.0))
+        agg[cid] = (n + 1, sa + da, ss + s)
+    rows = SIM.centroid_silhouette(e, 16, 3).collect()
+    assert {r.cid for r in rows} == set(agg)
+    for r in rows:
+        n, sa, ss = agg[r.cid]
+        assert r.n_vecs == n
+        assert abs(r.avg_intra_dist - sa / n) < 1e-4
+        assert abs(r.avg_silhouette - ss / n) < 1e-4
+        assert -1 - 1e-9 <= r.avg_silhouette <= 1 + 1e-9
+
+
+def test_quality_representatives_argmax_semantics(spark):
+    """Representatives recomputed in Python from the q47 clustering and
+    q51 scores (both differentially certified): argmax quality with
+    min-id tiebreak; every `moved` rep strictly beats the id-based
+    pick's score."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+    from weatherapi_data_engineering_project_spark.plans import llm as L
+
+    labels = L.q47_dedup_clusters(spark, SF_DIR).collect()
+    q = {
+        r.doc_id: r.quality_score
+        for r in X.q51_quality_score(spark, SF_DIR).collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for r in labels:
+        clusters.setdefault(r.cluster_rep, []).append(r.doc_id)
+    got = {
+        r.cluster: r
+        for r in L.q173_quality_representatives(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(clusters)
+    for cluster, members in clusters.items():
+        best = min(members, key=lambda d: (-q[d], d))
+        r = got[cluster]
+        assert r.n_members == len(members)
+        assert r.rep_doc_id == best
+        assert r.rep_quality == q[best]
+        assert r.moved == (best != cluster)
+        if r.moved:
+            assert q[best] > q[cluster]
+
+
+def test_minhash_calibration_matches_python(spark):
+    """Bin stats recomputed in pure Python from raw shingle sets and
+    md5 signatures (same hash rule); the estimator must be roughly
+    unbiased overall (|mean est - mean exact| well under the 8-hash
+    standard error)."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sh = {}
+    for r in docs:
+        t = [x for x in re.split(r"\s+", r.text.lower().strip()) if x]
+        s = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        if s:
+            sh[r.doc_id] = s
+    sig = {
+        d: tuple(
+            min(
+                hashlib.md5(f"{i}§{x}".encode()).hexdigest() for x in s
+            )
+            for i in range(8)
+        )
+        for d, s in sh.items()
+    }
+    bands = defaultdict(set)
+    for d, sg in sig.items():
+        for b in range(4):
+            bands[
+                (b, hashlib.md5(f"{sg[2*b]}|{sg[2*b+1]}".encode()).hexdigest())
+            ].add(d)
+    cand = set()
+    for ds in bands.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cand.add((a, b))
+    bins = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        exact = inter / (len(sh[a]) + len(sh[b]) - inter)
+        est = sum(x == y for x, y in zip(sig[a], sig[b])) / 8
+        k = min(int(exact * 10), 9)
+        rec = bins[k]
+        rec[0] += 1
+        rec[1] += round(exact, 9)
+        rec[2] += round(est, 9)
+        rec[3] += round(abs(est - exact), 9)
+    rows = {
+        r.jaccard_bin: r
+        for r in llm.q174_minhash_calibration(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(bins)
+    for k, (n, sj, se, sa) in bins.items():
+        r = rows[k]
+        assert r.n_pairs == n
+        assert abs(r.avg_exact - round(sj / n, 6)) < 1e-6
+        assert abs(r.avg_est - round(se / n, 6)) < 1e-6
+        assert abs(r.avg_abs_err - round(sa / n, 6)) < 1e-6
+    tot = sum(v[0] for v in bins.values())
+    bias = (
+        sum(v[2] for v in bins.values()) - sum(v[1] for v in bins.values())
+    ) / tot
+    assert abs(bias) < 4 * (0.5 / (8**0.5)) / (tot**0.5) + 0.05

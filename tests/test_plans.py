@@ -485,3 +485,32 @@ def test_containment_join_is_capped_not_banded(spark):
     assert "band" not in plan.lower()
     # the hot-shingle guard: one anti join on the shingle column
     assert "LeftAnti" in plan
+
+
+def test_local_supplier_volume_plan_shape(spark):
+    """q175: every dimension side broadcasts; the only candidate for a
+    wide exchange is lineitem ⋈ orders on orderkey."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    plan = _plan(X.q175_local_supplier_volume(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # lineitem ⋈ orders may be SMJ/shuffled-hash or (at tiny SF under
+    # AQE) also broadcast; what must NOT appear is a shuffled dim join
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_exclusive_fault_supplier_decorrelates(spark):
+    """q177: Catalyst must turn EXISTS into a semi join and NOT EXISTS
+    into an anti join — a correlated re-scan would appear as a nested
+    subquery or cartesian product."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    plan = _plan(X.q177_exclusive_fault_supplier(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

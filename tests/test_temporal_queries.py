@@ -65,3 +65,36 @@ def test_gapfill_carries_last_value_forward(spark):
             if b.filled:
                 assert b.value == a.value  # locf
         assert all(r.value is not None for r in days)
+
+
+def test_daily_autocorr_matches_numpy_acf(spark):
+    """ACF recomputed with numpy over the densified daily series —
+    the n²-rescaled integer formula must equal the textbook
+    estimator; lag-0 normalization sanity via the variance identity."""
+    import calendar as _cal
+
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    days = defaultdict(int)
+    for r in load_table(spark, SF_DIR, "events").select("ts").collect():
+        days[r.ts.date()] += 1
+    d0, d1 = min(days), max(days)
+    n = (d1 - d0).days + 1
+    x = np.zeros(n)
+    for d, c in days.items():
+        x[(d - d0).days] = c
+    xc = x - x.mean()
+    den = float((xc * xc).sum())
+    rows = sorted(
+        T.q169_daily_autocorr(spark, SF_DIR).collect(),
+        key=lambda r: r.lag,
+    )
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        k = r.lag
+        assert r.n_pairs == max(n - k, 0)
+        want = float((xc[:-k] * xc[k:]).sum()) / den
+        assert abs(r.acf - want) < 1e-5
+    assert any(abs(r.acf) > 1e-6 for r in rows) or n < 3

@@ -773,8 +773,13 @@ def prefix_filter_pairs(
             .alias("pos"),
         )
     )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
+    # persisted: the candidate self-join consumes this frame TWICE and
+    # each side would otherwise re-derive the df join + per-doc window
+    prefix = persist_tracked(
+        ranked.filter(
+            F.col("pos")
+            <= F.col("n") - ((F.col("n") + 1) / 2).cast("long") + 1
+        )
     )
     cands = (
         prefix.select(F.col("doc").alias("id1"), "shingle")

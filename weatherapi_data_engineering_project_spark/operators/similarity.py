@@ -467,6 +467,91 @@ def ivf_topk_kmeans(
     )
 
 
+# Shared silhouette term strings — evaluated VERBATIM by both engines
+# (q122/q135 shared-formula convention). da/db are exact doubles
+# (1 - round-6 cosine), so the ratio chain is deterministic IEEE
+# arithmetic; the 9-decimal snap makes the per-vector terms exact
+# decimals whose sum is order-independent.
+_SIL_TERM = (
+    "CASE WHEN db > 0 THEN"
+    " CAST(ROUND((db - da) / db, 9) AS DECIMAL(18,9))"
+    " ELSE CAST(0 AS DECIMAL(18,9)) END"
+)
+_DA_DEC = "CAST(da AS DECIMAL(18,6))"
+
+
+def centroid_silhouette(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster mean silhouette of the Lloyd's k-means clustering
+    (cosine-distance, centroid-scored variant): for every vector,
+    a = distance to its nearest centroid (its cluster) and b =
+    distance to the second-nearest; s = (b - a) / max(a, b), which
+    with a <= b collapses to (b - a) / b. The standard cluster-quality
+    gate in front of every centroid-trusting consumer (SemDeDup's
+    within-cluster pairing, IVF's probe lists): clusters with low
+    mean silhouette sit in overlap regions where "same cluster"
+    carries little signal.
+
+    Exactness: the trainer is the SHARED ``kmeans_centroids`` (float32
+    means; oracle-unrolled as the q60 _KM_CTES); scoring reuses the
+    decimal-exact ``_score`` (q30 convention) so a/b are identical
+    doubles on both engines, and per-vector terms snap to
+    decimal(18,9) before the exact, order-independent sum.
+
+    Scale shape: k centroid rows broadcast against the corpus (k·n
+    row-local exact dots — vectors never shuffle), one vid-keyed
+    window over k rows per vector, one cid-keyed partial agg. The
+    trainer costs its usual one partial-agg shuffle per round."""
+    cents = kmeans_centroids(embeddings, k, n_iters, id_col, vec_col)
+    cent = cents.select(
+        "cid", "cvec", _norm2_array(F.col("cvec")).alias("nc2")
+    )
+    corpus = persist_tracked(
+        _ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vvec"),
+            _norm2_array(F.col(vec_col)).alias("nx2"),
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "cid",
+        _score(
+            _dot_arrays(F.col("vvec"), F.col("cvec")),
+            F.col("nx2"),
+            F.col("nc2"),
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    pv = top2.groupBy("vid").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
+        F.min(F.when(F.col("rn") == 1, 1.0 - F.col("cos"))).alias("da"),
+        F.min(F.when(F.col("rn") == 2, 1.0 - F.col("cos"))).alias("db"),
+    )
+    terms = pv.select(
+        "cid",
+        F.expr(_DA_DEC).alias("dd"),
+        F.expr(_SIL_TERM).alias("s"),
+    )
+    return terms.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("dd").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_intra_dist"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_silhouette"),
+    )
+
+
 def _probe_lists(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -1238,6 +1238,77 @@ def _us_sessions(ev: DataFrame) -> DataFrame:
     )
 
 
+def q176_incremental_mv_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance audit: a per
+    (event_type, day) count/sum view built as snapshot-aggregate PLUS
+    late-batch delta (the incremental path every warehouse refresh
+    takes) must equal the full recompute, group by group. q164 audits
+    the one aggregation where incremental maintenance is UNSAFE
+    (sessionization); this certifies the additive case — counts and
+    decimal-exact sums merge losslessly, so every mismatch counter in
+    the output must be zero and `groups_match` must be true.
+
+    Scale shape: three partial-agg shuffles on (event_type, day) —
+    two of them over disjoint slices of one scan — then a full-outer
+    join of two view-sized frames and a scalar rollup. The audit
+    costs the view size, never the event log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+
+    def view(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias(f"c_{tag}"),
+            F.sum("v").alias(f"s_{tag}"),
+        )
+
+    base = view(ev.filter(F.col("us") <= _RESTATE_CUTOFF_US), "b")
+    delta = view(ev.filter(F.col("us") > _RESTATE_CUTOFF_US), "d")
+    incr = (
+        base.join(delta, ["event_type", "day"], "full_outer")
+        .select(
+            "event_type",
+            "day",
+            (
+                F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0))
+            ).alias("c_i"),
+            (
+                F.coalesce("s_b", F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce("s_d", F.lit(0).cast("decimal(18,6)"))
+            ).alias("s_i"),
+        )
+    )
+    full = view(ev, "f")
+    cmp = full.join(incr, ["event_type", "day"], "full_outer")
+    return cmp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            (F.col("c_f").isNull() | F.col("c_i").isNull()).cast("long")
+        ).alias("n_missing"),
+        F.sum(
+            (F.col("c_f") != F.col("c_i")).cast("long")
+        ).alias("n_count_mismatch"),
+        F.sum(
+            (F.col("s_f") != F.col("s_i")).cast("long")
+        ).alias("n_sum_mismatch"),
+    ).select(
+        "n_groups",
+        "n_missing",
+        "n_count_mismatch",
+        "n_sum_mismatch",
+        (
+            (F.col("n_missing") == 0)
+            & (F.col("n_count_mismatch") == 0)
+            & (F.col("n_sum_mismatch") == 0)
+        ).alias("groups_match"),
+    )
+
+
 def q164_session_restatement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1507,6 +1578,7 @@ QUERIES = {
     "q155_score_auc": q155_score_auc,
     "q161_benford_audit": q161_benford_audit,
     "q164_session_restatement": q164_session_restatement,
+    "q176_incremental_mv_audit": q176_incremental_mv_audit,
 }
 
 ORACLE = {
@@ -2049,6 +2121,46 @@ ORACLE = {
                CAST(contrib AS DOUBLE) AS contrib,
                chi2, mad
         FROM scored2 CROSS JOIN stats
+    """,
+    "q176_incremental_mv_audit": f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   epoch_us(ts) AS us,
+                   CAST(value AS DECIMAL(18,6)) AS v
+            FROM events),
+        base AS (SELECT event_type, day, COUNT(*) AS c_b, SUM(v) AS s_b
+                 FROM ev WHERE us <= {_RESTATE_CUTOFF_US}
+                 GROUP BY 1, 2),
+        delta AS (SELECT event_type, day, COUNT(*) AS c_d, SUM(v) AS s_d
+                  FROM ev WHERE us > {_RESTATE_CUTOFF_US}
+                  GROUP BY 1, 2),
+        incr AS (
+            SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+                   COALESCE(b.day, d.day) AS day,
+                   COALESCE(c_b, 0) + COALESCE(c_d, 0) AS c_i,
+                   COALESCE(s_b, 0) + COALESCE(s_d, 0) AS s_i
+            FROM base b FULL OUTER JOIN delta d
+              ON d.event_type = b.event_type AND d.day = b.day),
+        fullv AS (SELECT event_type, day, COUNT(*) AS c_f, SUM(v) AS s_f
+                  FROM ev GROUP BY 1, 2),
+        cmp AS (
+            SELECT f.c_f, f.s_f, i.c_i, i.s_i
+            FROM fullv f FULL OUTER JOIN incr i
+              ON i.event_type = f.event_type AND i.day = f.day)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN c_f IS NULL OR c_i IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               CAST(SUM(CASE WHEN c_f <> c_i THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_count_mismatch,
+               CAST(SUM(CASE WHEN s_f <> s_i THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sum_mismatch,
+               SUM(CASE WHEN c_f IS NULL OR c_i IS NULL
+                        THEN 1 ELSE 0 END) = 0
+               AND SUM(CASE WHEN c_f <> c_i THEN 1 ELSE 0 END) = 0
+               AND SUM(CASE WHEN s_f <> s_i THEN 1 ELSE 0 END) = 0
+                   AS groups_match
+        FROM cmp
     """,
     "q164_session_restatement": f"""
         WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us

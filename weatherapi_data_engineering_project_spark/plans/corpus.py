@@ -485,6 +485,107 @@ def q95_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q170 rank-discount weights 1/log2(p+1), snapped to 9 decimals in
+# Python and embedded as literals on BOTH sides (the q162 decay-table
+# convention — no runtime log2, no ulp divergence). Graded relevance
+# = 4 - truth_rank (3/2/1 for the brute-force top-3, 0 otherwise), so
+# the ideal DCG is the fixed literal 3*w1 + 2*w2 + 1*w3.
+import math as _math
+
+_NDCG_W = [round(1.0 / _math.log2(p + 1), 9) for p in (1, 2, 3)]
+_NDCG_IDEAL = round(
+    3 * _NDCG_W[0] + 2 * _NDCG_W[1] + 1 * _NDCG_W[2], 9
+)
+_DCG_TERM = "CAST(ROUND(rel * w, 9) AS DECIMAL(18,9))"
+_MRR_TERM = (
+    "COALESCE(ROUND(CAST(1.0 AS DOUBLE) / mp, 6), CAST(0.0 AS DOUBLE))"
+)
+
+
+def q170_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the q30 IVF index: MRR and
+    graded nDCG@3 per query against brute-force truth — the two
+    metrics a retrieval/RAG deployment actually reports (q103's
+    recall@3 counts hits; these also score WHERE in the list the hits
+    landed). Relevance is graded by truth rank (3/2/1), discounts are
+    the standard 1/log2(p+1) as plan literals, and MRR is the
+    reciprocal of the first relevant position (0 when the index
+    misses everything).
+
+    Scale shape: q103's exact plan shapes for both sides (broadcast
+    20-query truth side, spread candidates, hoisted norms); the eval
+    itself is one left join on (query, candidate) + one query-keyed
+    partial agg over ≤3 rows per query."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        _dot_arrays,
+        _ensure_parallelism,
+        _norm2_array,
+        _score,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            _norm2_array(F.col("embedding")).alias("qn2"),
+        )
+    )
+    cv = _ensure_parallelism(e).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+        _norm2_array(F.col("embedding")).alias("cn2"),
+    )
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        F.col("qn2"),
+        F.col("cn2"),
+    )
+    truth = (
+        qv.crossJoin(cv)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn(
+            "rt",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("cand_id")
+                )
+            ),
+        )
+        .filter(F.col("rt") <= 3)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "rt")
+    )
+    joined = ivf.select("query_id", "vec_id", F.col("rn").alias("p")).join(
+        truth, ["query_id", "vec_id"], "left"
+    )
+    terms = joined.select(
+        "query_id",
+        "p",
+        F.coalesce(4 - F.col("rt"), F.lit(0)).alias("rel"),
+        F.element_at(
+            F.lit(_NDCG_W).cast("array<double>"),
+            F.col("p").cast("int"),
+        ).alias("w"),
+    )
+    per = terms.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_hits"),
+        F.sum(F.expr(_DCG_TERM)).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("p"))).alias("mp"),
+    )
+    return per.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr(_MRR_TERM).alias("mrr"),
+        F.round(
+            F.col("dcg").cast("double") / F.lit(_NDCG_IDEAL), 6
+        ).alias("ndcg"),
+    )
+
+
 def q103_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation as a QUERY: recall@3 of the q30 IVF
     index against exact brute-force truth for the same 20 queries —
@@ -653,6 +754,7 @@ QUERIES = {
     "q103_ann_recall_audit": q103_ann_recall_audit,
     "q104_importance_sampling": q104_importance_sampling,
     "q105_bigram_lm_score": q105_bigram_lm_score,
+    "q170_ann_ranking_eval": q170_ann_ranking_eval,
 }
 
 
@@ -1175,6 +1277,52 @@ ORACLE["q103_ann_recall_audit"] = f"""
     SELECT query_id, n_hits,
            ROUND(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall
     FROM hits
+"""
+
+# q170's oracle: the q103 nesting (q30's oracle as the index side, the
+# brute CTE as truth) but keeping both ranks, with the Python-snapped
+# discount/ideal literals and the shared term strings.
+ORACLE["q170_ann_ranking_eval"] = f"""
+    WITH ivf AS ({_LLM_ORACLE["q30_ivf_ann"]}),
+    e2 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+    norms2 AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+               FROM e2 GROUP BY vec_id),
+    bdots AS (SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+                     SUM(CAST(q.v * x.v AS DECIMAL(38,25))) AS dot
+              FROM e2 q JOIN e2 x ON x.pos = q.pos
+                                 AND x.vec_id <> q.vec_id
+              WHERE q.vec_id < 20
+              GROUP BY q.vec_id, x.vec_id),
+    truth AS (SELECT query_id, cand_id, rt FROM (
+                SELECT d.query_id, d.cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.query_id
+                           ORDER BY {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} DESC,
+                                    d.cand_id) AS rt
+                FROM bdots d
+                JOIN norms2 nq ON nq.vec_id = d.query_id
+                JOIN norms2 nc ON nc.vec_id = d.cand_id)
+              WHERE rt <= 3),
+    terms AS (SELECT i.query_id, i.rn AS p,
+                     CASE WHEN t.cand_id IS NOT NULL
+                          THEN 4 - t.rt ELSE 0 END AS rel,
+                     CASE i.rn WHEN 1 THEN {_NDCG_W[0]!r}
+                               WHEN 2 THEN {_NDCG_W[1]!r}
+                               ELSE {_NDCG_W[2]!r} END AS w
+              FROM ivf i LEFT JOIN truth t
+                ON t.query_id = i.query_id AND t.cand_id = i.vec_id),
+    per AS (SELECT query_id,
+                   CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   SUM({_DCG_TERM}) AS dcg,
+                   MIN(CASE WHEN rel > 0 THEN p END) AS mp
+            FROM terms GROUP BY query_id)
+    SELECT query_id, n_hits,
+           {_MRR_TERM} AS mrr,
+           ROUND(CAST(dcg AS DOUBLE) / {_NDCG_IDEAL!r}, 6) AS ndcg
+    FROM per
 """
 
 _SPLIT_SQL = (

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import checkpoint_tracked
 from ..functions import text as TX
 from ..schemas import load_table
 from .analytics import _CHI_CONTRIB
@@ -1035,6 +1036,195 @@ _NMI = (
 )
 
 
+# q171 subset levels: md5-hex thresholds chosen so each level NESTS in
+# the next (a smaller threshold is a strict subset of a larger one) —
+# the property scaling-law experiments require: the 10% run's data is
+# contained in the 25% run's, so curve points differ only by scale,
+# never by composition. '1a'/'40'/'80' = 26/64/128 of 256 first-byte
+# values (~10.2%, 25%, 50%).
+_SCALE_LEVELS = (("p10", "1a"), ("p25", "40"), ("p50", "80"))
+
+
+def q171_scaling_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested scaling-law subset manifest: deterministic ~10/25/50/100%
+    corpus subsets by md5(doc_id) first-byte threshold, reported as
+    doc/token counts and token share — the data side of a scaling-law
+    sweep (train the same model at 4 scales). Nesting is structural
+    (threshold containment), so each larger run strictly extends the
+    smaller one's corpus; no RNG, same subsets on any cluster.
+
+    Scale shape: ONE scan with conditional partial aggs (8 measures),
+    no joins, no windows — the 4-row answer falls out of a stack()."""
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    base = d.select(
+        h2.alias("h2"), F.size(TX.tokens("text")).alias("nt")
+    )
+    measures = []
+    for name, thr in _SCALE_LEVELS:
+        inset = F.col("h2") < thr
+        measures += [
+            F.sum(F.when(inset, 1).otherwise(0)).alias(f"d_{name}"),
+            F.sum(F.when(inset, F.col("nt")).otherwise(0)).alias(
+                f"t_{name}"
+            ),
+        ]
+    measures += [
+        F.count(F.lit(1)).alias("d_p100"),
+        F.sum("nt").alias("t_p100"),
+    ]
+    agg = base.agg(*measures)
+    lvls = ", ".join(
+        f"'{name}', d_{name}, t_{name}"
+        for name, _ in (*_SCALE_LEVELS, ("p100", None))
+    )
+    return agg.select(
+        F.expr(
+            f"stack(4, {lvls}) AS (level, n_docs, n_tokens)"
+        ),
+        F.col("t_p100").alias("_tot"),
+    ).select(
+        "level",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("_tot"), 6
+        ).alias("token_share"),
+    )
+
+
+# q166 BPE trainer: fixed merge count, so the whole "iterative"
+# trainer is SQL-expressible by unrolling (the q47/q60 convention).
+_BPE_ROUNDS = 5
+
+
+def _bpe_word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency table exploded to per-character symbol rows —
+    the state the BPE trainer iterates on (Sennrich et al. 2016 §3.2
+    operates on word counts, never the raw corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode_outer(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("word")
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return words.select(
+        "word",
+        "cnt",
+        F.posexplode_outer(F.split("word", "")).alias("idx", "sym"),
+    ).filter(F.col("sym").isNotNull() & (F.col("sym") != ""))
+
+
+def _bpe_pair_counts(sym: DataFrame) -> DataFrame:
+    """Adjacent-pair statistics: every neighboring symbol position,
+    weighted by word frequency (the reference get_stats — overlapping
+    positions all count; the greedy non-overlap rule applies only to
+    the MERGE pass, not the statistics)."""
+    w = Window.partitionBy("word").orderBy("idx")
+    return (
+        sym.withColumn("nxt", F.lead("sym").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("sym").alias("left_sym"),
+            F.col("nxt").alias("right_sym"),
+        )
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _bpe_merge_pass(sym: DataFrame, a: str, b: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge of pair (a, b).
+
+    Candidate positions (sym=a, next=b) can only be CONSECUTIVE when
+    a == b (a run like 'aaa'); sequential greedy keeps the candidates
+    at even offsets within each consecutive run — a pure window parity
+    rule, so the inherently-sequential rewrite runs as one
+    word-partitioned window pass, no per-word loop anywhere."""
+    w = Window.partitionBy("word").orderBy("idx")
+    cand = (
+        sym.withColumn("nxt", F.lead("sym").over(w))
+        .filter((F.col("sym") == a) & (F.col("nxt") == b))
+        .select("word", "idx")
+    )
+    runs = cand.withColumn("grp", F.col("idx") - F.row_number().over(w))
+    valid = (
+        runs.withColumn(
+            "g0", F.min("idx").over(Window.partitionBy("word", "grp"))
+        )
+        .filter((F.col("idx") - F.col("g0")) % 2 == 0)
+        .select("word", "idx")
+    )
+    starts = valid.select("word", "idx", F.lit(1).alias("mstart"))
+    drops = valid.select(
+        "word", (F.col("idx") + 1).alias("idx"), F.lit(1).alias("mdrop")
+    )
+    kept = (
+        sym.join(starts, ["word", "idx"], "left")
+        .join(drops, ["word", "idx"], "left")
+        .filter(F.col("mdrop").isNull())
+    )
+    return kept.select(
+        "word",
+        "cnt",
+        (F.row_number().over(w) - 1).alias("idx2"),
+        F.when(F.col("mstart") == 1, F.lit(a + b))
+        .otherwise(F.col("sym"))
+        .alias("sym2"),
+    ).select(
+        "word",
+        "cnt",
+        F.col("idx2").alias("idx"),
+        F.col("sym2").alias("sym"),
+    )
+
+
+def q166_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge induction over the corpus — the first
+    5 merge rules a BPE tokenizer trainer (Sennrich et al. 2016) learns
+    from this text, each with the adjacent-pair frequency that selected
+    it. THE vocabulary-induction primitive of LLM data work: the
+    trainer that produces the merge table q61's BPE-ish tokenizer
+    consumes.
+
+    Semantics contract: pair statistics count every adjacent symbol
+    position weighted by word frequency; selection is argmax count
+    with a lexicographic (left, right) tiebreak; the merge pass
+    rewrites greedily left-to-right with non-overlapping occurrences
+    (see _bpe_merge_pass — the parity rule IS sequential greedy).
+
+    Scale shape: the corpus is scanned ONCE (word histogram, one
+    partial-agg shuffle); all rounds then run on the VOCAB-sized
+    symbol table — Sennrich's trainer is vocab-bound by design, which
+    is exactly why it scales to 100 TB corpora. Each round is one
+    word-keyed window exchange plus a 1-row argmax collected driver-
+    side (the k-means convention: the learned rule IS plan state for
+    the next round), and the merged symbol table is localCheckpoint'd
+    so lineage stays flat across rounds (q47 discipline)."""
+    sym = checkpoint_tracked(_bpe_word_symbols(spark, sf_dir))
+    picks = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            _bpe_pair_counts(sym)
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b = top["left_sym"], top["right_sym"]
+        picks.append((r, a, b, a + b, int(top["pair_count"])))
+        if r < _BPE_ROUNDS:
+            sym = checkpoint_tracked(_bpe_merge_pass(sym, a, b))
+    return spark.createDataFrame(
+        picks,
+        schema="merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+
+
 def q165_mutual_information(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1122,7 +1312,84 @@ QUERIES = {
     "q158_k_anonymity": q158_k_anonymity,
     "q160_inverted_index": q160_inverted_index,
     "q165_mutual_information": q165_mutual_information,
+    "q166_bpe_merges": q166_bpe_merges,
+    "q171_scaling_subsets": q171_scaling_subsets,
 }
+
+
+def _bpe_iter_sql(r: int, last: bool) -> str:
+    """One unrolled BPE round for the q166 oracle: pair stats from
+    s{r-1}, the argmax merge rule m{r}, and (unless this is the final
+    round) the merged symbol table s{r} via the same candidate-run
+    parity rule the Spark pass uses. MATERIALIZED per round — DuckDB
+    inlines CTEs by default and the multi-consumer references would
+    otherwise re-derive every prior round (the _KM_CTES lesson)."""
+    prev = f"s{r - 1}"
+    sql = f"""
+        p{r} AS (SELECT a, b, SUM(cnt) AS c FROM (
+                   SELECT sym AS a,
+                          LEAD(sym) OVER (PARTITION BY word
+                                          ORDER BY idx) AS b,
+                          cnt
+                   FROM {prev}) t
+                 WHERE b IS NOT NULL GROUP BY a, b),
+        m{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"""
+    if last:
+        return sql
+    return sql + f""",
+        c{r} AS (SELECT word, idx FROM (
+                   SELECT word, idx, sym,
+                          LEAD(sym) OVER (PARTITION BY word
+                                          ORDER BY idx) AS nxt
+                   FROM {prev}) t
+                 WHERE sym = (SELECT a FROM m{r})
+                   AND nxt = (SELECT b FROM m{r})),
+        v{r} AS (SELECT word, idx FROM (
+                   SELECT word, idx,
+                          MIN(idx) OVER (PARTITION BY word, grp) AS g0
+                   FROM (SELECT word, idx,
+                                idx - ROW_NUMBER() OVER (
+                                    PARTITION BY word
+                                    ORDER BY idx) AS grp
+                         FROM c{r}) u) v
+                 WHERE (idx - g0) % 2 = 0),
+        s{r} AS MATERIALIZED (
+            SELECT x.word, x.cnt,
+                   ROW_NUMBER() OVER (PARTITION BY x.word
+                                      ORDER BY x.idx) - 1 AS idx,
+                   CASE WHEN ms.idx IS NOT NULL
+                        THEN (SELECT a || b FROM m{r})
+                        ELSE x.sym END AS sym
+            FROM {prev} x
+            LEFT JOIN v{r} ms ON ms.word = x.word AND ms.idx = x.idx
+            LEFT JOIN v{r} md ON md.word = x.word AND md.idx = x.idx - 1
+            WHERE md.idx IS NULL)"""
+
+
+_BPE_CTES = (
+    """
+        WITH w AS MATERIALIZED (
+            SELECT word, COUNT(*) AS cnt FROM (
+              SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS word
+              FROM documents) t
+            WHERE word <> '' GROUP BY word),
+        s0 AS MATERIALIZED (
+            SELECT word, cnt, i - 1 AS idx, substr(word, i, 1) AS sym
+            FROM (SELECT word, cnt,
+                         unnest(generate_series(1, len(word))) AS i
+                  FROM w) t)"""
+    + "".join(
+        "," + _bpe_iter_sql(r, last=(r == _BPE_ROUNDS))
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+_BPE_FINAL = " UNION ALL ".join(
+    f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym,"
+    f" a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+    for r in range(1, _BPE_ROUNDS + 1)
+)
 
 ORACLE = {
     "q79_split_assign": f"""
@@ -1528,5 +1795,36 @@ ORACLE = {
             FROM (SELECT tc AS mc FROM t) CROSS JOIN nn)
         SELECT n_cells, mi, h_source, h_lang, {_NMI} AS nmi
         FROM mi CROSS JOIN hs CROSS JOIN hl
+    """,
+    "q166_bpe_merges": _BPE_CTES + "\n" + _BPE_FINAL,
+    "q171_scaling_subsets": f"""
+        WITH base AS (
+            SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+                   len({_TOK}) AS nt
+            FROM documents),
+        agg AS (
+            SELECT
+                SUM(CASE WHEN h2 < '1a' THEN 1 ELSE 0 END) AS d_p10,
+                SUM(CASE WHEN h2 < '1a' THEN nt ELSE 0 END) AS t_p10,
+                SUM(CASE WHEN h2 < '40' THEN 1 ELSE 0 END) AS d_p25,
+                SUM(CASE WHEN h2 < '40' THEN nt ELSE 0 END) AS t_p25,
+                SUM(CASE WHEN h2 < '80' THEN 1 ELSE 0 END) AS d_p50,
+                SUM(CASE WHEN h2 < '80' THEN nt ELSE 0 END) AS t_p50,
+                COUNT(*) AS d_p100,
+                SUM(nt) AS t_p100
+            FROM base)
+        SELECT level, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / t_p100, 6)
+                   AS token_share
+        FROM (
+            SELECT 'p10' AS level, d_p10 AS n_docs, t_p10 AS n_tokens,
+                   t_p100 FROM agg
+            UNION ALL
+            SELECT 'p25', d_p25, t_p25, t_p100 FROM agg
+            UNION ALL
+            SELECT 'p50', d_p50, t_p50, t_p100 FROM agg
+            UNION ALL
+            SELECT 'p100', d_p100, t_p100, t_p100 FROM agg) u
     """,
 }

@@ -285,6 +285,107 @@ def q55_bigjoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q175_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5-shaped six-table star: revenue from 1996 orders where
+    customer and supplier share a nation, rolled up per ASIA nation —
+    the canonical deep multi-way join benchmark (region → nation →
+    {customer, supplier} → orders → lineitem with a cross-dimension
+    equality). The join-planning showcase: the ONLY wide exchange is
+    lineitem ⋈ orders on orderkey; every dimension side (region-
+    filtered nations, nation-tagged suppliers, customers) broadcasts,
+    and the local-supplier condition (c_nationkey = s_nationkey) rides
+    the supplier broadcast join, never its own shuffle.
+
+    Revenue uses q144's exact-money convention: the double product is
+    cast to DECIMAL(18,4) per row (2-decimal price x 2-decimal
+    discount has 4 true decimals), summed exactly, and cast to double
+    once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.expr(
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+    )
+    nat = n.join(
+        r.filter(F.col("r_name") == "ASIA"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    sup = F.broadcast(
+        s.join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+def q177_exclusive_fault_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21-shaped correlated EXISTS / NOT EXISTS: suppliers who
+    were the ONLY supplier with returned items ('R') in finalized
+    multi-supplier orders — the classic blame-assignment query whose
+    value is the PLAN: Catalyst decorrelates the EXISTS into a
+    left-semi and the NOT EXISTS into a left-anti join, both with the
+    non-equi `suppkey <>` condition attached to the orderkey equi-key,
+    so the quadratic per-order scan the SQL literally describes never
+    runs. Written as SQL on purpose (q56's convention): the
+    decorrelation IS the operator under test."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_q177"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_q177"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_q177"
+    )
+    return spark.sql(
+        """
+        SELECT s.s_name AS s_name,
+               COUNT(*) AS numwait
+        FROM supplier_q177 s
+        JOIN lineitem_q177 l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_q177 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem_q177 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q177 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        """
+    )
+
+
 def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders priced above their customer's
     average. Written as SQL so Catalyst's decorrelation
@@ -725,6 +826,72 @@ _CL2 = (
 )
 
 
+# q168 per-position term: squared difference of two ROUND(,6) means —
+# both operands are identical doubles on both engines (exact multiples
+# of 1e-6), so the square is deterministic; the 9-decimal snap makes
+# the 64-term sum exact and order-independent (q132 convention).
+_MMD_TERM = "CAST(ROUND((ma - mb) * (ma - mb), 9) AS DECIMAL(18,9))"
+
+
+def q168_label_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise linear-kernel MMD² between label groups in embedding
+    space: for every label pair, squared distance between their mean
+    embeddings — the standard two-sample distribution-shift statistic
+    (MMD with a linear kernel reduces exactly to ||μ_a − μ_b||²). The
+    embedding-space companion to q151's PSI: PSI sees drift in a
+    scalar's histogram; this sees drift between cohorts of the
+    representation itself — near-zero pairs mean the labels are not
+    separable by mean shift, so a centroid classifier (q66) adds no
+    signal for them.
+
+    Scale shape: one posexplode partial-agg shuffle (labels × dim
+    partial sums per task — the q66 plan, vectors never shuffle
+    whole), then the pair join runs on the labels×dim frame, which is
+    label-count-bounded, never corpus-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,25)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("c"), 6).alias("m"),
+            "c",
+        )
+    )
+    pairs = (
+        per.select(
+            F.col("label").alias("label_a"),
+            "pos",
+            F.col("m").alias("ma"),
+            F.col("c").alias("ca"),
+        )
+        .join(
+            per.select(
+                F.col("label").alias("label_b"),
+                "pos",
+                F.col("m").alias("mb"),
+                F.col("c").alias("cb"),
+            ),
+            "pos",
+        )
+        .filter(F.col("label_a") < F.col("label_b"))
+    )
+    return (
+        pairs.withColumn("w", F.expr(_MMD_TERM))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("ca").alias("n_a"),
+            F.max("cb").alias("n_b"),
+            F.round(F.sum("w").cast("double"), 6).alias("mmd2"),
+        )
+    )
+
+
 def q129_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-label centroid similarity matrix: cosine and L2 distance
     between every pair of label centroids — the class-confusability
@@ -906,6 +1073,9 @@ QUERIES = {
     "q65_global_rank": q65_global_rank,
     "q66_label_centroids": q66_label_centroids,
     "q129_centroid_similarity": q129_centroid_similarity,
+    "q168_label_mmd": q168_label_mmd,
+    "q175_local_supplier_volume": q175_local_supplier_volume,
+    "q177_exclusive_fault_supplier": q177_exclusive_fault_supplier,
     "q142_embedding_dim_health": q142_embedding_dim_health,
     "q144_grouping_sets": q144_grouping_sets,
     "q67_window_gauntlet": q67_window_gauntlet,
@@ -1187,6 +1357,65 @@ ORACLE = {
                    AS zero_rate,
                min_v, max_v
         FROM per
+    """,
+    "q175_local_supplier_volume": """
+        SELECT n.n_name AS n_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+    "q177_exclusive_fault_supplier": """
+        SELECT s.s_name AS s_name,
+               COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+    """,
+    "q168_label_mmd": f"""
+        WITH e AS (SELECT label,
+                          generate_subscripts(embedding, 1) AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        per AS (
+            SELECT label, pos,
+                   ROUND(CAST(SUM(CAST(v AS DECIMAL(38,25))) AS DOUBLE)
+                       / COUNT(*), 6) AS m,
+                   COUNT(*) AS c
+            FROM e
+            GROUP BY label, pos),
+        pr AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   a.c AS ca, b.c AS cb,
+                   a.m AS ma, b.m AS mb
+            FROM per a JOIN per b ON b.pos = a.pos
+            WHERE a.label < b.label)
+        SELECT label_a, label_b,
+               CAST(MAX(ca) AS BIGINT) AS n_a,
+               CAST(MAX(cb) AS BIGINT) AS n_b,
+               ROUND(CAST(SUM({_MMD_TERM}) AS DOUBLE), 6) AS mmd2
+        FROM pr
+        GROUP BY label_a, label_b
     """,
     "q129_centroid_similarity": f"""
         WITH e AS (SELECT label,

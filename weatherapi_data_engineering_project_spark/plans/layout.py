@@ -487,11 +487,91 @@ def q148_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q172 ring nodes: md5('node-i') positions as PLAN LITERALS on both
+# sides (the sign-LSH hyperplane convention) — 32 original nodes, 16
+# added. Sorted ascending so "first position > key hash" is
+# element 1 of an order-preserving filter.
+import hashlib as _hashlib
+
+_RING_OLD = sorted(
+    _hashlib.md5(f"node-{i}".encode()).hexdigest() for i in range(32)
+)
+_RING_NEW = sorted(
+    _hashlib.md5(f"node-{i}".encode()).hexdigest() for i in range(48)
+)
+
+
+def _ring_assign_sql(nodes: list[str], dialect: str) -> str:
+    """First node position clockwise of the key hash (wrap to the
+    smallest position) — standard consistent-hash lookup as a pure
+    array expression over literal positions; `h` is the key hash
+    column. The array syntax differs per engine but the operands are
+    exact hex STRINGS, so the per-dialect forms are value-identical
+    (no float math anywhere)."""
+    if dialect == "spark":
+        arr = "array(" + ", ".join(f"'{p}'" for p in nodes) + ")"
+        return (
+            f"COALESCE(try_element_at(filter({arr}, x -> x > h), 1),"
+            f" '{nodes[0]}')"
+        )
+    arr = "[" + ", ".join(f"'{p}'" for p in nodes) + "]"
+    return (
+        f"COALESCE(list_filter({arr}, x -> x > h)[1], '{nodes[0]}')"
+    )
+
+
 # q163: the three audited columns, read under the table's natural
 # (l_orderkey, l_linenumber) order. suppkey is cast to string on BOTH
 # sides so one generic run counter handles every column type (equality
 # of the cast is equality of the value).
 _RLE_COLS = ("rf", "ls", "sk")
+
+
+def q172_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding movement audit: how many keys move when a 32-shard
+    layout grows to 48, under (a) modulo sharding on the key and
+    (b) a consistent-hash ring (md5 key positions against literal
+    node positions) — the capacity-planning number behind every
+    rebalance: mod moves ~2/3 of all keys (k%32 == k%48 only when
+    k%96 < 32), the ring moves only the ~1/3 that land on the 16 new
+    nodes. THE reason shuffle-less scale-out layouts use rings.
+
+    Scale shape: pure scan-side projections (the ring lookup is an
+    array expression over 48 plan-literal positions — no join, no
+    shuffle) into one global agg; the 2-row answer is a stack()."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    assigned = keyed.select(
+        "k",
+        F.expr(_ring_assign_sql(_RING_OLD, "spark")).alias("r32"),
+        F.expr(_ring_assign_sql(_RING_NEW, "spark")).alias("r48"),
+    )
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            (F.col("r32") != F.col("r48")).cast("long")
+        ).alias("m_ring"),
+        F.sum(
+            ((F.col("k") % 32) != (F.col("k") % 48)).cast("long")
+        ).alias("m_mod"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, 'mod', m_mod, 'ring', m_ring)"
+            " AS (strategy, n_moved)"
+        ),
+        "n_keys",
+    ).select(
+        "strategy",
+        "n_keys",
+        "n_moved",
+        F.round(
+            F.col("n_moved").cast("double") / F.col("n_keys"), 6
+        ).alias("moved_share"),
+    )
 
 
 def q163_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +706,7 @@ QUERIES = {
     "q120_hll_sketch": q120_hll_sketch,
     "q148_hll_merge": q148_hll_merge,
     "q163_rle_audit": q163_rle_audit,
+    "q172_reshard_audit": q172_reshard_audit,
 }
 
 _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
@@ -847,5 +928,30 @@ ORACLE = {
         SELECT 'l_suppkey', n_rows, runs_sk,
                ROUND(CAST(n_rows AS DOUBLE) / runs_sk, 6)
         FROM t
+    """,
+    "q172_reshard_audit": f"""
+        WITH keyed AS (
+            SELECT o_orderkey AS k,
+                   md5(CAST(o_orderkey AS VARCHAR)) AS h
+            FROM orders),
+        assigned AS (
+            SELECT k,
+                   {_ring_assign_sql(_RING_OLD, "duckdb")} AS r32,
+                   {_ring_assign_sql(_RING_NEW, "duckdb")} AS r48
+            FROM keyed),
+        agg AS (
+            SELECT COUNT(*) AS n_keys,
+                   SUM(CASE WHEN r32 <> r48 THEN 1 ELSE 0 END) AS m_ring,
+                   SUM(CASE WHEN k % 32 <> k % 48 THEN 1 ELSE 0 END)
+                       AS m_mod
+            FROM assigned)
+        SELECT strategy, CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_moved AS BIGINT) AS n_moved,
+               ROUND(CAST(n_moved AS DOUBLE) / n_keys, 6)
+                   AS moved_share
+        FROM (
+            SELECT 'mod' AS strategy, m_mod AS n_moved, n_keys FROM agg
+            UNION ALL
+            SELECT 'ring', m_ring, n_keys FROM agg) u
     """,
 }

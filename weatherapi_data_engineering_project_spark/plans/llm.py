@@ -784,6 +784,142 @@ def q72_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(drop, on="doc_id", how="left_anti")
 
 
+def q167_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit of the q60/q87 k-means partitioning: mean
+    cosine silhouette per cluster (nearest vs second-nearest centroid
+    distance), plus mean intra-cluster distance. The gate that tells
+    SemDeDup/IVF whether "same cluster" is trustworthy BEFORE they pay
+    for within-cluster pairing — clusters scoring near 0 sit in
+    overlap regions and deserve a re-split or probe widening. Shares
+    the q60 trainer (same k=16, 3 Lloyd rounds, so the oracle reuses
+    _KM_CTES verbatim) and the q30 decimal-exact scoring."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.centroid_silhouette(e, k=16, n_iters=3)
+
+
+# q174 shared term strings (q132 snap convention). `jaccard` is an
+# exact-integer ratio evaluated as one double division (identical on
+# both engines), `est` is k/8 (exact binary), so every term is a
+# deterministic double snapped to an exact decimal before the sum.
+_CAL_BIN = "LEAST(CAST(FLOOR(jaccard * 10) AS INT), 9)"
+_CAL_J = "CAST(ROUND(jaccard, 9) AS DECIMAL(18,9))"
+_CAL_E = "CAST(ROUND(est, 9) AS DECIMAL(18,9))"
+_CAL_AE = "CAST(ROUND(ABS(est - jaccard), 9) AS DECIMAL(18,9))"
+
+
+def q174_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration audit: for every LSH candidate
+    pair, the signature-based Jaccard estimate (matching components /
+    8) against the exact shingle Jaccard, rolled up into exact-Jaccard
+    decile bins with mean estimate and mean absolute error per bin.
+    THE trust audit for the whole q25/q47/q71 dedup stack: MinHash is
+    an unbiased estimator with std ≈ sqrt(J(1-J)/8) at 8 hashes, and
+    this query MEASURES that contract on the actual corpus instead of
+    assuming it — a drifting bin means shingling or banding is broken
+    for this data.
+
+    Scale shape: everything is candidate-bounded (the q25 LSH plan) —
+    signatures are 8 map-side MINs per doc, the estimate join carries
+    8×32-byte strings per pair, the exact side reuses the
+    candidate-driven shingle join, and the rollup is a ≤10-row
+    partial agg."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = persist_tracked(DD.shingle_sets(d, "text", "doc_id"))
+    sigs = persist_tracked(DD.minhash_signatures_from_shingles(ex))
+    cand = DD.minhash_band_candidates(sigs)
+    exact = DD.jaccard_from_shingles(ex, threshold=0.0, candidates=cand)
+    n = DD.N_HASHES
+    a = sigs.select(
+        F.col("doc").alias("id1"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(n)],
+    )
+    b = sigs.select(
+        F.col("doc").alias("id2"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(n)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n)
+    )
+    est = (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1", "id2", (matches / float(n)).alias("est")
+        )
+    )
+    pairs = exact.join(est, ["id1", "id2"])
+    return (
+        pairs.select(
+            F.expr(_CAL_BIN).alias("jaccard_bin"),
+            F.expr(_CAL_J).alias("tj"),
+            F.expr(_CAL_E).alias("te"),
+            F.expr(_CAL_AE).alias("tae"),
+        )
+        .groupBy("jaccard_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("tj").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_exact"),
+            F.round(
+                F.sum("te").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_est"),
+            F.round(
+                F.sum("tae").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_abs_err"),
+        )
+    )
+
+
+def q173_quality_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware canonical selection for dedup clusters: instead of
+    q47's min-id representative, each near-dup cluster keeps its
+    HIGHEST-q51-quality member (tiebreak min doc_id) — the curation
+    policy real pipelines want, since "which copy survives dedup"
+    should be a quality decision, not an id accident. Output per
+    cluster: size, the chosen representative with its score, and
+    whether it differs from the id-based pick (`moved` — the docs the
+    naive policy would have thrown away wrongly).
+
+    Scale shape: the q47 pipeline (banded LSH candidates, verified
+    pairs, 4 label-prop rounds) plus ONE cluster-keyed window over the
+    members frame — which is duplicate-count-sized, not corpus-sized;
+    the q51 score is a codegen'd scan-side projection."""
+    from .extensions import quality_score_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+    labels = DD.label_propagation_clusters(pairs, rounds=4)
+    _, score = quality_score_cols("text")
+    scored = d.select("doc_id", score.alias("q"))
+    memb = labels.select(
+        F.col("cluster_rep").alias("cluster"), "doc_id"
+    ).join(scored, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    rk = memb.select(
+        "cluster",
+        "doc_id",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster"))
+        .alias("nm"),
+    )
+    return rk.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("nm").alias("n_members"),
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("q").cast("int").alias("rep_quality"),
+        (F.col("doc_id") != F.col("cluster")).alias("moved"),
+    )
+
+
 QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
@@ -805,6 +941,7 @@ QUERIES = {
     "q157_graph_triangles": q157_graph_triangles,
     "q30_ivf_ann": q30_ivf_ann,
     "q60_ivf_kmeans_ann": q60_ivf_kmeans_ann,
+    "q167_cluster_silhouette": q167_cluster_silhouette,
     "q73_pq_ann": q73_pq_ann,
     "q74_pq_rerank_ann": q74_pq_rerank_ann,
     "q83_ivfpq_ann": q83_ivfpq_ann,
@@ -816,6 +953,8 @@ QUERIES = {
     "q41_scrub": q41_scrub,
     "q46_udtf_chunk": q46_udtf_chunk,
     "q47_dedup_clusters": q47_dedup_clusters,
+    "q173_quality_representatives": q173_quality_representatives,
+    "q174_minhash_calibration": q174_minhash_calibration,
     "q72_dedup_keep_list": q72_dedup_keep_list,
     "q85_crosssource_leakage": q85_crosssource_leakage,
     "q77_training_prep": q77_training_prep,
@@ -1327,6 +1466,43 @@ ORACLE = {
         FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
         WHERE s.jaccard >= {JACCARD_THRESHOLD}
     """,
+    "q174_minhash_calibration": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key
+                  FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        est AS (
+            SELECT c.id1, c.id2,
+                   ({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END" for i in range(DD.N_HASHES))})
+                       / {float(DD.N_HASHES)!r} AS est
+            FROM cand c
+            JOIN sigs a ON a.doc_id = c.id1
+            JOIN sigs b ON b.doc_id = c.id2),
+        pairs AS (
+            SELECT s.jaccard, e.est
+            FROM scored s JOIN est e
+              ON e.id1 = s.id1 AND e.id2 = s.id2),
+        terms AS (
+            SELECT {_CAL_BIN} AS jaccard_bin,
+                   {_CAL_J} AS tj, {_CAL_E} AS te, {_CAL_AE} AS tae
+            FROM pairs)
+        SELECT jaccard_bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(SUM(tj) AS DOUBLE) / COUNT(*), 6) AS avg_exact,
+               ROUND(CAST(SUM(te) AS DOUBLE) / COUNT(*), 6) AS avg_est,
+               ROUND(CAST(SUM(tae) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_abs_err
+        FROM terms GROUP BY jaccard_bin
+    """,
     "q71_incremental_neardup": f"""
         WITH {_SHINGLES_CTE},
         sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
@@ -1473,6 +1649,37 @@ ORACLE = {
     """,
     "q47_dedup_clusters": _CLUSTER_CTES + """
         SELECT id AS doc_id, rep AS cluster_rep FROM l4
+    """,
+    "q173_quality_representatives": _CLUSTER_CTES + f""",
+        qfeats AS (SELECT doc_id,
+                          len({_TOK}) AS n_tokens,
+                          CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                               AS DOUBLE) / length(text) AS punct_ratio,
+                          CAST(len(list_filter({_TOK},
+                                   t -> t IN {_STOP_SQL})) AS DOUBLE)
+                              / len({_TOK}) AS stop_ratio,
+                          CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                               AS DOUBLE) / len({_TOK}) AS avg_tok_len
+                   FROM documents),
+        qs AS (SELECT doc_id,
+                      (CASE WHEN n_tokens BETWEEN 10 AND 1000
+                            THEN 1 ELSE 0 END
+                       + CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END
+                       + CASE WHEN stop_ratio >= 0.03 THEN 1 ELSE 0 END
+                       + CASE WHEN avg_tok_len <= 12 THEN 1 ELSE 0 END)
+                          AS q
+               FROM qfeats),
+        memb AS (SELECT l.rep AS cluster, l.id AS doc_id, q.q
+                 FROM l4 l JOIN qs q ON q.doc_id = l.id),
+        mrk AS (SELECT cluster, doc_id, q,
+                       ROW_NUMBER() OVER (PARTITION BY cluster
+                                          ORDER BY q DESC, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY cluster) AS nm
+                FROM memb)
+        SELECT cluster, CAST(nm AS BIGINT) AS n_members,
+               doc_id AS rep_doc_id, CAST(q AS INT) AS rep_quality,
+               doc_id <> cluster AS moved
+        FROM mrk WHERE rn = 1
     """,
     "q72_dedup_keep_list": _CLUSTER_CTES + """
         SELECT d.doc_id
@@ -1656,6 +1863,44 @@ ORACLE = {
             JOIN norms nq ON nq.vec_id = d.qid
             JOIN norms nc ON nc.vec_id = d.cid2)
         SELECT query_id, vec_id, cosine, rn FROM kranked WHERE rn <= 3
+    """,
+    # q167: the SAME trained centroids (cent3), every (vector,
+    # centroid) pair scored with the q30 decimal-exact cosine, then
+    # the silhouette chain over the two nearest — term strings shared
+    # verbatim with the Spark side (SIM._SIL_TERM / SIM._DA_DEC).
+    "q167_cluster_silhouette": _KM_CTES
+    + f""",
+        snx AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                FROM e GROUP BY vec_id),
+        scn AS (SELECT cid, SUM(CAST(v * v AS DECIMAL(38,25))) AS cn2
+                FROM cent3 GROUP BY cid),
+        sdots AS (SELECT e.vec_id AS vid, c.cid,
+                         SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
+                  FROM e JOIN cent3 c ON c.pos = e.pos
+                  GROUP BY e.vec_id, c.cid),
+        scos AS (SELECT d.vid, d.cid,
+                        {_SCORE.format(dot="d.dot", n1="nv.n2", n2="cn.cn2")}
+                            AS cos
+                 FROM sdots d
+                 JOIN snx nv ON nv.vec_id = d.vid
+                 JOIN scn cn ON cn.cid = d.cid),
+        srk AS (SELECT vid, cid, 1.0 - cos AS d,
+                       ROW_NUMBER() OVER (PARTITION BY vid
+                                          ORDER BY cos DESC, cid) AS rn
+                FROM scos),
+        spv AS (SELECT vid,
+                       MIN(CASE WHEN rn = 1 THEN cid END) AS cid,
+                       MIN(CASE WHEN rn = 1 THEN d END) AS da,
+                       MIN(CASE WHEN rn = 2 THEN d END) AS db
+                FROM srk WHERE rn <= 2 GROUP BY vid),
+        sterms AS (SELECT cid, {SIM._DA_DEC} AS dd, {SIM._SIL_TERM} AS s
+                   FROM spv)
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(CAST(SUM(dd) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_intra_dist,
+               ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_silhouette
+        FROM sterms GROUP BY cid
     """,
     "q73_pq_ann": _PQ_CTES
     + """

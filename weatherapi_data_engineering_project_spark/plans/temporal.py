@@ -142,10 +142,94 @@ def q102_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q169 ACF formula — ONE shared SQL string both engines evaluate
+# verbatim over exact integer aggregates (q135 convention): with
+# x̄ = s/n, n²·Σ(x_t−x̄)(x_{t+k}−x̄) = n²·Σx_t·x_{t+k} − n·s·(A_k+B_k)
+# + (n−k)·s², and n²·Σ(x_t−x̄)² = n²·Σx² − n·s² — every term is an
+# exact integer cast to DOUBLE (all far below 2^53 at bench scales;
+# the casts are where a petabyte-scale deployment would switch the
+# aggregates to DECIMAL before the division).
+_ACF = (
+    "CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(p2 AS DOUBLE)) - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)"
+    " * CAST(s AS DOUBLE)) > 0 THEN"
+    " ROUND(((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(pk AS DOUBLE))"
+    " - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)"
+    " * (CAST(ak AS DOUBLE) + CAST(bk AS DOUBLE)))"
+    " + ((CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))"
+    " * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p2 AS DOUBLE))"
+    " - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6)"
+    " ELSE NULL END"
+)
+
+
+def q169_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1–7 —
+    the seasonality/self-similarity probe behind capacity planning and
+    anomaly baselines (a strong lag-7 says weekly rhythm; fast decay
+    says the counts are memoryless). The calendar is densified first
+    (q102's rule: silent days count 0), so lags mean calendar days,
+    not observed-row offsets.
+
+    Exactness: the classic ACF estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄)
+    / Σ(x_t−x̄)² is algebraically rescaled by n² so every aggregate
+    is an exact integer; ONE shared double chain (_ACF) does the only
+    division on both engines.
+
+    Scale shape: the corpus collapses to the day grid in one
+    partial-agg shuffle; everything after (the 7-lag self-join, the
+    scalar totals) runs on the days-sized frame — bounded by the
+    calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "d0",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    grid = cal.join(daily, "day", "left").select(
+        F.datediff("day", "d0").cast("long").alias("t"),
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    tot = grid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("p2"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    pr = (
+        grid.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            grid.alias("b"),
+            F.col("b.t") == F.col("a.t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("pk"),
+            F.sum(F.col("a.x")).alias("ak"),
+            F.sum(F.col("b.x")).alias("bk"),
+        )
+    )
+    return pr.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.expr(_ACF).alias("acf"),
+    )
+
+
 QUERIES = {
     "q100_scd2_history": q100_scd2_history,
     "q101_twap": q101_twap,
     "q102_gapfill_locf": q102_gapfill_locf,
+    "q169_daily_autocorr": q169_daily_autocorr,
 }
 
 ORACLE = {
@@ -225,5 +309,34 @@ ORACLE = {
                d.day_value IS NULL AS filled
         FROM cal c LEFT JOIN daily d
           ON d.user_id = c.user_id AND d.day = c.day
+    """,
+    "q169_daily_autocorr": f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS x
+            FROM events GROUP BY 1),
+        span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        cal AS (SELECT d0,
+                       CAST(unnest(generate_series(
+                           CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                FROM span),
+        grid AS (SELECT CAST(date_diff('day', c.d0, c.day) AS BIGINT)
+                            AS t,
+                        COALESCE(d.x, 0) AS x
+                 FROM cal c LEFT JOIN daily d ON d.day = c.day),
+        tot AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS p2
+                FROM grid),
+        lg AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        pr AS (SELECT l.lag, COUNT(*) AS n_pairs,
+                      SUM(a.x * b.x) AS pk,
+                      SUM(a.x) AS ak, SUM(b.x) AS bk
+               FROM grid a CROSS JOIN lg l
+               JOIN grid b ON b.t = a.t + l.lag
+               GROUP BY l.lag)
+        SELECT CAST(lag AS INT) AS lag,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               {_ACF} AS acf
+        FROM pr CROSS JOIN tot
     """,
 }
