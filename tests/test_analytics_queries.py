@@ -580,3 +580,37 @@ def test_incremental_mv_audit_additivity_and_injected_breakage(spark):
         for e in ev
     ]
     assert any(split) and not all(split)
+
+
+def test_bag_setops_match_python_counters(spark):
+    """INTERSECT ALL / EXCEPT ALL multiplicities equal Counter
+    min / difference — the bag semantics DISTINCT variants destroy."""
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate"
+    ).collect()
+    a = Counter(
+        (r.o_custkey, r.o_orderpriority)
+        for r in o
+        if r.o_orderdate.year == 1996
+    )
+    b = Counter(
+        (r.o_custkey, r.o_orderpriority)
+        for r in o
+        if r.o_orderdate.year == 1997
+    )
+    want_i = {k: min(v, b[k]) for k, v in a.items() if min(v, b[k]) > 0}
+    want_x = {k: v - b[k] for k, v in a.items() if v - b[k] > 0}
+    got_i, got_x = {}, {}
+    for r in A.q180_bag_setops(spark, SF_DIR).collect():
+        tgt = got_i if r.op == "intersect_all" else got_x
+        tgt[(r.o_custkey, r.o_orderpriority)] = r.multiplicity
+    assert got_i == want_i
+    assert got_x == want_x
+    # bag semantics must differ from set semantics somewhere
+    assert any(v > 1 for v in want_i.values()) or any(
+        v > 1 for v in want_x.values()
+    )

@@ -349,3 +349,33 @@ def test_decayed_engagement_matches_python_ewma(spark):
     assert any(
         r.engagement < 0.5 * r.lifetime_spend for r in rows
     ), "decay table applied nothing - check the age arithmetic"
+
+
+def test_rolling_active_users_matches_python(spark):
+    """WAU/DAU recomputed from per-day user sets in Python over the
+    same calendar; the 7-day union identity pins the window."""
+    from datetime import timedelta
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    by_day: dict = {}
+    for e in load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts"
+    ).collect():
+        by_day.setdefault(e.ts.date(), set()).add(e.user_id)
+    d0, d1 = min(by_day), max(by_day)
+    rows = {r.day: r for r in B.q179_rolling_active_users(spark, SF_DIR).collect()}
+    n_days = (d1 - d0).days + 1
+    assert len(rows) == n_days
+    d = d0
+    while d <= d1:
+        users = set()
+        for k in range(7):
+            users |= by_day.get(d - timedelta(days=k), set())
+        dau = len(by_day.get(d, set()))
+        r = rows[d]
+        assert (r.wau, r.dau) == (len(users), dau)
+        if r.wau:
+            assert abs(r.stickiness - round(dau / len(users), 6)) < 1e-9
+            assert r.dau <= r.wau
+        d += timedelta(days=1)

@@ -320,3 +320,39 @@ def test_exclusive_fault_supplier_matches_python(spark):
         for r in X.q177_exclusive_fault_supplier(spark, SF_DIR).collect()
     }
     assert got == want and want
+
+
+def test_small_quantity_revenue_matches_python(spark):
+    """Q17 semantics brute-forced: per-part average quantity, 0.2x
+    threshold, Brand#1 filter, decimal-cent revenue."""
+    from decimal import Decimal
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).collect()
+    brand = {
+        r.p_partkey
+        for r in load_table(spark, SF_DIR, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .collect()
+    }
+    per: dict[int, list] = {}
+    for r in li:
+        rec = per.setdefault(r.l_partkey, [0, 0])
+        rec[0] += 1
+        rec[1] += int(r.l_quantity)
+    n_small = 0
+    total = Decimal(0)
+    for r in li:
+        if r.l_partkey not in brand:
+            continue
+        c, s = per[r.l_partkey]
+        if int(r.l_quantity) < 0.2 * (s / c):
+            n_small += 1
+            total += Decimal(str(r.l_extendedprice)).quantize(
+                Decimal("0.01")
+            )
+    row = X.q178_small_quantity_revenue(spark, SF_DIR).collect()[0]
+    assert row.n_small == n_small and n_small > 0
+    assert abs(row.total_price - float(total)) < 1e-6
+    assert abs(row.avg_yearly - round(float(total) / 7.0, 6)) < 1e-6

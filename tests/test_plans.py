@@ -514,3 +514,46 @@ def test_exclusive_fault_supplier_decorrelates(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_reshard_audit_is_scan_side_only(spark):
+    """q172: the ring lookup is a literal-array projection — no join
+    and no shuffle before the final 2-row aggregate."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        layout as L,
+    )
+
+    plan = _plan(L.q172_reshard_audit(spark, SF_DIR))
+    assert "Join" not in plan
+    # one exchange for the global aggregate, nothing else
+    assert _shuffles(plan) <= 1
+
+
+def test_rolling_active_users_has_no_per_day_rescan(spark):
+    """q179: the sliding distinct is ONE contribution explode + one
+    count-distinct — no range join, no cartesian, no window sort over
+    the event log."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    plan = _plan(B.q179_rolling_active_users(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") >= 1
+
+
+def test_bpe_pair_counts_window_is_word_keyed(spark):
+    """q166: every window in the trainer partitions by word — a
+    global (unpartitioned) window over the symbol table would
+    serialize the vocab into one task."""
+    from weatherapi_data_engineering_project_spark.plans.curation import (
+        _bpe_pair_counts,
+        _bpe_word_symbols,
+    )
+
+    plan = _plan(_bpe_pair_counts(_bpe_word_symbols(spark, SF_DIR)))
+    assert "Window" in plan
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "word" in spec

@@ -136,6 +136,42 @@ def q34_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers_95.intersect(buyers_96).subtract(finished)
 
 
+def q180_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operators — INTERSECT ALL and EXCEPT ALL
+    over each year's (customer, priority) order bags, rolled up per
+    surviving key with the surviving multiplicity. q34 covers the
+    DISTINCT variants; the ALL variants are semantically different
+    operators (min-multiplicity and multiplicity-difference) that SQL
+    engines implement with a dedicated counted anti/semi strategy —
+    losing a duplicate here silently corrupts any bag-accounting
+    pipeline (e.g. order-level reconciliation), which is why the
+    multiplicities are the output.
+
+    Scale shape: both operators hash-partition on the full row key —
+    one exchange per side, multiplicities resolved map-side after the
+    co-partition; the rollup rides the same partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_custkey", "o_orderpriority"
+    )
+    b = o.filter(F.year("o_orderdate") == 1997).select(
+        "o_custkey", "o_orderpriority"
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "*")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "*")
+    )
+    return inter.unionByName(exc)
+
+
 def q36_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed median of order price per priority.
 
@@ -1579,6 +1615,7 @@ QUERIES = {
     "q161_benford_audit": q161_benford_audit,
     "q164_session_restatement": q164_session_restatement,
     "q176_incremental_mv_audit": q176_incremental_mv_audit,
+    "q180_bag_setops": q180_bag_setops,
 }
 
 ORACLE = {
@@ -2121,6 +2158,20 @@ ORACLE = {
                CAST(contrib AS DOUBLE) AS contrib,
                chi2, mad
         FROM scored2 CROSS JOIN stats
+    """,
+    "q180_bag_setops": """
+        WITH a AS (SELECT o_custkey, o_orderpriority FROM orders
+                   WHERE date_part('year', o_orderdate) = 1996),
+        b AS (SELECT o_custkey, o_orderpriority FROM orders
+              WHERE date_part('year', o_orderdate) = 1997),
+        i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        SELECT 'intersect_all' AS op, o_custkey, o_orderpriority,
+               COUNT(*) AS multiplicity
+        FROM i GROUP BY 2, 3
+        UNION ALL
+        SELECT 'except_all', o_custkey, o_orderpriority, COUNT(*)
+        FROM x GROUP BY 2, 3
     """,
     "q176_incremental_mv_audit": f"""
         WITH ev AS (

@@ -827,6 +827,67 @@ def q130_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q179_rolling_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day active users per calendar day (WAU) alongside
+    that day's DAU and the DAU/WAU stickiness ratio — the standard
+    engagement health metrics. Sliding COUNT(DISTINCT) doesn't exist
+    as a window function in EITHER engine (distinct state can't
+    merge), so the rewrite IS the operator: each distinct
+    (user, active day) pair CONTRIBUTES to the 7 calendar days it
+    covers (one row-local explode of a 7-day sequence), and WAU is a
+    plain count-distinct per contributed day — linear in pairs, never
+    a per-day re-scan, and the window length is a plan constant.
+
+    Scale shape: one (user, day) dedup shuffle over the log, a ×7
+    row-local explode of the DAY-sized pair frame, one day-keyed
+    count-distinct; the calendar join trims warm-up days and keeps
+    event-free days (WAU can be nonzero on a day with no events)."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).distinct()
+    span = pu.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    contrib = pu.select(
+        "user_id",
+        F.explode_outer(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wday"),
+    ).filter(F.col("wday").isNotNull())
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = pu.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        cal.join(wau, "day", "left")
+        .join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.when(
+                F.coalesce("wau", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dau", F.lit(0)).cast("double")
+                    / F.col("wau"),
+                    6,
+                ),
+            ).alias("stickiness"),
+        )
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q98_retention_cohorts": q98_retention_cohorts,
@@ -841,6 +902,7 @@ QUERIES = {
     "q153_ab_test": q153_ab_test,
     "q159_kaplan_meier": q159_kaplan_meier,
     "q162_decayed_engagement": q162_decayed_engagement,
+    "q179_rolling_active_users": q179_rolling_active_users,
 }
 
 ORACLE = {
@@ -1206,5 +1268,37 @@ ORACLE = {
                CAST(SUM(v) AS DOUBLE) AS lifetime_spend,
                ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS engagement
         FROM s GROUP BY user_id
+    """,
+    "q179_rolling_active_users": """
+        WITH pu AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+        span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM pu),
+        cal AS (SELECT CAST(unnest(generate_series(
+                           CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                FROM span),
+        contrib AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(
+                       CAST(day AS TIMESTAMP),
+                       CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                       INTERVAL 1 DAY)) AS DATE) AS wday
+            FROM pu),
+        wau AS (SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+                FROM contrib GROUP BY 1),
+        dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+                FROM pu GROUP BY 1)
+        SELECT c.day,
+               CAST(COALESCE(w.wau, 0) AS BIGINT) AS wau,
+               CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+               CASE WHEN COALESCE(w.wau, 0) > 0
+                    THEN ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE)
+                               / w.wau, 6)
+                    END AS stickiness
+        FROM cal c
+        LEFT JOIN wau w ON w.day = c.day
+        LEFT JOIN dau d ON d.day = c.day
     """,
 }

@@ -386,6 +386,47 @@ def q177_exclusive_fault_supplier(
     )
 
 
+def q178_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17-shaped per-group scalar subquery: yearly revenue
+    locked up in small-quantity line items — items of Brand#1 parts
+    ordered below 20% of that part's average order quantity. The
+    operator under test is Catalyst's decorrelation of a CORRELATED
+    scalar aggregate (one row per outer row in the SQL text) into one
+    partkey aggregate + join; q56 covers the single-table case, this
+    is the canonical fact-side version where the rewrite is the
+    difference between one shuffle and a per-row re-scan.
+
+    Cross-engine exactness: quantities are integral doubles cast
+    BIGINT, so the per-part average is the same correctly-rounded
+    IEEE division of identical integers on both engines, and the
+    0.2× threshold compare sees identical doubles — boundary rows
+    cannot diverge. Revenue follows the exact-money convention."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_q178"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "part_q178"
+    )
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem_q178 l
+        JOIN part_q178 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND CAST(l.l_quantity AS BIGINT) <
+              (SELECT 0.2 * AVG(CAST(l2.l_quantity AS BIGINT))
+               FROM lineitem_q178 l2
+               WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
 def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders priced above their customer's
     average. Written as SQL so Catalyst's decorrelation
@@ -1076,6 +1117,7 @@ QUERIES = {
     "q168_label_mmd": q168_label_mmd,
     "q175_local_supplier_volume": q175_local_supplier_volume,
     "q177_exclusive_fault_supplier": q177_exclusive_fault_supplier,
+    "q178_small_quantity_revenue": q178_small_quantity_revenue,
     "q142_embedding_dim_health": q142_embedding_dim_health,
     "q144_grouping_sets": q144_grouping_sets,
     "q67_window_gauntlet": q67_window_gauntlet,
@@ -1391,6 +1433,20 @@ ORACLE = {
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_returnflag = 'R')
         GROUP BY s.s_name
+    """,
+    "q178_small_quantity_revenue": """
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND CAST(l.l_quantity AS BIGINT) <
+              (SELECT 0.2 * AVG(CAST(l2.l_quantity AS BIGINT))
+               FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
     """,
     "q168_label_mmd": f"""
         WITH e AS (SELECT label,
