@@ -614,3 +614,108 @@ def test_bag_setops_match_python_counters(spark):
     assert any(v > 1 for v in want_i.values()) or any(
         v > 1 for v in want_x.values()
     )
+
+
+def test_weighted_median_matches_python(spark):
+    """Lower weighted median recomputed in Python under the same
+    (price, orderkey) total order; also pins the defining property
+    of the weighted median (cumweight crossing at the reported
+    value)."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    wts = {}
+    for r in load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey"
+    ).collect():
+        wts[r.l_orderkey] = wts.get(r.l_orderkey, 0) + 1
+    groups: dict = {}
+    for r in load_table(spark, SF_DIR, "orders").collect():
+        if r.o_orderkey in wts:
+            groups.setdefault(r.o_orderpriority, []).append(
+                (round(r.o_totalprice, 2), r.o_orderkey, wts[r.o_orderkey])
+            )
+    rows = {
+        r.o_orderpriority: r
+        for r in A.q182_weighted_median(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(groups)
+    for prio, items in groups.items():
+        items.sort()
+        tw = sum(w for _, _, w in items)
+        c = 0
+        for price, _, w in items:
+            c += w
+            if 2 * c >= tw:
+                med = price
+                break
+        r = rows[prio]
+        assert r.total_weight == tw
+        assert abs(r.weighted_median - med) < 1e-9
+
+
+def test_concurrent_sessions_matches_python_sweep(spark):
+    """Per-day peak concurrency recomputed with a Python sweep over
+    re-sessionized, midnight-clipped intervals (inclusive ends,
+    starts-before-ends tie rule)."""
+    import calendar
+    from datetime import datetime, timedelta, timezone
+
+    from weatherapi_data_engineering_project_spark.plans.analytics import (
+        SESSION_GAP_US,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    by_user: dict = {}
+    for e in load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts"
+    ).collect():
+        us = (
+            calendar.timegm(e.ts.timetuple()) * 1_000_000
+            + e.ts.microsecond
+        )
+        by_user.setdefault(e.user_id, []).append((us, e.event_id))
+    sessions = []
+    for evs in by_user.values():
+        evs.sort()
+        st = en = evs[0][0]
+        for us, _ in evs:
+            if us - en > SESSION_GAP_US:
+                sessions.append((st, en))
+                st = us
+            en = us
+        sessions.append((st, en))
+
+    def day_of(us):
+        return datetime.fromtimestamp(
+            us // 1_000_000, tz=timezone.utc
+        ).date()
+
+    per_day: dict = {}
+    for st, en in sessions:
+        d = day_of(st)
+        while d <= day_of(en):
+            d0 = int(
+                datetime(
+                    d.year, d.month, d.day, tzinfo=timezone.utc
+                ).timestamp()
+            ) * 1_000_000
+            cst, cen = max(st, d0), min(en, d0 + 86_400_000_000 - 1)
+            per_day.setdefault(d, []).append((cst, cen))
+            d += timedelta(days=1)
+    rows = {
+        r.day: r
+        for r in A.q184_concurrent_sessions(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(per_day)
+    for d, ivs in per_day.items():
+        bounds = sorted(
+            [(s, -1) for s, _ in ivs] + [(e + 1, 1) for _, e in ivs]
+        )  # delta encoded so starts (-1 key) sort before ends at ties
+        peak = cur = 0
+        for _, tag in bounds:
+            cur += 1 if tag == -1 else -1
+            peak = max(peak, cur)
+        r = rows[d]
+        assert r.n_sessions == len(ivs)
+        assert r.peak_concurrency == peak
+    assert any(r.peak_concurrency > 1 for r in rows.values())

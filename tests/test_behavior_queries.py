@@ -379,3 +379,75 @@ def test_rolling_active_users_matches_python(spark):
             assert abs(r.stickiness - round(dau / len(users), 6)) < 1e-9
             assert r.dau <= r.wau
         d += timedelta(days=1)
+
+
+def test_daily_ohlc_matches_python(spark):
+    """OHLC recomputed from the raw log sorted by (epoch us,
+    event_id); open/close must be order-determined, high/low/volume
+    set-determined."""
+    import calendar
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("ts", "event_id", "value").collect()
+    days: dict = {}
+    for e in ev:
+        us = (
+            calendar.timegm(e.ts.timetuple()) * 1_000_000
+            + e.ts.microsecond
+        )
+        v = Decimal(str(e.value)).quantize(Decimal("0.000001"))
+        days.setdefault(e.ts.date(), []).append((us, e.event_id, v))
+    rows = {r.day: r for r in B.q181_daily_ohlc(spark, SF_DIR).collect()}
+    assert set(rows) == set(days)
+    for d, items in days.items():
+        items.sort()
+        vals = [v for _, _, v in items]
+        r = rows[d]
+        assert r.n_trades == len(items)
+        assert abs(r.open - float(items[0][2])) < 1e-9
+        assert abs(r.close - float(items[-1][2])) < 1e-9
+        assert abs(r.high - float(max(vals))) < 1e-9
+        assert abs(r.low - float(min(vals))) < 1e-9
+        assert abs(r.volume - float(sum(vals))) < 1e-6
+    # order-sensitivity must be real somewhere: open != low or
+    # close != high on at least one day, else the test proves nothing
+    assert any(
+        rows[d].open != rows[d].low or rows[d].close != rows[d].high
+        for d in rows
+    )
+
+
+def test_conversion_paths_match_python(spark):
+    """Paths recomputed from per-user ordered symbol strings."""
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    by_user: dict = {}
+    case = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    for e in load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        by_user.setdefault(e.user_id, []).append(
+            (e.ts, e.event_id, case.get(e.event_type, "e"))
+        )
+    want = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        seq = "".join(ch for _, _, ch in evs)
+        i = seq.find("p")
+        if i < 0:
+            continue
+        want[seq[: i + 1][-8:]] += 1
+    got = {
+        r.path: r.n_users
+        for r in B.q183_conversion_paths(spark, SF_DIR).collect()
+    }
+    assert got == dict(want) and got
+    assert all(p.endswith("p") for p in got)

@@ -356,3 +356,75 @@ def test_small_quantity_revenue_matches_python(spark):
     assert row.n_small == n_small and n_small > 0
     assert abs(row.total_price - float(total)) < 1e-6
     assert abs(row.avg_yearly - round(float(total) / 7.0, 6)) < 1e-6
+
+
+def test_lateral_topk_matches_python(spark):
+    """Per-customer top-2 recomputed in Python under the same
+    (price DESC, orderkey) order; inner-lateral semantics drop
+    orderless customers."""
+    orders: dict = {}
+    for r in load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).collect():
+        orders.setdefault(r.o_custkey, []).append(
+            (-round(r.o_totalprice, 2), r.o_orderkey)
+        )
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    want = {}
+    for ck, os_ in orders.items():
+        if ck not in seg:
+            continue
+        os_.sort()
+        for rk, (negp, ok) in enumerate(os_[:2], start=1):
+            want[(ck, ok)] = (seg[ck], rk, -negp)
+    got = {
+        (r.c_custkey, r.o_orderkey): (r.c_mktsegment, r.rk, round(r.price, 2))
+        for r in X.q186_lateral_topk(spark, SF_DIR).collect()
+    }
+    assert got == want and want
+
+
+def test_null_semantics_matches_python(spark):
+    """Every audit scalar recomputed from raw statuses in Python —
+    the COUNT/DISTINCT/GROUP BY/null-safe-join contracts."""
+    from collections import Counter
+
+    rows = load_table(spark, SF_DIR, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    sts = [
+        (None if r.o_orderstatus == "O" else r.o_orderstatus,
+         r.o_orderpriority)
+        for r in rows
+    ]
+    g = Counter(sts)
+    by_status: dict = {}
+    for (st, _p), _c in g.items():
+        by_status.setdefault(st, 0)
+    keys = list(g)
+    np = sum(
+        1
+        for (s1, _), __ in [(k, None) for k in keys]
+        for (s2, _) in keys
+        if s1 == s2 or (s1 is None and s2 is None)
+    )
+    nn = sum(
+        1
+        for (s1, _) in keys
+        for (s2, _) in keys
+        if s1 is None and s2 is None
+    )
+    r = X.q187_null_semantics(spark, SF_DIR).collect()[0]
+    nonnull = [s for s, _ in sts if s is not None]
+    assert r.n_rows == len(sts)
+    assert r.n_nonnull == len(nonnull)
+    assert r.n_null == len(sts) - len(nonnull)
+    assert r.n_distinct == len(set(nonnull))
+    assert r.n_status_groups == len(by_status)  # NULL is its own group
+    assert r.n_nullsafe_pairs == np
+    assert r.n_null_null_pairs == nn
+    assert r.max_st == max(nonnull)  # MAX skips nulls
+    assert r.n_null > 0, "NULLIF must manufacture nulls"

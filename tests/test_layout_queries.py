@@ -190,3 +190,30 @@ def test_reshard_audit_matches_python_ring(spark):
     assert abs(
         got["ring"].moved_share - round(m_ring / len(keys), 6)
     ) < 1e-9
+
+
+def test_bitmap_index_matches_python_sets(spark):
+    """Set algebra recomputed from raw per-flag orderkey sets — the
+    packed-popcount identities must equal plain set arithmetic."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    sets: dict = {}
+    for r in load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    ).collect():
+        sets.setdefault(r.l_returnflag, set()).add(r.l_orderkey)
+    rows = {
+        (r.flag_a, r.flag_b): r
+        for r in L.q185_bitmap_index(spark, SF_DIR).collect()
+    }
+    flags = sorted(sets)
+    assert set(rows) == {
+        (a, b) for i, a in enumerate(flags) for b in flags[i + 1:]
+    }
+    for (a, b), r in rows.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert (r.n_a, r.n_b) == (len(sets[a]), len(sets[b]))
+        assert (r.n_intersect, r.n_union) == (inter, union)
+        assert abs(r.jaccard - round(inter / union, 6)) < 1e-9
+        assert r.n_intersect > 0, "multi-flag orders must exist"

@@ -557,3 +557,15 @@ def test_bpe_pair_counts_window_is_word_keyed(spark):
 
     for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "word" in spec
+
+
+def test_lateral_topk_decorrelates_to_window_limit(spark):
+    """q186: the per-customer LIMIT must become a partitioned window
+    (WindowGroupLimit), never a per-row re-scan or cartesian."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    plan = _plan(X.q186_lateral_topk(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -136,6 +136,160 @@ def q34_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers_95.intersect(buyers_96).subtract(finished)
 
 
+def q182_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median order price per priority, weighted by the
+    order's line-item count — the robust center estimate when records
+    carry unequal mass (unweighted q36 over-counts thin orders). The
+    lower weighted median: the smallest price whose cumulative weight
+    reaches half the total, deterministic under the (price, orderkey)
+    total order, all weights exact integers.
+
+    Scale shape: the q150 two-phase rewrite applied to a WEIGHTED
+    cumulative sum — sampled price boundaries bucket each priority,
+    every (priority, bucket) partition cumsums its weights locally in
+    parallel, and the tiny per-bucket offset frame (≤ priorities × 33
+    rows) stitches global cumulative weights; the crossing row then
+    falls out of a filter + min_by, so NO priority ever serializes
+    into one window task (the q36 single-window shape would)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("w"))
+    base = o.join(
+        wts, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_totalprice").alias("_pd"),
+        "w",
+    )
+    bnds = sorted(
+        set(base.approxQuantile("_pd", [i / 32 for i in range(1, 32)], 0.01))
+    )
+    bucketed = base.withColumn(
+        "_bkt",
+        F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("_pd"),
+            )
+        ),
+    )
+    offs = (
+        bucketed.groupBy("o_orderpriority", "_bkt")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bw").over(
+                    Window.partitionBy("o_orderpriority")
+                    .orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "tw",
+            F.sum("bw").over(Window.partitionBy("o_orderpriority")),
+        )
+        .select("o_orderpriority", "_bkt", "off", "tw")
+    )
+    wl = Window.partitionBy("o_orderpriority", "_bkt").orderBy(
+        "price", "o_orderkey"
+    )
+    cum = bucketed.withColumn(
+        "lc",
+        F.sum("w").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+    ).join(F.broadcast(offs), ["o_orderpriority", "_bkt"])
+    qual = cum.filter(
+        2 * (F.col("off") + F.col("lc")) >= F.col("tw")
+    )
+    return qual.groupBy("o_orderpriority").agg(
+        F.max("tw").alias("total_weight"),
+        F.min_by(
+            "price", F.struct("price", "o_orderkey")
+        )
+        .cast("double")
+        .alias("weighted_median"),
+    )
+
+
+def q184_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrency per calendar day: the maximum number of
+    simultaneously-open q31 sessions, via the classic sweep line —
+    every session contributes a +1 at its (clipped) start and a −1
+    just after its (clipped) end, and peak concurrency is the max
+    prefix sum. THE capacity metric (how many live sessions must the
+    serving tier hold?) and an algorithmic shape nothing else in the
+    registry exercises: interval-overlap aggregation without an
+    interval join.
+
+    Determinism: inclusive-end semantics — at a shared instant,
+    starts are processed before ends (ORDER BY t, delta DESC), so a
+    session ending exactly when another starts counts as overlap;
+    ties within the same delta can't change any prefix sum.
+
+    Scale shape: sessions are the q164 single-shuffle windows;
+    midnight-spanning sessions explode row-locally into their ≤2-3
+    day slices; the sweep is a day-partitioned window (bounded by a
+    day's boundary events, never the global log)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    s = _us_sessions(ev)
+    sliced = s.select(
+        "user_id",
+        "sid",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.expr("CAST(to_date(timestamp_micros(st)) AS DATE)"),
+                F.expr("CAST(to_date(timestamp_micros(en)) AS DATE)"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).select(
+        "user_id",
+        "sid",
+        "day",
+        F.greatest(
+            F.col("st"), F.expr("unix_micros(CAST(day AS TIMESTAMP))")
+        ).alias("cst"),
+        F.least(
+            F.col("en"),
+            F.expr(
+                "unix_micros(CAST(day AS TIMESTAMP)"
+                " + INTERVAL 1 DAY) - 1"
+            ),
+        ).alias("cen"),
+    )
+    bounds = sliced.select(
+        "day", F.col("cst").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sliced.select(
+            "day", (F.col("cen") + 1).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("t"), F.col("delta").desc()
+    )
+    swept = bounds.withColumn(
+        "conc",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    peaks = swept.groupBy("day").agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )
+    counts = sliced.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return counts.join(peaks, "day")
+
+
 def q180_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset (bag) set operators — INTERSECT ALL and EXCEPT ALL
     over each year's (customer, priority) order bags, rolled up per
@@ -1616,6 +1770,8 @@ QUERIES = {
     "q164_session_restatement": q164_session_restatement,
     "q176_incremental_mv_audit": q176_incremental_mv_audit,
     "q180_bag_setops": q180_bag_setops,
+    "q182_weighted_median": q182_weighted_median,
+    "q184_concurrent_sessions": q184_concurrent_sessions,
 }
 
 ORACLE = {
@@ -2158,6 +2314,79 @@ ORACLE = {
                CAST(contrib AS DOUBLE) AS contrib,
                chi2, mad
         FROM scored2 CROSS JOIN stats
+    """,
+    "q184_concurrent_sessions": f"""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                    FROM events),
+        m AS (SELECT user_id, event_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > {SESSION_GAP_US}
+                          THEN 1 ELSE 0 END AS ns
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sd AS (SELECT user_id, us,
+                      SUM(ns) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m),
+        s AS (SELECT user_id, sid, MIN(us) AS st, MAX(us) AS en
+              FROM sd GROUP BY user_id, sid),
+        sliced AS (
+            SELECT user_id, sid,
+                   CAST(unnest(generate_series(
+                       date_trunc('day', make_timestamp(st)),
+                       date_trunc('day', make_timestamp(en)),
+                       INTERVAL 1 DAY)) AS DATE) AS day,
+                   st, en
+            FROM s),
+        clipped AS (
+            SELECT user_id, sid, day,
+                   GREATEST(st, epoch_us(CAST(day AS TIMESTAMP)))
+                       AS cst,
+                   LEAST(en, epoch_us(CAST(day AS TIMESTAMP)
+                                      + INTERVAL 1 DAY) - 1) AS cen
+            FROM sliced),
+        bounds AS (
+            SELECT day, cst AS t, 1 AS delta FROM clipped
+            UNION ALL
+            SELECT day, cen + 1, -1 FROM clipped),
+        swept AS (
+            SELECT day,
+                   SUM(delta) OVER (PARTITION BY day
+                                    ORDER BY t, delta DESC
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+            FROM bounds),
+        peaks AS (SELECT day, CAST(MAX(conc) AS BIGINT)
+                             AS peak_concurrency
+                  FROM swept GROUP BY day),
+        counts AS (SELECT day, COUNT(*) AS n_sessions
+                   FROM clipped GROUP BY day)
+        SELECT c.day, c.n_sessions, p.peak_concurrency
+        FROM counts c JOIN peaks p ON p.day = c.day
+    """,
+    "q182_weighted_median": """
+        WITH wts AS (SELECT l_orderkey, COUNT(*) AS w
+                     FROM lineitem GROUP BY 1),
+        base AS (
+            SELECT o.o_orderpriority, o.o_orderkey,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS price, t.w
+            FROM orders o JOIN wts t ON t.l_orderkey = o.o_orderkey),
+        cum AS (
+            SELECT o_orderpriority, price,
+                   SUM(w) OVER (PARTITION BY o_orderpriority
+                                ORDER BY price, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(w) OVER (PARTITION BY o_orderpriority) AS tw,
+                   o_orderkey
+            FROM base)
+        SELECT o_orderpriority,
+               CAST(MAX(tw) AS BIGINT) AS total_weight,
+               CAST(arg_min(price, lpad(CAST(CAST(price * 100 AS BIGINT)
+                        AS VARCHAR), 20, '0')
+                    || '|' || lpad(CAST(o_orderkey AS VARCHAR), 20, '0'))
+                    AS DOUBLE) AS weighted_median
+        FROM cum WHERE 2 * c >= tw
+        GROUP BY o_orderpriority
     """,
     "q180_bag_setops": """
         WITH a AS (SELECT o_custkey, o_orderpriority FROM orders

@@ -723,6 +723,47 @@ def q146_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q183_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top conversion paths: for every user who purchased, the exact
+    event-type path (q146's one-char alphabet) ENDING at their first
+    purchase, truncated to the last 8 steps, counted across users —
+    the path-mining rollup behind funnel redesign ('what do people
+    actually do right before converting?'). Non-converters are
+    excluded by the regex itself (no match → empty → filtered).
+
+    Scale shape: q146's plan — one user-keyed aggregate builds the
+    ordered symbol string row-locally, the path extraction is a
+    row-local regexp + right(), and the rollup is one path-keyed
+    partial agg whose key space is bounded by the 8-step truncation
+    (≤ 5^8), not by users."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.expr(_SEQ_CASE).alias("ch")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda t: t["ch"]
+                ),
+            ).alias("seq")
+        )
+    )
+    pfx = seq.select(
+        F.regexp_extract("seq", "^[^p]*p", 0).alias("pfx")
+    ).filter(F.col("pfx") != "")
+    return (
+        pfx.select(F.expr("right(pfx, 8)").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q139_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of the event stream: for
     every (from_type, to_type) pair of CONSECUTIVE events within a
@@ -827,6 +868,44 @@ def q130_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q181's event-order key: (epoch µs, event_id) packed into ONE
+# zero-padded string, because DuckDB's arg_min/arg_max take a single
+# sortable key — fixed-width decimal strings compare exactly like the
+# integers they encode, so min_by/arg_min agree across engines.
+_OHLC_KEY = (
+    "lpad(CAST(us AS STRING), 20, '0') || '|'"
+    " || lpad(CAST(event_id AS STRING), 20, '0')"
+)
+
+
+def q181_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over purchase values — open/high/low/close +
+    volume, the canonical ORDER-SENSITIVE aggregation (open/close
+    depend on event order within the bar, not just the value set)
+    that candle-stick resamplers and metric rollups need. min_by/
+    max_by over a total event-order key make the order dependence an
+    aggregate, not a sort: no window, no per-day ordering pass.
+
+    Scale shape: one scan-side projection + ONE day-keyed partial
+    agg — min_by/max_by combine map-side exactly like min/max, so
+    the shuffle carries six scalars per day regardless of volume."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    ).withColumn("ok", F.expr(_OHLC_KEY))
+    return p.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.min_by("v", "ok").cast("double").alias("open"),
+        F.max("v").cast("double").alias("high"),
+        F.min("v").cast("double").alias("low"),
+        F.max_by("v", "ok").cast("double").alias("close"),
+        F.sum("v").cast("double").alias("volume"),
+    )
+
+
 def q179_rolling_active_users(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -903,6 +982,8 @@ QUERIES = {
     "q159_kaplan_meier": q159_kaplan_meier,
     "q162_decayed_engagement": q162_decayed_engagement,
     "q179_rolling_active_users": q179_rolling_active_users,
+    "q181_daily_ohlc": q181_daily_ohlc,
+    "q183_conversion_paths": q183_conversion_paths,
 }
 
 ORACLE = {
@@ -1113,6 +1194,18 @@ ORACLE = {
         SELECT n_matches, COUNT(*) AS n_users
         FROM per_user GROUP BY n_matches
     """,
+    "q183_conversion_paths": f"""
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg({_SEQ_CASE}, '' ORDER BY ts, event_id)
+                       AS seq
+            FROM events GROUP BY user_id),
+        pfx AS (
+            SELECT regexp_extract(seq, '^[^p]*p', 0) AS pfx FROM seq)
+        SELECT right(pfx, 8) AS path, COUNT(*) AS n_users
+        FROM pfx WHERE pfx <> ''
+        GROUP BY 1
+    """,
     "q145_watermark_planner": """
         WITH arr AS (
             SELECT user_id, event_id,
@@ -1300,5 +1393,21 @@ ORACLE = {
         FROM cal c
         LEFT JOIN wau w ON w.day = c.day
         LEFT JOIN dau d ON d.day = c.day
+    """,
+    "q181_daily_ohlc": f"""
+        WITH p AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   epoch_us(ts) AS us, event_id,
+                   CAST(value AS DECIMAL(18,6)) AS v
+            FROM events WHERE event_type = 'purchase'),
+        k AS (SELECT day, v, {_OHLC_KEY.replace("AS STRING", "AS VARCHAR")} AS ok FROM p)
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_trades,
+               CAST(arg_min(v, ok) AS DOUBLE) AS open,
+               CAST(MAX(v) AS DOUBLE) AS high,
+               CAST(MIN(v) AS DOUBLE) AS low,
+               CAST(arg_max(v, ok) AS DOUBLE) AS close,
+               CAST(SUM(v) AS DOUBLE) AS volume
+        FROM k GROUP BY day
     """,
 }

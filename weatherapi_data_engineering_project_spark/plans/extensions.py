@@ -427,6 +427,106 @@ def q178_small_quantity_revenue(
     )
 
 
+def q186_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join: each customer's top-2 orders
+    by price — the SQL-standard lateral form of top-k-per-group,
+    semantically an inner correlated join whose right side is a
+    per-row ORDER BY ... LIMIT. The operator under test is the
+    DECORRELATION: Catalyst rewrites the per-customer limit into one
+    partitioned window (WindowGroupLimit pushes the top-2 into map
+    tasks), so the plan is the q82-shaped bounded window, never a
+    per-customer re-scan — writing it AS a lateral proves the engine
+    accepts the standard form, not just the hand-rewritten one.
+
+    Deterministic: (price DESC, orderkey) total order; customers
+    without orders drop out (inner lateral semantics)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_q186"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_q186"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey, t.rk,
+               CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS price
+        FROM customer_q186 c,
+        LATERAL (SELECT o_orderkey, o_totalprice,
+                        ROW_NUMBER() OVER (
+                            ORDER BY o_totalprice DESC, o_orderkey)
+                            AS rk
+                 FROM orders_q186 o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+        """
+    )
+
+
+def q187_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics gauntlet over a NULLIF-derived nullable column:
+    COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col), NULL as its own
+    GROUP BY group, and a null-safe self-join (Spark `<=>` / ANSI IS
+    NOT DISTINCT FROM) on the aggregated (status, priority) frame —
+    one row of audit scalars whose values silently corrupt the moment
+    an engine (or a refactor) treats NULL = NULL as either always-
+    false OR always-true in the wrong place. The generator has no
+    native NULLs, so NULLIF(status, 'O') manufactures them
+    deterministically.
+
+    Scale shape: one scan → scalar partial aggs; the null-safe join
+    runs on the ≤(3×5)-row grouped frame."""
+    o = load_table(spark, sf_dir, "orders")
+    o2 = o.select(
+        F.expr("NULLIF(o_orderstatus, 'O')").alias("st"),
+        "o_orderpriority",
+    )
+    g = o2.groupBy("st", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nullsafe_pairs = (
+        g.select(F.col("st").alias("s1"), F.col("c").alias("c1"))
+        .join(
+            g.select(F.col("st").alias("s2"), F.col("c").alias("c2")),
+            F.col("s1").eqNullSafe(F.col("s2")),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                (
+                    F.col("s1").isNull() & F.col("s2").isNull()
+                ).cast("long")
+            ).alias("nn"),
+        )
+    )
+    scalars = o2.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("st").alias("n_nonnull"),
+        F.countDistinct("st").alias("n_distinct"),
+        F.sum(F.col("st").isNull().cast("long")).alias("n_null"),
+        F.max("st").alias("max_st"),
+    )
+    n_groups = g.groupBy("st").count().agg(
+        F.count(F.lit(1)).alias("n_status_groups")
+    )
+    return (
+        scalars.crossJoin(F.broadcast(n_groups))
+        .crossJoin(F.broadcast(nullsafe_pairs))
+        .select(
+            "n_rows",
+            "n_nonnull",
+            "n_null",
+            "n_distinct",
+            "n_status_groups",
+            F.col("np").alias("n_nullsafe_pairs"),
+            F.col("nn").alias("n_null_null_pairs"),
+            "max_st",
+        )
+    )
+
+
 def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders priced above their customer's
     average. Written as SQL so Catalyst's decorrelation
@@ -1118,6 +1218,8 @@ QUERIES = {
     "q175_local_supplier_volume": q175_local_supplier_volume,
     "q177_exclusive_fault_supplier": q177_exclusive_fault_supplier,
     "q178_small_quantity_revenue": q178_small_quantity_revenue,
+    "q186_lateral_topk": q186_lateral_topk,
+    "q187_null_semantics": q187_null_semantics,
     "q142_embedding_dim_health": q142_embedding_dim_health,
     "q144_grouping_sets": q144_grouping_sets,
     "q67_window_gauntlet": q67_window_gauntlet,
@@ -1433,6 +1535,47 @@ ORACLE = {
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_returnflag = 'R')
         GROUP BY s.s_name
+    """,
+    "q186_lateral_topk": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey, t.rk,
+               CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice,
+                        ROW_NUMBER() OVER (
+                            ORDER BY o_totalprice DESC, o_orderkey)
+                            AS rk
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+    """,
+    "q187_null_semantics": """
+        WITH o2 AS (
+            SELECT NULLIF(o_orderstatus, 'O') AS st, o_orderpriority
+            FROM orders),
+        g AS (SELECT st, o_orderpriority, COUNT(*) AS c
+              FROM o2 GROUP BY st, o_orderpriority),
+        ns AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(CASE WHEN a.st IS NULL AND b.st IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            FROM g a JOIN g b ON a.st IS NOT DISTINCT FROM b.st),
+        sc AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(st) AS BIGINT) AS n_nonnull,
+                   CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT st) AS BIGINT) AS n_distinct,
+                   MAX(st) AS max_st
+            FROM o2),
+        ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_status_groups
+               FROM (SELECT st FROM g GROUP BY st) u)
+        SELECT sc.n_rows, sc.n_nonnull, sc.n_null, sc.n_distinct,
+               ng.n_status_groups, ns.np AS n_nullsafe_pairs,
+               ns.nn AS n_null_null_pairs, sc.max_st
+        FROM sc CROSS JOIN ng CROSS JOIN ns
     """,
     "q178_small_quantity_revenue": """
         SELECT COUNT(*) AS n_small,

@@ -574,6 +574,100 @@ def q172_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q185 packs 62 keys per block — bit 62/63 of a signed BIGINT are
+# avoided so shifts never touch the sign bit on either engine.
+_BM_BITS = 62
+_BM_MASK = (
+    f"bit_or(shiftleft(CAST(1 AS BIGINT),"
+    f" CAST(k % {_BM_BITS} AS INT)))"
+)
+
+
+def q185_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: pack each return flag's orderkey set
+    into 62-bit block masks (the roaring/bitmap-index layout), then
+    answer |A|, |A∩B|, |A∪B| and Jaccard for every flag pair with
+    bitwise AND + popcount on co-present blocks — set intersection as
+    bit arithmetic, no row-level join on keys ever happens. THE
+    layout that makes multi-predicate filtering cheap in warehouse
+    engines: a flag-pair overlap query touches blocks/62 words
+    instead of N rows.
+
+    Exactness: bit_or is idempotent, so duplicate (flag, orderkey)
+    rows need no pre-dedup; every count is an exact integer popcount;
+    union comes from inclusion-exclusion so absent blocks never need
+    a full-outer join.
+
+    Scale shape: ONE (flag, block)-keyed partial agg builds the index
+    (masks combine map-side like any bit_or); totals are a flag-keyed
+    popcount sum; the pair join runs on the block-mask frame —
+    keys/62 rows, not keys."""
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").alias("k"),
+    ).select(
+        "flag",
+        F.expr(f"k DIV {_BM_BITS}").alias("blk"),
+        "k",
+    )
+    masks = persist_tracked(
+        cells.groupBy("flag", "blk").agg(F.expr(_BM_MASK).alias("mask"))
+    )
+    totals = masks.groupBy("flag").agg(
+        F.sum(F.expr("bit_count(mask)")).alias("n")
+    )
+    inter = (
+        masks.select(
+            F.col("flag").alias("flag_a"), "blk", F.col("mask").alias("ma")
+        )
+        .join(
+            masks.select(
+                F.col("flag").alias("flag_b"),
+                "blk",
+                F.col("mask").alias("mb"),
+            ),
+            "blk",
+        )
+        .filter(F.col("flag_a") < F.col("flag_b"))
+        .groupBy("flag_a", "flag_b")
+        .agg(
+            F.sum(F.expr("bit_count(ma & mb)")).alias("n_intersect")
+        )
+    )
+    return (
+        inter.join(
+            totals.select(
+                F.col("flag").alias("flag_a"), F.col("n").alias("n_a")
+            ),
+            "flag_a",
+        )
+        .join(
+            totals.select(
+                F.col("flag").alias("flag_b"), F.col("n").alias("n_b")
+            ),
+            "flag_b",
+        )
+        .select(
+            "flag_a",
+            "flag_b",
+            "n_a",
+            "n_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias(
+                "n_union"
+            ),
+            F.round(
+                F.col("n_intersect").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q163_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-length encodability audit: for each candidate column, count
     the value runs lineitem exhibits under its natural sort order and
@@ -707,6 +801,7 @@ QUERIES = {
     "q148_hll_merge": q148_hll_merge,
     "q163_rle_audit": q163_rle_audit,
     "q172_reshard_audit": q172_reshard_audit,
+    "q185_bitmap_index": q185_bitmap_index,
 }
 
 _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
@@ -928,6 +1023,35 @@ ORACLE = {
         SELECT 'l_suppkey', n_rows, runs_sk,
                ROUND(CAST(n_rows AS DOUBLE) / runs_sk, 6)
         FROM t
+    """,
+    "q185_bitmap_index": f"""
+        WITH cells AS (
+            SELECT l_returnflag AS flag,
+                   l_orderkey // {_BM_BITS} AS blk,
+                   l_orderkey % {_BM_BITS} AS bit
+            FROM lineitem),
+        masks AS (
+            SELECT flag, blk,
+                   bit_or(CAST(1 AS BIGINT) << CAST(bit AS INT)) AS mask
+            FROM cells GROUP BY flag, blk),
+        totals AS (
+            SELECT flag, CAST(SUM(bit_count(mask)) AS BIGINT) AS n
+            FROM masks GROUP BY flag),
+        inter AS (
+            SELECT a.flag AS flag_a, b.flag AS flag_b,
+                   CAST(SUM(bit_count(a.mask & b.mask)) AS BIGINT)
+                       AS n_intersect
+            FROM masks a JOIN masks b
+              ON b.blk = a.blk AND a.flag < b.flag
+            GROUP BY a.flag, b.flag)
+        SELECT i.flag_a, i.flag_b, ta.n AS n_a, tb.n AS n_b,
+               i.n_intersect,
+               ta.n + tb.n - i.n_intersect AS n_union,
+               ROUND(CAST(i.n_intersect AS DOUBLE)
+                     / (ta.n + tb.n - i.n_intersect), 6) AS jaccard
+        FROM inter i
+        JOIN totals ta ON ta.flag = i.flag_a
+        JOIN totals tb ON tb.flag = i.flag_b
     """,
     "q172_reshard_audit": f"""
         WITH keyed AS (
