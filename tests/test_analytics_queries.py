@@ -719,3 +719,44 @@ def test_concurrent_sessions_matches_python_sweep(spark):
         assert r.n_sessions == len(ivs)
         assert r.peak_concurrency == peak
     assert any(r.peak_concurrency > 1 for r in rows.values())
+
+
+def test_pareto_skyline_matches_brute_force(spark):
+    """Skyline recomputed by the O(n²) dominance definition — the
+    group-sweep rewrite must return exactly the non-dominated set."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    price = np.array([round(r.o_totalprice, 2) for r in rows])
+    date = np.array(
+        [r.o_orderdate.toordinal() if hasattr(r.o_orderdate, "toordinal")
+         else r.o_orderdate.date().toordinal() for r in rows]
+    )
+    keys = np.array([r.o_orderkey for r in rows])
+    dominated = np.zeros(len(rows), dtype=bool)
+    for i in range(len(rows)):
+        dom = (
+            (price >= price[i])
+            & (date <= date[i])
+            & ((price > price[i]) | (date < date[i]))
+        )
+        dominated[i] = bool(dom.any())
+    want = set(keys[~dominated].tolist())
+    got = {
+        r.o_orderkey
+        for r in A.q189_pareto_skyline(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+    # frontier sanity: along the frontier price must STRICTLY increase
+    # with date (an earlier point with >= price would dominate); equal
+    # sort keys can only be exact (date, price) duplicates
+    sky = sorted(
+        (r.odate, r.price)
+        for r in A.q189_pareto_skyline(spark, SF_DIR).collect()
+    )
+    for (d1, p1), (d2, p2) in zip(sky, sky[1:]):
+        assert (d1 < d2 and p1 < p2) or (d1 == d2 and p1 == p2)

@@ -451,3 +451,53 @@ def test_conversion_paths_match_python(spark):
     }
     assert got == dict(want) and got
     assert all(p.endswith("p") for p in got)
+
+
+def test_cuped_lift_matches_numpy(spark):
+    """theta/rho2/adjusted means recomputed with numpy from per-user
+    (pre, post) spends; CUPED must contract the between-arm gap for
+    a hash-based assignment."""
+    import calendar
+
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.plans.behavior import (
+        _CUPED_CUTOFF_US,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    per: dict = {}
+    for e in load_table(spark, SF_DIR, "events").collect():
+        us = (
+            calendar.timegm(e.ts.timetuple()) * 1_000_000
+            + e.ts.microsecond
+        )
+        rec = per.setdefault(e.user_id, [0.0, 0.0])
+        if e.event_type == "purchase":
+            rec[0 if us <= _CUPED_CUTOFF_US else 1] += round(e.value, 6)
+    uid = sorted(per)
+    x = np.array([per[u][0] for u in uid])
+    y = np.array([per[u][1] for u in uid])
+    g = np.array([u % 2 for u in uid])
+    n = len(uid)
+    cov = n * float(x @ y) - x.sum() * y.sum()
+    varx = n * float(x @ x) - x.sum() ** 2
+    vary = n * float(y @ y) - y.sum() ** 2
+    theta = cov / varx
+    rho2 = cov * cov / (varx * vary)
+    rows = {r.grp: r for r in B.q188_cuped_lift(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    for grp, r in rows.items():
+        m = g == grp
+        assert r.n_users == int(m.sum())
+        assert abs(r.mean_y - y[m].mean()) < 1e-4
+        assert abs(r.mean_x - x[m].mean()) < 1e-4
+        want_adj = y[m].mean() - theta * (x[m].mean() - x.mean())
+        assert abs(r.mean_y_adj - want_adj) < 1e-4
+        assert abs(r.theta - theta) < 1e-4
+        assert abs(r.rho2 - rho2) < 1e-4
+        assert 0 <= r.rho2 <= 1
+    # no assertion on the realized gap: CUPED shrinks the VARIANCE of
+    # the estimator, not every single realized difference — at this SF
+    # the adjusted gap can legitimately exceed the raw one by chance
+    assert rho2 > 0

@@ -215,6 +215,82 @@ def q182_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q189_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) of orders on (price↑ better, order
+    date↓ better): every order no other order dominates — "the
+    biggest orders, earliest" — the multi-criteria shortlist operator
+    (SKYLINE OF in research SQL) relational engines lack natively.
+    Dominance: q beats p iff q.price ≥ p.price, q.date ≤ p.date, with
+    at least one strict.
+
+    The quadratic NOT-EXISTS definition collapses to a group sweep:
+    a point survives iff it carries its price group's MINIMUM date
+    AND that date is strictly below every higher-price group's
+    minimum — i.e. a prefix-min over price groups. That prefix-min
+    runs as the q150 two-phase rewrite (bucketed local prefix + a
+    ≤33-row boundary stitch), so the price-group frame — which at
+    continuous prices is order-count-sized — never sorts in one
+    task; the final join back to order rows is price-keyed.
+
+    Exactness: prices compare as DECIMAL(18,2), dates as dates — no
+    float boundaries anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_totalprice").alias("_pd"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    pg = pts.groupBy("price").agg(
+        F.min("odate").alias("gmin"), F.min("_pd").alias("_pdd")
+    )
+    bnds = sorted(
+        set(pts.approxQuantile("_pd", [i / 32 for i in range(1, 32)], 0.01))
+    )
+    bucketed = pg.withColumn(
+        "_bkt",
+        F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("_pdd"),
+            )
+        ),
+    )
+    wl = Window.partitionBy("_bkt").orderBy(F.col("price").desc())
+    local = bucketed.withColumn(
+        "lp",
+        F.min("gmin").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    boff = (
+        bucketed.groupBy("_bkt")
+        .agg(F.min("gmin").alias("bmin"))
+        .withColumn(
+            "off",
+            F.min("bmin").over(
+                Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_bkt", "off")
+    )
+    surv = (
+        local.join(F.broadcast(boff), "_bkt")
+        .withColumn("h", F.least("lp", "off"))
+        .filter(F.col("h").isNull() | (F.col("gmin") < F.col("h")))
+        .select("price", "gmin")
+    )
+    return (
+        pts.join(surv, "price")
+        .filter(F.col("odate") == F.col("gmin"))
+        .select(
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            "odate",
+        )
+    )
+
+
 def q184_concurrent_sessions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1772,6 +1848,7 @@ QUERIES = {
     "q180_bag_setops": q180_bag_setops,
     "q182_weighted_median": q182_weighted_median,
     "q184_concurrent_sessions": q184_concurrent_sessions,
+    "q189_pareto_skyline": q189_pareto_skyline,
 }
 
 ORACLE = {
@@ -2314,6 +2391,23 @@ ORACLE = {
                CAST(contrib AS DOUBLE) AS contrib,
                chi2, mad
         FROM scored2 CROSS JOIN stats
+    """,
+    "q189_pareto_skyline": """
+        WITH pts AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   CAST(o_orderdate AS DATE) AS odate
+            FROM orders),
+        pg AS (SELECT price, MIN(odate) AS gmin
+               FROM pts GROUP BY price),
+        h AS (SELECT price, gmin,
+                     MIN(gmin) OVER (ORDER BY price DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS hh
+              FROM pg)
+        SELECT p.o_orderkey, CAST(p.price AS DOUBLE) AS price, p.odate
+        FROM pts p JOIN h ON h.price = p.price
+        WHERE p.odate = h.gmin AND (h.hh IS NULL OR h.gmin < h.hh)
     """,
     "q184_concurrent_sessions": f"""
         WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us

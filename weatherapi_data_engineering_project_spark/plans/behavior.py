@@ -906,6 +906,115 @@ def q181_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q188 CUPED machinery. The pre/post boundary reuses q164's snapshot
+# instant; per-user (x, y) spends are decimal(18,6)-exact and convert
+# to double EXACTLY (value·10^6 << 2^53), so the five pooled moments
+# are sums of snapped per-user terms (q135 convention) and the
+# theta/rho² chains below are ONE shared double formula per value.
+_CUPED_CUTOFF_US = 1_705_363_200_000_000
+_CUPED_THETA = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CUPED_RHO2 = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+_CUPED_ADJ = (
+    "ROUND(CAST(syg AS DOUBLE) / ng - ({theta})"
+    " * (CAST(sxg AS DOUBLE) / ng"
+    " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+)
+
+
+def q188_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: post-period spend per user
+    adjusted by the pre-period covariate (Y − θ(X − X̄), θ =
+    cov(X,Y)/var(X) pooled) for q153's deterministic user_id % 2
+    arms — the standard experimentation trick that removes the
+    between-user variance a raw mean comparison wastes power on; ρ²
+    (the achieved variance-reduction fraction) rides along. Since
+    assignment is a hash of user_id, the two arms' ADJUSTED means
+    should differ less than their raw means — that contraction is
+    the operator's observable effect.
+
+    Scale shape: the log collapses to one (x, y) row per user in a
+    single partial agg; the five pooled moments and both per-arm sums
+    are ONE aggregate each over that frame; everything after is
+    scalar math on a broadcast 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.unix_micros("ts") <= _CUPED_CUTOFF_US),
+                F.col("value"),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.unix_micros("ts") > _CUPED_CUTOFF_US),
+                F.col("value"),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.col("x").cast("double").alias("xd"),
+        F.col("y").cast("double").alias("yd"),
+    )
+    terms = per.select(
+        "grp",
+        "xd",
+        "yd",
+        F.expr("CAST(ROUND(xd * yd, 9) AS DECIMAL(28,9))").alias("txy"),
+        F.expr("CAST(ROUND(xd * xd, 9) AS DECIMAL(28,9))").alias("txx"),
+        F.expr("CAST(ROUND(yd * yd, 9) AS DECIMAL(28,9))").alias("tyy"),
+        F.expr("CAST(xd AS DECIMAL(18,6))").alias("tx"),
+        F.expr("CAST(yd AS DECIMAL(18,6))").alias("ty"),
+    )
+    pooled = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tx").alias("sx"),
+        F.sum("ty").alias("sy"),
+        F.sum("txy").alias("sxy"),
+        F.sum("txx").alias("sxx"),
+        F.sum("tyy").alias("syy"),
+    )
+    arms = terms.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("tx").alias("sxg"),
+        F.sum("ty").alias("syg"),
+    )
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "grp",
+        F.col("ng").alias("n_users"),
+        F.round(F.col("syg").cast("double") / F.col("ng"), 6).alias(
+            "mean_y"
+        ),
+        F.round(F.col("sxg").cast("double") / F.col("ng"), 6).alias(
+            "mean_x"
+        ),
+        F.expr(_CUPED_ADJ.format(theta=_CUPED_THETA)).alias(
+            "mean_y_adj"
+        ),
+        F.expr(f"ROUND({_CUPED_THETA}, 6)").alias("theta"),
+        F.expr(f"ROUND({_CUPED_RHO2}, 6)").alias("rho2"),
+    )
+
+
 def q179_rolling_active_users(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -984,6 +1093,7 @@ QUERIES = {
     "q179_rolling_active_users": q179_rolling_active_users,
     "q181_daily_ohlc": q181_daily_ohlc,
     "q183_conversion_paths": q183_conversion_paths,
+    "q188_cuped_lift": q188_cuped_lift,
 }
 
 ORACLE = {
@@ -1393,6 +1503,45 @@ ORACLE = {
         FROM cal c
         LEFT JOIN wau w ON w.day = c.day
         LEFT JOIN dau d ON d.day = c.day
+    """,
+    "q188_cuped_lift": f"""
+        WITH per AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND epoch_us(ts) <= {_CUPED_CUTOFF_US}
+                                 THEN CAST(value AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE) AS xd,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND epoch_us(ts) > {_CUPED_CUTOFF_US}
+                                 THEN CAST(value AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE) AS yd
+            FROM events GROUP BY user_id),
+        terms AS (
+            SELECT user_id % 2 AS grp, xd, yd,
+                   CAST(ROUND(xd * yd, 9) AS DECIMAL(28,9)) AS txy,
+                   CAST(ROUND(xd * xd, 9) AS DECIMAL(28,9)) AS txx,
+                   CAST(ROUND(yd * yd, 9) AS DECIMAL(28,9)) AS tyy,
+                   CAST(xd AS DECIMAL(18,6)) AS tx,
+                   CAST(yd AS DECIMAL(18,6)) AS ty
+            FROM per),
+        pooled AS (
+            SELECT COUNT(*) AS n, SUM(tx) AS sx, SUM(ty) AS sy,
+                   SUM(txy) AS sxy, SUM(txx) AS sxx, SUM(tyy) AS syy
+            FROM terms),
+        arms AS (
+            SELECT grp, COUNT(*) AS ng,
+                   SUM(tx) AS sxg, SUM(ty) AS syg
+            FROM terms GROUP BY grp)
+        SELECT CAST(grp AS BIGINT) AS grp,
+               CAST(ng AS BIGINT) AS n_users,
+               ROUND(CAST(syg AS DOUBLE) / ng, 6) AS mean_y,
+               ROUND(CAST(sxg AS DOUBLE) / ng, 6) AS mean_x,
+               {_CUPED_ADJ.format(theta=_CUPED_THETA)} AS mean_y_adj,
+               ROUND({_CUPED_THETA}, 6) AS theta,
+               ROUND({_CUPED_RHO2}, 6) AS rho2
+        FROM arms CROSS JOIN pooled
     """,
     "q181_daily_ohlc": f"""
         WITH p AS (
