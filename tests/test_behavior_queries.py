@@ -501,3 +501,27 @@ def test_cuped_lift_matches_numpy(spark):
     # the estimator, not every single realized difference — at this SF
     # the adjusted gap can legitimately exceed the raw one by chance
     assert rho2 > 0
+
+
+def test_srm_audit_brute_force(spark):
+    """q193: daily arm counts and the chi-square recomputed in Python;
+    the integer flag must agree with the float chi-square gate."""
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    cnt: Counter = Counter()
+    for r in ev:
+        cnt[(r.ts.date(), r.user_id % 2)] += 1
+    days = {d for d, _ in cnt}
+    got = {r.day: r for r in B.q193_srm_audit(spark, SF_DIR).collect()}
+    assert set(got) == days
+    for d in days:
+        a, b = cnt[(d, 0)], cnt[(d, 1)]
+        r = got[d]
+        assert (r.n_a, r.n_b) == (a, b)
+        chi2 = (a - b) ** 2 / (a + b)
+        assert abs(r.chi2 - chi2) < 1e-6
+        assert r.srm_flag == (1000 * (a - b) ** 2 > 10828 * (a + b))
+        assert r.srm_flag == (chi2 > 10.828)

@@ -545,3 +545,34 @@ def test_scaling_subsets_nesting_and_python_recount(spark):
         assert got[a].n_docs <= got[b].n_docs
         assert got[a].n_tokens <= got[b].n_tokens
     assert 0 < got["p10"].n_docs < got["p100"].n_docs
+
+
+def test_heaps_law_brute_force(spark):
+    """q191: cumulative counts recomputed in Python — the final
+    checkpoint must cover the WHOLE corpus (total trigram occurrences,
+    total distinct trigrams) and both curves must be monotone."""
+    import re
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    occ = 0
+    vocab: set = set()
+    for r in docs:
+        toks = re.split(r"\s+", r.text.lower().strip())
+        occ += max(len(toks) - 2, 0)
+        for i in range(len(toks) - 2):
+            vocab.add(" ".join(toks[i : i + 3]))
+    rows = sorted(
+        C.q191_heaps_law(spark, SF_DIR).collect(), key=lambda r: r.ckpt
+    )
+    assert rows, "expected checkpoint rows"
+    assert rows[-1].n_tokens_cum == occ
+    assert rows[-1].vocab_cum == len(vocab)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens_cum >= a.n_tokens_cum
+        assert b.vocab_cum >= a.vocab_cum
+    # same fit on every row; beta in the meaningful Heaps range
+    assert len({r.beta for r in rows}) == 1
+    assert 0.0 < rows[0].beta <= 1.0
+    assert 0.0 <= rows[0].r2 <= 1.0

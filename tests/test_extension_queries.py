@@ -428,3 +428,38 @@ def test_null_semantics_matches_python(spark):
     assert r.n_null_null_pairs == nn
     assert r.max_st == max(nonnull)  # MAX skips nulls
     assert r.n_null > 0, "NULLIF must manufacture nulls"
+
+
+def test_filter_funnel_brute_force(spark):
+    """q190: first-fail attribution recomputed per doc in Python —
+    stage must be the FIRST failing rule in the stated order, and the
+    per-(source, stage) counts must roll up exactly."""
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    stops = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    names = ["length", "punctuation", "stopwords", "word_length", "pass"]
+    want: Counter = Counter()
+    for r in docs:
+        toks = re.split(r"\s+", r.text.lower().strip())
+        nt = len(toks)
+        punct = len(re.findall(r"[^\w\s]", r.text)) / len(r.text)
+        stop = sum(1 for t in toks if t in stops) / nt
+        wlen = len(re.sub(r"\s+", "", r.text)) / nt
+        rules = [10 <= nt <= 1000, punct <= 0.1, stop >= 0.03, wlen <= 12]
+        stage = next((i for i, ok in enumerate(rules) if not ok), 4)
+        want[(r.source, stage)] += 1
+    got = {
+        (r.source, r.stage_idx): (r.n_docs, r.stage)
+        for r in X.q190_filter_funnel(spark, SF_DIR).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    for (src, idx), (_, stage) in got.items():
+        assert stage == names[idx]
+    # funnel partitions each source exactly
+    per_src = Counter(r.source for r in docs)
+    roll: Counter = Counter()
+    for (src, _), (n, _) in got.items():
+        roll[src] += n
+    assert roll == per_src

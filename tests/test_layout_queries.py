@@ -217,3 +217,53 @@ def test_bitmap_index_matches_python_sets(spark):
         assert (r.n_intersect, r.n_union) == (inter, union)
         assert abs(r.jaccard - round(inter / union, 6)) < 1e-9
         assert r.n_intersect > 0, "multi-flag orders must exist"
+
+
+def test_zonemap_prune_brute_force(spark):
+    """q192: the scan audit recomputed in Python from the raw orders —
+    file assignment, zone maps, and per-probe scan counts must match,
+    and the date-clustered layout must never scan more files than the
+    arrival layout in total."""
+    import datetime
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = load_table(spark, SF_DIR, "orders").collect()
+    epoch = datetime.date(1970, 1, 1)
+    days = [
+        (r.o_orderkey, (r.o_orderdate.date() - epoch).days) for r in rows
+    ]
+    mind = min(d for _, d in days)
+    maxd = max(d for _, d in days)
+    maxk = max(k for k, _ in days)
+    span = maxd - mind + 1
+    zm: dict = {}
+    for k, d in days:
+        for layout, f in (
+            ("arrival", k * 64 // (maxk + 1)),
+            ("clustered", (d - mind) * 64 // span),
+        ):
+            lo, hi, n = zm.get((layout, f), (10**9, -(10**9), 0))
+            zm[(layout, f)] = (min(lo, d), max(hi, d), n + 1)
+    want = {}
+    for p in range(8):
+        plo = mind + p * span // 8
+        phi = mind + (p + 1) * span // 8
+        for layout in ("arrival", "clustered"):
+            files = [v for (la, _), v in zm.items() if la == layout]
+            scanned = [
+                (lo, hi, n) for lo, hi, n in files if hi >= plo and lo < phi
+            ]
+            want[(layout, p)] = (
+                len(files),
+                len(scanned),
+                sum(n for _, _, n in scanned),
+            )
+    got = {
+        (r.layout, r.probe): (r.n_files, r.files_scanned, r.rows_scanned)
+        for r in L.q192_zonemap_prune(spark, SF_DIR).collect()
+    }
+    assert got == want
+    tot_arr = sum(v[1] for (la, _), v in got.items() if la == "arrival")
+    tot_clu = sum(v[1] for (la, _), v in got.items() if la == "clustered")
+    assert tot_clu < tot_arr, "clustering must actually prune"

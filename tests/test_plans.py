@@ -228,7 +228,7 @@ def test_salted_join_query_shards_key(spark):
 
 def test_registry_contract_pins_rows_only_set():
     """Driver contract: every oracle key is a registered query, and the
-    rows-only set (no SQL twin) is EXACTLY the documented six — a new
+    rows-only set (no SQL twin) is EXACTLY the documented two — a new
     query silently missing its oracle would otherwise downgrade to the
     weaker rows-only check without anyone noticing."""
     from weatherapi_data_engineering_project_spark.plans import registry
@@ -237,12 +237,15 @@ def test_registry_contract_pins_rows_only_set():
     oracles = registry.all_oracles()
     assert set(oracles) <= set(qs)
     assert set(qs) - set(oracles) == {
-        "q42_stateful_totals",   # state-store program
+        # q42 moved to a full oracle in r6: integer-cent state makes
+        # the drained totals equal the batch GROUP BY twin exactly
         "q43_approx_distinct",   # foreign sketch (HLL++)
         "q62_approx_quantiles",  # foreign sketch (GK)
         # q60/q73/q74 moved to full oracles in r4: FIXED-round trainers
         # unroll into SQL CTEs (_KM_CTES / _PQ_CTES)
     }
+    # both rows-only queries carry an error-bound differential instead
+    assert set(registry.all_bounds()) == set(qs) - set(oracles)
     assert registry.IMPORT_FAILURES == {}
 
 
@@ -568,4 +571,46 @@ def test_lateral_topk_decorrelates_to_window_limit(spark):
 
     plan = _plan(X.q186_lateral_topk(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_score_auc_windows_partition_by_bucket(spark):
+    """q155 (VERDICT r05 #2): the rank-offset cumsum must run as the
+    q150 two-phase rewrite — every window partitioned by the sampled
+    score bucket, never an unpartitioned scan over the score-distinct
+    frame (which grows with corpus richness)."""
+    plan = _plan(A.q155_score_auc(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the bucket-local cumsum window"
+    for spec in specs:
+        assert "_bkt" in spec, f"unpartitioned window: {spec}"
+
+
+def test_kaplan_meier_windows_partition_by_bucket(spark):
+    """q159 (VERDICT r05 #2): all three cumulations (at-risk suffix
+    sum, cumulative hazard, zero flag) must be bucket-partitioned
+    two-phase scans — no unpartitioned window over the time grid."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    plan = _plan(B.q159_kaplan_meier(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the bucket-local scan windows"
+    for spec in specs:
+        assert "_bkt" in spec, f"unpartitioned window: {spec}"
+
+
+def test_quality_representatives_window_is_cluster_keyed(spark):
+    """q173 (VERDICT r05 #6): the representative-selection windows
+    must partition by cluster — a global window would serialize the
+    members frame — and no cartesian product may appear anywhere in
+    the composed q47+score pipeline."""
+    from weatherapi_data_engineering_project_spark.plans import llm as L
+
+    plan = _plan(L.q173_quality_representatives(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the cluster-keyed selection windows"
+    for spec in specs:
+        assert "cluster" in spec, f"non-cluster window: {spec}"
     assert "CartesianProduct" not in plan

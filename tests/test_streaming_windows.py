@@ -177,6 +177,63 @@ def test_q42_stateful_totals_rows_only_query(spark):
     for uid, (n, s) in got.items():
         assert n == want[uid][0]
         assert abs(s - want[uid][1]) < 1e-6
+    # the integer-cent state makes the drained totals EXACTLY equal
+    # the batch cent twin (the property the q42 oracle relies on)
+    exact = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .collect()
+    }
+    for uid, (_, s) in got.items():
+        assert s == exact[uid] / 100.0
+
+
+def test_stream_drain_is_file_count_invariant(spark, tmp_path):
+    """The multi-file replay layout (VERDICT r05 #3) must not change
+    any drained result: an AvailableNow drain with no
+    maxFilesPerTrigger takes all files in ONE micro-batch, so the
+    interval join over a 1-file and an 8-file copy of the same rows
+    emits identical pairs."""
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .orderBy("event_id")
+        .limit(500)
+        .select("event_id", "ts", "user_id")
+        .cache()
+    )
+    results = []
+    for nfiles in (1, 8):
+        src = str(tmp_path / f"src{nfiles}")
+        ckpt = str(tmp_path / f"ckpt{nfiles}")
+        ev.coalesce(nfiles).write.mode("overwrite").parquet(src)
+        rows: list = []
+
+        def sink(batch, _bid):
+            rows.extend(batch.collect())
+
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint"
+        ).parquet(src)
+        q = (
+            W.stream_interval_join(
+                stream.filter(F.col("event_id") % 2 == 0),
+                stream.filter(F.col("event_id") % 2 == 1),
+                max_lag="1 hour",
+                watermark="2 hours",
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        results.append({tuple(r) for r in rows})
+    assert results[0] == results[1]
+    assert results[0]  # non-vacuous: some pairs actually joined
 
 
 def test_streaming_exact_dedup(spark, tmp_path):

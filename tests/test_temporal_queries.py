@@ -98,3 +98,38 @@ def test_daily_autocorr_matches_numpy_acf(spark):
         want = float((xc[:-k] * xc[k:]).sum()) / den
         assert abs(r.acf - want) < 1e-5
     assert any(abs(r.acf) > 1e-6 for r in rows) or n < 3
+
+
+def test_cusum_changepoint_brute_force(spark):
+    """q194: the D-scaled CUSUM curve recomputed with numpy over the
+    densified calendar — exact integer equality, peak flag included,
+    and the scaled curve must equal D*prefix - (t+1)*S."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    cents: dict = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            d = r.ts.date()
+            cents[d] = cents.get(d, 0) + round(r.value * 100)
+    d0, d1 = min(cents), max(cents)
+    ndays = (d1 - d0).days + 1
+    x = np.zeros(ndays, dtype=np.int64)
+    for d, c in cents.items():
+        x[(d - d0).days] = c
+    pref = np.cumsum(x)
+    s = int(pref[-1])
+    cus = ndays * pref - (np.arange(ndays) + 1) * s
+    peak = np.abs(cus).max()
+    got = sorted(
+        T.q194_cusum_changepoint(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(got) == ndays
+    for i, r in enumerate(got):
+        assert r.rev_cents == int(x[i])
+        assert r.cusum_scaled == int(cus[i])
+        assert r.is_peak == (abs(int(cus[i])) == int(peak))
+    assert sum(r.is_peak for r in got) >= 1

@@ -1727,13 +1727,16 @@ def q155_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus collapses to one row PER DISTINCT SCORE in
     a single partial-agg shuffle (cnt + positives per score); the rank
-    offsets are a running sum over that score-distinct frame — its
-    cardinality is the score DOMAIN (bounded: n_chars values), not the
-    corpus, so the unpartitioned window is dimension-sized; were the
-    score continuous/unbounded, the q150 two-phase bucketed prefix sum
-    is the drop-in rewrite. The doubled rank-sum r2 accumulates in
-    decimal(20,0) terms (q135 convention: HUGEINT on the oracle side)
-    because 2·R1 is O(n²) and would overflow BIGINT long before 100 TB."""
+    offsets run as the q150 two-phase rewrite (VERDICT r05 #2) — 31
+    sampled score boundaries bucket the score-distinct frame, each
+    bucket cumsums locally in parallel (window partitioned by bucket),
+    and the per-bucket count totals stitch global offsets through a
+    broadcast triangular self-join on the ≤33-row bucket frame — so NO
+    unpartitioned window exists even if the score domain grows with
+    corpus richness (distinct n_chars at 100 TB is plausibly 10⁵-10⁶).
+    The doubled rank-sum r2 accumulates in decimal(20,0) terms (q135
+    convention: HUGEINT on the oracle side) because 2·R1 is O(n²) and
+    would overflow BIGINT long before 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     lab = d.select(
         F.col("n_chars").alias("score"),
@@ -1742,10 +1745,38 @@ def q155_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lab.groupBy("score").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, -1
+    bnds = sorted(
+        set(g.approxQuantile("score", [i / 32 for i in range(1, 32)], 0.01))
     )
-    r = g.withColumn("off", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    bucketed = g.withColumn(
+        "_bkt",
+        F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("score"),
+            )
+        ),
+    )
+    bs = bucketed.groupBy("_bkt").agg(F.sum("cnt").alias("bc"))
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            F.col("b._bkt") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b.bc"), F.lit(0)).alias("boff"))
+    )
+    wl = Window.partitionBy("_bkt").orderBy("score")
+    r = bucketed.join(F.broadcast(offs), "_bkt").withColumn(
+        "off",
+        F.col("boff")
+        + F.coalesce(
+            F.sum("cnt").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
     a = r.agg(
         F.sum(
             F.col("pos").cast("decimal(20,0)")

@@ -550,13 +550,22 @@ def q159_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the event log collapses to one row per user in a
     single partial agg (min timestamps only); users collapse to one row
-    per distinct duration-hour in a second — the curve frame is
-    DOMAIN-sized (hours in the study window), so the ordered windows
-    for at-risk counts and the cumulative hazard run over a bounded
-    frame (q155's domain-bounded-window argument; the q150 two-phase
-    cumsum is the rewrite if the time grid were unbounded). The
-    product limit itself is the corpus ln-snap convention: per-time
-    factors round to decimal(18,9), SUM is exact, exp at the end."""
+    per distinct duration-hour in a second. All three cumulations over
+    that curve frame (suffix-sum at-risk counts, prefix-sum cumulative
+    hazard, prefix-max zero flag) run as the q150 two-phase rewrite
+    (VERDICT r05 #2): 31 sampled dur_h boundaries bucket the frame,
+    each bucket scans locally in parallel (windows partitioned by
+    bucket), and per-bucket totals stitch the global values through
+    broadcast triangular self-joins on the ≤33-row bucket frames — NO
+    unpartitioned window survives even if the time grid is unbounded.
+    The suffix sum is total − exclusive prefix (the at-risk identity),
+    so one bucketing serves all three scans. The product limit itself
+    is the corpus ln-snap convention: per-time factors round to
+    decimal(18,9), SUM is exact, exp at the end. (cumlog's coalesce-0
+    on all-NULL local prefixes is observationally safe: lg is NULL only
+    where d = n_risk, which zeroes `zeroed` for that row and every
+    later one, and _KM_SURV masks survival to 0.0 before cumlog is
+    read.)"""
     ev = load_table(spark, sf_dir, "events")
     c = F.lit(_KM_CUTOFF_US)
     pu = ev.groupBy("user_id").agg(
@@ -581,25 +590,86 @@ def q159_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = st.groupBy("dur_h").agg(
         F.count(F.lit(1)).alias("n_at"), F.sum("ev").alias("d")
     )
-    w = Window.orderBy("dur_h")
-    r = (
-        g.withColumn(
+    bnds = sorted(
+        set(g.approxQuantile("dur_h", [i / 32 for i in range(1, 32)], 0.01))
+    )
+    bucketed = g.withColumn(
+        "_bkt",
+        F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b < F.col("dur_h"),
+            )
+        ),
+    )
+    # phase 1: per-bucket n_at totals -> exclusive-prefix offsets and
+    # the grand total (broadcast triangular join, no window)
+    bs = bucketed.groupBy("_bkt").agg(F.sum("n_at").alias("bn"))
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            F.col("b._bkt") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("boff"))
+    )
+    tot = bs.agg(F.sum("bn").alias("tw"))
+    wl = Window.partitionBy("_bkt").orderBy("dur_h")
+    r1 = (
+        bucketed.join(F.broadcast(offs), "_bkt")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
             "n_risk",
-            F.sum("n_at").over(
-                w.rowsBetween(0, Window.unboundedFollowing)
+            F.col("tw")
+            - F.col("boff")
+            - F.coalesce(
+                F.sum("n_at").over(
+                    wl.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
             ),
         )
         .withColumn("lg", F.expr(_KM_LOG))
+        .withColumn("zf", (F.col("d") == F.col("n_risk")).cast("int"))
+    )
+    # phase 2: per-bucket lg sums / zf maxes -> global prefix values
+    bs2 = r1.groupBy("_bkt").agg(
+        F.sum("lg").alias("blg"), F.max("zf").alias("bzf")
+    )
+    offs2 = (
+        bs2.alias("a")
+        .join(
+            F.broadcast(bs2.alias("b")),
+            F.col("b._bkt") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(
+            F.coalesce(F.sum("b.blg"), F.lit(0)).alias("boff_lg"),
+            F.coalesce(F.max("b.bzf"), F.lit(0)).alias("boff_zf"),
+        )
+    )
+    r = (
+        r1.join(F.broadcast(offs2), "_bkt")
         .withColumn(
             "cumlog",
-            F.sum("lg").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
+            F.col("boff_lg")
+            + F.coalesce(
+                F.sum("lg").over(
+                    wl.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
             ),
         )
         .withColumn(
             "zeroed",
-            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
+            F.greatest(
+                F.col("boff_zf"),
+                F.max("zf").over(
+                    wl.rowsBetween(Window.unboundedPreceding, 0)
+                ),
             ),
         )
     )
@@ -1076,8 +1146,47 @@ def q179_rolling_active_users(
     )
 
 
+def q193_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) audit for the q153 experiment: per
+    exposure day, do the two arms (user_id % 2 — q153's stated 50/50
+    assignment) receive event traffic in the expected ratio? SRM is
+    the first thing a trustworthy experimentation platform checks —
+    a significant daily imbalance means broken randomization or
+    differential logging loss, and every downstream readout (q153's z,
+    q188's CUPED lift) is void that day. Chi-square for a 50/50 split
+    collapses to (a−b)²/(a+b); the flag is the p<0.001 gate (χ²₁ >
+    10.828), tested multiplied-through in exact integers —
+    1000·(a−b)² > 10828·(a+b) — so no float enters the verdict.
+
+    Scale shape: the event log collapses to the (day × 2 arms) grid in
+    ONE partial-agg shuffle (conditional sums, calendar-bounded frame);
+    the χ² value itself is the only division (exact ints, ROUND 6)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            (F.col("user_id") % 2).alias("arm"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        )
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    tot = F.col("n_a") + F.col("n_b")
+    return g.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.round(diff2.cast("double") / tot, 6).alias("chi2"),
+        (diff2 * 1000 > tot * 10828).alias("srm_flag"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
+    "q193_srm_audit": q193_srm_audit,
     "q98_retention_cohorts": q98_retention_cohorts,
     "q99_heavy_hitters": q99_heavy_hitters,
     "q113_disorder_audit": q113_disorder_audit,
@@ -1097,6 +1206,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q193_srm_audit": """
+        WITH g AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM events GROUP BY 1)
+        SELECT day, n_a, n_b,
+               ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / (n_a + n_b), 6) AS chi2,
+               (n_a - n_b) * (n_a - n_b) * 1000 > (n_a + n_b) * 10828
+                   AS srm_flag
+        FROM g
+    """,
     "q97_funnel_depth": """
         WITH u AS (SELECT DISTINCT user_id FROM events),
         v AS (SELECT user_id, MIN(ts) AS t1 FROM events

@@ -176,6 +176,99 @@ def q82_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β, estimated from
+    8 corpus checkpoints — the scaling audit that says whether a
+    corpus keeps yielding NEW vocabulary as it grows (β ≈ 0.5 for
+    natural text; β near 0 means the tail is recycled boilerplate, β
+    near 1 means noise/IDs) — the companion to q82's Zipf head fit
+    and the curve a data-buying decision actually reads ("how much
+    new language does the next 10 TB add?"). The vocabulary unit is
+    the word TRIGRAM (q110's shingle vocabulary at k=3): this
+    generator's unigram/bigram vocab saturates in the first checkpoint
+    (31/916 values), which would make the fit degenerate — the
+    docstring-stated precondition is an unsaturated vocab unit, and
+    trigrams grow throughout. Docs enter in doc_id order; checkpoint k
+    covers doc_ids below (k+1)/8 of the id range. Output: one row per
+    checkpoint with cumulative trigram occurrences and cumulative
+    distinct trigrams, plus the fitted (beta, k_const, r2) broadcast
+    on every row.
+
+    Scale shape: a term's contribution to EVERY checkpoint is decided
+    by its FIRST-occurrence doc_id alone — one explode + min-agg
+    shuffle (term-keyed), no per-checkpoint rescan; per-checkpoint
+    token mass is one partial-agg shuffle on the 8-value bucket key.
+    Both cumulations run as broadcast triangular joins on the ≤8-row
+    bucket frames (q150 discipline — no window at all), and the
+    log-log fit runs on 8 rows (regr_* aggregates, ROUND 6 absorbing
+    float association noise, the q82 convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    docs = (
+        d.select(
+            "doc_id",
+            F.greatest(
+                TX.token_count("text") - 2, F.lit(0)
+            ).alias("nt"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST(doc_id * 8 DIV (mx + 1) AS INT)").alias("bkt"),
+            "nt",
+        )
+    )
+    spine = docs.groupBy("bkt").agg(F.sum("nt").alias("bt"))
+    first = (
+        d.select(
+            "doc_id",
+            F.explode(TX.shingles(TX.tokens("text"), 3)).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("CAST(fd * 8 DIV (mx + 1) AS INT)").alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bv"))
+    )
+    nk = (
+        spine.alias("a")
+        .join(
+            F.broadcast(spine.alias("b")),
+            F.col("b.bkt") <= F.col("a.bkt"),
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.sum("b.bt").alias("n_cum"))
+    )
+    pts = (
+        nk.alias("a")
+        .join(
+            F.broadcast(first.alias("v")),
+            F.col("v.bkt") <= F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("ckpt"), F.col("a.n_cum").alias("n_cum"))
+        .agg(F.coalesce(F.sum("v.bv"), F.lit(0)).alias("v_cum"))
+        .filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+    )
+    fit = pts.agg(
+        F.round(
+            F.expr("regr_slope(ln(v_cum), ln(n_cum))"), 6
+        ).alias("beta"),
+        F.round(
+            F.expr("exp(regr_intercept(ln(v_cum), ln(n_cum)))"), 6
+        ).alias("k_const"),
+        F.round(F.expr("regr_r2(ln(v_cum), ln(n_cum))"), 6).alias("r2"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("ckpt").cast("int").alias("ckpt"),
+        F.col("n_cum").alias("n_tokens_cum"),
+        F.col("v_cum").alias("vocab_cum"),
+        "beta",
+        "k_const",
+        "r2",
+    )
+
+
 # q109 ring geometry: the multiplicative (Knuth) hash spreads doc_ids
 # around a 2^32 ring. The shard count is DATA-derived (VERDICT r04 #4 —
 # a fixed 32 meant corpus/32 rows in one rank-window task):
@@ -1296,6 +1389,7 @@ QUERIES = {
     "q80_pii_scrub": q80_pii_scrub,
     "q81_temperature_mix": q81_temperature_mix,
     "q82_zipf_slope": q82_zipf_slope,
+    "q191_heaps_law": q191_heaps_law,
     "q109_negative_sampling": q109_negative_sampling,
     "q110_ngram_novelty": q110_ngram_novelty,
     "q112_vocab_coverage": q112_vocab_coverage,
@@ -1441,6 +1535,48 @@ ORACLE = {
                ROUND(sqrt(n_tokens / total) / z * total, 3)
                    AS expected_tokens
         FROM per, tot, z
+    """,
+    "q191_heaps_law": f"""
+        WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        docs AS (
+            SELECT CAST(doc_id * 8 // (m.mx + 1) AS INT) AS bkt,
+                   GREATEST(len({_TOK}) - 2, 0) AS nt
+            FROM documents CROSS JOIN mx m),
+        spine AS (
+            SELECT bkt, CAST(SUM(nt) AS BIGINT) AS bt FROM docs
+            GROUP BY bkt),
+        firstocc AS (
+            SELECT CAST(fd * 8 // (m.mx + 1) AS INT) AS bkt,
+                   COUNT(*) AS bv
+            FROM (SELECT MIN(doc_id) AS fd
+                  FROM (SELECT doc_id,
+                               unnest(list_distinct(list_transform(
+                                   range(1, len({_TOK}) - 1),
+                                   i -> array_to_string(
+                                       ({_TOK})[i:i+2], ' '))))
+                                   AS term
+                        FROM documents)
+                  GROUP BY term) CROSS JOIN mx m
+            GROUP BY 1),
+        nk AS (
+            SELECT a.bkt, CAST(SUM(b.bt) AS BIGINT) AS n_cum
+            FROM spine a JOIN spine b ON b.bkt <= a.bkt
+            GROUP BY a.bkt),
+        pts AS (
+            SELECT a.bkt AS ckpt, a.n_cum,
+                   CAST(COALESCE(SUM(v.bv), 0) AS BIGINT) AS v_cum
+            FROM nk a LEFT JOIN firstocc v ON v.bkt <= a.bkt
+            GROUP BY a.bkt, a.n_cum
+            HAVING a.n_cum > 0 AND COALESCE(SUM(v.bv), 0) > 0),
+        fit AS (
+            SELECT ROUND(regr_slope(ln(v_cum), ln(n_cum)), 6) AS beta,
+                   ROUND(exp(regr_intercept(ln(v_cum), ln(n_cum))), 6)
+                       AS k_const,
+                   ROUND(regr_r2(ln(v_cum), ln(n_cum)), 6) AS r2
+            FROM pts)
+        SELECT p.ckpt, p.n_cum AS n_tokens_cum, p.v_cum AS vocab_cum,
+               f.beta, f.k_const, f.r2
+        FROM pts p CROSS JOIN fit f
     """,
     "q82_zipf_slope": f"""
         WITH tok AS (SELECT source, unnest({_TOK}) AS term FROM documents),

@@ -157,10 +157,11 @@ def q50_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score_cols(text_col: str = "text"):
-    """Gopher-style 4-rule quality score — (n_tokens, score) column
-    pair, shared by q51 and the q77 composite pipeline so the rule
-    semantics cannot drift between them."""
+def quality_rule_cols(text_col: str = "text"):
+    """The four Gopher-style quality rules as (n_tokens, [r_len,
+    r_punct, r_stop, r_word]) — the ORDERED rule list shared by q51
+    (score), q77 (composite) and q190 (funnel) so rule semantics and
+    funnel order cannot drift apart."""
     toks = TX.tokens(text_col)
     n_tok = F.size(toks)
     punct_ratio = TX.punct_count(text_col).cast("double") / F.length(text_col)
@@ -171,9 +172,16 @@ def quality_score_cols(text_col: str = "text"):
     r_word = (
         F.length(F.regexp_replace(text_col, r"\s+", "")).cast("double") / n_tok
     ) <= 12
-    score = (
-        r_len.cast("int") + r_punct.cast("int")
-        + r_stop.cast("int") + r_word.cast("int")
+    return n_tok, [r_len, r_punct, r_stop, r_word]
+
+
+def quality_score_cols(text_col: str = "text"):
+    """Gopher-style 4-rule quality score — (n_tokens, score) column
+    pair, shared by q51 and the q77 composite pipeline so the rule
+    semantics cannot drift between them."""
+    n_tok, rules = quality_rule_cols(text_col)
+    score = sum(
+        (r.cast("int") for r in rules[1:]), rules[0].cast("int")
     )
     return n_tok, score
 
@@ -189,6 +197,52 @@ def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         score.alias("quality_score"),
         (score == 4).alias("keep"),
+    )
+
+
+def q190_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL with first-fail attribution: the q51 rules
+    applied in their stated order (length → punctuation → stopwords →
+    word-length), each document charged to the FIRST rule it fails —
+    the C4/Gopher-style rejection report a curation run publishes so
+    rule owners know which gate does the cutting (a score alone, q51,
+    can't say WHY a doc died or which rule to re-tune). Output: one
+    row per (source, stage) with the doc count and the share of the
+    source, stage_idx ordering the funnel.
+
+    Scale shape: the rules are codegen'd scan-side projections (shared
+    with q51 via quality_rule_cols — no drift); the corpus collapses
+    to a (source × 5-stage) grid in ONE partial-agg shuffle; the
+    source totals for the share division come from a broadcast join of
+    the grid's own per-source sums (value-domain-sized, no second scan
+    of the corpus). The only division is the final share (exact ints,
+    ROUND 6 both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    _, rules = quality_rule_cols("text")
+    stage = (
+        F.when(~rules[0], F.lit(0))
+        .when(~rules[1], F.lit(1))
+        .when(~rules[2], F.lit(2))
+        .when(~rules[3], F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    names = F.lit(
+        ["length", "punctuation", "stopwords", "word_length", "pass"]
+    )
+    grid = (
+        d.select("source", stage.alias("stage_idx"))
+        .groupBy("source", "stage_idx")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = grid.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    return grid.join(F.broadcast(totals), "source").select(
+        "source",
+        "stage_idx",
+        F.element_at(names, F.col("stage_idx") + 1).alias("stage"),
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_src"), 6
+        ).alias("frac"),
     )
 
 
@@ -1199,6 +1253,7 @@ QUERIES = {
     "q49_decile_stats": q49_decile_stats,
     "q50_event_gaps": q50_event_gaps,
     "q51_quality_score": q51_quality_score,
+    "q190_filter_funnel": q190_filter_funnel,
     "q52_stratified_sample": q52_stratified_sample,
     "q53_repetition_stats": q53_repetition_stats,
     "q54_moving_window": q54_moving_window,
@@ -1270,6 +1325,40 @@ ORACLE = {
         FROM gaps
         WHERE gap_us IS NOT NULL
         GROUP BY user_id
+    """,
+    "q190_filter_funnel": f"""
+        WITH feats AS (
+            SELECT doc_id, source,
+                   len({_TOK}) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                   CAST(len(list_filter({_TOK},
+                            t -> t IN {_STOP_SQL})) AS DOUBLE)
+                       / len({_TOK}) AS stop_ratio,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS DOUBLE) / len({_TOK}) AS avg_tok_len
+            FROM documents),
+        staged AS (
+            SELECT source,
+                   CASE WHEN NOT (n_tokens BETWEEN 10 AND 1000) THEN 0
+                        WHEN NOT (punct_ratio <= 0.1) THEN 1
+                        WHEN NOT (stop_ratio >= 0.03) THEN 2
+                        WHEN NOT (avg_tok_len <= 12) THEN 3
+                        ELSE 4 END AS stage_idx
+            FROM feats),
+        grid AS (
+            SELECT source, stage_idx, COUNT(*) AS n_docs
+            FROM staged GROUP BY source, stage_idx),
+        totals AS (
+            SELECT source, SUM(n_docs) AS n_src FROM grid
+            GROUP BY source)
+        SELECT g.source,
+               g.stage_idx,
+               ['length', 'punctuation', 'stopwords', 'word_length',
+                'pass'][g.stage_idx + 1] AS stage,
+               g.n_docs,
+               ROUND(CAST(g.n_docs AS DOUBLE) / t.n_src, 6) AS frac
+        FROM grid g JOIN totals t ON g.source = t.source
     """,
     "q51_quality_score": f"""
         WITH feats AS (

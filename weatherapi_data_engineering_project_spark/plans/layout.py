@@ -793,8 +793,91 @@ def q163_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer stats) pruning audit: how many of a
+    table's files does a date-range scan actually have to read, under
+    two write layouts — ARRIVAL order (files cut by insertion key
+    ranges: every file spans most of the date domain, nothing prunes)
+    vs DATE-CLUSTERED (files cut by date ranges — what a
+    repartitionByRange(date) writer produces: each probe touches ~1/8
+    of the files). This quantifies the q106 claim ("bounding-box
+    tightness IS the data-skipping win") as the scan-cost number a
+    layout decision is actually made on. Output: one row per (layout,
+    probe window) with file/row scan counts and the prune fraction.
+
+    Scale shape: both file assignments are scan-side integer
+    projections against ONE broadcast min/max scalar row (no sort, no
+    shuffle of the fact table); the zone-map frame is 2 layouts × 64
+    files built by one partial agg on the stacked (layout, file) key;
+    the probe audit is a broadcast cross join on that 128-row frame ×
+    8 literal-derived windows. Everything is exact integer day/key
+    arithmetic; the only division is the final fraction (ROUND 6)."""
+    # day index as an integer datediff from a literal epoch — exact,
+    # timezone-free, identical in both engines (o_orderdate is NTZ)
+    day = "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min(F.expr(day)).alias("mind"),
+        F.max(F.expr(day)).alias("maxd"),
+        F.max("o_orderkey").alias("maxk"),
+    )
+    base = o.crossJoin(F.broadcast(rng)).selectExpr(
+        f"{day} AS d",
+        "CAST(o_orderkey * 64 DIV (maxk + 1) AS INT) AS fa",
+        f"CAST(({day} - mind) * 64 DIV (maxd - mind + 1) AS INT) AS fc",
+    )
+    zm = (
+        base.selectExpr(
+            "d",
+            "stack(2, 'arrival', fa, 'clustered', fc)"
+            " AS (layout, file_id)",
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    probes = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("probe"))
+        .crossJoin(F.broadcast(rng))
+        .selectExpr(
+            "probe",
+            "mind + probe * (maxd - mind + 1) DIV 8 AS lo",
+            "mind + (probe + 1) * (maxd - mind + 1) DIV 8 AS hi",
+        )
+    )
+    hit = (F.col("max_d") >= F.col("lo")) & (F.col("min_d") < F.col("hi"))
+    return (
+        zm.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit.cast("long")).alias("files_scanned"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0))).alias(
+                "rows_scanned"
+            ),
+        )
+        .select(
+            "layout",
+            "probe",
+            "n_files",
+            "files_scanned",
+            "rows_scanned",
+            F.round(
+                F.lit(1.0).cast("double")
+                - F.col("files_scanned").cast("double") / F.col("n_files"),
+                6,
+            ).alias("prune_frac"),
+        )
+    )
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
+    "q192_zonemap_prune": q192_zonemap_prune,
     "q107_countmin_sketch": q107_countmin_sketch,
     "q108_bloom_prune": q108_bloom_prune,
     "q120_hll_sketch": q120_hll_sketch,
@@ -808,6 +891,51 @@ _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
 _DUCK_BLOOM_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _BLOOM_SEEDS)
 
 ORACLE = {
+    "q192_zonemap_prune": """
+        WITH rng AS (
+            SELECT MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                       AS mind,
+                   MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                       AS maxd,
+                   MAX(o_orderkey) AS maxk
+            FROM orders),
+        base AS (
+            SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+                   CAST(o_orderkey * 64 // (maxk + 1) AS INT) AS fa,
+                   CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                         - mind) * 64 // (maxd - mind + 1) AS INT) AS fc
+            FROM orders CROSS JOIN rng),
+        stacked AS (
+            SELECT d, 'arrival' AS layout, fa AS file_id FROM base
+            UNION ALL
+            SELECT d, 'clustered' AS layout, fc AS file_id FROM base),
+        zm AS (
+            SELECT layout, file_id,
+                   MIN(d) AS min_d, MAX(d) AS max_d,
+                   COUNT(*) AS n_rows
+            FROM stacked GROUP BY layout, file_id),
+        probes AS (
+            SELECT CAST(p AS INT) AS probe,
+                   mind + p * (maxd - mind + 1) // 8 AS lo,
+                   mind + (p + 1) * (maxd - mind + 1) // 8 AS hi
+            FROM (SELECT unnest(generate_series(0, 7)) AS p)
+            CROSS JOIN rng)
+        SELECT layout,
+               probe,
+               COUNT(*) AS n_files,
+               CAST(SUM(CASE WHEN max_d >= lo AND min_d < hi
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_scanned,
+               CAST(SUM(CASE WHEN max_d >= lo AND min_d < hi
+                             THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_scanned,
+               ROUND(CAST(1.0 AS DOUBLE)
+                     - CAST(SUM(CASE WHEN max_d >= lo AND min_d < hi
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*), 6) AS prune_frac
+        FROM zm CROSS JOIN probes
+        GROUP BY layout, probe
+    """,
     "q106_zorder_layout": f"""
         WITH rng AS (
             SELECT MIN(l_partkey) AS minx, MAX(l_partkey) AS maxx,

@@ -4,12 +4,13 @@ These exercise genuinely non-SQL-expressible operators — custom
 stateful streaming via ``applyInPandasWithState`` — end to end: the
 events table is replayed through a checkpointed file stream under
 ``Trigger.AvailableNow`` and the operator's emitted output is returned
-as the query result. q42/q43 have NO ``oracle_sql`` twin (DuckDB
-cannot run a state-store program / foreign sketch) and get the weaker
-rows-only check, with semantics pinned by
-tests/test_streaming_windows.py; q70's single-batch drain is
-oracle-COMPLETE, so the stream-stream interval join is hash-verified
-like any batch query.
+as the query result. q42's integer-cent state makes its multi-batch
+drain equal the batch GROUP BY twin exactly, so even the state-store
+program carries a full ``oracle_sql`` differential; only q43 (foreign
+sketch — DuckDB's HLL is not bit-comparable) stays rows-only, with
+its published error bound checked via BOUNDS instead. q70's
+single-micro-batch drain is oracle-COMPLETE, so the stream-stream
+interval join is hash-verified like any batch query.
 """
 
 from __future__ import annotations
@@ -75,9 +76,20 @@ def _work_dir(name: str, sf_dir: str) -> str:
 def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events through the stateful per-user totals operator.
 
-    One AvailableNow drain: state is built per user in the state store
-    (keyed shuffle), the final update per user is the row emitted here.
-    Output: (user_id, n_events, sum_value, last_ts), one row per user.
+    MULTI-batch AvailableNow drain (4 replay files, maxFilesPerTrigger
+    = 1): state is built per user in the state store (keyed shuffle)
+    across four genuine micro-batches, the final update per user is the
+    row emitted here. Output: (user_id, n_events, sum_value, last_ts),
+    one row per user.
+
+    Stream-vs-batch equivalence oracle (VERDICT r05 #1): the state
+    holds EXACT integer cents (streaming/windows._update_running_totals
+    — integer addition is order-independent), so the drained totals
+    equal the batch ``GROUP BY user_id`` twin bit-for-bit regardless of
+    batch boundaries, and DuckDB can state that twin directly — the
+    multi-batch drain still exercises the real state store while the
+    differential hash-certifies what it computed (q84's additive-merge
+    argument applied to applyInPandasWithState state).
 
     The harness sink stays distributed: each micro-batch's updates are
     appended to a parquet spill dir (stamped with the batch id) and the
@@ -95,7 +107,7 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
-    ev.write.mode("overwrite").parquet(src)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
         batch.withColumn("q42_batch_id", F.lit(bid)).write.mode(
@@ -109,7 +121,11 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copied over — _cloned_session).
     s2 = _cloned_session(spark)
     q = (
-        running_user_totals(s2.readStream.schema(EVENTS_DDL).parquet(src))
+        running_user_totals(
+            s2.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
         .writeStream.foreachBatch(sink)
         .outputMode("update")
         .option("checkpointLocation", ckpt)
@@ -159,12 +175,15 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Trigger.AvailableNow``, spilled to parquet per micro-batch (no
     driver collect).
 
-    Unlike q42/q43 this one DOES carry a SQL oracle: the replay copy
-    is written as a single file, so the drain is one micro-batch, no
-    watermark eviction can precede any match, and the streaming result
-    equals the batch interval join exactly. (Multi-file drains trade
-    that completeness for bounded lateness — the production contract;
-    tests/test_streaming_windows.py pins the watermark semantics.)
+    Like q76 this one DOES carry a SQL oracle: the replay is written
+    as a SMALL MULTI-FILE layout (8 files — parallel setup write,
+    multi-file source discovery) but drained with no
+    ``maxFilesPerTrigger``, so AvailableNow takes every available file
+    in ONE micro-batch: no watermark eviction can precede any match
+    and the streaming result equals the batch interval join exactly.
+    (Multi-BATCH drains trade that completeness for bounded lateness —
+    the production contract; tests/test_streaming_windows.py pins the
+    watermark semantics and the file-count invariance of this drain.)
     Hash-matching DuckDB here certifies the streaming join plan itself.
     """
     from pyspark.sql import functions as F
@@ -174,8 +193,8 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
-    # one file ⇒ one micro-batch ⇒ oracle-complete result (see above)
-    ev.select("event_id", "ts", "user_id").coalesce(1).write.mode(
+    # multi-file replay, one micro-batch ⇒ oracle-complete (see above)
+    ev.select("event_id", "ts", "user_id").coalesce(8).write.mode(
         "overwrite"
     ).parquet(src)
 
@@ -220,7 +239,8 @@ def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ``dropDuplicatesWithinWatermark`` state under
     ``Trigger.AvailableNow``.
 
-    Like q70, the replay copy is ONE file ⇒ one micro-batch ⇒ no
+    Like q70, the multi-file replay (8 files, parallel setup write)
+    drains with no ``maxFilesPerTrigger`` ⇒ ONE micro-batch ⇒ no
     watermark eviction precedes any duplicate, so the streaming result
     equals the batch DISTINCT exactly and the query carries a full SQL
     oracle — hash-certifying the streaming dedup plan itself. The
@@ -236,7 +256,7 @@ def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
-    ev.unionAll(ev.filter(F.col("event_id") % 10 == 0)).coalesce(1).write.mode(
+    ev.unionAll(ev.filter(F.col("event_id") % 10 == 0)).coalesce(8).write.mode(
         "overwrite"
     ).parquet(src)
 
@@ -379,7 +399,9 @@ def q121_stream_session_window(
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
-    ev.select("event_id", "ts", "user_id", "value").coalesce(1).write.mode(
+    # multi-file replay (complete-mode drain is batch-count-invariant
+    # anyway, so file layout affects only setup parallelism here)
+    ev.select("event_id", "ts", "user_id", "value").coalesce(8).write.mode(
         "overwrite"
     ).parquet(src)
 
@@ -507,10 +529,10 @@ def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from the warehouse, then rolled up per event_type into
     counts of events beating their user's historical mean.
 
-    Like q70/q76 the replay copy is ONE file => one micro-batch, so
-    the drained result equals the batch join exactly and the query
-    carries a full SQL oracle — hash-certifying the stream-static join
-    plan itself. The above-mean test multiplies through by the count
+    Like q70/q76 the multi-file replay (8 files) drains with no
+    ``maxFilesPerTrigger`` => one micro-batch, so the drained result
+    equals the batch join exactly and the query carries a full SQL
+    oracle — hash-certifying the stream-static join plan itself. The above-mean test multiplies through by the count
     (value * n > sum, all exact decimal) instead of dividing, so no
     float division enters the comparison on either engine.
 
@@ -529,7 +551,7 @@ def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "out")
     ev.select(
         "event_id", "ts", "user_id", "event_type", "value"
-    ).coalesce(1).write.mode("overwrite").parquet(src)
+    ).coalesce(8).write.mode("overwrite").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
         batch.write.mode("append").parquet(out)
@@ -597,12 +619,25 @@ QUERIES = {
     "q136_stream_sliding_window": q136_stream_sliding_window,
 }
 
-# q42/q43 are rows-only (state-store program / foreign sketch); q70's
-# and q76's single-batch drains make the streaming join and the
-# streaming dedup oracle-complete; q84's additive merge is
-# batch-boundary-INdependent, so its multi-batch drain carries a full
-# oracle too.
+# q43 is the one rows-only entry left (foreign sketch — its BOUNDS
+# differential below is the check); q70's and q76's single-batch drains
+# make the streaming join and the streaming dedup oracle-complete;
+# q42's integer-cent state and q84's additive merge are
+# batch-boundary-INdependent, so their multi-batch drains carry full
+# oracles too.
 ORACLE: dict[str, str] = {
+    # q42: the batch twin of the state-store program. sum_value is the
+    # exact cent total divided by 100.0 — one IEEE double divide on
+    # each side of an exactly-represented integer, so bit-identical
+    # (round(value*100) is exact per-value: 2-decimal money).
+    "q42_stateful_totals": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
     "q136_stream_sliding_window": """
         WITH slots AS (
             SELECT event_type, value,

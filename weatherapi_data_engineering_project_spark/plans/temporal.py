@@ -225,8 +225,76 @@ def q169_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily purchase-revenue series —
+    "did the level shift, and when?": the classic offline CUSUM
+    statistic C_t = Σ_{i≤t}(x_i − x̄) peaks at the most likely change
+    day (q117's z-scores flag single outlier days; CUSUM detects a
+    sustained LEVEL shift those miss). The calendar is densified
+    (q102's rule: silent days are 0-revenue days, not missing rows).
+    Output: one row per calendar day with the cent revenue, the
+    D-scaled integer CUSUM, and the peak flag.
+
+    Exactness: revenue is exact integer cents; C_t is rescaled by the
+    day count D — D·prefix_t − (t+1)·S — so the whole curve INCLUDING
+    the argmax compare is exact integer arithmetic; no division
+    anywhere. Scale shape: the event log collapses to the calendar
+    grid in one partial-agg shuffle; the prefix sum and the peak scan
+    run as a broadcast triangular join + 1-row max on the
+    calendar-bounded frame (q169's discipline — the calendar, unlike
+    a score domain, cannot outgrow a task)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+        )
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "d0",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    grid = cal.join(daily, "day", "left").select(
+        "day",
+        F.datediff("day", "d0").cast("long").alias("t"),
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    tot = grid.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("s")
+    )
+    pref = (
+        grid.alias("a")
+        .join(F.broadcast(grid.alias("b")), F.col("b.t") <= F.col("a.t"))
+        .groupBy(
+            F.col("a.day").alias("day"),
+            F.col("a.t").alias("t"),
+            F.col("a.x").alias("x"),
+        )
+        .agg(F.sum("b.x").alias("p"))
+    )
+    cus = pref.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.col("x").alias("rev_cents"),
+        (F.col("nd") * F.col("p") - (F.col("t") + 1) * F.col("s")).alias(
+            "cusum_scaled"
+        ),
+    )
+    mx = cus.agg(F.max(F.abs("cusum_scaled")).alias("m"))
+    return cus.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "rev_cents",
+        "cusum_scaled",
+        (F.abs("cusum_scaled") == F.col("m")).alias("is_peak"),
+    )
+
+
 QUERIES = {
     "q100_scd2_history": q100_scd2_history,
+    "q194_cusum_changepoint": q194_cusum_changepoint,
     "q101_twap": q101_twap,
     "q102_gapfill_locf": q102_gapfill_locf,
     "q169_daily_autocorr": q169_daily_autocorr,
@@ -309,6 +377,37 @@ ORACLE = {
                d.day_value IS NULL AS filled
         FROM cal c LEFT JOIN daily d
           ON d.user_id = c.user_id AND d.day = c.day
+    """,
+    "q194_cusum_changepoint": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        cal AS (SELECT d0,
+                       CAST(unnest(generate_series(
+                           CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                FROM span),
+        grid AS (SELECT c.day,
+                        CAST(date_diff('day', c.d0, c.day) AS BIGINT)
+                            AS t,
+                        CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+                 FROM cal c LEFT JOIN daily d ON d.day = c.day),
+        tot AS (SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS s
+                FROM grid),
+        pref AS (SELECT a.day, a.t, a.x,
+                        CAST(SUM(b.x) AS BIGINT) AS p
+                 FROM grid a JOIN grid b ON b.t <= a.t
+                 GROUP BY a.day, a.t, a.x),
+        cus AS (SELECT day, x AS rev_cents,
+                       nd * p - (t + 1) * s AS cusum_scaled
+                FROM pref CROSS JOIN tot),
+        mx AS (SELECT MAX(ABS(cusum_scaled)) AS m FROM cus)
+        SELECT day, rev_cents, cusum_scaled,
+               ABS(cusum_scaled) = m AS is_peak
+        FROM cus CROSS JOIN mx
     """,
     "q169_daily_autocorr": f"""
         WITH daily AS (

@@ -35,7 +35,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 RUNNING_TOTALS_SCHEMA = (
     "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
 )
-_STATE_SCHEMA = "n_events bigint, sum_value double, last_ts_us bigint"
+# The running value total is held as EXACT integer cents (events.value
+# is 2-decimal money), not a float: integer addition is associative and
+# order-independent, so the drained totals equal the batch GROUP BY
+# twin bit-for-bit REGARDLESS of micro-batch boundaries — which is what
+# lets q42 carry a full DuckDB oracle instead of a rows-only check
+# (same exactness discipline as the decimal sums in windowed_counts).
+_STATE_SCHEMA = "n_events bigint, sum_cents bigint, last_ts_us bigint"
 
 
 def windowed_counts(
@@ -209,21 +215,24 @@ def _update_running_totals(
     (count, sum, last-seen) triple and emit the new totals."""
     (user_id,) = key
     if state.exists:
-        n, s, last_us = state.get
+        n, cents, last_us = state.get
     else:
-        n, s, last_us = 0, 0.0, 0
+        n, cents, last_us = 0, 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        # per-value round to integer cents, THEN sum: each value·100 is
+        # within float ulps of an integer (2-decimal money), so the
+        # per-value round is exact and the int64 sum order-independent
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
         batch_max = pdf["ts"].max()
         if pd.notna(batch_max):
             last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1_000))
-    state.update((n, s, last_us))
+    state.update((n, cents, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "sum_value": [s],
+            "sum_value": [cents / 100.0],
             "last_ts": [pd.Timestamp(last_us * 1_000)],
         }
     )
