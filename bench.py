@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -88,6 +89,35 @@ def main() -> None:
             }
         )
     )
+    # Full per-query artifact (VERDICT r06 #2): the driver's BENCH_r{N}
+    # tail truncates to the last ~2.4 KB, which blinds tools/
+    # bench_trend.py to two-thirds of the registry. Persist the complete
+    # dict to bench_full_r{N}.json so the gate compares every query.
+    # N = next round = max committed BENCH_r* + 1 (the driver commits
+    # BENCH_r{N} after this run); override with SPARK_GRAFT_BENCH_FULL.
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL")
+    if not full_path:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n = (max(rounds) + 1) if rounds else 1
+        full_path = os.path.join(here, f"bench_full_r{n:02d}.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "runs": n_runs,
+            },
+            f,
+            indent=1,
+        )
     # The per-query line above grows with the registry and can outrun a
     # bounded tail capture; this short FINAL line is always parseable on
     # its own (VERDICT r02 #5).

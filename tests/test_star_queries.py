@@ -62,8 +62,11 @@ def test_registry_complete():
 
 
 def test_k9_url_decode_roundtrip(spark):
-    """K9 (DataTransformation.py:143): url-decoding of object keys —
-    unit-only (this DuckDB build lacks url_decode, so no oracle twin)."""
+    """K9 (DataTransformation.py:143): url-decoding of object keys.
+    Unit roundtrip for the '+'-as-space shape; the registry-level
+    differential lives in w08_decoded_object_keys (oracle decodes the
+    fixture's %xx charset via chained replace — this DuckDB build has
+    no url_decode builtin, VERDICT r06 #7)."""
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(

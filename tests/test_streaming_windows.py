@@ -456,3 +456,96 @@ def test_sliding_counts_batch_parity_and_coverage(spark):
     for (ws, we, _t), _v in batch.items():
         assert (we - ws).total_seconds() == 3600
         assert ws.minute % 15 == 0 and ws.second == 0
+
+
+def test_q42_drain_is_batch_boundary_invariant(spark, tmp_path):
+    """VERDICT r06 #4: the q42 oracle rests on the claim that the
+    integer-cent state makes the drained totals independent of batch
+    boundaries. Prove it mechanically: drain the SAME 200 events split
+    into 1/2/4/8 replay files under maxFilesPerTrigger=1 (so file
+    count == micro-batch count) and assert the final per-user totals
+    are identical tuples — bit-for-bit, not approximately."""
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .orderBy("event_id")
+        .limit(200)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .cache()
+    )
+    finals = []
+    for nfiles in (1, 2, 4, 8):
+        src = str(tmp_path / f"q42src{nfiles}")
+        ckpt = str(tmp_path / f"q42ckpt{nfiles}")
+        ev.repartition(nfiles).write.mode("overwrite").parquet(src)
+        rows: list = []
+
+        def sink(batch, bid):
+            rows.extend((bid, r) for r in batch.collect())
+
+        stream = (
+            spark.readStream.schema(_events_schema_ddl())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            W.running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        # last update per user wins (rows arrive in batch order)
+        last: dict = {}
+        for _bid, r in sorted(rows, key=lambda t: t[0]):
+            last[r.user_id] = (r.n_events, r.sum_value, r.last_ts)
+        finals.append(last)
+        # the drain really ran nfiles micro-batches
+        n_batches = len({bid for bid, _ in rows})
+        assert n_batches == nfiles, (nfiles, n_batches)
+    for other in finals[1:]:
+        assert other == finals[0]
+    assert finals[0]  # non-vacuous
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState: enough for the pure state-fold
+    function to run outside a stream."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.exists = value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+        self.exists = True
+
+
+def test_running_totals_rejects_non_cent_values():
+    """ADVICE r06: the three-way rounding agreement (pandas half-even /
+    Spark HALF_UP / DuckDB half-away) holds only when value*100 is
+    integral — the operator must reject 3-decimal input loudly instead
+    of silently diverging from its oracle."""
+    import pandas as pd
+    import pytest
+
+    ok = pd.DataFrame(
+        {"value": [1.25, -3.10, 0.0], "ts": pd.to_datetime(["2024-01-01"] * 3)}
+    )
+    state = _FakeGroupState()
+    (out,) = W._update_running_totals((7,), iter([ok]), state)
+    assert out["n_events"][0] == 3
+    assert out["sum_value"][0] == (125 - 310 + 0) / 100.0
+
+    bad = pd.DataFrame(
+        {"value": [1.251], "ts": pd.to_datetime(["2024-01-01"])}
+    )
+    with pytest.raises(ValueError, match="2-decimal"):
+        list(W._update_running_totals((7,), iter([bad]), _FakeGroupState()))

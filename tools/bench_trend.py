@@ -1,20 +1,36 @@
 #!/usr/bin/env python
-"""Bench-trend regression gate (VERDICT r05 #5).
+"""Bench-trend regression gate (VERDICT r05 #5, r06 #1/#2).
 
 Compares two bench artifacts per query and FAILS (exit 1) on any
 regression above the noise gate — automating the per-round check the
 judge runs by hand so a slow plan never ships silently.
 
-Inputs: BENCH_r{N}.json driver artifacts (whose ``tail`` holds the
-last KBs of bench.py stdout — possibly truncated at the HEAD, so only
-the queries visible in BOTH tails are compared), or raw bench.py
-stdout files (one JSON line with a ``queries`` dict). Gate: new wall
-> RATIO x old AND new wall > FLOOR seconds (sub-floor walls are pure
-box noise).
+Inputs, in preference order:
+- ``bench_full_r{N}.json`` (written by bench.py since round 7): the
+  COMPLETE per-query dict, so the gate covers the whole registry;
+- raw bench.py stdout files (one JSON line with a ``queries`` dict);
+- ``BENCH_r{N}.json`` driver artifacts, whose ``tail`` holds only the
+  last KBs of stdout (possibly truncated at the HEAD — only queries
+  visible in BOTH tails are compared). When auto-discovering, a
+  ``bench_full_r{N}.json`` sibling replaces the truncated driver
+  artifact for the same round.
+
+Gate: new wall > RATIO x old AND new wall > FLOOR seconds (sub-floor
+walls are pure box noise).
+
+Expected regressions (VERDICT r06 #1): a deliberate trade (e.g. an
+operator gaining a stronger multi-batch oracle at fixed per-trigger
+cost) is recorded in ``BENCH_WAIVERS.json`` at the repo root:
+
+    {"q42_stateful_totals": {"max_ratio": 5.0, "round": 6,
+                             "reason": "..."}}
+
+A regression within its waiver's ``max_ratio`` prints as WAIVED and
+does not fail the gate; beyond it, the gate is red as usual.
 
 Usage:
     python tools/bench_trend.py OLD NEW [--ratio 1.5] [--floor 0.5]
-    python tools/bench_trend.py            # auto: two newest BENCH_r*
+    python tools/bench_trend.py            # auto: two newest rounds
 """
 
 from __future__ import annotations
@@ -27,24 +43,62 @@ import re
 import sys
 
 _PAIR = re.compile(r'"((?:q|w)\d+[a-z0-9_]*)":\s*([0-9.]+)')
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pairs_near_queries_block(text: str) -> dict[str, float]:
+    """Anchor the pair regex to the bench ``"queries": {`` block
+    (ADVICE r06: a bare scan would treat ANY q-named numeric field in
+    the captured stdout as a timing). A HEAD-truncated tail may have
+    lost the anchor itself; then fall back to scanning up to the block
+    terminator only."""
+    start = text.find('"queries": {')
+    if start >= 0:
+        text = text[start + len('"queries": {'):]
+    end = text.find("}")
+    if end >= 0:
+        text = text[:end]
+    return {name: float(val) for name, val in _PAIR.findall(text)}
 
 
 def load_walls(path: str) -> dict[str, float]:
-    """Per-query walls from a driver artifact or raw bench stdout."""
+    """Per-query walls from a full/raw bench artifact or a driver tail."""
     with open(path) as f:
         text = f.read()
     try:
         doc = json.loads(text)
     except json.JSONDecodeError:
         doc = None
+    if isinstance(doc, dict) and "queries" in doc:
+        return {k: float(v) for k, v in doc["queries"].items()}
     if isinstance(doc, dict) and "tail" in doc:
         text = doc["tail"]
-    elif isinstance(doc, dict) and "queries" in doc:
-        return {k: float(v) for k, v in doc["queries"].items()}
-    walls = {}
-    for name, val in _PAIR.findall(text):
-        walls[name] = float(val)
-    return walls
+    return _pairs_near_queries_block(text)
+
+
+def load_waivers() -> dict[str, dict]:
+    path = os.path.join(_ROOT, "BENCH_WAIVERS.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _auto_paths() -> tuple[str, str] | None:
+    """Two newest rounds; prefer the full artifact for each round."""
+    rounds: dict[int, str] = {}
+    for path in glob.glob(os.path.join(_ROOT, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds[int(m.group(1))] = path
+    for path in glob.glob(os.path.join(_ROOT, "bench_full_r*.json")):
+        m = re.search(r"bench_full_r(\d+)\.json$", path)
+        if m:
+            rounds[int(m.group(1))] = path  # full beats truncated tail
+    if len(rounds) < 2:
+        return None
+    ns = sorted(rounds)
+    return rounds[ns[-2]], rounds[ns[-1]]
 
 
 def main() -> int:
@@ -57,12 +111,11 @@ def main() -> int:
 
     old_path, new_path = args.old, args.new
     if not (old_path and new_path):
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        arts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
-        if len(arts) < 2:
-            print("need two BENCH_r*.json artifacts or explicit paths")
+        auto = _auto_paths()
+        if auto is None:
+            print("need two bench artifacts or explicit paths")
             return 2
-        old_path, new_path = arts[-2], arts[-1]
+        old_path, new_path = auto
 
     old = load_walls(old_path)
     new = load_walls(new_path)
@@ -71,12 +124,17 @@ def main() -> int:
         print(f"no shared queries between {old_path} and {new_path}")
         return 2
 
-    regressions = []
+    waivers = load_waivers()
+    regressions, waived = [], []
     improved = 0
     for name in shared:
         o, n = old[name], new[name]
         if n > args.ratio * o and n > args.floor:
-            regressions.append((name, o, n))
+            w = waivers.get(name)
+            if w and n <= float(w.get("max_ratio", 0)) * o:
+                waived.append((name, o, n, w))
+            else:
+                regressions.append((name, o, n))
         elif o > args.ratio * n and o > args.floor:
             improved += 1
 
@@ -84,8 +142,15 @@ def main() -> int:
         f"bench-trend: {len(shared)} shared queries "
         f"({os.path.basename(old_path)} -> {os.path.basename(new_path)}), "
         f"gate >{args.ratio}x above {args.floor}s: "
-        f"{len(regressions)} regressions, {improved} improvements"
+        f"{len(regressions)} regressions, {len(waived)} waived, "
+        f"{improved} improvements"
     )
+    for name, o, n, w in waived:
+        print(
+            f"  WAIVED {name}: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x "
+            f"<= {w.get('max_ratio')}x, r{w.get('round')}: "
+            f"{w.get('reason', '')})"
+        )
     for name, o, n in sorted(regressions, key=lambda r: r[2] / r[1], reverse=True):
         print(f"  REGRESSION {name}: {o:.3f}s -> {n:.3f}s ({n / o:.2f}x)")
     return 1 if regressions else 0

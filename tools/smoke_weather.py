@@ -76,13 +76,26 @@ def main() -> int:
         .limit(200)
         .cache()
     )
+    # The state shuffle inherits spark.sql.shuffle.partitions — in this
+    # deliberately-vanilla session that's 200 state-store dirs per
+    # micro-batch for a ~150-user keyspace (VERDICT r06 #5). Pin the
+    # width on a cloned session, same as every engine drain.
+    from weatherapi_data_engineering_project_spark.session import (
+        cloned_session,
+    )
+
+    s2 = cloned_session(spark, shuffle_partitions=8)
     with tempfile.TemporaryDirectory() as tmp:
         src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+        # Appended in arrival order across BOTH drains; the wave-2
+        # restart only re-emits users it updates, so the final total
+        # for a wave-1-only user is its wave-1 row (ADVICE r06: a
+        # per-drain clear() silently dropped those users from the
+        # check).
         rows: list = []
 
         def drain():
-            rows.clear()
-            stream = spark.readStream.schema(
+            stream = s2.readStream.schema(
                 "event_id bigint, ts timestamp, user_id bigint, "
                 "event_type string, value double, props string"
             ).parquet(src)
@@ -109,6 +122,7 @@ def main() -> int:
             "append"
         ).parquet(src)
         drain()
+        # latest update per user wins (dict insertion order = arrival)
         got = {r.user_id: (r.n_events, r.sum_value) for r in rows}
         want = {
             r.user_id: (r.n, r.c / 100.0)
@@ -120,10 +134,18 @@ def main() -> int:
             .collect()
         }
         bad = [u for u, v in got.items() if want.get(u) != v]
+        missing = sorted(set(want) - set(got))
         if bad:
             failures.append(f"two-wave totals mismatch for users {bad[:5]}")
+        elif missing:
+            failures.append(
+                f"two-wave drain never emitted users {missing[:5]}"
+            )
         else:
-            print(f"PASS two-wave stateful drain ({len(got)} users updated)")
+            print(
+                f"PASS two-wave stateful drain "
+                f"({len(got)}/{len(want)} users verified)"
+            )
 
     spark.stop()
     wall = time.time() - t0

@@ -162,6 +162,24 @@ def raw_docs(day_offset: int = 0) -> list[dict]:
     return shifted
 
 
+def object_keys() -> list[tuple[str]]:
+    """K9 fixture (DataTransformation.py:143): the URL-encoded S3-style
+    raw-zone object keys a listing would return — one per city per run,
+    date path slash-encoded (%2F) and city-name spaces encoded (%20),
+    exactly the shapes the reference decodes before parsing the key.
+    Encoded at fixture-build time with stdlib ``quote`` so the Spark
+    query and the oracle share literal strings (decode parity is the
+    thing under test; encode parity is not)."""
+    from urllib.parse import quote
+
+    date_path = RUN_DATE.replace("-", "/")
+    ymd = RUN_DATE.replace("-", "")
+    return [
+        (quote(f"raw/weather/{date_path}/{name}_{ymd}.json", safe=""),)
+        for name, _region, _country in CITIES
+    ]
+
+
 def docs_df(spark: SparkSession) -> DataFrame:
     """Fixture docs as a cached DataFrame, memoized per session.
 
@@ -197,6 +215,10 @@ def _values(rows: list[tuple], columns: list[str], alias: str) -> str:
         "(" + ", ".join(_lit(v) for v in row) + ")" for row in rows
     )
     return f"(VALUES\n            {body}) AS {alias}({', '.join(columns)})"
+
+
+def object_key_values() -> str:
+    return _values(object_keys(), ["encoded_key"], "v")
 
 
 def city_map_values() -> str:

@@ -1745,18 +1745,10 @@ def q155_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lab.groupBy("score").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
-    bnds = sorted(
-        set(g.approxQuantile("score", [i / 32 for i in range(1, 32)], 0.01))
-    )
-    bucketed = g.withColumn(
-        "_bkt",
-        F.size(
-            F.filter(
-                F.lit(bnds).cast("array<double>"),
-                lambda b: b < F.col("score"),
-            )
-        ),
-    )
+    from ._buckets import bucket_of, quantile_bounds
+
+    bnds = quantile_bounds(g, "score")
+    bucketed = g.withColumn("_bkt", bucket_of("score", bnds))
     bs = bucketed.groupBy("_bkt").agg(F.sum("cnt").alias("bc"))
     offs = (
         bs.alias("a")

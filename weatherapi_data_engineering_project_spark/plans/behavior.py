@@ -590,18 +590,10 @@ def q159_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = st.groupBy("dur_h").agg(
         F.count(F.lit(1)).alias("n_at"), F.sum("ev").alias("d")
     )
-    bnds = sorted(
-        set(g.approxQuantile("dur_h", [i / 32 for i in range(1, 32)], 0.01))
-    )
-    bucketed = g.withColumn(
-        "_bkt",
-        F.size(
-            F.filter(
-                F.lit(bnds).cast("array<double>"),
-                lambda b: b < F.col("dur_h"),
-            )
-        ),
-    )
+    from ._buckets import bucket_of, quantile_bounds
+
+    bnds = quantile_bounds(g, "dur_h")
+    bucketed = g.withColumn("_bkt", bucket_of("dur_h", bnds))
     # phase 1: per-bucket n_at totals -> exclusive-prefix offsets and
     # the grand total (broadcast triangular join, no window)
     bs = bucketed.groupBy("_bkt").agg(F.sum("n_at").alias("bn"))

@@ -36,28 +36,10 @@ EVENTS_DDL = (
 )
 
 
-def _cloned_session(spark: SparkSession, shuffle_partitions: int = 8):
-    """Clone-and-pin (ADVICE r03): ``newSession()`` initializes SQLConf
-    from builder-time options only, so semantics-bearing confs the
-    caller set at RUNTIME (timezone override, the NANOS-parquet legacy
-    flag) would silently not propagate to the clone. Copy them
-    explicitly, then pin the state-shuffle width on the clone — the
-    caller's (possibly shared) session conf is never mutated; a
-    try/finally restore on the shared conf would still race a
-    concurrent caller reading it mid-query."""
-    s2 = spark.newSession()
-    for key in (
-        "spark.sql.session.timeZone",
-        "spark.sql.legacy.parquet.nanosAsLong",
-    ):
-        try:
-            val = spark.conf.get(key)
-        except Exception:  # noqa: BLE001 — unset and no default
-            continue
-        if val is not None:
-            s2.conf.set(key, val)
-    s2.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    return s2
+from ..session import cloned_session as _cloned_session  # noqa: E402
+# (moved to session.py in r7 so streaming/load.py shares the same
+# clone-and-pin — VERDICT r06 #5; the alias keeps existing call sites
+# and test imports stable)
 
 
 def _work_dir(name: str, sf_dir: str) -> str:

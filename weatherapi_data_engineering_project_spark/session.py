@@ -70,3 +70,33 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cloned_session(spark: SparkSession, shuffle_partitions: int = 8):
+    """Clone-and-pin (ADVICE r03, VERDICT r06 #5): ``newSession()``
+    initializes SQLConf from builder-time options only, so
+    semantics-bearing confs the caller set at RUNTIME (timezone
+    override, the NANOS-parquet legacy flag) would silently not
+    propagate to the clone. Copy them explicitly, then pin the
+    state-shuffle width on the clone — the caller's (possibly shared)
+    session conf is never mutated; a try/finally restore on the shared
+    conf would still race a concurrent caller reading it mid-query.
+
+    Used by every streaming drain (plans/streaming_queries.py,
+    streaming/load.py): a stateful stream's state store inherits
+    ``spark.sql.shuffle.partitions``, and a vanilla session's 200 means
+    200 state-store dirs per micro-batch for a 150-key keyspace.
+    """
+    s2 = spark.newSession()
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        try:
+            val = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset and no default
+            continue
+        if val is not None:
+            s2.conf.set(key, val)
+    s2.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s2

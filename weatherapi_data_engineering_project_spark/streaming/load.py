@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.upsert import upsert_path
+from ..session import cloned_session
 
 
 @dataclass
@@ -71,12 +72,22 @@ def start_load(
     max_files_per_trigger: int | None = None,
     csv_mode: str = "PERMISSIVE",
     quarantine_dir: str | None = None,
+    shuffle_partitions: int | None = 8,
 ):
     """Wire the stream: stage files → foreachBatch upsert into target.
 
     Returns the StreamingQuery. ``available_now=True`` drains all
     pending files then stops (the cron-task equivalent);
     ``processing_time`` keeps a resident micro-batch loop.
+
+    ``shuffle_partitions`` (VERDICT r06 #5): the micro-batch upsert's
+    anti-join shuffle inherits ``spark.sql.shuffle.partitions``; a
+    vanilla session's 200 makes every batch pay 200-task exchanges for
+    kilobyte batches. The stream runs on a cloned-and-pinned session
+    (shared SparkContext, isolated SQLConf — session.cloned_session)
+    so the caller's conf is honored but never mutated. Pass ``None``
+    to run on the caller's session untouched (cluster deployments
+    sizing the width globally).
 
     M5 error wrapper: each micro-batch's upsert runs under try/except
     — a poison batch appends an ``Error: ...`` status (and, when
@@ -86,6 +97,8 @@ def start_load(
     (location.sql:36-83). Subsequent batches and other tables keep
     loading.
     """
+    if shuffle_partitions is not None:
+        spark = cloned_session(spark, shuffle_partitions)
     reader = spark.readStream.schema(load.schema)
     # curated zones nest per-run/per-day subdirs under the table prefix
     # (mirroring the reference's S3 key layout); discover them all

@@ -222,8 +222,22 @@ def _update_running_totals(
         n += len(pdf)
         # per-value round to integer cents, THEN sum: each value·100 is
         # within float ulps of an integer (2-decimal money), so the
-        # per-value round is exact and the int64 sum order-independent
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # per-value round is exact and the int64 sum order-independent.
+        # ENFORCED precondition (ADVICE r06): the exactness argument —
+        # and the agreement of pandas half-even, Spark HALF_UP and
+        # DuckDB half-away rounding in the three-way oracle — holds
+        # only for 2-decimal inputs, where no tie-break ever fires. A
+        # 3-decimal value would silently diverge, so reject it loudly.
+        scaled = pdf["value"].mul(100)
+        drift = (scaled - scaled.round()).abs()
+        tol = scaled.abs().clip(lower=1.0) * 1e-9
+        if bool((drift > tol).any()):
+            offender = pdf["value"][drift > tol].iloc[0]
+            raise ValueError(
+                "running_user_totals requires 2-decimal money values "
+                f"(value*100 must be integral); got {offender!r}"
+            )
+        cents += int(scaled.round().astype("int64").sum())
         batch_max = pdf["ts"].max()
         if pd.notna(batch_max):
             last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1_000))
