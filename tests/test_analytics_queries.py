@@ -760,3 +760,66 @@ def test_pareto_skyline_matches_brute_force(spark):
     )
     for (d1, p1), (d2, p2) in zip(sky, sky[1:]):
         assert (d1 < d2 and p1 < p2) or (d1 == d2 and p1 == p2)
+
+
+def test_q196_average_precision_matches_bruteforce(spark):
+    """AP over the explicit (score DESC, doc_id ASC) order equals the
+    textbook sum of precision-at-hit / R."""
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    rows = sorted(
+        ((r.n_chars, r.doc_id, 1 if r.lang == "en" else 0)
+         for r in d.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    hits = cp = 0
+    ap_sum = 0.0
+    for k, (_s, _i, y) in enumerate(rows, start=1):
+        if y:
+            cp += 1
+            hits += 1
+            ap_sum += cp / k
+    got = A.q196_average_precision(spark, SF_DIR).collect()[0]
+    assert got.n_docs == len(rows)
+    assert got.n_pos == hits
+    assert abs(got.avg_precision - ap_sum / hits) < 1e-6
+    assert 0.0 < got.avg_precision <= 1.0
+
+
+def test_q197_gini_best_split_matches_bruteforce(spark):
+    """Exhaustive scan over every candidate threshold agrees with the
+    two-phase argmin, including the smallest-threshold tiebreak."""
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    pts = [(r.n_chars, 1 if r.lang == "en" else 0) for r in d.collect()]
+    n_total = len(pts)
+    p_total = sum(y for _, y in pts)
+    by_score = Counter()
+    pos_by_score = Counter()
+    for s, y in pts:
+        by_score[s] += 1
+        pos_by_score[s] += y
+    best = None
+    nl = pl = 0
+    for s in sorted(by_score):
+        nl += by_score[s]
+        pl += pos_by_score[s]
+        if nl == n_total:
+            continue
+        nr, pr = n_total - nl, p_total - pl
+        g = (
+            nl - (pl * pl + (nl - pl) * (nl - pl)) / nl
+            + nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        ) / n_total
+        key = (round(g, 9), s)
+        if best is None or key < best[0]:
+            best = (key, (s, nl, pl, nr, pr))
+    got = A.q197_gini_best_split(spark, SF_DIR).collect()[0]
+    s, nl, pl, nr, pr = best[1]
+    assert (got.split_score, got.n_left, got.pos_left,
+            got.n_right, got.pos_right) == (s, nl, pl, nr, pr)
+    assert abs(got.gini - best[0][0]) < 1e-9

@@ -525,3 +525,40 @@ def test_srm_audit_brute_force(spark):
         assert abs(r.chi2 - chi2) < 1e-6
         assert r.srm_flag == (1000 * (a - b) ** 2 > 10828 * (a + b))
         assert r.srm_flag == (chi2 > 10.828)
+
+
+def test_q198_trend_test_matches_bruteforce(spark):
+    """The CA trend z/chi2 from the five integer sums equals a direct
+    numpy computation on the per-user frame, and the exact-integer
+    significance gate agrees with the float chi-square."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        ).alias("s")
+    ).collect()
+    total = sum(r.s for r in per_user)
+    n = len(per_user)
+    rows = [(int(r.user_id % 4), 1 if r.s * n > total else 0)
+            for r in per_user]
+    r_sum = sum(c for _, c in rows)
+    s1 = sum(w * c for w, c in rows)
+    s2 = sum(w for w, _ in rows)
+    s3 = sum(w * w for w, _ in rows)
+    t_num = n * s1 - r_sum * s2
+    denom = r_sum * (n - r_sum) * (n * s3 - s2 * s2)
+    z = t_num * math.sqrt(n / denom)
+    got = B.q198_trend_test(spark, SF_DIR).collect()[0]
+    assert got.n_users == n and got.n_conv == r_sum
+    assert got.t_num == t_num
+    assert abs(got.z - z) < 1e-5
+    assert abs(got.chi2 - z * z) < 1e-4
+    assert got.trend_flag == (z * z > 10.828)

@@ -576,3 +576,105 @@ def test_heaps_law_brute_force(spark):
     assert len({r.beta for r in rows}) == 1
     assert 0.0 < rows[0].beta <= 1.0
     assert 0.0 <= rows[0].r2 <= 1.0
+
+
+def test_q195_jsd_matches_numpy(spark):
+    """Brute-force JSD over the raw token streams equals the engine's
+    bucketed/decimal formulation within rounding tolerance, and the
+    bounds 0 <= JSD <= ln 2 hold."""
+    import math
+    import re
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for r in d.filter(d.source.isin("src0", "src1")).collect():
+        toks = [t for t in re.split(r"\s+", r.text.lower().strip()) if t]
+        (c1 if r.source == "src0" else c2).update(toks)
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    jsd = 0.0
+    for t in set(c1) | set(c2):
+        p, q = c1.get(t, 0) / n1, c2.get(t, 0) / n2
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * math.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log(q / m)
+
+    row = C.q195_js_divergence(spark, SF_DIR).collect()[0]
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.vocab1 == len(c1) and row.vocab2 == len(c2)
+    assert row.vocab_shared == len(set(c1) & set(c2))
+    assert abs(row.jsd_nats - jsd) < 1e-6
+    assert 0.0 <= row.jsd_nats <= math.log(2) + 1e-9
+    assert abs(row.jsd_bits - jsd / math.log(2)) < 1e-5
+
+
+def test_q199_bootstrap_ci_matches_bruteforce(spark):
+    """Replicate membership, means and order statistics recomputed in
+    pure Python agree exactly (the no-RNG hash design makes this a
+    deterministic equality, not a statistical one)."""
+    import hashlib
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    means = []
+    for b in range(64):
+        s = c = 0
+        for r in docs:
+            if hashlib.md5(f"{r.doc_id}:{b}".encode()).hexdigest()[0] < "8":
+                s += r.n_chars
+                c += 1
+        assert c > 0
+        means.append((round(s / c, 9), b))
+    means.sort()
+    got = C.q199_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert got.n_replicates == 64
+    assert abs(got.mean_of_means - sum(m for m, _ in means) / 64) < 1e-6
+    assert got.ci_lo == means[1][0]
+    assert got.ci_hi == means[62][0]
+    assert got.ci_lo <= got.mean_of_means <= got.ci_hi
+
+
+def test_q200_bigram_perplexity_matches_bruteforce(spark):
+    """Add-one bigram LM cross-entropy recomputed with Counters; the
+    perplexity is exp(H) and every source's H is positive."""
+    import math
+    import re
+    from collections import Counter
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    per_src: dict = {}
+    glob: Counter = Counter()
+    for r in docs:
+        toks = re.split(r"\s+", r.text.lower().strip())
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        per_src.setdefault(r.source, Counter()).update(bgs)
+        glob.update(bgs)
+    heads: Counter = Counter()
+    for bg, c in glob.items():
+        heads[bg.split(" ")[0]] += c
+    v = len({bg.split(" ")[1] for bg in glob})
+    rows = {r.source: r for r in
+            C.q200_bigram_perplexity(spark, SF_DIR).collect()}
+    assert set(rows) == {s for s, cc in per_src.items() if cc}
+    for src, cc in per_src.items():
+        if not cc:
+            continue
+        t = sum(cc.values())
+        h = -sum(
+            cs * round(math.log((glob[bg] + 1)
+                                / (heads[bg.split(' ')[0]] + v)), 9)
+            for bg, cs in cc.items()
+        ) / t
+        r = rows[src]
+        assert r.n_bigrams == t
+        assert abs(r.cross_entropy - h) < 1e-5
+        assert r.cross_entropy > 0
+        assert abs(r.perplexity - math.exp(h)) < max(1e-4 * math.exp(h), 1e-4)

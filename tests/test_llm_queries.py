@@ -849,3 +849,37 @@ def test_minhash_calibration_matches_python(spark):
         sum(v[2] for v in bins.values()) - sum(v[1] for v in bins.values())
     ) / tot
     assert abs(bias) < 4 * (0.5 / (8**0.5)) / (tot**0.5) + 0.05
+
+
+def test_q201_knn_classifier_matches_bruteforce(spark):
+    """numpy cosine kNN with the same rounded-6 + id tiebreak ranking
+    and smallest-label vote break reproduces every prediction."""
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.plans import llm as L
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    corpus = [i for i in vecs if i >= 24]
+    got = {r.qid: r for r in
+           L.q201_knn_classifier(spark, SF_DIR).collect()}
+    assert set(got) == {i for i in vecs if i < 24}
+    for qid in got:
+        qv = vecs[qid]
+        scored = sorted(
+            ((-round(float(np.dot(vecs[c], qv)
+                           / (np.linalg.norm(vecs[c])
+                              * np.linalg.norm(qv))), 6), c)
+             for c in corpus),
+        )[:5]
+        votes: dict = {}
+        for _s, c in scored:
+            votes[labels[c]] = votes.get(labels[c], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = got[qid]
+        assert r.true_label == labels[qid]
+        assert r.predicted_label == pred[0], qid
+        assert r.n_votes == pred[1]
+        assert r.correct == (pred[0] == labels[qid])

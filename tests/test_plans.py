@@ -614,3 +614,28 @@ def test_quality_representatives_window_is_cluster_keyed(spark):
     for spec in specs:
         assert "cluster" in spec, f"non-cluster window: {spec}"
     assert "CartesianProduct" not in plan
+
+
+def test_average_precision_windows_partition_by_bucket(spark):
+    """q196: both prefix scans (global rank k, cumulative positives)
+    must be bucket-partitioned two-phase windows — never an
+    unpartitioned scan over the corpus-sized ranking frame."""
+    plan = _plan(A.q196_average_precision(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the bucket-local rank windows"
+    for spec in specs:
+        assert "_bkt" in spec, f"unpartitioned window: {spec}"
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_best_split_plan_shape(spark):
+    """q197: prefix sums bucket-partitioned; the argmin must compile
+    to TakeOrderedAndProject (per-partition top-1), not a global
+    sort."""
+    df = A.q197_gini_best_split(spark, SF_DIR)
+    plan = _plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the bucket-local cumsum windows"
+    for spec in specs:
+        assert "_bkt" in spec, f"unpartitioned window: {spec}"
+    assert "TakeOrderedAndProject" in plan

@@ -1840,8 +1840,374 @@ def q152_amount_reconciliation(
     )
 
 
+def q196_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision–recall curve, step
+    interpolation: AP = Σ_k P(k)·rel(k) / R) of the q155 ranking —
+    the PR-side complement of q155's ROC AUC, and the metric that
+    actually moves when the positive class is rare (ROC AUC is
+    prevalence-blind; retrieval and filter-model evaluations report
+    AP). The ranking is the explicit total order (score DESC, doc_id
+    ASC), so ties are resolved identically on both engines. Output:
+    one row — n_docs, n_pos, avg_precision.
+
+    Scale shape: the two prefix scans AP needs (global rank k and
+    cumulative positives cp at k) run as the q150 two-phase bucketed
+    rewrite — rows bucket on sampled score boundaries, each bucket
+    cumsums locally (window partitioned by bucket), and per-bucket
+    (count, positive) totals stitch global offsets through a broadcast
+    triangular join — no unpartitioned window at any corpus size. Each
+    positive's P(k) = cp/k is one rounded-decimal term (q124
+    convention), so the final sum is exact and order-independent."""
+    from ._buckets import bucket_of, quantile_bounds
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.col("n_chars").cast("double").alias("_sd"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    bnds = quantile_bounds(base, "_sd")
+    bucketed = base.withColumn("_bkt", bucket_of("_sd", bnds))
+    bs = bucketed.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("y").alias("bp")
+    )
+    # DESC ranking: a bucket's offset is the mass of HIGHER buckets
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            F.col("b._bkt") > F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(
+            F.coalesce(F.sum("b.bn"), F.lit(0)).alias("roff"),
+            F.coalesce(F.sum("b.bp"), F.lit(0)).alias("poff"),
+        )
+    )
+    wl = Window.partitionBy("_bkt").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    r = (
+        bucketed.join(F.broadcast(offs), "_bkt")
+        .withColumn("k", F.col("roff") + F.row_number().over(wl))
+        .withColumn(
+            "cp",
+            F.col("poff")
+            + F.sum("y").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    contrib = r.select(
+        "y",
+        F.expr(
+            "CASE WHEN y = 1 THEN CAST(ROUND(CAST(cp AS DOUBLE)"
+            " / CAST(k AS DOUBLE), 9) AS DECIMAL(18,9))"
+            " ELSE CAST(0 AS DECIMAL(18,9)) END"
+        ).alias("pk"),
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("n_pos"),
+        F.expr(
+            "CASE WHEN SUM(y) > 0 THEN ROUND(CAST(SUM(pk) AS DOUBLE)"
+            " / CAST(SUM(y) AS DOUBLE), 6) ELSE NULL END"
+        ).alias("avg_precision"),
+    )
+
+
+def q197_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finder: the threshold on document length
+    that minimizes weighted Gini impurity against the English label —
+    the inner loop of every tree learner (and of threshold selection
+    for quality-filter heuristics: "where should the length cutoff
+    sit?"). Candidates are every distinct score with a non-empty right
+    side; ties on impurity break to the smallest threshold, so the
+    argmin is deterministic on both engines. Output: one row — the
+    split, its left/right sizes and positive counts, the impurity.
+
+    Scale shape: the corpus collapses to one row per distinct score in
+    one partial-agg shuffle; left-side prefix sums (n_l, pos_l) run as
+    the q150 two-phase bucketed rewrite (no unpartitioned window); the
+    argmin is a TakeOrderedAndProject top-1 (per-partition top-1, no
+    global sort materialization). The impurity double chain runs from
+    exact integer prefix sums in one shared SQL string, rounded to 9
+    (identical bits both engines), so the ordering itself is exact."""
+    from ._buckets import bucket_of, quantile_bounds
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+        .withColumn("_sd", F.col("score").cast("double"))
+    )
+    bnds = quantile_bounds(g, "_sd")
+    bucketed = g.withColumn("_bkt", bucket_of("_sd", bnds))
+    bs = bucketed.groupBy("_bkt").agg(
+        F.sum("cnt").alias("bn"), F.sum("pos").alias("bp")
+    )
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            F.col("b._bkt") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(
+            F.coalesce(F.sum("b.bn"), F.lit(0)).alias("noff"),
+            F.coalesce(F.sum("b.bp"), F.lit(0)).alias("poff"),
+        )
+    )
+    tot = bs.agg(
+        F.sum("bn").alias("n_total"), F.sum("bp").alias("p_total")
+    )
+    wl = Window.partitionBy("_bkt").orderBy("score")
+    r = (
+        bucketed.join(F.broadcast(offs), "_bkt")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "nl",
+            F.col("noff")
+            + F.sum("cnt").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "pl",
+            F.col("poff")
+            + F.sum("pos").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("nl") < F.col("n_total"))  # non-empty right side
+    )
+    scored = r.select(
+        F.col("score").alias("split_score"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        (F.col("n_total") - F.col("nl")).alias("n_right"),
+        (F.col("p_total") - F.col("pl")).alias("pos_right"),
+        F.expr(_GINI_SPLIT).alias("gini"),
+    )
+    return scored.orderBy("gini", "split_score").limit(1)
+
+
+# weighted Gini of a binary split, evaluated from the exact integer
+# prefix sums in ONE shared SQL string: (n_l/N)·g_l + (n_r/N)·g_r with
+# g = 1 − (pos² + neg²)/n² collapses to
+# (n_l − (pos_l² + neg_l²)/n_l + n_r − (pos_r² + neg_r²)/n_r) / N.
+# Squares go through DOUBLE before multiplying (BIGINT² would overflow
+# at trillion-row counts); identical expression tree → identical bits.
+_GINI_SPLIT = (
+    "ROUND((CAST(nl AS DOUBLE)"
+    " - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)"
+    "  + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))"
+    "   / CAST(nl AS DOUBLE)"
+    " + CAST(n_total - nl AS DOUBLE)"
+    " - (CAST(p_total - pl AS DOUBLE) * CAST(p_total - pl AS DOUBLE)"
+    "  + CAST((n_total - nl) - (p_total - pl) AS DOUBLE)"
+    "  * CAST((n_total - nl) - (p_total - pl) AS DOUBLE))"
+    "   / CAST(n_total - nl AS DOUBLE))"
+    " / CAST(n_total AS DOUBLE), 9)"
+)
+
+
+def q203_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: do two quality heuristics (A: char
+    length ≥ 120; B: token count ≥ 25) disagree with the English label
+    in systematically different ways? The PAIRED comparison is the
+    correct test when both classifiers score the SAME documents — the
+    two-sample z-test (q153) would ignore the pairing and waste power.
+    This is the readout for "is the new filter actually better than
+    the old one on this corpus?". χ² = (n10−n01)²/(n10+n01) over the
+    discordant pairs only; the p<0.05 verdict is tested
+    multiplied-through in exact integers (χ²₁ > 3.8415 ⇔
+    10000·(n10−n01)² > 38415·(n10+n01) — the q193 no-float gate).
+    Output: one row — N, per-classifier accuracy, both discordant
+    counts, χ², verdict.
+
+    Scale shape: one pass, one aggregate — every count is a
+    conditional sum in a single partial-agg; no joins, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("lang") == "en").alias("y"),
+        (F.col("n_chars") >= 120).alias("a"),
+        (F.size(TX.tokens("text")) >= 25).alias("b"),
+    )
+    g = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("a") == F.col("y")).cast("long")).alias("n_a_correct"),
+        F.sum((F.col("b") == F.col("y")).cast("long")).alias("n_b_correct"),
+        F.sum(
+            ((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")))
+            .cast("long")
+        ).alias("n10"),
+        F.sum(
+            ((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")))
+            .cast("long")
+        ).alias("n01"),
+    )
+    return g.select(
+        "n_docs",
+        "n_a_correct",
+        "n_b_correct",
+        "n10",
+        "n01",
+        F.expr(
+            "CASE WHEN n10 + n01 > 0 THEN"
+            " ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)"
+            " / (n10 + n01), 6) ELSE NULL END"
+        ).alias("chi2"),
+        F.expr(
+            "10000 * (n10 - n01) * (n10 - n01) > 38415 * (n10 + n01)"
+        ).alias("significant"),
+    )
+
+
+def q204_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of a [0,1] quality score (clamped char length
+    / 200 as the probability the doc is English): 10 fixed-width bins,
+    each reporting mean predicted probability vs observed rate plus
+    its Brier contribution — the reliability-diagram table every
+    quality-model deployment watches (a filter whose 0.9-bin converts
+    at 0.6 is miscalibrated regardless of its AUC; q155/q196 can't see
+    that). Output: one row per non-empty bin.
+
+    Exactness: the score is the rational m/200 with m integral, so the
+    per-row Brier term (m/200 − y)² = (m − 200y)²/200² has an INTEGER
+    numerator — every column is integer sums until one final division
+    (the q127 discipline). Scale shape: one pass, one partial-agg
+    shuffle onto ≤10 bin rows."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.least(F.col("n_chars"), F.lit(200)).alias("m"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).select(
+        "m",
+        "y",
+        F.expr("CAST(least(m * 10 DIV 200, 9) AS INT)").alias("bin"),
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("m") - 200 * F.col("y"))
+            * (F.col("m") - 200 * F.col("y"))
+        ).alias("sq"),
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        F.expr(
+            "ROUND(CAST(sm AS DOUBLE) / (200 * n_docs), 6)"
+        ).alias("avg_pred"),
+        F.expr(
+            "ROUND(CAST(sy AS DOUBLE) / n_docs, 6)"
+        ).alias("obs_rate"),
+        F.expr(
+            "ROUND(CAST(sq AS DOUBLE) / (40000 * n_docs), 6)"
+        ).alias("brier"),
+    )
+
+
+def q205_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized mean of document length: clamp each
+    source's lengths to its own exact type-1 [P5, P95] before
+    averaging — the robust per-feed size metric that one viral
+    long-form page (or a truncation bug flooding 10-char docs) cannot
+    drag around, reported next to the raw mean so the gap itself
+    flags tail weight. Quantile contract: k-th smallest with
+    k = ceil(q·n) in INTEGER arithmetic, ties broken by doc_id (the
+    q95 convention), so both engines pick identical cut values.
+    Output: one row per source — n, P5, P95, raw and winsorized means.
+
+    Scale shape: rows bucket on ONE global boundary probe; ranks run
+    bucket-local windows partitioned by (source, bucket) with
+    per-(source,bucket) offsets stitched through a broadcast
+    triangular join (the q150 rewrite with a composite key — no
+    per-source single-partition window even when one feed dominates
+    the corpus); the cut rows are a source-count-sized broadcast."""
+    from ._buckets import bucket_of, quantile_bounds
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    b = d.withColumn("_kd", F.col("n_chars").cast("double"))
+    bnds = quantile_bounds(b, "_kd")
+    bk = b.withColumn("_bkt", bucket_of("_kd", bnds))
+    bs = bk.groupBy("source", "_bkt").agg(F.count(F.lit(1)).alias("bn"))
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b._bkt") < F.col("a._bkt")),
+            "left",
+        )
+        .groupBy(F.col("a.source").alias("source"), F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("boff"))
+    )
+    tot = bs.groupBy("source").agg(F.sum("bn").alias("ns"))
+    wl = Window.partitionBy("source", "_bkt").orderBy("n_chars", "doc_id")
+    ranked = (
+        bk.join(F.broadcast(offs), ["source", "_bkt"])
+        .withColumn("gr", F.col("boff") + F.row_number().over(wl))
+        .join(F.broadcast(tot), "source")
+    )
+    cuts = (
+        ranked.filter(
+            (F.col("gr") == F.expr("(5 * ns + 99) DIV 100"))
+            | (F.col("gr") == F.expr("(95 * ns + 99) DIV 100"))
+        )
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("gr") == F.expr("(5 * ns + 99) DIV 100"),
+                    F.col("n_chars"),
+                )
+            ).alias("p5"),
+            F.max(
+                F.when(
+                    F.col("gr") == F.expr("(95 * ns + 99) DIV 100"),
+                    F.col("n_chars"),
+                )
+            ).alias("p95"),
+        )
+    )
+    w = d.join(F.broadcast(cuts), "source").select(
+        "source",
+        "p5",
+        "p95",
+        "n_chars",
+        F.greatest(
+            F.col("p5"), F.least(F.col("n_chars"), F.col("p95"))
+        ).alias("cv"),
+    )
+    return w.groupBy("source", "p5", "p95").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("raw_mean"),
+        F.expr(
+            "ROUND(CAST(SUM(cv) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("winsorized_mean"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
+    "q203_mcnemar_test": q203_mcnemar_test,
+    "q204_calibration_bins": q204_calibration_bins,
+    "q205_winsorized_stats": q205_winsorized_stats,
     "q32_asof_join": q32_asof_join,
     "q33_rollup": q33_rollup,
     "q34_setops": q34_setops,
@@ -1872,9 +2238,145 @@ QUERIES = {
     "q182_weighted_median": q182_weighted_median,
     "q184_concurrent_sessions": q184_concurrent_sessions,
     "q189_pareto_skyline": q189_pareto_skyline,
+    "q196_average_precision": q196_average_precision,
+    "q197_gini_best_split": q197_gini_best_split,
 }
 
+# DuckDB twin of TX.tokens (the shared whitespace tokenizer)
+_ORACLE_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
 ORACLE = {
+    "q203_mcnemar_test": f"""
+        WITH t AS (
+            SELECT (lang = 'en') AS y,
+                   (n_chars >= 120) AS a,
+                   (len({_ORACLE_TOK}) >= 25) AS b
+            FROM documents),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a_correct,
+                   CAST(SUM(CASE WHEN b = y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b_correct,
+                   CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01
+            FROM t)
+        SELECT n_docs, n_a_correct, n_b_correct, n10, n01,
+               CASE WHEN n10 + n01 > 0 THEN
+                   ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                         / (n10 + n01), 6)
+               ELSE NULL END AS chi2,
+               10000 * (n10 - n01) * (n10 - n01) > 38415 * (n10 + n01)
+                   AS significant
+        FROM g
+    """,
+    "q204_calibration_bins": """
+        WITH base AS (
+            SELECT LEAST(n_chars, 200) AS m,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+        binned AS (
+            SELECT m, y, CAST(LEAST(m * 10 // 200, 9) AS INT) AS bin
+            FROM base),
+        g AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(m) AS BIGINT) AS sm,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM((m - 200 * y) * (m - 200 * y)) AS BIGINT) AS sq
+            FROM binned GROUP BY bin)
+        SELECT bin, n_docs,
+               ROUND(CAST(sm AS DOUBLE) / (200 * n_docs), 6) AS avg_pred,
+               ROUND(CAST(sy AS DOUBLE) / n_docs, 6) AS obs_rate,
+               ROUND(CAST(sq AS DOUBLE) / (40000 * n_docs), 6) AS brier
+        FROM g
+    """,
+    "q205_winsorized_stats": """
+        WITH base AS (
+            SELECT source, doc_id, n_chars FROM documents),
+        t AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+            FROM base GROUP BY source),
+        r AS (
+            SELECT source, n_chars,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS gr
+            FROM base),
+        cuts AS (
+            SELECT r.source,
+                   MAX(CASE WHEN gr = (5 * ns + 99) // 100
+                            THEN n_chars END) AS p5,
+                   MAX(CASE WHEN gr = (95 * ns + 99) // 100
+                            THEN n_chars END) AS p95
+            FROM r JOIN t ON t.source = r.source
+            GROUP BY r.source),
+        w AS (
+            SELECT b.source, c.p5, c.p95, b.n_chars,
+                   GREATEST(c.p5, LEAST(b.n_chars, c.p95)) AS cv
+            FROM base b JOIN cuts c ON c.source = b.source)
+        SELECT source, p5, p95,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+                   AS raw_mean,
+               ROUND(CAST(SUM(cv) AS DOUBLE) / COUNT(*), 6)
+                   AS winsorized_mean
+        FROM w GROUP BY source, p5, p95
+    """,
+    "q196_average_precision": """
+        WITH r AS (
+            SELECT doc_id, n_chars AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+        w AS (
+            SELECT y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS k,
+                   CAST(SUM(y) OVER (ORDER BY score DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cp
+            FROM r)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CASE WHEN SUM(y) > 0 THEN
+                   ROUND(CAST(SUM(CASE WHEN y = 1 THEN
+                       CAST(ROUND(CAST(cp AS DOUBLE) / CAST(k AS DOUBLE),
+                                  9) AS DECIMAL(18,9))
+                       ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
+                         / CAST(SUM(y) AS DOUBLE), 6)
+               ELSE NULL END AS avg_precision
+        FROM w
+    """,
+    "q197_gini_best_split": f"""
+        WITH g AS (
+            SELECT n_chars AS score, COUNT(*) AS cnt,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos
+            FROM documents GROUP BY 1),
+        t AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                   CAST(SUM(pos) AS BIGINT) AS p_total
+            FROM g),
+        c AS (
+            SELECT score,
+                   CAST(SUM(cnt) OVER (ORDER BY score
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS nl,
+                   CAST(SUM(pos) OVER (ORDER BY score
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS pl
+            FROM g),
+        s AS (
+            SELECT c.score AS split_score,
+                   nl AS n_left, pl AS pos_left,
+                   n_total - nl AS n_right,
+                   p_total - pl AS pos_right,
+                   {_GINI_SPLIT} AS gini
+            FROM c, t WHERE nl < n_total)
+        SELECT * FROM s ORDER BY gini, split_score LIMIT 1
+    """,
     "q31_sessionize": f"""
         WITH marked AS (
             SELECT user_id, event_id, ts, value,

@@ -1176,8 +1176,162 @@ def q193_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cochran–Armitage trend statistic from the five exact integer sums
+# (N, R, S1=Σw·conv, S2=Σw, S3=Σw²): z² = (N·S1 − R·S2)²·N /
+# (R·(N−R)·(N·S3 − S2²)). One shared SQL string per output (identical
+# IEEE expression tree both engines); sqrt is IEEE-exact. Guarded for
+# degenerate designs (all/none converted, zero weight variance).
+_CA_GUARD = "r > 0 AND r < n AND n * s3 - s2 * s2 > 0"
+_CA_T = (
+    "(CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " - CAST(r AS DOUBLE) * CAST(s2 AS DOUBLE))"
+)
+_CA_DEN = (
+    "(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)"
+    " * (CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)"
+    "    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+)
+_CA_Z = (
+    f"CASE WHEN {_CA_GUARD} THEN"
+    f" ROUND({_CA_T} * sqrt(CAST(n AS DOUBLE) / {_CA_DEN}), 6)"
+    " ELSE NULL END"
+)
+_CA_CHI2 = (
+    f"CASE WHEN {_CA_GUARD} THEN"
+    f" ROUND({_CA_T} * {_CA_T} * CAST(n AS DOUBLE) / {_CA_DEN}, 6)"
+    " ELSE NULL END"
+)
+
+
+def q198_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for trend: does q153's conversion outcome
+    rise (or fall) monotonically across FOUR ordered exposure arms
+    (dose = user_id % 4, scores w = 0..3)? The dose–response readout
+    an experimentation platform needs when a treatment has graded
+    intensities — a plain 4-arm chi-square ignores the ordering and
+    wastes power; the trend test is the standard answer. Outcome and
+    assignment reuse q153's stated deterministic design (above-mean
+    purchase spend; modulo bucketing — the q39 no-RNG discipline).
+    Output: one row — N, conversions, the integer trend numerator
+    N·S1−R·S2, the signed z, χ² = z², and the p<0.001 verdict tested
+    multiplied-through in exact integers (χ²₁ > 10.828 ⇔
+    1000·T²·N > 10828·R·(N−R)·(N·S3−S2²) — the q193 no-float gate;
+    decimal(38,0)/HUGEINT products, exact to ~10⁶-user frames per
+    arm and beyond).
+
+    Scale shape: spend collapses to one row per user in a single
+    partial agg; the five trend sums are conditional sums in ONE
+    aggregate over that frame (no per-dose grouping needed — w and w²
+    fold directly); everything after is scalar math on a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        ).alias("s")
+    )
+    tot = per_user.agg(
+        F.sum("s").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    flagged = per_user.crossJoin(F.broadcast(tot)).select(
+        (F.col("user_id") % 4).alias("w"),
+        (F.col("s") * F.col("n_users") > F.col("total"))
+        .cast("long")
+        .alias("conv"),
+    )
+    one = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("r"),
+        F.sum(F.col("w") * F.col("conv")).alias("s1"),
+        F.sum("w").alias("s2"),
+        F.sum(F.col("w") * F.col("w")).alias("s3"),
+    )
+    return one.select(
+        F.col("n").alias("n_users"),
+        F.col("r").alias("n_conv"),
+        (F.col("n") * F.col("s1") - F.col("r") * F.col("s2")).alias(
+            "t_num"
+        ),
+        F.expr(_CA_Z).alias("z"),
+        F.expr(_CA_CHI2).alias("chi2"),
+        F.expr(
+            "1000 * CAST(n * s1 - r * s2 AS DECIMAL(20,0))"
+            " * CAST(n * s1 - r * s2 AS DECIMAL(20,0))"
+            " * CAST(n AS DECIMAL(20,0))"
+            " > 10828 * CAST(r AS DECIMAL(20,0))"
+            " * CAST(n - r AS DECIMAL(20,0))"
+            " * (CAST(n AS DECIMAL(20,0)) * CAST(s3 AS DECIMAL(20,0))"
+            "    - CAST(s2 AS DECIMAL(20,0)) * CAST(s2 AS DECIMAL(20,0)))"
+        ).alias("trend_flag"),
+    )
+
+
+# Dispersion (variance-to-mean) chains from the three exact integer
+# sums over ALL users including zero-count ones (n users, sx events,
+# sx2 squared counts): variance = (n·sx2 − sx²)/(n(n−1)), index
+# D = variance/mean = (n·sx2 − sx²)/((n−1)·sx). Shared SQL strings.
+_DISP_VAR = (
+    "ROUND((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)"
+)
+_DISP_D = (
+    "CASE WHEN sx > 0 THEN"
+    " ROUND((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n - 1 AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+    " ELSE NULL END"
+)
+
+
+def q208_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type overdispersion audit of user activity counts:
+    is each event type's per-user count distribution Poisson-like
+    (dispersion ≈ 1) or burst-dominated (D ≫ 1 — a few users generate
+    most of the traffic, so per-user rate models and q153-style
+    averages are fragile)? The count-data QC every behavioral metric
+    should pass before anyone models "events per user". Users with
+    ZERO events of a type are included (dropping them biases D up) by
+    counting over the full user universe. Output: one row per event
+    type — user count, event total, mean, variance, dispersion index,
+    and the D > 1.5 verdict tested in exact integers
+    ((n·sx2 − sx²)·10 > 15·(n−1)·sx — the q193 no-float gate).
+
+    Scale shape: one (event_type, user) partial-agg shuffle collapses
+    the log; per-type sums aggregate that frame (zero-count users fold
+    in algebraically — they add nothing to sx/sx2 and the universe
+    size is ONE broadcast scalar, so no explicit zero rows are ever
+    materialized)."""
+    ev = load_table(spark, sf_dir, "events")
+    ux = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    per_type = ux.groupBy("event_type").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    users = ev.agg(F.countDistinct("user_id").alias("n"))
+    g = per_type.crossJoin(F.broadcast(users))
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("mean"),
+        F.expr(_DISP_VAR).alias("variance"),
+        F.expr(_DISP_D).alias("dispersion"),
+        F.expr(
+            "(n * sx2 - sx * sx) * 10 > 15 * (n - 1) * sx"
+        ).alias("overdispersed"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
+    "q198_trend_test": q198_trend_test,
+    "q208_dispersion_audit": q208_dispersion_audit,
     "q193_srm_audit": q193_srm_audit,
     "q98_retention_cohorts": q98_retention_cohorts,
     "q99_heavy_hitters": q99_heavy_hitters,
@@ -1198,6 +1352,62 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q208_dispersion_audit": f"""
+        WITH ux AS (
+            SELECT event_type, user_id, COUNT(*) AS x
+            FROM events GROUP BY event_type, user_id),
+        per_type AS (
+            SELECT event_type,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2
+            FROM ux GROUP BY event_type),
+        u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+              FROM events)
+        SELECT event_type,
+               n AS n_users,
+               sx AS n_events,
+               ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+               {_DISP_VAR} AS variance,
+               {_DISP_D} AS dispersion,
+               (n * sx2 - sx * sx) * 10 > 15 * (n - 1) * sx
+                   AS overdispersed
+        FROM per_type, u
+    """,
+    "q198_trend_test": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN value ELSE 0 END)
+                        AS DECIMAL(18,6)) AS s
+            FROM events GROUP BY user_id),
+        tot AS (
+            SELECT SUM(s) AS total, COUNT(*) AS n_users FROM per_user),
+        f AS (
+            SELECT user_id % 4 AS w,
+                   CASE WHEN s * n_users > total THEN 1 ELSE 0 END AS conv
+            FROM per_user, tot),
+        one AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS r,
+                   CAST(SUM(w * conv) AS BIGINT) AS s1,
+                   CAST(SUM(w) AS BIGINT) AS s2,
+                   CAST(SUM(w * w) AS BIGINT) AS s3
+            FROM f)
+        SELECT n AS n_users,
+               r AS n_conv,
+               n * s1 - r * s2 AS t_num,
+               {_CA_Z} AS z,
+               {_CA_CHI2} AS chi2,
+               1000 * CAST(n * s1 - r * s2 AS HUGEINT)
+                    * CAST(n * s1 - r * s2 AS HUGEINT)
+                    * CAST(n AS HUGEINT)
+                 > 10828 * CAST(r AS HUGEINT)
+                    * CAST(n - r AS HUGEINT)
+                    * (CAST(n AS HUGEINT) * CAST(s3 AS HUGEINT)
+                       - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT))
+                   AS trend_flag
+        FROM one
+    """,
     "q193_srm_audit": """
         WITH g AS (
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

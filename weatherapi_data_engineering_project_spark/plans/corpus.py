@@ -741,8 +741,88 @@ def q105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _global_rank_desc(df: DataFrame, key: str) -> DataFrame:
+    """(doc_id, r): dense global row-number of ``df`` under the total
+    order (key DESC, doc_id ASC), computed as the q150 two-phase
+    bucketed rewrite — sampled boundaries bucket the rows, each bucket
+    ranks locally in parallel, and the per-bucket counts lift local
+    ranks through a broadcast triangular join (higher buckets =
+    earlier ranks). No unpartitioned window at any corpus size."""
+    from pyspark.sql.window import Window
+
+    from ._buckets import bucket_of, quantile_bounds
+
+    b = df.withColumn("_kd", F.col(key).cast("double"))
+    bnds = quantile_bounds(b, "_kd")
+    bk = b.withColumn("_bkt", bucket_of("_kd", bnds))
+    bs = bk.groupBy("_bkt").agg(F.count(F.lit(1)).alias("bn"))
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            F.col("b._bkt") > F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("roff"))
+    )
+    wl = Window.partitionBy("_bkt").orderBy(
+        F.col(key).desc(), F.col("doc_id").asc()
+    )
+    return bk.join(F.broadcast(offs), "_bkt").select(
+        "doc_id", (F.col("roff") + F.row_number().over(wl)).alias("r")
+    )
+
+
+# RRF term: 1/(k + rank) with the standard k=60, snapped to 9 decimals
+# and decimal-cast per ranking so the fused score is an exact,
+# order-independent decimal both engines sort identically.
+_RRF_1 = "CAST(ROUND(CAST(1 AS DOUBLE) / (60 + r1), 9) AS DECIMAL(18,9))"
+_RRF_2 = "CAST(ROUND(CAST(1 AS DOUBLE) / (60 + r2), 9) AS DECIMAL(18,9))"
+
+
+def q202_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval orderings (RRF, the
+    standard score-free ensemble: Cormack et al. 2009): rank documents
+    by char length and independently by token count, fuse with
+    Σ 1/(60+rankᵢ), return the top 20. The operator every hybrid
+    search pipeline needs to merge BM25-ish (q122) and embedding-ish
+    (q26) candidate lists without calibrating their incomparable
+    scores. Output: doc_id, both ranks, fused score.
+
+    Scale shape: each ranking is the two-phase bucketed global rank
+    (_global_rank_desc — no unpartitioned window); the fusion is one
+    doc_id equi-join; the top-20 compiles to TakeOrderedAndProject
+    (per-partition top-k, driver merges 20-row heaps)."""
+    d = load_table(spark, sf_dir, "documents")
+    r1 = _global_rank_desc(
+        d.select("doc_id", F.col("n_chars").alias("k1")), "k1"
+    ).withColumnRenamed("r", "r1")
+    r2 = _global_rank_desc(
+        d.select(
+            "doc_id",
+            F.size(TX.tokens("text")).cast("long").alias("k2"),
+        ),
+        "k2",
+    ).withColumnRenamed("r", "r2")
+    fused = r1.join(r2, "doc_id").withColumn(
+        "s", F.expr(f"{_RRF_1} + {_RRF_2}")
+    )
+    return (
+        fused.orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "r1",
+            "r2",
+            F.col("s").cast("double").alias("rrf_score"),
+        )
+    )
+
+
 QUERIES = {
     "q86_dup_spans": q86_dup_spans,
+    "q202_rrf_fusion": q202_rrf_fusion,
     "q87_semantic_dedup": q87_semantic_dedup,
     "q88_mmr_rerank": q88_mmr_rerank,
     "q89_pagerank": q89_pagerank,
@@ -835,6 +915,24 @@ def q96_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q96_curation_pipeline"] = q96_curation_pipeline
 
 ORACLE = {
+    "q202_rrf_fusion": f"""
+        WITH t AS (
+            SELECT doc_id, n_chars AS k1, len({_TOK}) AS k2
+            FROM documents),
+        r AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY k1 DESC, doc_id)
+                        AS BIGINT) AS r1,
+                   CAST(ROW_NUMBER() OVER (ORDER BY k2 DESC, doc_id)
+                        AS BIGINT) AS r2
+            FROM t),
+        f AS (
+            SELECT doc_id, r1, r2,
+                   {_RRF_1} + {_RRF_2} AS s
+            FROM r)
+        SELECT doc_id, r1, r2, CAST(s AS DOUBLE) AS rrf_score
+        FROM f ORDER BY s DESC, doc_id LIMIT 20
+    """,
     "q86_dup_spans": f"""
         WITH toks AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
         spans AS (

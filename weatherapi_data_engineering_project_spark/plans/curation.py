@@ -1384,8 +1384,266 @@ def q165_mutual_information(
     )
 
 
+# q195's per-term KL contributions: each side's term contributes
+# p·ln(2p/(p+q)) to its KL(·‖M) half. The double chain runs from the
+# exact integer counts (c1,c2,n1,n2) in ONE shared SQL string per side
+# (identical expression tree → identical IEEE bits on both engines),
+# is rounded to 9 decimals and cast to DECIMAL(18,9), so the sum is
+# exact and order-independent (the q124/q132 convention). Zero counts
+# contribute exactly 0 (lim p→0 of p·ln(2p/m) = 0).
+_JSD_TERM_A = (
+    "CASE WHEN c1 > 0 THEN CAST(ROUND("
+    "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " * ln(2 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 9)"
+    " AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END"
+)
+_JSD_TERM_B = (
+    "CASE WHEN c2 > 0 THEN CAST(ROUND("
+    "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " * ln(2 * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 9)"
+    " AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END"
+)
+
+
+def q195_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    two corpus sources (src0 vs src1) — the symmetric, bounded
+    (0 ≤ JSD ≤ ln 2) distribution-shift measure curation pipelines
+    prefer over raw KL (q151's PSI diverges on disjoint support; JSD
+    does not, which matters when comparing a new crawl against a
+    reference corpus that shares only part of the vocabulary).
+    Output: one row — token totals, per-side vocabularies, shared
+    vocabulary, JSD in nats and bits.
+
+    Scale shape: the corpus collapses to one row per term in ONE
+    map-side-combined shuffle (conditional counts per source); totals
+    are a broadcast 1-row scalar; every per-term contribution is
+    codegen'd arithmetic. Nothing rescans the documents table."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode_outer(TX.tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("term")
+        .agg(
+            F.sum((F.col("source") == "src0").cast("long")).alias("c1"),
+            F.sum((F.col("source") == "src1").cast("long")).alias("c2"),
+        )
+    )
+    tot = terms.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum((F.col("c1") > 0).cast("long")).alias("vocab1"),
+        F.sum((F.col("c2") > 0).cast("long")).alias("vocab2"),
+        F.sum(((F.col("c1") > 0) & (F.col("c2") > 0)).cast("long")).alias(
+            "vocab_shared"
+        ),
+    )
+    contrib = terms.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "vocab1",
+        "vocab2",
+        "vocab_shared",
+        F.expr(_JSD_TERM_A).alias("ka"),
+        F.expr(_JSD_TERM_B).alias("kb"),
+    )
+    return contrib.groupBy(
+        "n1", "n2", "vocab1", "vocab2", "vocab_shared"
+    ).agg(
+        F.expr(
+            "ROUND(CAST(SUM(ka) + SUM(kb) AS DOUBLE) / 2, 6)"
+        ).alias("jsd_nats"),
+        F.expr(
+            "ROUND(CAST(SUM(ka) + SUM(kb) AS DOUBLE) / 2"
+            " / ln(CAST(2 AS DOUBLE)), 6)"
+        ).alias("jsd_bits"),
+    )
+
+
+def q207_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to q158's k-anonymity: within
+    each quasi-identifier group (nation × balance band), how many
+    DISTINCT sensitive values (market segment) appear? A group can be
+    large (k-anonymous) yet carry a single segment — linkage then
+    reveals the sensitive attribute exactly; l ≥ 3 is the conventional
+    release bar. Output: one row per l value — group count, row count,
+    row share, and the l < 3 exposure flag.
+
+    Scale shape: one (QI, sensitive) partial-agg shuffle collapses the
+    table to distinct cells; l per group and the l histogram are
+    aggregates OF that cell frame; the share denominator is a
+    broadcast scalar. Nothing row-sized crosses a second shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "bal_band"
+            ),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    groups = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("l"), F.sum("n").alias("k")
+    )
+    hist = groups.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_groups"), F.sum("k").alias("n_rows")
+    )
+    tot = hist.agg(F.sum("n_rows").alias("n_total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "l",
+        "n_groups",
+        "n_rows",
+        F.expr(
+            "ROUND(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6)"
+        ).alias("row_share"),
+        (F.col("l") < 3).alias("exposed"),
+    )
+
+
+def q199_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for mean document length:
+    64 replicates, replicate b containing doc i iff the first hex digit
+    of md5(doc_id || ':' || b) < '8' (the q39 no-RNG discipline — every
+    engine, every run, every partitioning derives the same replicate
+    membership). The spread of the 64 replicate means is the standard
+    error readout a curation dashboard puts next to every corpus-level
+    average; the CI is the [2nd, 63rd] order statistic of the replicate
+    means (the central ~95% of 64). Output: one row — B, mean of
+    replicate means, ci_lo, ci_hi.
+
+    Exactness: each replicate mean is ROUND(sum/count, 9) cast to
+    DECIMAL(18,9) from exact integer sums; order statistics and the
+    mean-of-means then operate on exact decimals (64 · 10⁴ at scale 9
+    is far below 2⁵³, so the final double conversion is exact on both
+    engines). Scale shape: the doc→replicate fan-out is a row-local
+    64-element sequence explode feeding ONE (b) partial-agg shuffle
+    (64 groups); everything after is a 64-row frame."""
+    d = load_table(spark, sf_dir, "documents")
+    member = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .filter(
+            F.substring(
+                F.md5(F.concat_ws(":", "doc_id", "b")), 1, 1
+            )
+            < "8"
+        )
+    )
+    reps = member.groupBy("b").agg(
+        F.expr(
+            "CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(18,9))"
+        ).alias("m")
+    )
+    wr = Window.orderBy("m", "b")
+    ranked = reps.withColumn("rn", F.row_number().over(wr))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.expr(
+            "ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("mean_of_means"),
+        F.expr(
+            "CAST(MAX(CASE WHEN rn = 2 THEN m END) AS DOUBLE)"
+        ).alias("ci_lo"),
+        F.expr(
+            "CAST(MAX(CASE WHEN rn = 63 THEN m END) AS DOUBLE)"
+        ).alias("ci_hi"),
+    )
+
+
+# q200's per-bigram-type contribution to a source's cross-entropy under
+# the corpus-wide add-one bigram LM: cs occurrences × ln P(w2|w1) with
+# P = (c+1)/(ch+V). Rounded to 9 and decimal-cast per TYPE, then the
+# integer occurrence count scales it exactly — one shared string, both
+# engines (q124 convention).
+_PPL_TERM = (
+    "CAST(cs AS DECIMAL(18,0))"
+    " * CAST(ROUND(ln((CAST(c AS DOUBLE) + 1)"
+    " / (CAST(ch AS DOUBLE) + CAST(vsz AS DOUBLE))), 9)"
+    " AS DECIMAL(18,9))"
+)
+_PPL_H = "ROUND(-(CAST(SUM(k) AS DOUBLE)) / CAST(SUM(cs) AS DOUBLE), 6)"
+_PPL_EXP = (
+    "ROUND(exp(-(CAST(SUM(k) AS DOUBLE)) / CAST(SUM(cs) AS DOUBLE)), 6)"
+)
+
+
+def q200_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE perplexity under a corpus-wide add-one-smoothed
+    bigram language model — the source-level audit twin of q105 (which
+    scores individual DOCUMENTS for filtering): where q105 answers
+    "which docs do we drop?", this answers "which feeds are drifting
+    into noise or boilerplate?" — the dashboard number tracked per
+    ingest partner over time. Smoothing base differs deliberately: V
+    here is the continuation vocabulary (distinct bigram second
+    tokens), the convention for conditional bigram models. Output: one
+    row per source with ≥1 bigram — occurrence count, cross-entropy
+    (nats), perplexity.
+
+    Scale shape: bigram fan-out is the q68 row-local HOF projection;
+    the model is ONE (w1,w2) partial-agg shuffle + a head-total
+    aggregate DERIVED from that distinct-bigram frame (never a second
+    corpus pass); scoring joins the per-source bigram counts to the
+    model on the bigram key — all equi-joins on the distinct-bigram
+    frame, corpus scanned exactly once."""
+    from ..operators.similarity import _ensure_parallelism
+
+    d = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        d.select("source", F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+    )
+    per_src = occ.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    glob = per_src.groupBy("bg").agg(F.sum("cs").alias("c"))
+    parts = glob.select(
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+        "bg",
+        "c",
+    )
+    heads = parts.groupBy("w1").agg(F.sum("c").alias("ch"))
+    vsz = parts.agg(
+        F.countDistinct("w2").alias("vsz")
+    )
+    model = parts.join(heads, "w1").crossJoin(F.broadcast(vsz))
+    scored = per_src.join(model, "bg").select(
+        "source", "cs", F.expr(_PPL_TERM).alias("k")
+    )
+    return scored.groupBy("source").agg(
+        F.sum("cs").alias("n_bigrams"),
+        F.expr(_PPL_H).alias("cross_entropy"),
+        F.expr(_PPL_EXP).alias("perplexity"),
+    )
+
+
 QUERIES = {
     "q79_split_assign": q79_split_assign,
+    "q195_js_divergence": q195_js_divergence,
+    "q199_bootstrap_ci": q199_bootstrap_ci,
+    "q207_l_diversity": q207_l_diversity,
+    "q200_bigram_perplexity": q200_bigram_perplexity,
     "q80_pii_scrub": q80_pii_scrub,
     "q81_temperature_mix": q81_temperature_mix,
     "q82_zipf_slope": q82_zipf_slope,
@@ -1486,6 +1744,119 @@ _BPE_FINAL = " UNION ALL ".join(
 )
 
 ORACLE = {
+    "q195_js_divergence": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOK}) AS term
+            FROM documents WHERE source IN ('src0', 'src1')),
+        counts AS (
+            SELECT term,
+                   CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c2
+            FROM toks WHERE term IS NOT NULL AND term <> ''
+            GROUP BY term),
+        tot AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS vocab1,
+                   CAST(SUM(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS vocab2,
+                   CAST(SUM(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vocab_shared
+            FROM counts),
+        contrib AS (
+            SELECT n1, n2, vocab1, vocab2, vocab_shared,
+                   {_JSD_TERM_A} AS ka,
+                   {_JSD_TERM_B} AS kb
+            FROM counts, tot)
+        SELECT n1, n2, vocab1, vocab2, vocab_shared,
+               ROUND(CAST(SUM(ka) + SUM(kb) AS DOUBLE) / 2, 6) AS jsd_nats,
+               ROUND(CAST(SUM(ka) + SUM(kb) AS DOUBLE) / 2
+                     / ln(CAST(2 AS DOUBLE)), 6) AS jsd_bits
+        FROM contrib
+        GROUP BY n1, n2, vocab1, vocab2, vocab_shared
+    """,
+    "q207_l_diversity": """
+        WITH cells AS (
+            SELECT c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   c_mktsegment,
+                   COUNT(*) AS n
+            FROM customer
+            GROUP BY c_nationkey, 2, c_mktsegment),
+        groups AS (
+            SELECT c_nationkey, bal_band,
+                   CAST(COUNT(*) AS BIGINT) AS l,
+                   CAST(SUM(n) AS BIGINT) AS k
+            FROM cells GROUP BY c_nationkey, bal_band),
+        hist AS (
+            SELECT l,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(k) AS BIGINT) AS n_rows
+            FROM groups GROUP BY l),
+        tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM hist)
+        SELECT l, n_groups, n_rows,
+               ROUND(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                   AS row_share,
+               l < 3 AS exposed
+        FROM hist, tot
+    """,
+    "q199_bootstrap_ci": """
+        WITH member AS (
+            SELECT doc_id, n_chars, b
+            FROM documents, (SELECT unnest(range(0, 64)) AS b)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(b AS VARCHAR)), 1, 1) < '8'),
+        reps AS (
+            SELECT b,
+                   CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE), 9)
+                        AS DECIMAL(18,9)) AS m
+            FROM member GROUP BY b),
+        ranked AS (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM reps)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+               ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_of_means,
+               CAST(MAX(CASE WHEN rn = 2 THEN m END) AS DOUBLE) AS ci_lo,
+               CAST(MAX(CASE WHEN rn = 63 THEN m END) AS DOUBLE) AS ci_hi
+        FROM ranked
+    """,
+    "q200_bigram_perplexity": f"""
+        WITH occ AS (
+            SELECT source,
+                   unnest(list_transform(
+                       range(1, len({_TOK})),
+                       i -> array_to_string(({_TOK})[i:i+1], ' ')))
+                       AS bg
+            FROM documents),
+        per_src AS (
+            SELECT source, bg, COUNT(*) AS cs FROM occ GROUP BY source, bg),
+        bgc AS (
+            SELECT bg, CAST(SUM(cs) AS BIGINT) AS c
+            FROM per_src GROUP BY bg),
+        parts AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2, bg, c
+            FROM bgc),
+        heads AS (
+            SELECT w1, CAST(SUM(c) AS BIGINT) AS ch FROM parts GROUP BY w1),
+        vs AS (
+            SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vsz FROM parts),
+        scored AS (
+            SELECT s.source, s.cs, {_PPL_TERM} AS k
+            FROM per_src s
+            JOIN parts g ON g.bg = s.bg
+            JOIN heads h ON h.w1 = g.w1
+            CROSS JOIN vs)
+        SELECT source,
+               CAST(SUM(cs) AS BIGINT) AS n_bigrams,
+               {_PPL_H} AS cross_entropy,
+               {_PPL_EXP} AS perplexity
+        FROM scored GROUP BY source
+    """,
     "q79_split_assign": f"""
         SELECT source,
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'

@@ -192,6 +192,76 @@ def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(e, query_id=0, k=10)
 
 
+def q201_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the embedding column: each probe
+    (vec_id < 24) is classified by majority vote among its k=5 nearest
+    corpus vectors (cosine, rounded-6 + id tiebreak — the q26 exact
+    ranking), votes tie-broken to the smallest label. The supervised
+    twin of the ANN family: label propagation for weak supervision,
+    embedding-quality probes ("does the space separate labels?"), and
+    the classifier evaluations a training-data pipeline runs before
+    spending GPU time. Output: one row per probe — true label,
+    predicted label, vote count, correctness.
+
+    Scale shape: probes are a bounded broadcast (24 rows); scoring is
+    a row-local decimal dot against each broadcast probe (norms
+    projected ONCE on the corpus side before the join — no per-pair
+    norm recompute); ranking is a probe-keyed window over the scored
+    frame (parallel across probes, never a global window). For probe
+    sets that grow with the corpus, the candidate stage swaps to the
+    q27/q30 bucketed paths; the brute scorer here is the exactness
+    baseline the bucketed variants are measured against (q103)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qvec"),
+        SIM._norm2_array(F.col("embedding")).alias("qn2"),
+    )
+    corpus = SIM._ensure_parallelism(
+        e.filter(F.col("vec_id") >= 24)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("cand_label"),
+        "embedding",
+        SIM._norm2_array(F.col("embedding")).alias("cn2"),
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "qid",
+        "true_label",
+        "cid",
+        "cand_label",
+        SIM._score(
+            SIM._dot_arrays(F.col("embedding"), F.col("qvec")),
+            F.col("cn2"),
+            F.col("qn2"),
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid")
+    )
+    top = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top.groupBy("qid", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            "n_votes",
+            (F.col("cand_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 def q27_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: top-3 same-bucket neighbors for queries
     vec_id < 20 (deterministic md5 hyperplanes)."""
@@ -933,6 +1003,7 @@ QUERIES = {
     "q149_prefix_join": q149_prefix_join,
     "q71_incremental_neardup": q71_incremental_neardup,
     "q26_cosine_topk": q26_cosine_topk,
+    "q201_knn_classifier": q201_knn_classifier,
     "q27_ann_signlsh": q27_ann_signlsh,
     "q28_simhash": q28_simhash,
     "q29_embed_neardup": q29_embed_neardup,
@@ -1522,6 +1593,53 @@ ORACLE = {
         SELECT s.id1, s.id2, s.jaccard
         FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
         WHERE s.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q201_knn_classifier": """
+        WITH e AS (SELECT vec_id, label,
+                          generate_subscripts(embedding, 1) AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < 24),
+        c AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id >= 24),
+        dots AS (SELECT qid, cid,
+                        SUM(CAST(c.v * q.qv AS DECIMAL(38,25))) AS dot
+                 FROM c JOIN q USING (pos)
+                 GROUP BY qid, cid),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        scored AS (
+            SELECT d.qid, d.cid,
+                   ROUND(CAST(CAST(dot AS DECIMAL(30,12)) AS DOUBLE)
+                       / (sqrt(CAST(CAST(nc.n2 AS DECIMAL(30,12)) AS DOUBLE))
+                          * sqrt(CAST(CAST(nq.n2 AS DECIMAL(30,12))
+                                      AS DOUBLE))), 6) AS cosine
+            FROM dots d
+            JOIN norms nc ON nc.vec_id = d.cid
+            JOIN norms nq ON nq.vec_id = d.qid),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        top AS (
+            SELECT qid, cid, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, cid) AS rn
+            FROM scored),
+        votes AS (
+            SELECT t.qid, l.label AS cand_label, COUNT(*) AS n_votes
+            FROM top t JOIN lab l ON l.vec_id = t.cid
+            WHERE t.rn <= 5
+            GROUP BY t.qid, l.label),
+        pred AS (
+            SELECT qid, cand_label, CAST(n_votes AS BIGINT) AS n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY n_votes DESC, cand_label)
+                       AS vr
+            FROM votes)
+        SELECT p.qid,
+               ql.label AS true_label,
+               p.cand_label AS predicted_label,
+               p.n_votes,
+               p.cand_label = ql.label AS correct
+        FROM pred p JOIN lab ql ON ql.vec_id = p.qid
+        WHERE p.vr = 1
     """,
     "q26_cosine_topk": """
         WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

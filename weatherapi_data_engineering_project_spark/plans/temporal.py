@@ -292,8 +292,55 @@ def q194_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q206_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of event traffic: daily totals
+    grouped into the 7 weekday slots, each with its mean daily volume
+    and multiplicative seasonal index (slot mean ÷ global daily mean) —
+    the decomposition every capacity planner and anomaly detector
+    (q117's z-scores, q194's CUSUM) needs BEFORE flagging deviations:
+    a quiet Sunday is seasonality, not drift. Weekday slot is the
+    engine-portable epoch anchor ``days_since_1970 mod 7`` (slot 0 =
+    Thursday) — both engines derive it by exact integer date
+    arithmetic, no locale/week-start conventions involved. Output: one
+    row per slot — n_days, total events, mean daily volume, index.
+
+    Exactness: daily counts are integers; the index
+    (s·D)/(n_d·S_total) stays a ratio of exact integer products in one
+    shared double formula (q127 discipline). Scale shape: events
+    collapse to the calendar grid in ONE partial-agg shuffle; the slot
+    rollup and the global scalar aggregate a ≤tens-of-rows frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "dow", F.expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)")
+        )
+    )
+    slots = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("n_events")
+    )
+    tot = slots.agg(
+        F.sum("n_days").alias("d_total"), F.sum("n_events").alias("s_total")
+    )
+    return slots.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "n_events",
+        F.expr(
+            "ROUND(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6)"
+        ).alias("avg_daily"),
+        F.expr(
+            "ROUND((CAST(n_events AS DOUBLE) * CAST(d_total AS DOUBLE))"
+            " / (CAST(n_days AS DOUBLE) * CAST(s_total AS DOUBLE)), 6)"
+        ).alias("seasonal_index"),
+    )
+
+
 QUERIES = {
     "q100_scd2_history": q100_scd2_history,
+    "q206_seasonal_profile": q206_seasonal_profile,
     "q194_cusum_changepoint": q194_cusum_changepoint,
     "q101_twap": q101_twap,
     "q102_gapfill_locf": q102_gapfill_locf,
@@ -301,6 +348,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q206_seasonal_profile": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1),
+        slotted AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01', day) % 7
+                        AS INT) AS dow,
+                   c
+            FROM daily),
+        slots AS (
+            SELECT dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(c) AS BIGINT) AS n_events
+            FROM slotted GROUP BY dow),
+        tot AS (
+            SELECT CAST(SUM(n_days) AS BIGINT) AS d_total,
+                   CAST(SUM(n_events) AS BIGINT) AS s_total
+            FROM slots)
+        SELECT dow, n_days, n_events,
+               ROUND(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+                   AS avg_daily,
+               ROUND((CAST(n_events AS DOUBLE) * CAST(d_total AS DOUBLE))
+                     / (CAST(n_days AS DOUBLE) * CAST(s_total AS DOUBLE)),
+                     6) AS seasonal_index
+        FROM slots, tot
+    """,
     "q100_scd2_history": """
         WITH marked AS (
             SELECT user_id, ts, event_id, event_type,
