@@ -10,10 +10,11 @@ from weatherapi_data_engineering_project_spark.schemas import load_table
 from tests.conftest import SF_DIR, compare_query_to_oracle
 
 
-@pytest.mark.parametrize("name", sorted(X.QUERIES))
+# parametrized over ORACLE (the q62 GK sketch is rows-only BY DESIGN
+# and carries its error-bound check below — iterating QUERIES here
+# only produced a permanent skip, VERDICT r06 #7)
+@pytest.mark.parametrize("name", sorted(X.ORACLE))
 def test_extension_query_matches_oracle(spark, name):
-    if name not in X.ORACLE:
-        pytest.skip("rows-only query")
     compare_query_to_oracle(spark, name, X.QUERIES[name], X.ORACLE[name], SF_DIR)
 
 

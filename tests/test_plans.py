@@ -639,3 +639,19 @@ def test_gini_best_split_plan_shape(spark):
     for spec in specs:
         assert "_bkt" in spec, f"unpartitioned window: {spec}"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_normalization_windows_partition_by_bucket(spark):
+    """q212: both rank pipelines (per-source and global) must run as
+    bucket-partitioned two-phase windows — never an unpartitioned (or
+    whole-source) ranking scan."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        curation as C,
+    )
+
+    plan = _plan(C.q212_quantile_normalization(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the bucket-local rank windows"
+    for spec in specs:
+        assert "_bkt" in spec, f"unpartitioned window: {spec}"
+    assert "CartesianProduct" not in plan

@@ -224,3 +224,298 @@ def test_q208_dispersion_matches_bruteforce(spark):
         assert abs(r.dispersion - var / mean) < 1e-5
         assert r.overdispersed == ((n * sx2 - sx * sx) * 10
                                    > 15 * (n - 1) * sx)
+
+
+def test_q209_hhi_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        curation as C,
+    )
+
+    docs = _docs(spark)
+    t = defaultdict(int)
+    for r in docs:
+        t[r.source] += len(re.split(r"\s+", r.text.lower().strip()))
+    total = sum(t.values())
+    hhi = sum(v * v for v in t.values()) / (total * total)
+    got = C.q209_hhi_concentration(spark, SF_DIR).collect()[0]
+    assert got.n_sources == len(t)
+    assert got.total_tokens == total
+    assert abs(got.max_share - max(t.values()) / total) < 1e-6
+    assert abs(got.hhi - hhi) < 1e-6
+    assert abs(got.effective_sources - 1 / hhi) < 1e-4
+    # bounds: 1/n_sources <= HHI <= 1
+    assert 1 / len(t) - 1e-9 <= got.hhi <= 1.0
+
+
+def test_q210_cohort_ltv_matches_bruteforce(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    first = {}
+    for r in ev:
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    sizes = defaultdict(int)
+    for u, d in first.items():
+        sizes[d] += 1
+    rev = defaultdict(Decimal)
+    for r in ev:
+        off = (r.ts.date() - first[r.user_id]).days
+        v = (Decimal(str(round(r.value, 2)))
+             if r.event_type == "purchase" else Decimal(0))
+        rev[(first[r.user_id], off)] += v
+    rows = {(r.cohort_day, r.day_offset): r
+            for r in B.q210_cohort_ltv(spark, SF_DIR).collect()}
+    assert set(rows) == set(rev)
+    cum = defaultdict(Decimal)
+    for (cd, off) in sorted(rev):
+        cum[cd] += rev[(cd, off)]
+        r = rows[(cd, off)]
+        assert r.n_users == sizes[cd]
+        assert abs(r.cum_revenue - float(cum[cd])) < 1e-6
+        assert abs(r.ltv - float(cum[cd]) / sizes[cd]) < 1e-5
+    # LTV is non-decreasing within a cohort
+    for cd in sizes:
+        series = [rows[k].ltv for k in sorted(rows) if k[0] == cd]
+        assert all(b >= a - 1e-9 for a, b in zip(series, series[1:]))
+
+
+def test_q211_json_field_stats_matches_bruteforce(spark):
+    import json
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    agg = defaultdict(list)
+    n_all = defaultdict(int)
+    for r in ev:
+        n_all[r.event_type] += 1
+        try:
+            k = json.loads(r.props).get("k")
+        except Exception:
+            k = None
+        if isinstance(k, int):
+            agg[r.event_type].append(k)
+    rows = {r.event_type: r for r in
+            X.q211_json_field_stats(spark, SF_DIR).collect()}
+    assert set(rows) == set(n_all)
+    for et, ks in agg.items():
+        r = rows[et]
+        assert r.n_events == n_all[et]
+        assert r.n_with_k == len(ks)
+        assert (r.min_k, r.max_k, r.sum_k) == (min(ks), max(ks), sum(ks))
+        assert abs(r.mean_k - sum(ks) / len(ks)) < 1e-6
+
+
+def test_q212_quantile_normalization_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        curation as C,
+    )
+
+    docs = _docs(spark)
+    allv = sorted((r.n_chars, r.doc_id) for r in docs)
+    nn = len(allv)
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append((r.n_chars, r.doc_id))
+    rows = {r.source: r for r in
+            C.q212_quantile_normalization(spark, SF_DIR).collect()}
+    assert set(rows) == set(by_src)
+    for src, vals in by_src.items():
+        vals.sort()
+        ns = len(vals)
+        mapped = [allv[(r * nn + ns - 1) // ns - 1][0]
+                  for r in range(1, ns + 1)]
+        got = rows[src]
+        assert got.n_docs == ns
+        assert abs(got.mean_raw - sum(v for v, _ in vals) / ns) < 1e-6
+        assert abs(got.mean_normalized - sum(mapped) / ns) < 1e-6
+    # normalization pulls source means toward a common center: the
+    # spread of normalized means is no larger than the raw spread
+    raw = [r.mean_raw for r in rows.values()]
+    norm = [r.mean_normalized for r in rows.values()]
+    assert max(norm) - min(norm) <= max(raw) - min(raw) + 1e-6
+
+
+def test_q213_next_event_accuracy_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    pairs: Counter = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            pairs[(a.event_type, b.event_type)] += 1
+    by_from = defaultdict(dict)
+    for (f, t), n in pairs.items():
+        by_from[f][t] = n
+    rows = {r.from_type: r for r in
+            B.q213_next_event_accuracy(spark, SF_DIR).collect()}
+    assert set(rows) == set(by_from)
+    for f, tos in by_from.items():
+        pred = sorted(tos.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        total = sum(tos.values())
+        correct = tos[pred]
+        r = rows[f]
+        assert r.predicted_next == pred
+        assert (r.n_transitions, r.n_correct) == (total, correct)
+        assert abs(r.accuracy - correct / total) < 1e-6
+        # the majority baseline can't do worse than uniform
+        assert r.accuracy >= 1 / len(by_from) - 1e-9
+
+
+def test_q214_eb_shrinkage_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    docs = _docs(spark)
+    agg = defaultdict(lambda: [0, 0])
+    for r in docs:
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += r.lang == "en"
+    ps = {s: round(x / n, 9) for s, (n, x) in agg.items()}
+    kk = len(ps)
+    m = sum(ps.values()) / kk
+    v = sum(round(p * p, 9) for p in ps.values()) / kk - m * m
+    w = max(m * (1 - m) / v - 1, 0.0) if (v > 0 and 0 < m < 1) else 0.0
+    rows = {r.source: r for r in
+            B.q214_eb_shrinkage(spark, SF_DIR).collect()}
+    assert set(rows) == set(agg)
+    for src, (n, x) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.n_en) == (n, x)
+        assert abs(r.raw_rate - x / n) < 1e-6
+        assert abs(r.prior_mean - m) < 1e-6
+        assert abs(r.prior_strength - w) < 1e-4
+        assert abs(r.shrunk_rate - (x + w * m) / (n + w)) < 1e-5
+        # shrinkage moves every rate TOWARD the prior mean
+        lo, hi = sorted((r.raw_rate, r.prior_mean))
+        assert lo - 1e-9 <= r.shrunk_rate <= hi + 1e-9
+
+
+def test_q215_nucleus_coverage_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        curation as C,
+    )
+
+    docs = _docs(spark)
+    by_src = defaultdict(Counter)
+    for r in docs:
+        toks = [t for t in re.split(r"\s+", r.text.lower().strip()) if t]
+        by_src[r.source].update(toks)
+    rows = {r.source: r for r in
+            C.q215_nucleus_coverage(spark, SF_DIR).collect()}
+    assert set(rows) == set(by_src)
+    for src, cc in by_src.items():
+        t = sum(cc.values())
+        ranked = sorted(cc.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum = 0
+        for i, (_term, c) in enumerate(ranked, start=1):
+            cum += c
+            if 5 * cum >= 4 * t:
+                break
+        r = rows[src]
+        assert (r.n_tokens, r.vocab, r.n_top_p) == (t, len(cc), i)
+        assert abs(r.top_p_share - cum / t) < 1e-6
+        assert r.top_p_share >= 0.8 - 1e-9
+        assert r.n_top_p <= r.vocab
+
+
+def test_q216_simpson_audit_matches_bruteforce(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    spend = defaultdict(Decimal)
+    for r in ev:
+        if r.event_type == "purchase":
+            spend[r.user_id] += Decimal(str(round(r.value, 6)))
+        else:
+            spend[r.user_id] += 0
+    users = sorted(spend)
+    total = sum(spend.values())
+    n = len(users)
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # na xa nb xb
+    for u in users:
+        conv = 1 if spend[u] * n > total else 0
+        st = (u // 2) % 3
+        c = cells[st]
+        if u % 2 == 0:
+            c[0] += 1
+            c[1] += conv
+        else:
+            c[2] += 1
+            c[3] += conv
+    pna = sum(c[0] for c in cells.values())
+    pxa = sum(c[1] for c in cells.values())
+    pnb = sum(c[2] for c in cells.values())
+    pxb = sum(c[3] for c in cells.values())
+
+    def sign(v):
+        return (v > 0) - (v < 0)
+
+    pd = sign(pxa * pnb - pxb * pna)
+    sdirs = [sign(c[1] * c[2] - c[3] * c[0]) for c in cells.values()]
+    got = B.q216_simpson_audit(spark, SF_DIR).collect()[0]
+    assert (got.n_a, got.x_a, got.n_b, got.x_b) == (pna, pxa, pnb, pxb)
+    assert got.pooled_dir == pd
+    assert got.n_strata == len(cells)
+    assert got.n_same == sum(1 for s in sdirs if s == pd and s != 0)
+    assert got.n_opposite == sum(1 for s in sdirs if s == -pd and s != 0)
+    assert got.paradox == (pd != 0 and got.n_opposite == got.n_strata)
+
+
+def test_q217_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        analytics as A,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").collect()
+    cols = {
+        "qty": np.array([float(r.l_quantity) for r in li]),
+        "price": np.array([float(r.l_extendedprice) for r in li]),
+        "disc": np.array([float(r.l_discount) for r in li]),
+        "tax": np.array([float(r.l_tax) for r in li]),
+    }
+    rows = {(r.col_x, r.col_y): r for r in
+            A.q217_correlation_matrix(spark, SF_DIR).collect()}
+    names = ["qty", "price", "disc", "tax"]
+    want_pairs = {(a, b) for i, a in enumerate(names)
+                  for b in names[i + 1:]}
+    assert set(rows) == want_pairs
+    for (a, b), r in rows.items():
+        assert r.n == len(li)
+        want = np.corrcoef(cols[a], cols[b])[0, 1]
+        assert abs(r.r - want) < 1e-5, (a, b)
+        assert -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9

@@ -2137,8 +2137,12 @@ def q205_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus); the cut rows are a source-count-sized broadcast."""
     from ._buckets import bucket_of, quantile_bounds
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", "n_chars"
+    from ..caching import persist_tracked
+
+    d = persist_tracked(
+        load_table(spark, sf_dir, "documents").select(
+            "source", "doc_id", "n_chars"
+        )
     )
     b = d.withColumn("_kd", F.col("n_chars").cast("double"))
     bnds = quantile_bounds(b, "_kd")
@@ -2203,9 +2207,77 @@ def q205_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q217: Pearson correlations of the four lineitem money/ratio columns
+# from ONE pass of exact decimal sums — r = (n·Σxy − Σx·Σy) /
+# sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)). Products of decimal(18,2)
+# inputs carry 4 exact decimals; sums are order-independent; the float
+# chain is one shared string per pair.
+_CM_COLS = [
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+def _corr_sql(a: str, b: str) -> str:
+    num = (
+        f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+    )
+    den = (
+        f"(sqrt(CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * sqrt(CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+    )
+    return f"CASE WHEN {den} > 0 THEN ROUND({num} / {den}, 6) ELSE NULL END"
+
+
+def q217_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of lineitem's quantity /
+    price / discount / tax — the multi-column profiling companion to
+    q111's per-column stats and the input a cost-based optimizer (or a
+    feature-selection pass) wants before assuming column independence.
+    Output: one row per unordered column pair — n and r.
+
+    Scale shape: ONE partial-agg pass computes all 4 sums, 4 square
+    sums, and 6 cross sums as exact decimals (no per-pair rescan — the
+    1-row result is persisted and each pair projects from it); r is
+    scalar math per pair, NULL when a column is constant."""
+    from ..caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(c).cast("decimal(18,2)").alias(k) for k, c in _CM_COLS]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k, _ in _CM_COLS:
+        aggs.append(F.sum(F.col(k)).alias(f"s_{k}"))
+    for i, (a, _) in enumerate(_CM_COLS):
+        for b, _c in _CM_COLS[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    one = persist_tracked(li.agg(*aggs))
+    parts = []
+    for i, (a, _) in enumerate(_CM_COLS):
+        for b, _c in _CM_COLS[i + 1 :]:
+            parts.append(
+                one.select(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    "n",
+                    F.expr(_corr_sql(a, b)).alias("r"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
     "q203_mcnemar_test": q203_mcnemar_test,
+    "q217_correlation_matrix": q217_correlation_matrix,
     "q204_calibration_bins": q204_calibration_bins,
     "q205_winsorized_stats": q205_winsorized_stats,
     "q32_asof_join": q32_asof_join,
@@ -2245,7 +2317,36 @@ QUERIES = {
 # DuckDB twin of TX.tokens (the shared whitespace tokenizer)
 _ORACLE_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
 
+
+def _q217_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for k, c in _CM_COLS:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{k}")
+    for i, (a, ca) in enumerate(_CM_COLS):
+        for b, cb in _CM_COLS[i:]:
+            sums.append(
+                f"SUM(CAST({ca} AS DECIMAL(18,2))"
+                f" * CAST({cb} AS DECIMAL(18,2))) AS p_{a}_{b}"
+            )
+    selects = []
+    for i, (a, _) in enumerate(_CM_COLS):
+        for b, _c in _CM_COLS[i + 1 :]:
+            selects.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+                f" CAST(n AS BIGINT) AS n, {_corr_sql(a, b)} AS r FROM one"
+            )
+    # MATERIALIZED: six consumers — DuckDB would otherwise inline and
+    # recompute the sum pass per pair (the _KM_CTES lesson)
+    return (
+        "WITH one AS MATERIALIZED (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
+
+
 ORACLE = {
+    "q217_correlation_matrix": _q217_oracle(),
     "q203_mcnemar_test": f"""
         WITH t AS (
             SELECT (lang = 'en') AS y,

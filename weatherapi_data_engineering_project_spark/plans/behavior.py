@@ -1328,10 +1328,278 @@ def q208_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q210_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: for each acquisition cohort (first-seen day)
+    and cohort age, the CUMULATIVE purchase revenue and its per-user
+    value — the revenue companion to q98's retention counts, and the
+    curve every growth model fits ("how much is a day-N user worth?").
+    Revenue accumulates in exact DECIMAL(18,2) cents; the step
+    function is defined on observed (cohort, age) cells. Output: one
+    row per cohort × age with cohort size, cumulative revenue, LTV.
+
+    Scale shape: first-seen days are one user-keyed partial agg; the
+    cohort join is a user_id equi-join; the cumulation window
+    partitions by cohort and orders by the CALENDAR-bounded age (the
+    q194 precedent — offsets cannot outnumber days in the retention
+    horizon, so no unbounded window partition exists)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+    first = base.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    g = (
+        base.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "rev",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("rev").alias("rev_d"))
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset")
+    r = g.withColumn("cum", F.sum("rev_d").over(w)).join(
+        F.broadcast(sizes), "cohort_day"
+    )
+    return r.select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        F.col("cum").cast("double").alias("cum_revenue"),
+        F.expr(
+            "ROUND(CAST(cum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)"
+        ).alias("ltv"),
+    )
+
+
+def q213_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction baseline and its in-sample accuracy: the
+    argmax-of-q139's-transition-matrix predictor ("after a view, the
+    most likely next event is …"), scored against the log it was
+    fitted on — the sanity baseline every sequence model must beat,
+    and the drift alarm when a deploy changes what follows what.
+    Prediction ties break (count DESC, to_type ASC), so the model is
+    deterministic on both engines. Output: one row per from_type —
+    transition count, predicted next, hit count, accuracy.
+
+    Scale shape: consecutive pairs are q139's per-user narrow window;
+    everything after aggregates the ≤|types|² cell matrix (the model
+    argmax is a window over ≤25 rows; the scoring join is pairs-frame
+    × broadcast model)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type")
+    )
+    model = (
+        pairs.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_next"))
+    )
+    scored = pairs.join(F.broadcast(model), "from_type")
+    return scored.groupBy("from_type", "predicted_next").agg(
+        F.sum("n").alias("n_transitions"),
+        F.sum(
+            F.when(F.col("to_type") == F.col("predicted_next"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).alias("n_correct"),
+    ).select(
+        "from_type",
+        "predicted_next",
+        "n_transitions",
+        "n_correct",
+        F.expr(
+            "ROUND(CAST(n_correct AS DOUBLE)"
+            " / CAST(n_transitions AS DOUBLE), 6)"
+        ).alias("accuracy"),
+    )
+
+
+# q214's method-of-moments beta prior from the K per-source proportions
+# (each snapped to DECIMAL(18,9) so the cross-source sums are exact):
+# m = Σp/K, v = Σp²/K − m², α+β = m(1−m)/v − 1. One shared double
+# chain; the CASE guards degenerate designs (v ≤ 0 → no shrinkage
+# possible → prior weight 0).
+_EB_M = "(CAST(sp AS DOUBLE) / CAST(kk AS DOUBLE))"
+_EB_V = (
+    f"(CAST(sp2 AS DOUBLE) / CAST(kk AS DOUBLE) - {_EB_M} * {_EB_M})"
+)
+_EB_W = (  # prior strength alpha+beta
+    f"CASE WHEN {_EB_V} > 0 AND {_EB_M} > 0 AND {_EB_M} < 1"
+    f" THEN GREATEST({_EB_M} * (1 - {_EB_M}) / {_EB_V} - 1,"
+    " CAST(0 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+def q214_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source English rates: fit a
+    beta prior to the K observed source proportions by method of
+    moments, then shrink each source's raw rate toward the pooled mean
+    with strength inverse to its sample size — the standard fix for
+    "this 12-doc source is 100% English" leaderboard artifacts that
+    raw per-group rates produce (small feeds get pulled to the prior,
+    big feeds keep their evidence). Output: one row per source — n,
+    successes, raw rate, prior mean, prior strength, shrunk rate.
+
+    Exactness: each proportion is snapped to DECIMAL(18,9) before the
+    cross-source moment sums (q124 convention), so m and v derive from
+    exact decimals; the α+β and shrinkage chains are ONE shared SQL
+    string per column. Scale shape: docs collapse to one row per
+    source in a single partial agg; the prior is a broadcast 1-row
+    scalar; shrinkage is row-local arithmetic on the source frame."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("x"),
+    ).withColumn(
+        "p",
+        F.expr(
+            "CAST(ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 9)"
+            " AS DECIMAL(18,9))"
+        ),
+    )
+    stats = per_src.agg(
+        F.count(F.lit(1)).alias("kk"),
+        F.sum("p").alias("sp"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 9)"
+                " AS DECIMAL(18,9))"
+            )
+        ).alias("sp2"),
+    )
+    g = per_src.crossJoin(F.broadcast(stats))
+    return g.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("x").alias("n_en"),
+        F.expr(
+            "ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("raw_rate"),
+        F.expr(f"ROUND({_EB_M}, 6)").alias("prior_mean"),
+        F.expr(f"ROUND({_EB_W}, 6)").alias("prior_strength"),
+        F.expr(
+            f"ROUND((CAST(x AS DOUBLE) + {_EB_W} * {_EB_M})"
+            f" / (CAST(n AS DOUBLE) + {_EB_W}), 6)"
+        ).alias("shrunk_rate"),
+    )
+
+
+def q216_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit for the q153 experiment: does the
+    pooled A-vs-B conversion direction agree with the per-stratum
+    directions (strata = (user_id DIV 2) % 3 — independent of the
+    user_id % 2 arm by construction)? Aggregation reversal is THE
+    classic way a pooled experiment readout lies when assignment is
+    imbalanced across strata; a trustworthy platform checks it before
+    shipping the pooled number. All direction comparisons are SIGNS
+    of exact integer cross-products (xa·nb − xb·na — never a rate
+    division), so the verdict is float-free. Output: one row — pooled
+    sizes/conversions/rates, pooled direction, stratum agreement
+    counts, and the full-reversal paradox flag.
+
+    Scale shape: users collapse to one row per (stratum, arm) in one
+    partial agg over the q153 per-user conversion frame; the pooled
+    scalar broadcasts back onto the ≤3-row stratum frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        ).alias("s")
+    )
+    tot = per_user.agg(
+        F.sum("s").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    flagged = per_user.crossJoin(F.broadcast(tot)).select(
+        F.expr("user_id DIV 2 % 3").alias("stratum"),
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("s") * F.col("n_users") > F.col("total"))
+        .cast("long")
+        .alias("conv"),
+    )
+    strata = flagged.groupBy("stratum").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "xa"
+        ),
+        F.sum((F.col("arm") == 1).cast("long")).alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "xb"
+        ),
+    )
+    pooled = strata.agg(
+        F.sum("na").alias("pna"),
+        F.sum("xa").alias("pxa"),
+        F.sum("nb").alias("pnb"),
+        F.sum("xb").alias("pxb"),
+    ).withColumn(
+        "pooled_dir",
+        F.expr("CAST(sign(pxa * pnb - pxb * pna) AS INT)"),
+    )
+    j = strata.crossJoin(F.broadcast(pooled)).withColumn(
+        "sdir", F.expr("CAST(sign(xa * nb - xb * na) AS INT)")
+    )
+    return j.groupBy(
+        "pna", "pxa", "pnb", "pxb", "pooled_dir"
+    ).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(
+            ((F.col("sdir") == F.col("pooled_dir")) & (F.col("sdir") != 0))
+            .cast("long")
+        ).alias("n_same"),
+        F.sum(
+            ((F.col("sdir") == -F.col("pooled_dir")) & (F.col("sdir") != 0))
+            .cast("long")
+        ).alias("n_opposite"),
+    ).select(
+        F.col("pna").alias("n_a"),
+        F.col("pxa").alias("x_a"),
+        F.col("pnb").alias("n_b"),
+        F.col("pxb").alias("x_b"),
+        F.expr(
+            "ROUND(CAST(pxa AS DOUBLE) / CAST(pna AS DOUBLE), 6)"
+        ).alias("rate_a"),
+        F.expr(
+            "ROUND(CAST(pxb AS DOUBLE) / CAST(pnb AS DOUBLE), 6)"
+        ).alias("rate_b"),
+        "pooled_dir",
+        "n_strata",
+        "n_same",
+        "n_opposite",
+        (
+            (F.col("pooled_dir") != 0)
+            & (F.col("n_opposite") == F.col("n_strata"))
+        ).alias("paradox"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q198_trend_test": q198_trend_test,
     "q208_dispersion_audit": q208_dispersion_audit,
+    "q210_cohort_ltv": q210_cohort_ltv,
+    "q213_next_event_accuracy": q213_next_event_accuracy,
+    "q214_eb_shrinkage": q214_eb_shrinkage,
+    "q216_simpson_audit": q216_simpson_audit,
     "q193_srm_audit": q193_srm_audit,
     "q98_retention_cohorts": q98_retention_cohorts,
     "q99_heavy_hitters": q99_heavy_hitters,
@@ -1352,6 +1620,150 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q216_simpson_audit": """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN value ELSE 0 END)
+                        AS DECIMAL(18,6)) AS s
+            FROM events GROUP BY user_id),
+        tot AS (
+            SELECT SUM(s) AS total, COUNT(*) AS n_users FROM per_user),
+        flagged AS (
+            SELECT CAST(user_id // 2 % 3 AS BIGINT) AS stratum,
+                   user_id % 2 AS arm,
+                   CASE WHEN s * n_users > total THEN 1 ELSE 0 END AS conv
+            FROM per_user, tot),
+        strata AS (
+            SELECT stratum,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                        AS BIGINT) AS xa,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb,
+                   CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                        AS BIGINT) AS xb
+            FROM flagged GROUP BY stratum),
+        pooled AS (
+            SELECT CAST(SUM(na) AS BIGINT) AS pna,
+                   CAST(SUM(xa) AS BIGINT) AS pxa,
+                   CAST(SUM(nb) AS BIGINT) AS pnb,
+                   CAST(SUM(xb) AS BIGINT) AS pxb,
+                   CAST(sign(SUM(xa) * SUM(nb) - SUM(xb) * SUM(na))
+                        AS INT) AS pooled_dir
+            FROM strata),
+        j AS (
+            SELECT s.*, p.*,
+                   CAST(sign(s.xa * s.nb - s.xb * s.na) AS INT) AS sdir
+            FROM strata s, pooled p)
+        SELECT pna AS n_a, pxa AS x_a, pnb AS n_b, pxb AS x_b,
+               ROUND(CAST(pxa AS DOUBLE) / CAST(pna AS DOUBLE), 6)
+                   AS rate_a,
+               ROUND(CAST(pxb AS DOUBLE) / CAST(pnb AS DOUBLE), 6)
+                   AS rate_b,
+               pooled_dir,
+               CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(CASE WHEN sdir = pooled_dir AND sdir <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+               CAST(SUM(CASE WHEN sdir = -pooled_dir AND sdir <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_opposite,
+               pooled_dir <> 0
+                   AND SUM(CASE WHEN sdir = -pooled_dir AND sdir <> 0
+                                THEN 1 ELSE 0 END) = COUNT(*) AS paradox
+        FROM j
+        GROUP BY pna, pxa, pnb, pxb, pooled_dir
+    """,
+    "q213_next_event_accuracy": """
+        WITH pairs AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS to_type
+                FROM events) t
+            WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type),
+        model AS (
+            SELECT from_type, to_type AS predicted_next
+            FROM (
+                SELECT from_type, to_type,
+                       ROW_NUMBER() OVER (PARTITION BY from_type
+                                          ORDER BY n DESC, to_type) AS rn
+                FROM pairs) m
+            WHERE rn = 1)
+        SELECT p.from_type,
+               mo.predicted_next,
+               CAST(SUM(p.n) AS BIGINT) AS n_transitions,
+               CAST(SUM(CASE WHEN p.to_type = mo.predicted_next
+                             THEN p.n ELSE 0 END) AS BIGINT) AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN p.to_type = mo.predicted_next
+                                   THEN p.n ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(p.n) AS DOUBLE), 6) AS accuracy
+        FROM pairs p JOIN model mo ON mo.from_type = p.from_type
+        GROUP BY p.from_type, mo.predicted_next
+    """,
+    "q214_eb_shrinkage": f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM documents GROUP BY source),
+        withp AS (
+            SELECT source, n, x,
+                   CAST(ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                        AS DECIMAL(18,9)) AS p
+            FROM per_src),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+                   SUM(p) AS sp,
+                   SUM(CAST(ROUND(CAST(p AS DOUBLE) * CAST(p AS DOUBLE),
+                                  9) AS DECIMAL(18,9))) AS sp2
+            FROM withp)
+        SELECT source,
+               n AS n_docs,
+               x AS n_en,
+               ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+               ROUND({_EB_M}, 6) AS prior_mean,
+               ROUND({_EB_W}, 6) AS prior_strength,
+               ROUND((CAST(x AS DOUBLE) + {_EB_W} * {_EB_M})
+                     / (CAST(n AS DOUBLE) + {_EB_W}), 6) AS shrunk_rate
+        FROM withp, stats
+    """,
+    "q210_cohort_ltv": """
+        WITH base AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(CASE WHEN event_type = 'purchase'
+                             THEN value ELSE 0 END
+                        AS DECIMAL(18,2)) AS rev
+            FROM events),
+        first AS (
+            SELECT user_id, MIN(day) AS cohort_day
+            FROM base GROUP BY user_id),
+        sizes AS (
+            SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM first GROUP BY cohort_day),
+        g AS (
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, b.day) AS INT)
+                       AS day_offset,
+                   SUM(b.rev) AS rev_d
+            FROM base b JOIN first f ON f.user_id = b.user_id
+            GROUP BY 1, 2),
+        r AS (
+            SELECT cohort_day, day_offset,
+                   SUM(rev_d) OVER (PARTITION BY cohort_day
+                                    ORDER BY day_offset) AS cum
+            FROM g)
+        SELECT r.cohort_day, r.day_offset, s.n_users,
+               CAST(cum AS DOUBLE) AS cum_revenue,
+               ROUND(CAST(cum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+                   AS ltv
+        FROM r JOIN sizes s ON s.cohort_day = r.cohort_day
+    """,
     "q208_dispersion_audit": f"""
         WITH ux AS (
             SELECT event_type, user_id, COUNT(*) AS x

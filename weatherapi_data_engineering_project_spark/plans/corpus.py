@@ -752,7 +752,12 @@ def _global_rank_desc(df: DataFrame, key: str) -> DataFrame:
 
     from ._buckets import bucket_of, quantile_bounds
 
-    b = df.withColumn("_kd", F.col(key).cast("double"))
+    from ..caching import persist_tracked
+
+    # three consumers read this frame (the boundary probe, the bucket
+    # counts, the ranking window) — persist so a computed key (q202's
+    # token counts tokenize the corpus) is derived ONCE, not per pass
+    b = persist_tracked(df.withColumn("_kd", F.col(key).cast("double")))
     bnds = quantile_bounds(b, "_kd")
     bk = b.withColumn("_bkt", bucket_of("_kd", bnds))
     bs = bk.groupBy("_bkt").agg(F.count(F.lit(1)).alias("bn"))

@@ -1465,6 +1465,217 @@ def q195_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q212_quantile_normalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of document length across sources: map
+    each doc's length to the GLOBAL length distribution's value at the
+    doc's source-relative rank quantile (the microarray-normalization
+    classic applied to corpus features) — after it, every source has
+    the same length distribution, so per-source length-based quality
+    gates (q51, q197) compare like with like instead of penalizing a
+    feed for merely being long-form. Type-1 mapping with integer rank
+    arithmetic: a doc at source rank r of n_s maps to the global
+    k = ceil(r·N/n_s)-th smallest value, ties broken by doc_id — both
+    engines pick identical values (the q95/q205 contract). Output: one
+    row per source — n, raw mean, normalized mean.
+
+    Scale shape: ONE global boundary probe buckets the corpus; the
+    per-source ranks run (source, bucket)-partitioned windows with
+    broadcast triangular offsets (q205's composite-key two-phase) and
+    the global ranks the same with bucket-only keys; the value lookup
+    is an equi-join on the computed k — no unpartitioned window, no
+    per-group sort, at any corpus size."""
+    from pyspark.sql.window import Window
+
+    from ..caching import persist_tracked
+    from ._buckets import bucket_of, quantile_bounds
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    b = base.withColumn("_kd", F.col("n_chars").cast("double"))
+    bnds = quantile_bounds(b, "_kd")
+    bk = persist_tracked(b.withColumn("_bkt", bucket_of("_kd", bnds)))
+
+    # per-source ranks (composite-key two-phase)
+    bs_s = bk.groupBy("source", "_bkt").agg(F.count(F.lit(1)).alias("bn"))
+    offs_s = (
+        bs_s.alias("a")
+        .join(
+            F.broadcast(bs_s.alias("b")),
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b._bkt") < F.col("a._bkt")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.source").alias("source"), F.col("a._bkt").alias("_bkt")
+        )
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("soff"))
+    )
+    ns = bs_s.groupBy("source").agg(F.sum("bn").alias("n_s"))
+    wl_s = Window.partitionBy("source", "_bkt").orderBy("n_chars", "doc_id")
+    ranked = (
+        bk.join(F.broadcast(offs_s), ["source", "_bkt"])
+        .withColumn("r", F.col("soff") + F.row_number().over(wl_s))
+        .join(F.broadcast(ns), "source")
+    )
+
+    # global ranked values (bucket-key two-phase over the same frame)
+    bs_g = bk.groupBy("_bkt").agg(F.count(F.lit(1)).alias("bn"))
+    offs_g = (
+        bs_g.alias("a")
+        .join(
+            F.broadcast(bs_g.alias("b")),
+            F.col("b._bkt") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("goff"))
+    )
+    wl_g = Window.partitionBy("_bkt").orderBy("n_chars", "doc_id")
+    gvals = (
+        bk.join(F.broadcast(offs_g), "_bkt")
+        .withColumn("gr", F.col("goff") + F.row_number().over(wl_g))
+        .select("gr", F.col("n_chars").alias("gv"))
+    )
+    n_total = bs_g.agg(F.sum("bn").alias("nn"))
+
+    mapped = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("k", F.expr("(r * nn + n_s - 1) DIV n_s"))
+        .join(gvals, F.col("k") == F.col("gr"))
+    )
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("mean_raw"),
+        F.expr(
+            "ROUND(CAST(SUM(gv) AS DOUBLE) / COUNT(*), 6)"
+        ).alias("mean_normalized"),
+    )
+
+
+def q215_nucleus_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary coverage per source: the smallest
+    count-ranked term prefix whose cumulative mass reaches 80% of the
+    source's tokens — the "how head-heavy is this feed?" audit that
+    complements q82's Zipf slope (a 50-term nucleus means template
+    text; a nucleus near the whole vocabulary means diverse prose).
+    The 80% gate compares in exact integers (5·cum ≥ 4·T — no float
+    enters the cut decision); the prefix order is (count DESC, term
+    ASC) on both engines. Output: one row per source — token total,
+    vocabulary, nucleus size, the nucleus's actual share.
+
+    Scale shape: tokens collapse to (source, term) counts in ONE
+    map-side-combined shuffle; the ranked cumsum runs the q205
+    composite-key two-phase rewrite ((source, bucket)-partitioned
+    windows + broadcast triangular offsets over count-derived buckets,
+    DESC like q196); the nucleus pick is one min_by aggregate."""
+    from ._buckets import bucket_of, quantile_bounds
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = (
+        d.select("source", F.explode_outer(TX.tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = terms.withColumn("_cd", F.col("c").cast("double"))
+    bnds = quantile_bounds(b, "_cd")
+    bk = b.withColumn("_bkt", bucket_of("_cd", bnds))
+    bs = bk.groupBy("source", "_bkt").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("c").alias("bc")
+    )
+    # DESC prefix: offsets accumulate from HIGHER count buckets
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b._bkt") > F.col("a._bkt")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.source").alias("source"), F.col("a._bkt").alias("_bkt")
+        )
+        .agg(
+            F.coalesce(F.sum("b.bn"), F.lit(0)).alias("roff"),
+            F.coalesce(F.sum("b.bc"), F.lit(0)).alias("coff"),
+        )
+    )
+    tot = bs.groupBy("source").agg(
+        F.sum("bc").alias("t"), F.sum("bn").alias("v")
+    )
+    wl = Window.partitionBy("source", "_bkt").orderBy(
+        F.col("c").desc(), F.col("term")
+    )
+    r = (
+        bk.join(F.broadcast(offs), ["source", "_bkt"])
+        .withColumn("rk", F.col("roff") + F.row_number().over(wl))
+        .withColumn(
+            "cum",
+            F.col("coff")
+            + F.sum("c").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .join(F.broadcast(tot), "source")
+        .filter(5 * F.col("cum") >= 4 * F.col("t"))
+    )
+    return r.groupBy("source", "t", "v").agg(
+        F.min("rk").alias("n_top_p"),
+        F.expr(
+            "ROUND(CAST(min_by(cum, rk) AS DOUBLE) / CAST(t AS DOUBLE), 6)"
+        ).alias("top_p_share"),
+    ).select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        "n_top_p",
+        "top_p_share",
+    )
+
+
+def q209_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit: the Herfindahl–Hirschman index of
+    token mass across sources, plus its inverse (the "effective number
+    of sources") — the one-number answer to "is this corpus really
+    diverse, or is it one crawl wearing twenty labels?" that a mixing
+    plan (q81) should be checked against after sampling. HHI =
+    Σ(tᵢ/T)² = Σtᵢ²/T² stays a ratio of EXACT sums (q127 discipline):
+    tᵢ² accumulates in DECIMAL(19,0)² = 38 digits (the q135 cap both
+    engines support), so the sum is order-independent where a double
+    Σtᵢ² would drift past 2⁵³. Output: one row — source count, token
+    total, max share, HHI, effective source count 1/HHI.
+
+    Scale shape: the corpus collapses to one row per source in ONE
+    partial-agg shuffle (token counts are row-local array sizes);
+    everything after aggregates the ≤source-count frame."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(TX.tokens("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("t"))
+    )
+    return per_src.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("t").alias("total_tokens"),
+        F.expr(
+            "ROUND(CAST(MAX(t) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6)"
+        ).alias("max_share"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(t AS DECIMAL(19,0))"
+            " * CAST(t AS DECIMAL(19,0))) AS DOUBLE)"
+            " / (CAST(SUM(t) AS DOUBLE) * CAST(SUM(t) AS DOUBLE)), 6)"
+        ).alias("hhi"),
+        F.expr(
+            "ROUND((CAST(SUM(t) AS DOUBLE) * CAST(SUM(t) AS DOUBLE))"
+            " / CAST(SUM(CAST(t AS DECIMAL(19,0))"
+            " * CAST(t AS DECIMAL(19,0))) AS DOUBLE), 6)"
+        ).alias("effective_sources"),
+    )
+
+
 def q207_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit, the companion to q158's k-anonymity: within
     each quasi-identifier group (nation × balance band), how many
@@ -1613,8 +1824,12 @@ def q200_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode_outer(bigrams).alias("bg"))
         .filter(F.col("bg").isNotNull())
     )
-    per_src = occ.groupBy("source", "bg").agg(
-        F.count(F.lit(1)).alias("cs")
+    from ..caching import persist_tracked
+
+    # two consumers (the model derivation and the scoring join) read
+    # the per-source counts — persist so the corpus is tokenized once
+    per_src = persist_tracked(
+        occ.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("cs"))
     )
     glob = per_src.groupBy("bg").agg(F.sum("cs").alias("c"))
     parts = glob.select(
@@ -1643,6 +1858,9 @@ QUERIES = {
     "q195_js_divergence": q195_js_divergence,
     "q199_bootstrap_ci": q199_bootstrap_ci,
     "q207_l_diversity": q207_l_diversity,
+    "q209_hhi_concentration": q209_hhi_concentration,
+    "q212_quantile_normalization": q212_quantile_normalization,
+    "q215_nucleus_coverage": q215_nucleus_coverage,
     "q200_bigram_perplexity": q200_bigram_perplexity,
     "q80_pii_scrub": q80_pii_scrub,
     "q81_temperature_mix": q81_temperature_mix,
@@ -1777,6 +1995,82 @@ ORACLE = {
                      / ln(CAST(2 AS DOUBLE)), 6) AS jsd_bits
         FROM contrib
         GROUP BY n1, n2, vocab1, vocab2, vocab_shared
+    """,
+    "q215_nucleus_coverage": f"""
+        WITH terms AS (
+            SELECT source, term, COUNT(*) AS c FROM (
+                SELECT source, unnest({_TOK}) AS term FROM documents) t
+            WHERE term IS NOT NULL AND term <> ''
+            GROUP BY source, term),
+        tot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM terms GROUP BY source),
+        ranked AS (
+            SELECT source, term, c,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+                   CAST(SUM(c) OVER (w ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum
+            FROM terms
+            WINDOW w AS (PARTITION BY source ORDER BY c DESC, term)),
+        hits AS (
+            SELECT r.source, r.rk, r.cum, tot.t, tot.v
+            FROM ranked r JOIN tot ON tot.source = r.source
+            WHERE 5 * r.cum >= 4 * tot.t)
+        SELECT source,
+               t AS n_tokens,
+               v AS vocab,
+               MIN(rk) AS n_top_p,
+               ROUND(CAST(arg_min(cum, rk) AS DOUBLE) / CAST(t AS DOUBLE),
+                     6) AS top_p_share
+        FROM hits GROUP BY source, t, v
+    """,
+    "q212_quantile_normalization": """
+        WITH base AS (
+            SELECT source, doc_id, n_chars FROM documents),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+        s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+              FROM base GROUP BY source),
+        r AS (SELECT source, doc_id, n_chars,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS r
+              FROM base),
+        g AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS gr,
+                     n_chars AS gv
+              FROM base),
+        mapped AS (
+            SELECT r.source, r.n_chars, g.gv
+            FROM r
+            JOIN s ON s.source = r.source
+            CROSS JOIN t
+            JOIN g ON g.gr = (r.r * t.nn + s.n_s - 1) // s.n_s)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_raw,
+               ROUND(CAST(SUM(gv) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_normalized
+        FROM mapped GROUP BY source
+    """,
+    "q209_hhi_concentration": f"""
+        WITH per_src AS (
+            SELECT source, CAST(SUM(len({_TOK})) AS BIGINT) AS t
+            FROM documents GROUP BY source)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(t) AS BIGINT) AS total_tokens,
+               ROUND(CAST(MAX(t) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6)
+                   AS max_share,
+               ROUND(CAST(SUM(CAST(t AS DECIMAL(19,0))
+                               * CAST(t AS DECIMAL(19,0))) AS DOUBLE)
+                     / (CAST(SUM(t) AS DOUBLE) * CAST(SUM(t) AS DOUBLE)),
+                     6) AS hhi,
+               ROUND((CAST(SUM(t) AS DOUBLE) * CAST(SUM(t) AS DOUBLE))
+                     / CAST(SUM(CAST(t AS DECIMAL(19,0))
+                                * CAST(t AS DECIMAL(19,0))) AS DOUBLE),
+                     6) AS effective_sources
+        FROM per_src
     """,
     "q207_l_diversity": """
         WITH cells AS (

@@ -1248,7 +1248,46 @@ def q142_embedding_dim_health(
     )
 
 
+def q211_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column profiling: extract the numeric ``$.k``
+    field from the JSON ``props`` payload per event and report
+    per-type presence and value statistics — the schema-on-read
+    capability (JSON path extraction inside a relational plan) every
+    event warehouse needs for payloads that never got promoted to
+    columns. Extraction parity: Spark ``get_json_object`` and DuckDB
+    ``json_extract_string`` both return NULL for absent/corrupt
+    fields, so presence counts match by construction. Output: one row
+    per event type — event count, extraction count, min/max/sum/mean.
+
+    Scale shape: the JSON parse is a row-local projection feeding ONE
+    partial-agg shuffle onto the ≤type-count frame; integer stats with
+    a single final division (q127 discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    g = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_with_k",
+        "min_k",
+        "max_k",
+        "sum_k",
+        F.expr(
+            "CASE WHEN n_with_k > 0 THEN"
+            " ROUND(CAST(sum_k AS DOUBLE) / CAST(n_with_k AS DOUBLE), 6)"
+            " ELSE NULL END"
+        ).alias("mean_k"),
+    )
+
+
 QUERIES = {
+    "q211_json_field_stats": q211_json_field_stats,
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
     "q50_event_gaps": q50_event_gaps,
@@ -1283,6 +1322,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q211_json_field_stats": """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CASE WHEN COUNT(k) > 0 THEN
+                   ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE),
+                         6)
+               ELSE NULL END AS mean_k
+        FROM t GROUP BY event_type
+    """,
     "q48_cube": """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(y, -1) AS y,
