@@ -549,3 +549,49 @@ def test_running_totals_rejects_non_cent_values():
     )
     with pytest.raises(ValueError, match="2-decimal"):
         list(W._update_running_totals((7,), iter([bad]), _FakeGroupState()))
+
+
+def test_q218_outer_join_emits_watermark_evicted_nulls(spark):
+    """The LEFT OUTER drain must (a) contain genuine null-right rows —
+    they exist ONLY because watermark eviction aged out unmatched
+    clicks, (b) leak no sentinel ids, and (c) equal the batch left
+    join exactly, null rows included."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        q218_stream_outer_interval_join,
+    )
+
+    res = q218_stream_outer_interval_join(spark, SF_DIR).cache()
+    n_null = res.filter(F.col("p_event_id").isNull()).count()
+    assert n_null > 0, "no outer rows — watermark eviction never fired"
+    assert res.filter(
+        (F.col("event_id") < 0) | (F.col("p_event_id") < 0)
+    ).count() == 0
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    l = ev.filter(F.col("event_id") % 2 == 0)
+    r = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    batch = l.join(
+        r,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "p_event_id",
+        "p_ts",
+        (F.unix_micros("p_ts") - F.unix_micros("ts")).alias("lag_us"),
+    )
+    got = sorted(tuple(x) for x in res.collect())
+    want = sorted(tuple(x) for x in batch.collect())
+    assert got == want
+    res.unpersist()

@@ -20,6 +20,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -212,6 +213,112 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_event_id bigint, p_ts timestamp, lag_us bigint",
         )
     return spark.read.parquet(out)
+
+
+def q218_stream_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through the REAL
+    engine: click (even event_id) → purchase (odd event_id) pairs of
+    the same user within 1 hour, where a click with NO purchase in its
+    window is emitted with a NULL right side — attribution's
+    "never-converted" rows, which the engine may only emit once the
+    watermark proves a late purchase impossible. This is the
+    watermark-EVICTION semantics q70's inner join never exercises:
+    outer results exist ONLY because state aged out.
+
+    Oracle completeness via the sentinel-flush protocol: the real
+    events replay as 8 files taken in micro-batch 1; two sentinel
+    files (one row per join-side parity, event_id −1/−2, at +10 d and
+    +20 d past the real max ts) land in micro-batches 2 and 3 under
+    ``maxFilesPerTrigger=8``. Batch 2's watermark (= real max − 2 h
+    delay) evicts-and-emits most unmatched clicks; batch 3's
+    (= sentinel1 − 2 h, far past every real window) flushes the rest —
+    so by stop, EVERY real click has either its matches or its NULL
+    row, and the result equals the batch LEFT JOIN exactly (sentinels
+    filtered by id sign; they can match nothing real). Per-batch
+    parquet spill, no driver collect."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    work = _work_dir("q218", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    # Exactly 8 real files (repartition, NOT coalesce — a single-split
+    # scan cannot be coalesced UP, and a 1-file wave would misalign
+    # every micro-batch boundary below) so wave 1 fills micro-batch 1
+    # under maxFilesPerTrigger=8.
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    max_ts = ev.agg(F.max("ts").alias("m")).first().m
+    # Sentinel parity: Spark's % keeps the sign, so the LEFT filter
+    # (% 2 == 0) catches −2/−4 and the RIGHT filter (% 2 != 0) catches
+    # −1/−3 — each side's watermark column sees both jumps. Watermarks
+    # advance only BETWEEN micro-batches, and AvailableNow runs no
+    # trailing no-data batch — so eviction driven by a wave's rows
+    # happens during the NEXT wave's batch. Wave 2 (8 single-row
+    # sentinel files at +10 d) fills micro-batch 2: its eviction pass
+    # uses wave 1's watermark and flushes most unmatched clicks; wave
+    # 3 (one file at +20 d) is micro-batch 3, whose eviction pass uses
+    # wave 2's +10 d watermark — far past every real join window — and
+    # flushes the rest. The 1 s sleeps keep the waves' file mod-times
+    # strictly ordered (the file source batches oldest-first).
+    # spark.range(lo, hi, 1, n) pre-splits into n contiguous non-empty
+    # partitions — one write job per wave, exact file counts, no
+    # shuffle and no per-row py4j round-trips.
+    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
+        time.sleep(1.0)
+        sent = spark.range(lo, hi, 1, nparts).select(
+            (-F.col("id")).alias("event_id"),
+            (
+                F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")
+            ).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+        )
+        sent.write.mode("append").parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    s2 = _cloned_session(spark)
+    stream = (
+        s2.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    joined = stream_interval_join(
+        stream.filter(F.col("event_id") % 2 == 0),
+        stream.filter(F.col("event_id") % 2 != 0),
+        max_lag="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    )
+    # The sentinel filter MUST NOT sit on the streaming plan: a
+    # left-side predicate pushes THROUGH a left-outer join into the
+    # left scan, and the left watermark node would then never see the
+    # sentinel event times (the drain stalls at the real-data
+    # watermark and the tail nulls never flush). Filter the spill on
+    # read-back instead — sentinel participations are identifiable by
+    # id sign.
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "p_event_id bigint, p_ts timestamp, lag_us bigint",
+        )
+    return spark.read.parquet(out).filter(F.col("event_id") >= 0)
 
 
 def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,6 +701,7 @@ QUERIES = {
     "q42_stateful_totals": q42_stateful_totals,
     "q43_approx_distinct": q43_approx_distinct,
     "q70_stream_interval_join": q70_stream_interval_join,
+    "q218_stream_outer_interval_join": q218_stream_outer_interval_join,
     "q76_stream_dedup": q76_stream_dedup,
     "q84_continuous_rollup": q84_continuous_rollup,
     "q90_stream_static_enrich": q90_stream_static_enrich,
@@ -668,6 +776,21 @@ ORACLE: dict[str, str] = {
     """,
     "q76_stream_dedup": """
         SELECT event_id, ts, user_id FROM events
+    """,
+    "q218_stream_outer_interval_join": """
+        WITH l AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_id % 2 = 0),
+        r AS (
+            SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event_id
+            FROM events WHERE event_id % 2 = 1)
+        SELECT l.user_id, l.event_id, l.ts,
+               r.p_event_id, r.p_ts,
+               epoch_us(r.p_ts) - epoch_us(l.ts) AS lag_us
+        FROM l LEFT JOIN r
+          ON r.p_user = l.user_id
+         AND r.p_ts >= l.ts
+         AND r.p_ts <= l.ts + INTERVAL 1 HOUR
     """,
     "q70_stream_interval_join": """
         SELECT e.user_id,

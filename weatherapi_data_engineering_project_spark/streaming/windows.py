@@ -142,6 +142,7 @@ def stream_interval_join(
     right: DataFrame,
     max_lag: str = "1 hour",
     watermark: str | None = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: for each left event,
     the right events of the SAME user landing within ``[ts, ts +
@@ -155,6 +156,14 @@ def stream_interval_join(
     horizon), independent of stream length. In batch mode the same
     plan is an ordinary range join (``withWatermark`` is a no-op) —
     which is what lets q70 hash-match a SQL oracle.
+
+    ``how="left_outer"`` (q218): a left row whose interval passes
+    fully below the watermark WITHOUT a match is emitted with a NULL
+    right side — attribution's "clicks that never converted", decided
+    only once late purchases are impossible. Outer emission is
+    watermark-DRIVEN, so a drain that must be oracle-complete has to
+    advance the watermark past every real row before stopping
+    (q218's sentinel protocol).
 
     Output: (user_id, event_id, ts, p_event_id, p_ts, lag_us) with
     the lag as exact integer microseconds.
@@ -174,7 +183,7 @@ def stream_interval_join(
         & (F.col("p_ts") <= F.col("ts") + F.expr(f"INTERVAL {max_lag}"))
     )
     return (
-        lhs.join(rhs, cond, "inner")
+        lhs.join(rhs, cond, how)
         .select(
             "user_id",
             "event_id",
