@@ -519,3 +519,132 @@ def test_q217_correlation_matrix_matches_numpy(spark):
         want = np.corrcoef(cols[a], cols[b])[0, 1]
         assert abs(r.r - want) < 1e-5, (a, b)
         assert -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
+
+
+def test_q219_shipping_priority_matches_bruteforce(spark):
+    import datetime
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    cust = {r.c_custkey for r in
+            load_table(spark, SF_DIR, "customer").collect()
+            if r.c_mktsegment == "BUILDING"}
+    cutoff = datetime.datetime(1998, 1, 1)
+    orders = {r.o_orderkey: r for r in
+              load_table(spark, SF_DIR, "orders").collect()
+              if r.o_orderdate < cutoff and r.o_custkey in cust}
+    rev = defaultdict(Decimal)
+    for r in load_table(spark, SF_DIR, "lineitem").collect():
+        if r.l_shipdate > cutoff and r.l_orderkey in orders:
+            p = Decimal(str(round(float(r.l_extendedprice), 2)))
+            d = Decimal(str(round(float(r.l_discount), 2)))
+            rev[r.l_orderkey] += p * (1 - d)
+    want = sorted(
+        ((-v, orders[k].o_orderdate, k) for k, v in rev.items())
+    )[:10]
+    got = X.q219_shipping_priority(spark, SF_DIR).collect()
+    assert len(got) == min(10, len(rev))
+    got_sorted = sorted(got, key=lambda r: (-r.revenue, r.o_orderdate,
+                                            r.l_orderkey))
+    for g, (nv, od, k) in zip(got_sorted, want):
+        assert g.l_orderkey == k
+        assert abs(g.revenue - float(-nv)) < 1e-6
+        assert g.o_orderdate == od
+        assert g.o_orderpriority == orders[k].o_orderpriority
+
+
+def test_q220_nation_volume_matches_bruteforce(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    nat = {r.n_nationkey: r.n_name for r in
+           load_table(spark, SF_DIR, "nation").collect()}
+    supp = {r.s_suppkey: nat[r.s_nationkey] for r in
+            load_table(spark, SF_DIR, "supplier").collect()}
+    cust = {r.c_custkey: nat[r.c_nationkey] for r in
+            load_table(spark, SF_DIR, "customer").collect()}
+    ocust = {r.o_orderkey: r.o_custkey for r in
+             load_table(spark, SF_DIR, "orders").collect()}
+    pair = {"NATION_1", "NATION_2"}
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in load_table(spark, SF_DIR, "lineitem").collect():
+        sn = supp.get(r.l_suppkey)
+        cn = cust.get(ocust.get(r.l_orderkey))
+        if sn in pair and cn in pair and sn != cn:
+            p = Decimal(str(round(float(r.l_extendedprice), 2)))
+            d = Decimal(str(round(float(r.l_discount), 2)))
+            a = agg[(sn, cn, r.l_shipdate.year)]
+            a[0] += 1
+            a[1] += p * (1 - d)
+    rows = {(r.supp_nation, r.cust_nation, r.l_year): r for r in
+            X.q220_nation_volume(spark, SF_DIR).collect()}
+    assert set(rows) == set(agg)
+    for k, (n, v) in agg.items():
+        assert rows[k].n_items == n
+        assert abs(rows[k].revenue - float(v)) < 1e-6
+
+
+def test_q221_bounce_rate_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    ev = sorted(load_table(spark, SF_DIR, "events").collect(),
+                key=lambda r: (r.user_id, r.ts, r.event_id))
+    gap = 4 * 3600
+    sessions = []
+    cur = None
+    for r in ev:
+        if (cur is None or r.user_id != cur[0]
+                or (r.ts - cur[2]).total_seconds() > gap):
+            if cur:
+                sessions.append(cur)
+            cur = [r.user_id, r.ts, r.ts, 0]
+        cur[2] = r.ts
+        cur[3] += 1
+    if cur:
+        sessions.append(cur)
+    agg = defaultdict(lambda: [0, 0])
+    for _u, start, _end, n in sessions:
+        a = agg[start.date()]
+        a[0] += 1
+        a[1] += n == 1
+    rows = {r.day: r for r in
+            B.q221_bounce_rate(spark, SF_DIR).collect()}
+    assert set(rows) == set(agg)
+    for day, (ns, nb) in agg.items():
+        r = rows[day]
+        assert (r.n_sessions, r.n_bounces) == (ns, nb)
+        assert abs(r.bounce_rate - nb / ns) < 1e-6
+
+
+def test_q222_dimension_audit_matches_numpy(spark):
+    import numpy as np
+
+    from weatherapi_data_engineering_project_spark.plans import llm as L
+
+    vecs = np.array(
+        [r.embedding for r in
+         load_table(spark, SF_DIR, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    rows = {r.pos: r for r in
+            L.q222_dimension_audit(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(vecs.shape[1]))
+    for pos in rows:
+        col = vecs[:, pos]
+        r = rows[pos]
+        assert r.n_vecs == len(col)
+        assert abs(r.mean - col.mean()) < 1e-5
+        assert abs(r.variance - col.var(ddof=1)) < 1e-5
+        assert r.collapsed == (r.variance < 1e-4)

@@ -1592,6 +1592,42 @@ def q216_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q221_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: per session-start day, the share of sessions
+    containing exactly ONE event — the engagement-quality headline
+    every product dashboard pairs with q98's retention. Composes on
+    q31's sessionization verbatim (same 4 h gap, same tiebreaks), so
+    the session universe here is the hash-certified one. Output: one
+    row per day — sessions, bounces, bounce rate.
+
+    Scale shape: q31's per-user session pass (user-keyed window over
+    narrow rows), then one calendar-sized partial agg; the rate is one
+    division of exact counts."""
+    from .analytics import q31_sessionize
+
+    sess = q31_sessionize(spark, sf_dir)
+    g = (
+        sess.select(
+            F.date_trunc("day", "session_start").cast("date").alias("day"),
+            (F.col("n_events") == 1).cast("long").alias("bounce"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("bounce").alias("n_bounces"),
+        )
+    )
+    return g.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.expr(
+            "ROUND(CAST(n_bounces AS DOUBLE)"
+            " / CAST(n_sessions AS DOUBLE), 6)"
+        ).alias("bounce_rate"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q198_trend_test": q198_trend_test,
@@ -1600,6 +1636,7 @@ QUERIES = {
     "q213_next_event_accuracy": q213_next_event_accuracy,
     "q214_eb_shrinkage": q214_eb_shrinkage,
     "q216_simpson_audit": q216_simpson_audit,
+    "q221_bounce_rate": q221_bounce_rate,
     "q193_srm_audit": q193_srm_audit,
     "q98_retention_cohorts": q98_retention_cohorts,
     "q99_heavy_hitters": q99_heavy_hitters,
@@ -1620,6 +1657,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q221_bounce_rate": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 14400000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_idx
+            FROM marked),
+        sess AS (
+            SELECT user_id, session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start
+            FROM numbered GROUP BY user_id, session_idx),
+        g AS (
+            SELECT CAST(date_trunc('day', session_start) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces
+            FROM sess GROUP BY 1)
+        SELECT day, n_sessions, n_bounces,
+               ROUND(CAST(n_bounces AS DOUBLE)
+                     / CAST(n_sessions AS DOUBLE), 6) AS bounce_rate
+        FROM g
+    """,
     "q216_simpson_audit": """
         WITH per_user AS (
             SELECT user_id,

@@ -1286,8 +1286,116 @@ def q211_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared exact revenue term (TPC-H discipline): decimal(18,2) inputs,
+# product carries 4 exact decimals, sums are order-independent
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def q219_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by pending revenue as of 1998-01-01 (priority column adapted to this testdata schema) — the classic
+    fact-fact-dim join + top-k that completes the repo's TPC-H depth
+    set (Q5 q175, Q17 q178, Q21 q177). Revenue accumulates in exact
+    decimal; the top-10 order (revenue DESC, o_orderdate, l_orderkey)
+    is a deterministic decimal sort on both engines.
+
+    Scale shape: both date filters push to the scans; the customer
+    side reduces to a key set BEFORE joining (segment filter first);
+    the join shuffles on orderkey; the top-10 compiles to
+    TakeOrderedAndProject. No window, no cartesian."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.expr("l_shipdate > TIMESTAMP '1998-01-01'"))
+        .select("l_orderkey", F.expr(_REV).alias("rev"))
+    )
+    g = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").alias("rev_d"))
+    )
+    return (
+        g.orderBy(
+            F.col("rev_d").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def q220_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between
+    NATION_1 and NATION_2 by ship year — supplier nation × customer
+    nation × year, both directions. The two-sided nation predicate is
+    the shape that punishes engines which can't push disjunctive
+    filters through a 5-way join. Output: one row per (supp_nation,
+    cust_nation, year).
+
+    Scale shape: the 25-row nation dim broadcasts onto supplier and
+    customer; the fact joins shuffle on their keys (AQE sizes them);
+    revenue in exact decimal; the final grid is years × 2 rows."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        F.expr(_REV).alias("rev"),
+    )
+    j = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
+    "q219_shipping_priority": q219_shipping_priority,
+    "q220_nation_volume": q220_nation_volume,
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
     "q50_event_gaps": q50_event_gaps,
@@ -1322,6 +1430,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q219_shipping_priority": f"""
+        SELECT l.l_orderkey,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY SUM({_REV}) DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+    """,
+    "q220_nation_volume": f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY sn.n_name, cn.n_name, 3
+    """,
     "q211_json_field_stats": """
         WITH t AS (
             SELECT event_type,

@@ -262,6 +262,53 @@ def q201_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q222's per-dimension moment chain: exact decimal sums (the q26
+# accumulation discipline) re-narrowed to (30,12) before the double
+# conversion, then ONE shared formula string per output column.
+_DIM_SV = "CAST(CAST(sv AS DECIMAL(30,12)) AS DOUBLE)"
+_DIM_SV2 = "CAST(CAST(sv2 AS DECIMAL(30,12)) AS DOUBLE)"
+_DIM_MEAN = f"ROUND({_DIM_SV} / CAST(n AS DOUBLE), 6)"
+_DIM_VAR = (
+    f"ROUND((CAST(n AS DOUBLE) * {_DIM_SV2} - {_DIM_SV} * {_DIM_SV})"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)"
+)
+
+
+def q222_dimension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-space audit: mean and variance of every
+    coordinate across the corpus — the dimension-collapse / bias check
+    run before trusting ANY cosine-based operator (a near-zero-
+    variance dimension is wasted capacity and silently shrinks
+    effective dimensionality; a large |mean| makes cosine scores
+    anisotropic). Output: one row per dimension — n, mean, variance,
+    and the collapse flag (rounded variance < 1e-4, compared on the
+    shared rounded value so both engines agree).
+
+    Scale shape: posexplode is a row-local fan-out feeding ONE
+    (dimension) partial-agg shuffle onto a dim-count-sized frame;
+    coordinate sums accumulate in exact decimal (q26 discipline) so
+    any partitioning yields the same bits."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coords = SIM._ensure_parallelism(e).select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select("pos", F.col("v").cast("double").alias("v"))
+    vd = F.col("v").cast("decimal(38,25)")
+    g = coords.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).alias("sv"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,25)")
+        ).alias("sv2"),
+    )
+    return g.select(
+        "pos",
+        F.col("n").alias("n_vecs"),
+        F.expr(_DIM_MEAN).alias("mean"),
+        F.expr(_DIM_VAR).alias("variance"),
+        F.expr(f"{_DIM_VAR} < 0.0001").alias("collapsed"),
+    )
+
+
 def q27_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: top-3 same-bucket neighbors for queries
     vec_id < 20 (deterministic md5 hyperplanes)."""
@@ -1004,6 +1051,7 @@ QUERIES = {
     "q71_incremental_neardup": q71_incremental_neardup,
     "q26_cosine_topk": q26_cosine_topk,
     "q201_knn_classifier": q201_knn_classifier,
+    "q222_dimension_audit": q222_dimension_audit,
     "q27_ann_signlsh": q27_ann_signlsh,
     "q28_simhash": q28_simhash,
     "q29_embed_neardup": q29_embed_neardup,
@@ -1593,6 +1641,24 @@ ORACLE = {
         SELECT s.id1, s.id2, s.jaccard
         FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
         WHERE s.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q222_dimension_audit": f"""
+        WITH coords AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+        g AS (
+            SELECT pos,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v AS DECIMAL(38,25))) AS sv,
+                   SUM(CAST(v * v AS DECIMAL(38,25))) AS sv2
+            FROM coords GROUP BY pos)
+        SELECT pos,
+               n AS n_vecs,
+               {_DIM_MEAN} AS mean,
+               {_DIM_VAR} AS variance,
+               {_DIM_VAR} < 0.0001 AS collapsed
+        FROM g
     """,
     "q201_knn_classifier": """
         WITH e AS (SELECT vec_id, label,
