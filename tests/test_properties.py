@@ -238,3 +238,61 @@ def test_containment_verbatim_substring_property(spark, docs):
     planted = got.get(frozenset((100, 101)))
     assert planted is not None
     assert max(planted.c_1_in_2, planted.c_2_in_1) == 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1)),
+        min_size=8,
+        max_size=400,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ca_trend_integer_gate_matches_float(pairs):
+    """q198's multiplied-through significance gate (1000·T²·N >
+    10828·R·(N−R)·(N·S3−S2²)) agrees with the float z² > 10.828
+    verdict whenever z² is clear of the boundary — the no-float-gate
+    discipline is a pure re-expression, not an approximation."""
+    n = len(pairs)
+    r = sum(c for _, c in pairs)
+    s1 = sum(w * c for w, c in pairs)
+    s2 = sum(w for w, _ in pairs)
+    s3 = sum(w * w for w, _ in pairs)
+    var_term = n * s3 - s2 * s2
+    if not (0 < r < n and var_term > 0):
+        return  # degenerate designs are CASE-guarded to NULL
+    t = n * s1 - r * s2
+    z2 = (t * t * n) / (r * (n - r) * var_term)
+    if abs(z2 - 10.828) < 1e-6:
+        return  # boundary tie: gate precision is 10828/1000 by design
+    gate = 1000 * t * t * n > 10828 * r * (n - r) * var_term
+    assert gate == (z2 > 10.828)
+
+
+@given(st.integers(0, 2000), st.integers(0, 2000))
+@settings(max_examples=300, deadline=None)
+def test_mcnemar_integer_gate_matches_float(n10, n01):
+    """q203's 10000·(n10−n01)² > 38415·(n10+n01) gate ⇔ χ² > 3.8415
+    away from the boundary."""
+    if n10 + n01 == 0:
+        return
+    chi2 = (n10 - n01) ** 2 / (n10 + n01)
+    if abs(chi2 - 3.8415) < 1e-9:
+        return
+    assert (10000 * (n10 - n01) ** 2 > 38415 * (n10 + n01)) == (
+        chi2 > 3.8415
+    )
+
+
+@given(st.integers(1, 10_000_000), st.sampled_from([5, 95]))
+@settings(max_examples=300, deadline=None)
+def test_type1_quantile_rank_formula_is_exact_ceil(n, q):
+    """q205/q212's integer rank (q·n + 99) DIV 100 equals the exact
+    ceil(q·n/100) — no binary-float q*n can straddle a whole number
+    (the q95 contract, proven over the whole BIGINT-ish range)."""
+    from fractions import Fraction
+    import math
+
+    k = (q * n + 99) // 100
+    assert k == math.ceil(Fraction(q * n, 100))
+    assert 1 <= k <= n
