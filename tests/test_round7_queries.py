@@ -648,3 +648,73 @@ def test_q222_dimension_audit_matches_numpy(spark):
         assert abs(r.mean - col.mean()) < 1e-5
         assert abs(r.variance - col.var(ddof=1)) < 1e-5
         assert r.collapsed == (r.variance < 1e-4)
+
+
+def test_q223_dedup_bias_matches_bruteforce(spark):
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import llm as L
+
+    docs = _docs(spark)
+    keep = {}
+    for r in docs:
+        fp = hashlib.md5(r.text.encode()).hexdigest()
+        if fp not in keep or r.doc_id < keep[fp]:
+            keep[fp] = r.doc_id
+    kept_ids = set(keep.values())
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    for r in docs:
+        pre[r.lang] += 1
+        if r.doc_id in kept_ids:
+            post[r.lang] += 1
+    t_pre, t_post = sum(pre.values()), sum(post.values())
+    rows = {r.lang: r for r in
+            L.q223_dedup_bias_audit(spark, SF_DIR).collect()}
+    assert set(rows) == set(pre)
+    psi_total = 0.0
+    for lang, np_ in pre.items():
+        r = rows[lang]
+        assert (r.n_pre, r.n_post) == (np_, post[lang])
+        assert abs(r.share_pre - np_ / t_pre) < 1e-6
+        assert abs(r.share_post - post[lang] / t_post) < 1e-6
+        assert r.vanished == (post[lang] == 0)
+        if post[lang] > 0:
+            pp, pq = post[lang] / t_post, np_ / t_pre
+            want = (pp - pq) * math.log(pp / pq)
+            assert abs(r.psi_contrib - want) < 1e-6
+            psi_total += want
+            # each PSI term is non-negative by construction
+            assert r.psi_contrib >= -1e-12
+    assert psi_total >= 0
+
+
+def test_q224_small_cell_suppression_invariants(spark):
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        curation as C,
+    )
+
+    cust = load_table(spark, SF_DIR, "customer").collect()
+    cells = defaultdict(int)
+    for r in cust:
+        cells[(r.c_nationkey, r.c_mktsegment)] += 1
+    rows = C.q224_small_cell_suppression(spark, SF_DIR).collect()
+    assert {(r.c_nationkey, r.c_mktsegment) for r in rows} == set(cells)
+    margins = defaultdict(lambda: [0, 0])
+    for (nk, seg), n in cells.items():
+        m = margins[nk]
+        if n >= 5:
+            m[0] += n
+        else:
+            m[1] += 1
+    for r in rows:
+        n = cells[(r.c_nationkey, r.c_mktsegment)]
+        assert r.suppressed == (n < 5)
+        # the publication NEVER carries a sub-threshold count
+        assert r.published_n is None if n < 5 else r.published_n == n
+        assert r.nation_published_total == margins[r.c_nationkey][0]
+        assert r.nation_suppressed_cells == margins[r.c_nationkey][1]

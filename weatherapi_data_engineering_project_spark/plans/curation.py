@@ -1636,6 +1636,44 @@ def q215_nucleus_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_small_cell_suppression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Statistical-disclosure-control publication pass: the (nation ×
+    market segment) customer count table with cells under k=5
+    SUPPRESSED (published value NULL) and per-nation margins
+    recomputed over the published cells only — the output-side
+    companion to q158/q207 (those AUDIT re-identification risk; this
+    produces the actually-releasable table, the step census bureaus
+    and data-sharing agreements mandate). Output: one row per cell —
+    the suppression flag, the published (possibly NULL) count, and
+    the nation's published margin + suppressed-cell tally so a
+    consumer can bound what suppression hid.
+
+    Scale shape: one partial-agg shuffle to cells; margins are an
+    aggregate OF the cell frame re-joined by nation (broadcast — the
+    margin frame is nation-sized). No row-level data survives."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pub = cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("n") < 5).alias("suppressed"),
+        F.when(F.col("n") >= 5, F.col("n")).alias("published_n"),
+    )
+    margins = pub.groupBy("c_nationkey").agg(
+        F.coalesce(F.sum("published_n"), F.lit(0)).alias(
+            "nation_published_total"
+        ),
+        F.sum(F.col("suppressed").cast("long")).alias(
+            "nation_suppressed_cells"
+        ),
+    )
+    return pub.join(F.broadcast(margins), "c_nationkey")
+
+
 def q209_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus concentration audit: the Herfindahl–Hirschman index of
     token mass across sources, plus its inverse (the "effective number
@@ -1861,6 +1899,7 @@ QUERIES = {
     "q209_hhi_concentration": q209_hhi_concentration,
     "q212_quantile_normalization": q212_quantile_normalization,
     "q215_nucleus_coverage": q215_nucleus_coverage,
+    "q224_small_cell_suppression": q224_small_cell_suppression,
     "q200_bigram_perplexity": q200_bigram_perplexity,
     "q80_pii_scrub": q80_pii_scrub,
     "q81_temperature_mix": q81_temperature_mix,
@@ -1995,6 +2034,28 @@ ORACLE = {
                      / ln(CAST(2 AS DOUBLE)), 6) AS jsd_bits
         FROM contrib
         GROUP BY n1, n2, vocab1, vocab2, vocab_shared
+    """,
+    "q224_small_cell_suppression": """
+        WITH cells AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+            FROM customer GROUP BY c_nationkey, c_mktsegment),
+        pub AS (
+            SELECT c_nationkey, c_mktsegment,
+                   n < 5 AS suppressed,
+                   CASE WHEN n >= 5 THEN CAST(n AS BIGINT) END
+                       AS published_n
+            FROM cells),
+        margins AS (
+            SELECT c_nationkey,
+                   CAST(COALESCE(SUM(published_n), 0) AS BIGINT)
+                       AS nation_published_total,
+                   CAST(SUM(CASE WHEN suppressed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nation_suppressed_cells
+            FROM pub GROUP BY c_nationkey)
+        SELECT p.c_nationkey, p.c_mktsegment, p.suppressed,
+               p.published_n, m.nation_published_total,
+               m.nation_suppressed_cells
+        FROM pub p JOIN margins m ON m.c_nationkey = p.c_nationkey
     """,
     "q215_nucleus_coverage": f"""
         WITH terms AS (

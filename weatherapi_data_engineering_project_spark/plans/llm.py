@@ -262,6 +262,69 @@ def q201_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q223's per-language PSI contribution between the pre- and post-dedup
+# corpus mix: (p_post − p_pre)·ln(p_post/p_pre) from exact integer
+# counts, rounded to 9 (q124 convention). Both shares are positive
+# whenever the language survives dedup; a vanished language is flagged
+# instead of contributing an infinity.
+_DEDUP_PSI = (
+    "CASE WHEN n_post > 0 THEN CAST(ROUND("
+    "(CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE)"
+    " - CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE))"
+    " * ln((CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE))"
+    " / (CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE))), 9)"
+    " AS DECIMAL(18,9)) ELSE NULL END"
+)
+
+
+def q223_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit of exact dedup: does dropping duplicate
+    documents SHIFT the corpus's language mix? Dedup is supposed to
+    remove redundancy, not re-weight populations — but duplicates
+    cluster by origin (mirrored English boilerplate dedups away faster
+    than long-tail languages), so the post-dedup distribution drifts,
+    and a model trained on it inherits the shift. Per language: pre-
+    and post-dedup counts and shares, plus the language's PSI
+    contribution to the mix shift (the q151 measure applied to
+    dedup's own output). Keep rule is q23's: first doc_id per exact
+    md5 fingerprint. Output: one row per language.
+
+    Scale shape: fingerprints shuffle 32-char md5s, never bodies (the
+    q23 discipline); the keep-set is a fingerprint-keyed min; pre/post
+    counts are two partial aggs onto the ≤|langs| frame; totals
+    broadcast as one row."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        d.select("doc_id", "lang", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    post = (
+        d.join(kept, d.doc_id == kept.keep_id, "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_post"))
+    )
+    pre = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_pre"))
+    g = pre.join(post, "lang", "left").fillna(0, subset=["n_post"])
+    tot = g.agg(
+        F.sum("n_pre").alias("t_pre"), F.sum("n_post").alias("t_post")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    return j.select(
+        "lang",
+        "n_pre",
+        "n_post",
+        F.expr(
+            "ROUND(CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE), 6)"
+        ).alias("share_pre"),
+        F.expr(
+            "ROUND(CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE), 6)"
+        ).alias("share_post"),
+        F.expr(f"CAST({_DEDUP_PSI} AS DOUBLE)").alias("psi_contrib"),
+        (F.col("n_post") == 0).alias("vanished"),
+    )
+
+
 # q222's per-dimension moment chain: exact decimal sums (the q26
 # accumulation discipline) re-narrowed to (30,12) before the double
 # conversion, then ONE shared formula string per output column.
@@ -1052,6 +1115,7 @@ QUERIES = {
     "q26_cosine_topk": q26_cosine_topk,
     "q201_knn_classifier": q201_knn_classifier,
     "q222_dimension_audit": q222_dimension_audit,
+    "q223_dedup_bias_audit": q223_dedup_bias_audit,
     "q27_ann_signlsh": q27_ann_signlsh,
     "q28_simhash": q28_simhash,
     "q29_embed_neardup": q29_embed_neardup,
@@ -1641,6 +1705,35 @@ ORACLE = {
         SELECT s.id1, s.id2, s.jaccard
         FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
         WHERE s.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q223_dedup_bias_audit": f"""
+        WITH kept AS (
+            SELECT MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)),
+        post AS (
+            SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_post
+            FROM documents d
+            WHERE d.doc_id IN (SELECT keep_id FROM kept)
+            GROUP BY d.lang),
+        pre AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pre
+            FROM documents GROUP BY lang),
+        g AS (
+            SELECT p.lang, p.n_pre,
+                   COALESCE(q.n_post, 0) AS n_post
+            FROM pre p LEFT JOIN post q ON q.lang = p.lang),
+        tot AS (
+            SELECT CAST(SUM(n_pre) AS BIGINT) AS t_pre,
+                   CAST(SUM(n_post) AS BIGINT) AS t_post
+            FROM g)
+        SELECT lang, n_pre, n_post,
+               ROUND(CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE), 6)
+                   AS share_pre,
+               ROUND(CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE), 6)
+                   AS share_post,
+               CAST({_DEDUP_PSI} AS DOUBLE) AS psi_contrib,
+               n_post = 0 AS vanished
+        FROM g, tot
     """,
     "q222_dimension_audit": f"""
         WITH coords AS (
