@@ -655,3 +655,44 @@ def test_quantile_normalization_windows_partition_by_bucket(spark):
     for spec in specs:
         assert "_bkt" in spec, f"unpartitioned window: {spec}"
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_plan_shape(spark):
+    """q219: the top-10 must compile to TakeOrderedAndProject
+    (per-partition top-k) and the customer gate to a semi join — no
+    global sort, no cartesian."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    plan = _plan(X.q219_shipping_priority(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q7_broadcasts_nation(spark):
+    """q220: the 25-row nation dim must broadcast onto supplier and
+    customer — never shuffle as an equal-sized side."""
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    plan = _plan(X.q220_nation_volume(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_bias_audit_shuffles_fingerprints_not_bodies(spark):
+    """q223: the keep-set aggregation must key on the md5 fingerprint
+    (32-char shuffle rows), and the only text read is the row-local
+    md5 projection — `text` must not survive past the scan-side
+    project into any exchange."""
+    from weatherapi_data_engineering_project_spark.plans import llm as L
+
+    df = L.q223_dedup_bias_audit(spark, SF_DIR)
+    plan = _plan(df)
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
+    # no window at all — this is a pure agg/join pipeline
+    assert "windowspecdefinition" not in plan

@@ -296,3 +296,30 @@ def test_type1_quantile_rank_formula_is_exact_ceil(n, q):
     k = (q * n + 99) // 100
     assert k == math.ceil(Fraction(q * n, 100))
     assert 1 <= k <= n
+
+
+@given(
+    st.lists(st.integers(-10_000_00, 10_000_00), min_size=1, max_size=50)
+)
+@settings(max_examples=100, deadline=None)
+def test_running_totals_accepts_all_two_decimal_money(cents):
+    """q42's enforced precondition: EVERY 2-decimal money batch is
+    accepted and folded exactly (values constructed as cents/100, the
+    worst-case binary representations included)."""
+    import pandas as pd
+
+    from tests.test_streaming_windows import _FakeGroupState
+    from weatherapi_data_engineering_project_spark.streaming import (
+        windows as W,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "value": [c / 100.0 for c in cents],
+            "ts": pd.to_datetime(["2024-01-01"] * len(cents)),
+        }
+    )
+    state = _FakeGroupState()
+    (out,) = W._update_running_totals((1,), iter([pdf]), state)
+    assert out["n_events"][0] == len(cents)
+    assert out["sum_value"][0] == sum(cents) / 100.0

@@ -718,3 +718,21 @@ def test_q224_small_cell_suppression_invariants(spark):
         assert r.published_n is None if n < 5 else r.published_n == n
         assert r.nation_published_total == margins[r.c_nationkey][0]
         assert r.nation_suppressed_cells == margins[r.c_nationkey][1]
+
+
+def test_quantile_bounds_empty_frame_falls_back_to_single_bucket(spark):
+    """ADVICE r06: an empty frame must degrade to one bucket, not an
+    opaque empty-literal-array error."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.plans._buckets import (
+        bucket_of,
+        quantile_bounds,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    bnds = quantile_bounds(empty, "v")
+    assert bnds == [0.0]
+    some = spark.createDataFrame([(1.0,), (5.0,)], "v double")
+    out = some.withColumn("_bkt", bucket_of("v", bnds)).collect()
+    assert {r._bkt for r in out} == {1}  # both above the lone bound

@@ -595,3 +595,36 @@ def test_q218_outer_join_emits_watermark_evicted_nulls(spark):
     want = sorted(tuple(x) for x in batch.collect())
     assert got == want
     res.unpersist()
+
+
+def test_q218_drain_runs_three_sentinel_waves(spark):
+    """The sentinel-flush protocol's mechanics: the q218 drain must
+    execute at least 3 DATA micro-batches (real wave, +10d wave,
+    +20d wave) — a collapsed wave order would silently fall back to
+    relying on a trailing no-data batch the engine does not
+    guarantee. Inspects the checkpoint offset log of the work dir
+    the registered query just used."""
+    import hashlib
+    import json as _json
+    import tempfile
+
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        q218_stream_outer_interval_join,
+    )
+
+    q218_stream_outer_interval_join(spark, SF_DIR).count()
+    tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:12]
+    offsets = os.path.join(
+        tempfile.gettempdir(), f"q218_work_{tag}", "ckpt", "offsets"
+    )
+    batches = sorted(
+        int(b) for b in os.listdir(offsets) if not b.startswith(".")
+    )
+    assert len(batches) >= 3, batches
+    # each of the first three batches consumed a strictly growing
+    # file index — i.e. they were DATA batches, not no-data ticks
+    idx = []
+    for b in batches[:3]:
+        lines = open(os.path.join(offsets, str(b))).read().splitlines()
+        idx.append(_json.loads(lines[-1])["logOffset"])
+    assert idx == sorted(set(idx)), idx
