@@ -736,3 +736,102 @@ def test_quantile_bounds_empty_frame_falls_back_to_single_bucket(spark):
     some = spark.createDataFrame([(1.0,), (5.0,)], "v double")
     out = some.withColumn("_bkt", bucket_of("v", bnds)).collect()
     assert {r._bkt for r in out} == {1}  # both above the lone bound
+
+
+def test_q225_weekly_growth_matches_bruteforce(spark):
+    import datetime
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        temporal as T,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    epoch = datetime.date(1970, 1, 1)
+    wk = defaultdict(lambda: [0, Decimal(0)])
+    for r in ev:
+        w = (r.ts.date() - epoch).days // 7
+        wk[w][0] += 1
+        if r.event_type == "purchase":
+            wk[w][1] += Decimal(str(round(r.value, 2)))
+    weeks = sorted(wk)
+    rows = {r.week: r for r in
+            T.q225_weekly_growth(spark, SF_DIR).collect()}
+    assert set(rows) == set(wk)
+    for i, w in enumerate(weeks):
+        r = rows[w]
+        assert r.n_events == wk[w][0]
+        assert abs(r.revenue - float(wk[w][1])) < 1e-6
+        prev = float(wk[weeks[i - 1]][1]) if i else None
+        if prev is None:
+            assert r.prev_revenue is None and r.wow_change is None
+        else:
+            assert abs(r.prev_revenue - prev) < 1e-6
+            if prev > 0:
+                assert abs(r.wow_change
+                           - (float(wk[w][1]) - prev) / prev) < 1e-6
+        window = [float(wk[x][1]) for x in weeks[max(0, i - 3):i + 1]]
+        assert abs(r.avg_4wk - sum(window) / len(window)) < 1e-6
+
+
+def test_q226_burstiness_matches_bruteforce(spark):
+    import math
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        behavior as B,
+    )
+
+    ev = sorted(load_table(spark, SF_DIR, "events").collect(),
+                key=lambda r: (r.event_type, r.user_id, r.ts, r.event_id))
+    gaps = defaultdict(list)
+    for a, b in zip(ev, ev[1:]):
+        if (a.event_type, a.user_id) == (b.event_type, b.user_id):
+            us = int((b.ts - a.ts).total_seconds() * 1_000_000)
+            gaps[a.event_type].append(us)
+    rows = {r.event_type: r for r in
+            B.q226_gap_burstiness(spark, SF_DIR).collect()}
+    assert set(rows) == set(gaps)
+    for et, gs in gaps.items():
+        n = len(gs)
+        mu = sum(gs) / n
+        sd = math.sqrt(sum(g * g for g in gs) / n - mu * mu)
+        r = rows[et]
+        assert r.n_gaps == n
+        assert abs(r.mean_gap_s - mu / 1e6) < 1e-4
+        want = (sd - mu) / (sd + mu)
+        assert abs(r.burstiness - want) < 1e-5
+        assert -1.0 <= r.burstiness <= 1.0
+
+
+def test_q227_supplier_concentration_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from weatherapi_data_engineering_project_spark.plans import (
+        extensions as X,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").collect()
+    ps = defaultdict(int)
+    for r in li:
+        ps[(r.l_partkey, r.l_suppkey)] += 1
+    parts = defaultdict(lambda: [0, 0, 0])  # tot, max, n_supp
+    for (pk, _sk), c in ps.items():
+        p = parts[pk]
+        p[0] += c
+        p[1] = max(p[1], c)
+        p[2] += 1
+    hist = defaultdict(lambda: [0, 0])
+    for tot, maxc, n_supp in parts.values():
+        b = min(10 * maxc // tot, 9)
+        hist[b][0] += 1
+        hist[b][1] += n_supp == 1
+    t = len(parts)
+    rows = {r.share_bucket: r for r in
+            X.q227_supplier_concentration(spark, SF_DIR).collect()}
+    assert set(rows) == set(hist)
+    for b, (np_, ns) in hist.items():
+        r = rows[b]
+        assert (r.n_parts, r.n_sole_supplier) == (np_, ns)
+        assert abs(r.part_share - np_ / t) < 1e-6

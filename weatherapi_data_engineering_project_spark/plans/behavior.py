@@ -1628,10 +1628,71 @@ def q221_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q226's Goh–Barabási burstiness from two exact integer sums over the
+# microsecond gaps: with population σ = sqrt(n·Σg² − (Σg)²)/n and
+# μ = Σg/n, B = (σ−μ)/(σ+μ) collapses to ONE IEEE-exact sqrt of an
+# exact integer — (sqrt(n·Σg²−(Σg)²) − Σg)/(sqrt(n·Σg²−(Σg)²) + Σg).
+_BURST_S = (
+    "sqrt(CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)"
+    " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+)
+_BURST = (
+    f"CASE WHEN n >= 2 AND sg > 0 THEN"
+    f" ROUND(({_BURST_S} - CAST(sg AS DOUBLE))"
+    f" / ({_BURST_S} + CAST(sg AS DOUBLE)), 6) ELSE NULL END"
+)
+
+
+def q226_gap_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per event type (Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over per-user gap times): B → −1 is a metronome
+    (cron traffic pretending to be users), B ≈ 0 is Poisson, B → 1 is
+    heavy-tailed bursts (sessions + silence — real humans). The
+    temporal twin of q208's count dispersion, and the statistic that
+    decides whether q145's watermark can assume near-Poisson arrival.
+    Output: one row per event type — gap count, mean gap (s), B.
+
+    Exactness: gaps are exact integer microseconds (q134 convention);
+    Σg and Σg² are exact (g² through DECIMAL(20,0)² = 38 digits);
+    B needs exactly ONE sqrt of an exact integer, IEEE-exact on both
+    engines. Scale shape: one (type,user)-keyed window over narrow
+    rows, then one partial agg onto the ≤|types| frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select("event_type", "user_id", "ts", "event_id")
+        .withColumn("nxt", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_micros("nxt") - F.unix_micros("ts")).alias("g"),
+        )
+    )
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(
+            F.col("g").cast("decimal(20,0)")
+            * F.col("g").cast("decimal(20,0)")
+        ).alias("sg2"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.expr(
+            "ROUND(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000, 6)"
+        ).alias("mean_gap_s"),
+        F.expr(_BURST).alias("burstiness"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q198_trend_test": q198_trend_test,
     "q208_dispersion_audit": q208_dispersion_audit,
+    "q226_gap_burstiness": q226_gap_burstiness,
     "q210_cohort_ltv": q210_cohort_ltv,
     "q213_next_event_accuracy": q213_next_event_accuracy,
     "q214_eb_shrinkage": q214_eb_shrinkage,
@@ -1657,6 +1718,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q226_gap_burstiness": f"""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(LEAD(ts) OVER (PARTITION BY event_type,
+                                           user_id
+                                           ORDER BY ts, event_id))
+                   - epoch_us(ts) AS g
+            FROM events),
+        g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(g) AS BIGINT) AS sg,
+                   SUM(CAST(g AS DECIMAL(20,0))
+                       * CAST(g AS DECIMAL(20,0))) AS sg2
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY event_type)
+        SELECT event_type,
+               n AS n_gaps,
+               ROUND(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000, 6)
+                   AS mean_gap_s,
+               {_BURST} AS burstiness
+        FROM g
+    """,
     "q221_bounce_rate": """
         WITH marked AS (
             SELECT user_id, event_id, ts,

@@ -1392,10 +1392,55 @@ def q220_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q227_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-chain concentration histogram: for every part, the share
+    of its order lines captured by its BIGGEST supplier, bucketed into
+    deciles — the single-source-risk profile (a mass at bucket 9/sole
+    suppliers means one failure stops the line; q209's HHI asks the
+    same question of corpus sources). The bucket is exact integer
+    arithmetic (10·max DIV total, capped at 9). Output: one row per
+    decile — part count, sole-supplier count, share of parts.
+
+    Scale shape: two partial aggs ((part,supplier) counts → per-part
+    max/total) and a ≤10-row rollup; the denominators broadcast as a
+    1-row scalar. No windows, no joins wider than the part frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum("c").alias("tot"),
+        F.max("c").alias("maxc"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    hist = per_part.groupBy(
+        F.expr("CAST(least(10 * maxc DIV tot, 9) AS INT)").alias(
+            "share_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum((F.col("n_supp") == 1).cast("long")).alias(
+            "n_sole_supplier"
+        ),
+    )
+    tot = hist.agg(F.sum("n_parts").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "share_bucket",
+        "n_parts",
+        "n_sole_supplier",
+        F.expr(
+            "ROUND(CAST(n_parts AS DOUBLE) / CAST(t AS DOUBLE), 6)"
+        ).alias("part_share"),
+    )
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
     "q219_shipping_priority": q219_shipping_priority,
     "q220_nation_volume": q220_nation_volume,
+    "q227_supplier_concentration": q227_supplier_concentration,
     "q48_cube": q48_cube,
     "q49_decile_stats": q49_decile_stats,
     "q50_event_gaps": q50_event_gaps,
@@ -1430,6 +1475,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q227_supplier_concentration": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, COUNT(*) AS c
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(c) AS BIGINT) AS tot,
+                   CAST(MAX(c) AS BIGINT) AS maxc,
+                   CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM ps GROUP BY l_partkey),
+        hist AS (
+            SELECT CAST(LEAST(10 * maxc // tot, 9) AS INT)
+                       AS share_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sole_supplier
+            FROM per_part GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS t FROM hist)
+        SELECT share_bucket, n_parts, n_sole_supplier,
+               ROUND(CAST(n_parts AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+                   AS part_share
+        FROM hist, t
+    """,
     "q219_shipping_priority": f"""
         SELECT l.l_orderkey,
                CAST(SUM({_REV}) AS DOUBLE) AS revenue,

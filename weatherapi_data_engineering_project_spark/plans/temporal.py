@@ -338,9 +338,61 @@ def q206_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q225_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue profile: ISO-agnostic epoch-anchored
+    weeks (days-since-1970 DIV 7 — the q206 portability trick, no
+    locale week-start conventions), each with purchase revenue, the
+    prior week's revenue, WoW percent change, and the trailing 4-week
+    average — the growth table every business review starts from,
+    with the same exactness discipline as the batch ledger (revenue
+    in DECIMAL(18,2); only the two ratios are floats, rounded once).
+    Output: one row per week with ≥1 event.
+
+    Scale shape: events collapse to the weekly grid in ONE partial
+    agg; lag/average windows run over the CALENDAR-bounded weekly
+    frame (the q194 precedent — weeks cannot outnumber days/7), so no
+    window partition grows with event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                " DATE '1970-01-01') DIV 7 AS BIGINT)"
+            ).alias("week"),
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,2)")
+            .alias("rev"),
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("rev").alias("rev_d"),
+        )
+    )
+    w = Window.orderBy("week")
+    r = wk.withColumn("prev_d", F.lag("rev_d").over(w)).withColumn(
+        "avg4_d",
+        F.avg(F.col("rev_d").cast("double")).over(w.rowsBetween(-3, 0)),
+    )
+    return r.select(
+        "week",
+        "n_events",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.col("prev_d").cast("double").alias("prev_revenue"),
+        F.expr(
+            "CASE WHEN prev_d > 0 THEN"
+            " ROUND((CAST(rev_d AS DOUBLE) - CAST(prev_d AS DOUBLE))"
+            " / CAST(prev_d AS DOUBLE), 6) ELSE NULL END"
+        ).alias("wow_change"),
+        F.round(F.col("avg4_d"), 6).alias("avg_4wk"),
+    )
+
+
 QUERIES = {
     "q100_scd2_history": q100_scd2_history,
     "q206_seasonal_profile": q206_seasonal_profile,
+    "q225_weekly_growth": q225_weekly_growth,
     "q194_cusum_changepoint": q194_cusum_changepoint,
     "q101_twap": q101_twap,
     "q102_gapfill_locf": q102_gapfill_locf,
@@ -348,6 +400,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q225_weekly_growth": """
+        WITH wk AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE))
+                        // 7 AS BIGINT) AS week,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(CAST(CASE WHEN event_type = 'purchase'
+                                 THEN value ELSE 0 END
+                            AS DECIMAL(18,2))) AS rev_d
+            FROM events GROUP BY 1),
+        r AS (
+            SELECT week, n_events, rev_d,
+                   lag(rev_d) OVER (ORDER BY week) AS prev_d,
+                   AVG(CAST(rev_d AS DOUBLE))
+                       OVER (ORDER BY week
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS avg4_d
+            FROM wk)
+        SELECT week, n_events,
+               CAST(rev_d AS DOUBLE) AS revenue,
+               CAST(prev_d AS DOUBLE) AS prev_revenue,
+               CASE WHEN prev_d > 0 THEN
+                   ROUND((CAST(rev_d AS DOUBLE) - CAST(prev_d AS DOUBLE))
+                         / CAST(prev_d AS DOUBLE), 6)
+               ELSE NULL END AS wow_change,
+               ROUND(avg4_d, 6) AS avg_4wk
+        FROM r
+    """,
     "q206_seasonal_profile": """
         WITH daily AS (
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
