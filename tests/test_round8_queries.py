@@ -1,0 +1,82 @@
+"""Round-8 brute-force / property tests.
+
+Covers: the q47 converged-clustering graduation (VERDICT r07 #2) — the
+engine now runs label propagation to a fixpoint and the oracle is a
+recursive-CTE transitive closure, so both sides must agree on graphs
+whose diameter exceeds any fixed round count.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+import weatherapi_data_engineering_project_spark.operators.dedup as DD
+
+
+def _closure_min_duckdb(edges):
+    """The q47 oracle's labeling fragment, run standalone on an explicit
+    edge list: recursive reach-set closure → per-node component MIN."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (id1 BIGINT, id2 BIGINT)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", edges)
+    rows = con.execute(
+        """
+        WITH RECURSIVE
+        e AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL
+              SELECT id2 AS a, id1 AS b FROM pairs),
+        reach(id, x) AS (
+            SELECT a AS id, a AS x FROM e
+            UNION
+            SELECT e.a, reach.x FROM e JOIN reach ON reach.id = e.b),
+        l4 AS (SELECT id, MIN(x) AS rep FROM reach GROUP BY id)
+        SELECT id, rep FROM l4
+        """
+    ).fetchall()
+    con.close()
+    return {int(i): int(r) for i, r in rows}
+
+
+def test_q47_oracle_closure_matches_converged_engine_deep_chain(spark):
+    """VERDICT r07 #2 done-criterion: a deliberately deep chain
+    (diameter 12 > the historical 4 rounds) resolves identically in the
+    engine's run-to-fixpoint propagation and the oracle's recursive-CTE
+    closure — the labeling is now round-count-independent on BOTH
+    sides."""
+    edges = [(i, i + 1) for i in range(12)]           # diameter-12 chain
+    edges += [(100, 101), (101, 102), (100, 102)]     # triangle
+    edges += [(200, 201)]                             # isolated pair
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    eng = {
+        int(r.doc_id): int(r.cluster_rep)
+        for r in DD.label_propagation_clusters_converged(pairs).collect()
+    }
+    assert eng == _closure_min_duckdb(edges)
+    assert all(eng[i] == 0 for i in range(13))  # whole chain → one cluster
+
+
+def test_converged_stops_early_and_respects_round_cap(spark):
+    """The fixpoint loop stops as soon as a round changes nothing (a
+    star graph converges in 2 rounds regardless of max_rounds), and a
+    tight max_rounds cap degrades to the fixed-round labeling rather
+    than looping — the documented bound on adversarial graphs."""
+    star = [(0, i) for i in range(1, 8)]
+    pairs = spark.createDataFrame(star, "id1 long, id2 long")
+    eng = {
+        int(r.doc_id): int(r.cluster_rep)
+        for r in DD.label_propagation_clusters_converged(pairs, max_rounds=2).collect()
+    }
+    assert eng == {i: 0 for i in range(8)}
+
+    chain = [(i, i + 1) for i in range(9)]
+    cpairs = spark.createDataFrame(chain, "id1 long, id2 long")
+    capped = {
+        int(r.doc_id): int(r.cluster_rep)
+        for r in DD.label_propagation_clusters_converged(cpairs, max_rounds=2).collect()
+    }
+    fixed = {
+        int(r.doc_id): int(r.cluster_rep)
+        for r in DD.label_propagation_clusters(cpairs, rounds=2).collect()
+    }
+    assert capped == fixed  # cap honored: identical to 2 fixed rounds
+    assert any(v != 0 for v in capped.values())  # and genuinely short

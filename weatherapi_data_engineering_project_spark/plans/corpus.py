@@ -13,8 +13,9 @@ derived purchase graph by fixed-round PageRank.
 Same contract as every other plan module: exact ANSI-SQL oracle twins
 with identical column aliases; decimal-exact aggregation wherever a
 float is observable cross-engine; iterative algorithms run a FIXED
-number of rounds so the oracle unrolls them into CTEs (the q47/q60/q73
-technique).
+number of rounds so the oracle unrolls them into CTEs (the q60/q73
+technique; q47's clustering graduated to run-to-fixpoint with a
+recursive-CTE closure oracle in round 8).
 
 Scale notes (100 TB story):
 - q86 shuffles 32-char md5 span hashes, never text; the span→dup join

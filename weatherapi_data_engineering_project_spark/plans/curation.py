@@ -1187,7 +1187,7 @@ def q171_scaling_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # q166 BPE trainer: fixed merge count, so the whole "iterative"
-# trainer is SQL-expressible by unrolling (the q47/q60 convention).
+# trainer is SQL-expressible by unrolling (the q60/q73 convention).
 _BPE_ROUNDS = 5
 
 

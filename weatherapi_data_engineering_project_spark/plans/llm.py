@@ -860,21 +860,23 @@ def q46_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame, full scale path chained: MinHash-LSH candidates →
     exact Jaccard verify (q25 semantics) → connected components via
-    4-round min-label propagation → one (doc_id, cluster_rep) row per
+    run-to-fixpoint min-label propagation (converged, round-capped —
+    VERDICT r07 #2: a fixed round count silently splits any component
+    whose diameter exceeds it) → one (doc_id, cluster_rep) row per
     PAIRED document (unpaired docs are implicitly their own cluster). A
     downstream keep-list selects rows where doc_id == cluster_rep and
     drops the rest — this query returns the full labeling so the oracle
     can verify the clustering itself."""
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
-    return DD.label_propagation_clusters(pairs, rounds=4)
+    return DD.label_propagation_clusters_converged(pairs)
 
 
 def q77_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship composite: the full training-data prep pipeline a
     corpus team actually ships, chained from this engine's own
     oracle-verified components — near-dup keep-list (q72 semantics:
-    MinHash-LSH → exact Jaccard → 4-round clustering → drop
+    MinHash-LSH → exact Jaccard → converged clustering → drop
     non-representatives), Gopher-style quality gate (q51's 4 rules,
     shared expression builder), then token-budget sequence packing
     (q40's cumulative-sum binning) over the surviving corpus.
@@ -886,7 +888,7 @@ def q77_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
-    labels = DD.label_propagation_clusters(pairs, rounds=4)
+    labels = DD.label_propagation_clusters_converged(pairs)
     drop = labels.filter(F.col("doc_id") != F.col("cluster_rep")).select(
         "doc_id"
     )
@@ -957,7 +959,7 @@ def q72_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus×corpus op."""
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
-    labels = DD.label_propagation_clusters(pairs, rounds=4)
+    labels = DD.label_propagation_clusters_converged(pairs)
     drop = labels.filter(F.col("doc_id") != F.col("cluster_rep")).select(
         "doc_id"
     )
@@ -1066,14 +1068,14 @@ def q173_quality_representatives(
     naive policy would have thrown away wrongly).
 
     Scale shape: the q47 pipeline (banded LSH candidates, verified
-    pairs, 4 label-prop rounds) plus ONE cluster-keyed window over the
+    pairs, converged label propagation) plus ONE cluster-keyed window over
     members frame — which is duplicate-count-sized, not corpus-sized;
     the q51 score is a codegen'd scan-side projection."""
     from .extensions import quality_score_cols
 
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
-    labels = DD.label_propagation_clusters(pairs, rounds=4)
+    labels = DD.label_propagation_clusters_converged(pairs)
     _, score = quality_score_cols("text")
     scored = d.select("doc_id", score.alias("q"))
     memb = labels.select(
@@ -1345,11 +1347,20 @@ _BAND_LIST = ", ".join(
 # composite's quality gate textually identical to q51's
 from .extensions import _STOP_SQL
 
-# LSH candidates → exact-Jaccard pairs → 4 unrolled min-label rounds
-# (l4 = the q47 labeling). Shared by the q47 clustering oracle, the
-# q72 keep-list oracle, and the q77 composite.
+# LSH candidates → exact-Jaccard pairs → connected-components minimum
+# via a recursive-CTE transitive closure (l4 = the q47 labeling; the
+# name is historical from the unrolled-4-round era, kept so the four
+# downstream oracles read unchanged). The closure is the TRUE fixpoint
+# of min-label propagation — the engine side now runs
+# label_propagation_clusters_converged (VERDICT r07 #2), so the oracle
+# must be round-count-independent: a diameter-9 chain and a diameter-1
+# pair both land on the component minimum. Component sizes bound the
+# closure (|comp|² reach rows per component; near-dup components are
+# tiny chains), so the recursion is cheap at oracle scale. Shared by
+# the q47 clustering oracle, the q72 keep-list oracle, the q173
+# representatives oracle, and the q77 composite.
 _CLUSTER_CTES = f"""
-        WITH {_SHINGLES_CTE},
+        WITH RECURSIVE {_SHINGLES_CTE},
         sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
         bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -1368,16 +1379,11 @@ _CLUSTER_CTES = f"""
         e AS (SELECT id1 AS a, id2 AS b FROM pairs
               UNION ALL
               SELECT id2 AS a, id1 AS b FROM pairs),
-        l0 AS (SELECT DISTINCT a AS id, a AS rep FROM e)""" + "".join(
-    f""",
-        l{k} AS (
-            SELECT l.id, LEAST(l.rep, COALESCE(MIN(n.rep), l.rep)) AS rep
-            FROM l{k - 1} l
-            LEFT JOIN e ON e.a = l.id
-            LEFT JOIN l{k - 1} n ON n.id = e.b
-            GROUP BY l.id, l.rep)"""
-    for k in range(1, 5)
-)
+        reach(id, x) AS (
+            SELECT a AS id, a AS x FROM e
+            UNION
+            SELECT e.a, reach.x FROM e JOIN reach ON reach.id = e.b),
+        l4 AS (SELECT id, MIN(x) AS rep FROM reach GROUP BY id)"""
 
 # Banded sign-LSH near-dup pair SQL, shared by q29/q154/q157 — the
 # verify threshold is the only free parameter (candidates are
