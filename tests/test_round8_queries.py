@@ -80,3 +80,54 @@ def test_converged_stops_early_and_respects_round_cap(spark):
     }
     assert capped == fixed  # cap honored: identical to 2 fixed rounds
     assert any(v != 0 for v in capped.values())  # and genuinely short
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q228_tpch_q2_plan_pins(spark):
+    """Q2's correlated scalar MIN must decorrelate into a per-part
+    aggregate joined back — never a cartesian/nested-loop — with every
+    dim broadcast and the top-100 compiled to TakeOrderedAndProject."""
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q228_min_cost_supplier,
+    )
+    p = _phys(q228_min_cost_supplier(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # nation/region/supplier dims
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q229_tpch_q13_outer_join_preserved(spark):
+    """Q13's ON-clause filter must NOT let the optimizer rewrite the
+    outer join to inner (zero-order customers are the point), and the
+    priority predicate must stay on the null-producing ORDERS side."""
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q229_order_count_distribution,
+    )
+    p = _phys(q229_order_count_distribution(spark, "/root/testdata/sf0.001"))
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+    # count(o_orderkey) over the outer join must still see every
+    # customer: engine total equals the bare customer count
+    df = q229_order_count_distribution(spark, "/root/testdata/sf0.001")
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+    n_cust = load_table(spark, "/root/testdata/sf0.001", "customer").count()
+    import pyspark.sql.functions as F
+    total = df.agg(F.sum("custdist")).collect()[0][0]
+    assert total == n_cust
+
+
+def test_q230_tpch_q20_semi_join_chain(spark):
+    """Q20's nested INs must compile to semi joins (predicate-subquery
+    rewrite) and the correlated SUM to an aggregate join guarded by the
+    integer threshold — no cartesian, no nested loop."""
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q230_excess_share_supplier,
+    )
+    p = _phys(q230_excess_share_supplier(spark, "/root/testdata/sf0.001"))
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

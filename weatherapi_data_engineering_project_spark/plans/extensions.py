@@ -1436,8 +1436,165 @@ def q227_supplier_concentration(
     )
 
 
+def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Session-scoped temp views over the testdata tables, so literal
+    ANSI SQL (the TPC-H texts, the q231+ SQL front door) runs against
+    the same parquet scans every DataFrame plan uses. Re-registered per
+    call: view creation is metadata-only, and re-binding keeps each
+    (query, sf_dir) invocation self-contained."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# Shared by the Q2 outer block and its correlated inner: per
+# (part, supplier) "supply cost" derived from lineitem (this testdata
+# has no partsupp table) — MIN observed extendedprice, cast per-row to
+# exact cents BEFORE the MIN so both engines compare identical
+# decimals.
+_PS_CTE = """
+        ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                      MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+               FROM lineitem GROUP BY l_partkey, l_suppkey)"""
+
+_Q228_SQL = f"""
+        WITH {_PS_CTE}
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(ps_cost AS DOUBLE) AS supplycost
+        FROM part, ps, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_type = 'STANDARD' AND p_size <= 10
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_cost = (
+              SELECT MIN(ps2.ps_cost)
+              FROM ps ps2, supplier s2, nation n2, region r2
+              WHERE ps2.ps_partkey = p_partkey
+                AND s2.s_suppkey = ps2.ps_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+
+
+def q228_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to this testdata
+    schema: no partsupp table exists, so per-(part, supplier) supply
+    cost derives from lineitem as MIN(extendedprice-as-cents). For
+    STANDARD parts of size <= 10, return every EUROPE supplier whose
+    cost EQUALS the minimum cost any EUROPE supplier offers for that
+    part — the correlated-min-over-join shape the r07 verdict called
+    out as the classic `RewriteCorrelatedScalarSubquery` stressor.
+
+    Runs as literal SQL so Catalyst actually exercises the
+    decorrelation path (the DataFrame API cannot express a correlated
+    scalar subquery): the rewrite turns the inner MIN into a per-part
+    aggregate joined back on p_partkey. Plan pins (tests/
+    test_round8_queries.py): no cartesian / nested-loop join anywhere;
+    the nation/region dims broadcast.
+
+    Exactness: per-row cast to DECIMAL(18,2) before MIN on BOTH sides
+    (the _REV convention), so the equality compare is decimal-exact;
+    the top-100 order is fully tiebroken (acctbal DESC, n_name,
+    s_name, p_partkey) and the result is 62 rows < 100 at sf0.01."""
+    _register_views(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
+    )
+    return spark.sql(_Q228_SQL)
+
+
+def q229_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    customer→orders with the order filter INSIDE the join condition
+    (priority not urgent/high — the testdata has no o_comment), count
+    orders per customer INCLUDING zero-order customers, then histogram
+    the counts. The outer-join count-distribution shape the r07
+    verdict asked for: the ON-clause predicate must stay in the join
+    (pushing it to a WHERE would silently drop customers with only
+    urgent orders AND the never-ordered), and the optimizer must not
+    rewrite the outer join to inner even though the aggregate ignores
+    null orderkeys.
+
+    Scale shape: one shuffle on c_custkey for the outer join + count,
+    one tiny shuffle on the count value for the histogram; the
+    priority filter pushes into the ORDERS side's scan (safe side —
+    pinned LeftOuter, tests/test_round8_queries.py)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q230_SQL = """
+        WITH sq AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey)
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = (SELECT r_regionkey FROM region
+                             WHERE r_name = 'EUROPE')
+          AND s_suppkey IN (
+              SELECT sq.l_suppkey FROM sq
+              WHERE sq.l_partkey IN (SELECT p_partkey FROM part
+                                     WHERE p_name LIKE 'small%')
+                AND sq.supp_qty * 10 > 3 * (
+                    SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = sq.l_partkey
+                      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+    """
+
+
+def q230_excess_share_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (excess-stock suppliers), adapted: no partsupp, so
+    "availqty > 0.5 * demand" becomes "this supplier shipped > 30% of
+    the part's total 1996-97 quantity" — EUROPE suppliers who dominate
+    supply of some 'small%' part. Preserves Q20's nested
+    double-semi-join chain verbatim: suppliers IN (pairs that are IN a
+    part-name filter AND beat a CORRELATED scalar SUM) — the
+    `RewritePredicateSubquery` + `RewriteCorrelatedScalarSubquery`
+    combination the r07 verdict flagged, run as literal SQL so
+    Catalyst performs both rewrites. Plan pins: two LeftSemi joins, no
+    cartesian.
+
+    Exactness: quantities are integer-valued, summed as BIGINT; the
+    threshold compare is 10·supp > 3·total in pure integers (no 0.3
+    float literal — the exactness convention's integer-until-division
+    rule, division never needed)."""
+    _register_views(
+        spark, sf_dir, "supplier", "nation", "region", "part", "lineitem"
+    )
+    return spark.sql(_Q230_SQL)
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
+    "q228_min_cost_supplier": q228_min_cost_supplier,
+    "q229_order_count_distribution": q229_order_count_distribution,
+    "q230_excess_share_supplier": q230_excess_share_supplier,
     "q219_shipping_priority": q219_shipping_priority,
     "q220_nation_volume": q220_nation_volume,
     "q227_supplier_concentration": q227_supplier_concentration,
@@ -1475,6 +1632,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    # q228/q230 run as literal SQL on the Spark side; the oracle is the
+    # SAME text (both are plain ANSI), so any drift is engine drift.
+    "q228_min_cost_supplier": _Q228_SQL,
+    "q229_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "q230_excess_share_supplier": _Q230_SQL,
     "q227_supplier_concentration": """
         WITH ps AS (
             SELECT l_partkey, l_suppkey, COUNT(*) AS c
