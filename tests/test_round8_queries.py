@@ -131,3 +131,42 @@ def test_q230_tpch_q20_semi_join_chain(spark):
     assert p.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def _norm_optimized(df) -> str:
+    """Canonicalized optimized logical plan with residual expression
+    IDs normalized away — equality means Catalyst compiled two queries
+    to the same plan, not merely that they agree on one dataset."""
+    import re
+
+    s = df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    return re.sub(r"#\d+", "#", s)
+
+
+def test_sql_frontdoor_plans_equal_dataframe_twins(spark):
+    """VERDICT r07 #5 done-criterion: each literal-SQL front-door query
+    compiles to the IDENTICAL optimized plan as its DataFrame twin —
+    the SQL surface is the same engine, not a parallel implementation."""
+    from weatherapi_data_engineering_project_spark.plans import weather as W
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q219_shipping_priority,
+    )
+    from weatherapi_data_engineering_project_spark.plans.sql_frontdoor import (
+        q231_sql_pricing_summary,
+        q232_sql_shipping_priority,
+        q233_sql_star_daily_summary,
+    )
+    from weatherapi_data_engineering_project_spark.plans.star import (
+        q01_pricing_summary,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert _norm_optimized(q231_sql_pricing_summary(spark, sf)) == (
+        _norm_optimized(q01_pricing_summary(spark, sf))
+    )
+    assert _norm_optimized(q232_sql_shipping_priority(spark, sf)) == (
+        _norm_optimized(q219_shipping_priority(spark, sf))
+    )
+    assert _norm_optimized(q233_sql_star_daily_summary(spark, sf)) == (
+        _norm_optimized(W.w06_star_daily_summary(spark, sf))
+    )

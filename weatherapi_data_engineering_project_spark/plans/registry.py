@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULE_NAMES = (
     "star", "llm", "weather", "analytics", "streaming_queries", "extensions",
     "curation", "corpus", "behavior", "temporal", "layout",
+    "sql_frontdoor",
 )
 # star is the core relational surface with no optional dependencies —
 # if it cannot import, the engine is broken and an empty-but-"successful"
