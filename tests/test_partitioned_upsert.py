@@ -233,3 +233,114 @@ def test_legacy_unpartitioned_target_migrates_then_goes_incremental(
     assert {
         r.v for r in spark.read.parquet(target).filter(F.col("k") == "d1#a1").collect()
     } == {20}
+
+
+import pytest
+
+
+def _kill(kind: str, target: str) -> None:
+    """Mutate the on-disk table into the crash-window state `kind`
+    simulates — the state a real kill at that phase boundary leaves
+    behind (same technique as the single-scenario tests above, applied
+    repeatedly against an EVOLVING table)."""
+    import shutil
+    import time
+    import uuid
+
+    hexa = uuid.uuid4().hex[:8]
+    parent = os.path.dirname(target)
+    base = os.path.basename(target)
+    if kind == "none":
+        return
+    if kind == "whole_swap":
+        # crash between rename(target, old) and rename(tmp, target)
+        shutil.move(target, f"{target}.old-{hexa}")
+        return
+    leaves = sorted(glob.glob(os.path.join(target, "day=*")))
+    if kind == "part_swap":
+        # crash between the partition swap's two renames
+        leaf = leaves[0]
+        shutil.move(
+            leaf,
+            os.path.join(target, f".old-{hexa}-{os.path.basename(leaf)}"),
+        )
+    elif kind == "part_debris":
+        # crash after the swap landed but before cleanup: displaced
+        # copy (superseded rows) still wears the .old name
+        leaf = leaves[-1]
+        shutil.copytree(
+            leaf,
+            os.path.join(target, f".old-{hexa}-{os.path.basename(leaf)}"),
+        )
+    elif kind == "stale_tmp":
+        # orphaned staging dir from a dead writer, idle > 1h
+        tmp = os.path.join(parent, f".{base}.tmp-{hexa}")
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+        old = time.time() - 7200
+        os.utime(os.path.join(tmp, "part-0.parquet"), (old, old))
+        os.utime(tmp, (old, old))
+    elif kind == "trash":
+        # interrupted _discard: renamed to .trash-* but never rmtree'd
+        t = os.path.join(parent, f".trash-{hexa}")
+        os.makedirs(t)
+        with open(os.path.join(t, "leftover"), "w") as f:
+            f.write("x")
+
+
+@pytest.mark.parametrize(
+    "kind",
+    ["none", "whole_swap", "part_swap", "part_debris", "stale_tmp", "trash"],
+)
+def test_upsert_kill_point_stress(spark, tmp_path, kind):
+    """VERDICT r07 #6: drive upsert_path through 8 incremental batches
+    per kill point (~50 across the matrix) with a simulated kill
+    injected before every batch, asserting after each that (a) the
+    table equals an independently-maintained dict model, (b) the audit
+    gate passes, and (c) no recovery debris survives. `whole_swap`
+    exercises _recover_interrupted_swap on the non-partitioned path;
+    the rest hit _recover_interrupted_partition_swaps and the sweep
+    branches on the partitioned path."""
+    import uuid
+
+    partitioned = kind != "whole_swap"
+    target = str(tmp_path / f"stress_{kind}")
+    model: dict[str, tuple[int, str]] = {}
+
+    for i in range(8):
+        if i > 0:
+            _kill(kind, target)
+        # batch: one update to an existing key (when any), two inserts,
+        # spread over a rotating pair of partitions
+        rows = []
+        if model:
+            victim = sorted(model)[i % len(model)]
+            rows.append((victim, 100 + i, model[victim][1]))
+        rows += [
+            (f"k{i}a", i, f"d{i % 4}"),
+            (f"k{i}b", i, f"d{(i + 1) % 4}"),
+        ]
+        for k, v, day in rows:
+            model[k] = (v, day)
+        batch = _mk_updates(spark, rows)
+        n0, n1 = upsert_path(
+            spark, target, batch, keys=["k"],
+            partition_by=["day"] if partitioned else None,
+        )
+        assert n0 == n1 == len(rows)
+
+        got = {
+            r.k: (r.v, r.day) for r in spark.read.parquet(target).collect()
+        }
+        assert got == model, f"batch {i} diverged after kill={kind}"
+        parent = os.path.dirname(target)
+        assert not glob.glob(os.path.join(target, ".old-*"))
+        assert not glob.glob(target + ".old-*")
+        assert not glob.glob(os.path.join(parent, ".trash-*"))
+        stale = [
+            p
+            for p in glob.glob(os.path.join(parent, f".{os.path.basename(target)}.tmp-*"))
+        ]
+        if kind == "stale_tmp":
+            assert not stale  # aged orphan swept
