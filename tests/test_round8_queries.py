@@ -170,3 +170,152 @@ def test_sql_frontdoor_plans_equal_dataframe_twins(spark):
     assert _norm_optimized(q233_sql_star_daily_summary(spark, sf)) == (
         _norm_optimized(W.w06_star_daily_summary(spark, sf))
     )
+
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def _pd(table):
+    import pandas as pd
+
+    return pd.read_parquet(f"{SF1}/{table}.parquet")
+
+
+def _cents(x) -> int:
+    from decimal import Decimal, ROUND_HALF_UP
+
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+    )
+
+
+def test_q234_large_orders_brute_force(spark):
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q234_large_order_customers,
+    )
+    li, od, cu = _pd("lineitem"), _pd("orders"), _pd("customer")
+    sums = {}
+    for ok, q in zip(li.l_orderkey, li.l_quantity):
+        sums[ok] = sums.get(ok, 0) + int(q)
+    big = {k: v for k, v in sums.items() if v > 150}
+    omap = {
+        r.o_orderkey: r for r in od.itertuples() if r.o_orderkey in big
+    }
+    cmap = {r.c_custkey: r.c_name for r in cu.itertuples()}
+    want = {
+        (cmap[o.o_custkey], o.o_custkey, ok, o.o_totalprice, big[ok])
+        for ok, o in omap.items()
+    }
+    df = q234_large_order_customers(spark, SF1)
+    got = {
+        (r.c_name, r.c_custkey, r.o_orderkey, r.o_totalprice, r.sum_qty)
+        for r in df.collect()
+    }
+    assert got == want and len(got) > 0
+    assert "CartesianProduct" not in _phys(df)
+
+
+def test_q235_disjunctive_revenue_brute_force(spark):
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q235_disjunctive_revenue,
+    )
+    li, pt = _pd("lineitem"), _pd("part")
+    pmap = {r.p_partkey: (r.p_brand, r.p_size) for r in pt.itertuples()}
+    num = 0  # exact 1e-4-dollar units: cents * (100 - disc_cents)
+    n = 0
+    for r in li.itertuples():
+        brand, size = pmap[r.l_partkey]
+        q = int(r.l_quantity)
+        hit = (
+            (brand == "Brand#12" and 1 <= size <= 5 and 1 <= q <= 11)
+            or (brand == "Brand#23" and 1 <= size <= 10 and 10 <= q <= 20)
+            or (brand == "Brand#3" and 1 <= size <= 15 and 20 <= q <= 30)
+        )
+        if hit:
+            num += _cents(r.l_extendedprice) * (100 - _cents(r.l_discount))
+            n += 1
+    row = q235_disjunctive_revenue(spark, SF1).collect()[0]
+    assert row.n_lines == n > 0
+    assert abs(row.revenue - num / 1e4) < 1e-6
+
+
+def test_q236_idle_rich_brute_force(spark):
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        _Q236_NATIONS,
+        q236_idle_rich_customers,
+    )
+    cu, od = _pd("customer"), _pd("orders")
+    import pandas as pd
+
+    cut = pd.Timestamp("2000-01-01")
+    recent = set(od[od.o_orderdate >= cut].o_custkey)
+    cs = cu[cu.c_nationkey.isin(_Q236_NATIONS)]
+    pos = cs[cs.c_acctbal > 0]
+    sc = sum(_cents(b) for b in pos.c_acctbal)
+    n = len(pos)
+    want: dict[int, tuple[int, int]] = {}
+    for r in cs.itertuples():
+        if r.c_custkey in recent or _cents(r.c_acctbal) * n <= sc:
+            continue
+        cnt, tot = want.get(r.c_nationkey, (0, 0))
+        want[r.c_nationkey] = (cnt + 1, tot + _cents(r.c_acctbal))
+    df = q236_idle_rich_customers(spark, SF1)
+    got = {
+        r.cntrycode: (r.numcust, round(r.totacctbal * 100))
+        for r in df.collect()
+    }
+    assert got == want and len(got) > 0
+    p = _phys(df)
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+
+
+def test_q237_important_parts_brute_force(spark):
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q237_important_parts,
+    )
+    li = _pd("lineitem")
+    pv: dict[int, int] = {}
+    for r in li.itertuples():
+        v4 = _cents(r.l_extendedprice) * (100 - _cents(r.l_discount))
+        pv[r.l_partkey] = pv.get(r.l_partkey, 0) + v4
+    t = sum(pv.values())
+    want = {k: v / 1e4 for k, v in pv.items() if v * 1500 > t}
+    got = {
+        r.l_partkey: r.part_value
+        for r in q237_important_parts(spark, SF1).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_q238_market_share_brute_force(spark):
+    from weatherapi_data_engineering_project_spark.plans.extensions import (
+        q238_market_share,
+    )
+    li, od, cu = _pd("lineitem"), _pd("orders"), _pd("customer")
+    na, re_, su = _pd("nation"), _pd("region"), _pd("supplier")
+    eu_region = set(re_[re_.r_name == "EUROPE"].r_regionkey)
+    eu_nations = set(na[na.n_regionkey.isin(eu_region)].n_nationkey)
+    eu_cust = set(cu[cu.c_nationkey.isin(eu_nations)].c_custkey)
+    nname = {r.n_nationkey: r.n_name for r in na.itertuples()}
+    snation = {r.s_suppkey: nname[r.s_nationkey] for r in su.itertuples()}
+    omap = {
+        r.o_orderkey: (r.o_orderdate.year, r.o_custkey)
+        for r in od.itertuples()
+    }
+    num: dict[int, int] = {}
+    den: dict[int, int] = {}
+    for r in li.itertuples():
+        year, custkey = omap[r.l_orderkey]
+        if custkey not in eu_cust:
+            continue
+        v4 = _cents(r.l_extendedprice) * (100 - _cents(r.l_discount))
+        den[year] = den.get(year, 0) + v4
+        if snation[r.l_suppkey] == "NATION_3":
+            num[year] = num.get(year, 0) + v4
+    rows = q238_market_share(spark, SF1).collect()
+    assert {r.o_year for r in rows} == set(den) and len(rows) > 0
+    for r in rows:
+        assert abs(r.total_revenue - den[r.o_year] / 1e4) < 1e-6
+        assert abs(r.mkt_share - num.get(r.o_year, 0) / den[r.o_year]) < 1e-12

@@ -1590,8 +1590,232 @@ def q230_excess_share_supplier(
     return spark.sql(_Q230_SQL)
 
 
+def q234_large_order_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 (large-quantity orders): customers whose orders total
+    more than 150 units. The classic text re-joins lineitem after the
+    HAVING subquery; Spark-first, ONE aggregation produces the per-order
+    sum and the filter — the order frame then joins it directly, so
+    lineitem is scanned once and the big-order frame (2.9k rows at
+    sf0.01, AQE-broadcast) drives the joins. Quantities are
+    integer-valued; the sum and threshold are BIGINT-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+def q235_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    from three brand/size/quantity bands OR-ed together — the shape
+    that punishes engines which can't split a disjunction across a
+    join. Catalyst keeps the cross-side disjunction as a post-join
+    filter but derives the per-side envelopes (brand IN the three
+    values, size/quantity in the union ranges) as scan-level
+    constraints; the join itself stays a partkey equi-join with the
+    2k-row part side broadcast. Revenue in exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(_REV).alias("rev"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("qty").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("qty").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("qty").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# q236: customers idle since this date still count as active before it
+_Q236_CUT = "2000-01-01"
+_Q236_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+# exact integer cents: price doubles are 2-decimal by generation, so
+# cast to DECIMAL(18,2) (the _REV convention) then scale — decimal →
+# bigint is exact once integral, avoiding double→bigint truncate/round
+# divergence between the engines
+_CENTS = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def q236_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global-sales-opportunity), adapted: per nation (the
+    phone-prefix stand-in), the count and total balance of customers
+    whose balance beats the above-zero average for the nation set and
+    who placed NO order since 2000 — scalar-average subquery + anti
+    join, the decorrelation pair Q22 exists to stress. The average
+    compare is exact: balance_cents · n > total_cents in BIGINT (no
+    float average anywhere); the scalar rides a broadcast 1-row cross
+    join; the anti join shuffles on custkey.
+
+    Plan pins: LeftAnti preserved, the scalar's crossJoin is broadcast
+    (no cartesian of data rows)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*_Q236_NATIONS))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.expr(_CENTS).alias("cents"),
+        )
+    )
+    s = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q236_CUT).cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = c.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.crossJoin(F.broadcast(s))
+        .filter(F.col("cents") * F.col("n") > F.col("sc"))
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+def q237_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted over lineitem (no partsupp):
+    parts whose revenue exceeds 1/1500 of TOTAL revenue — per-group
+    aggregate filtered against a global scalar. Exactness: revenue in
+    0.1-millicent BIGINT units (4 decimal digits scaled integral), so
+    the fraction test is v·1500 > total in pure integers — a
+    decimal×1500 would need precision > 38, which one engine rejects
+    and the other saturates. Scalar total rides a broadcast 1-row
+    cross join; one shuffle on partkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(f"CAST(CAST({_REV} AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias(
+            "v4"
+        ),
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum("v4").alias("v"))
+    tot = pv.agg(F.sum("v").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 1500 > F.col("t"))
+        .select(
+            "l_partkey",
+            (F.col("v").cast("double") / 10000).alias("part_value"),
+        )
+    )
+
+
+def q238_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted: within orders placed
+    by EUROPE customers, NATION_3 suppliers' share of revenue per order
+    year. The two-level conditional aggregate (CASE inside the ratio)
+    over a 4-way star; nation/region broadcast onto both supplier and
+    customer sides. Numerator and denominator accumulate as exact
+    decimals; the final ratio divides the two exact doubles with the
+    same formula string on both engines."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cust_eu = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_REV).alias("rev")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_eu, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    g = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        .cast("double")
+        .alias("num_d"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+    return g.select(
+        "o_year",
+        (F.col("num_d") / F.col("total_revenue")).alias("mkt_share"),
+        "total_revenue",
+    )
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
+    "q234_large_order_customers": q234_large_order_customers,
+    "q235_disjunctive_revenue": q235_disjunctive_revenue,
+    "q236_idle_rich_customers": q236_idle_rich_customers,
+    "q237_important_parts": q237_important_parts,
+    "q238_market_share": q238_market_share,
     "q228_min_cost_supplier": q228_min_cost_supplier,
     "q229_order_count_distribution": q229_order_count_distribution,
     "q230_excess_share_supplier": q230_excess_share_supplier,
@@ -1632,6 +1856,78 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q234_large_order_customers": """
+        WITH big AS (
+            SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    "q235_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)
+    """,
+    "q236_idle_rich_customers": f"""
+        WITH c AS (
+            SELECT c_custkey, c_nationkey, c_acctbal, {_CENTS} AS cents
+            FROM customer WHERE c_nationkey IN {_Q236_NATIONS}),
+        s AS (SELECT CAST(SUM(cents) AS BIGINT) AS sc, COUNT(*) AS n
+              FROM c WHERE c_acctbal > 0),
+        idle AS (
+            SELECT c.* FROM c
+            ANTI JOIN (SELECT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '{_Q236_CUT}') o
+              ON c_custkey = o_custkey)
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM idle, s WHERE cents * n > sc
+        GROUP BY c_nationkey
+    """,
+    "q237_important_parts": f"""
+        WITH pv AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(CAST({_REV} AS DECIMAL(18,4)) * 10000
+                                 AS BIGINT)) AS BIGINT) AS v
+            FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM pv)
+        SELECT l_partkey, CAST(v AS DOUBLE) / 10000 AS part_value
+        FROM pv, tot WHERE v * 1500 > t
+    """,
+    "q238_market_share": f"""
+        WITH eu AS (SELECT n_nationkey FROM nation
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'EUROPE'),
+        j AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   n_name AS supp_nation,
+                   {_REV} AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            SEMI JOIN (SELECT c_custkey FROM customer
+                       SEMI JOIN eu ON c_nationkey = n_nationkey) ce
+              ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey)
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+               CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        FROM j GROUP BY o_year
+    """,
     # q228/q230 run as literal SQL on the Spark side; the oracle is the
     # SAME text (both are plain ANSI), so any drift is engine drift.
     "q228_min_cost_supplier": _Q228_SQL,
