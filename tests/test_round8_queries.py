@@ -319,3 +319,79 @@ def test_q238_market_share_brute_force(spark):
     for r in rows:
         assert abs(r.total_revenue - den[r.o_year] / 1e4) < 1e-6
         assert abs(r.mkt_share - num.get(r.o_year, 0) / den[r.o_year]) < 1e-12
+
+
+def test_q239_full_outer_emits_both_null_directions(spark):
+    """The full-outer drain must contain BOTH eviction products:
+    never-converted clicks (null right) AND orphan purchases (null
+    left, with user_id surviving via the coalesce)."""
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        q239_stream_full_outer_interval_join,
+    )
+    rows = q239_stream_full_outer_interval_join(spark, SF1).collect()
+    left_only = [r for r in rows if r.p_event_id is None]
+    right_only = [r for r in rows if r.event_id is None]
+    matched = [
+        r for r in rows if r.event_id is not None and r.p_event_id is not None
+    ]
+    assert left_only and right_only and matched
+    assert all(r.user_id is not None for r in rows)  # coalesced key
+    # and the left-outer subset embeds exactly (drop the right-only rows)
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        q218_stream_outer_interval_join,
+    )
+    l218 = {
+        (r.user_id, r.event_id, r.p_event_id)
+        for r in q218_stream_outer_interval_join(spark, SF1).collect()
+    }
+    assert {
+        (r.user_id, r.event_id, r.p_event_id)
+        for r in rows
+        if r.event_id is not None
+    } == l218
+
+
+def test_q240_mixture_schedule_brute_force(spark):
+    """Stride-schedule positions recomputed in pure Python: per-source
+    rank k, integer virtual time (k*grand*1e6)//t_src, global order by
+    (vt, doc_id) — and proportionality: every source's docs interleave
+    (no source exhausts before the schedule's midpoint on this
+    near-uniform corpus)."""
+    from weatherapi_data_engineering_project_spark.plans.corpus import (
+        q240_mixture_schedule,
+    )
+    d = _pd("documents")
+    t_src = d.groupby("source").n_chars.sum().to_dict()
+    grand = int(d.n_chars.sum())
+    rows = []
+    for src, grp in d.sort_values("doc_id").groupby("source"):
+        for k, r in enumerate(grp.itertuples(), start=1):
+            vt = (k * grand * 1_000_000) // int(t_src[src])
+            rows.append((vt, r.doc_id, src, k))
+    rows.sort()
+    want = {
+        doc: (src, k, vt, pos)
+        for pos, (vt, doc, src, k) in enumerate(rows, start=1)
+    }
+    got = {
+        r.doc_id: (r.source, r.k, r.vt, r.position)
+        for r in q240_mixture_schedule(spark, SF1).collect()
+    }
+    assert got == want and len(got) == len(d)
+    # interleave property: first half of the schedule touches all sources
+    first_half = {src for src, _, _, pos in want.values()
+                  if pos <= len(d) // 2}
+    assert first_half == set(t_src)
+
+
+def test_q241_split_leakage_consistency(spark):
+    """q241's totals must reconcile with its parents: Σ n_pairs equals
+    q24's pair count, and each group's n_docs is bounded by 2·n_pairs;
+    leaked pairs (split_a != split_b) exist in this corpus fixture."""
+    import weatherapi_data_engineering_project_spark.plans.llm as L
+    rows = q241_split_leakage_rows = L.q241_split_leakage(spark, SF1).collect()
+    n24 = L.q24_jaccard_pairs(spark, SF1).count()
+    assert sum(r.n_pairs for r in rows) == n24 > 0
+    for r in rows:
+        assert 1 <= r.n_docs <= 2 * r.n_pairs
+        assert r.split_a <= r.split_b

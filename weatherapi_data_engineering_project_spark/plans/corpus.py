@@ -826,8 +826,56 @@ def q202_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q240_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing schedule: the actual TRAINING ORDER a
+    multi-source run reads documents in, interleaving sources
+    proportionally to their total character mass via stride scheduling
+    — the k-th doc of source s lands at virtual time k/weight_s, so a
+    source holding 30% of the corpus occupies ~30% of every schedule
+    window (no head-of-corpus bias, no RNG, reproducible on any
+    cluster). The operator a 100 TB mixture run needs BEFORE sharding:
+    q81 picks the weights, this emits the order.
+
+    Exactness: virtual time is the scaled integer quotient
+    (k · grand · 10⁶) DIV t_src — pure BIGINT on both engines, no
+    float ratios (document the 2⁶³ headroom: k·grand·10⁶ needs
+    k·corpus_chars < 9.2e12, i.e. re-scale the 10⁶ for corpora beyond
+    ~10¹² chars·rank). Global position = the two-phase bucketed rank
+    (_global_rank_desc over the negated key — no unpartitioned
+    window); per-source k is a source-partitioned window."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("nc")
+    )
+    t = d.groupBy("source").agg(F.sum("nc").alias("t_src"))
+    g = d.agg(F.sum("nc").alias("grand"))
+    wk = Window.partitionBy("source").orderBy("doc_id")
+    k = d.select("doc_id", "source", F.row_number().over(wk).alias("k"))
+    v = (
+        k.join(t, "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "source",
+            "k",
+            F.expr(
+                "CAST((CAST(k AS BIGINT) * grand * 1000000) DIV t_src"
+                " AS BIGINT)"
+            ).alias("vt"),
+        )
+    )
+    r = _global_rank_desc(
+        v.select("doc_id", (-F.col("vt")).alias("nk")), "nk"
+    ).withColumnRenamed("r", "position")
+    return v.join(r, "doc_id").select(
+        "doc_id", "source", "k", "vt", "position"
+    )
+
+
 QUERIES = {
     "q86_dup_spans": q86_dup_spans,
+    "q240_mixture_schedule": q240_mixture_schedule,
     "q202_rrf_fusion": q202_rrf_fusion,
     "q87_semantic_dedup": q87_semantic_dedup,
     "q88_mmr_rerank": q88_mmr_rerank,
@@ -921,6 +969,22 @@ def q96_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q96_curation_pipeline"] = q96_curation_pipeline
 
 ORACLE = {
+    "q240_mixture_schedule": """
+        WITH t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t_src
+                   FROM documents GROUP BY source),
+        g AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS grand FROM documents),
+        k AS (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS k
+              FROM documents),
+        v AS (SELECT doc_id, source, k,
+                     CAST((CAST(k AS BIGINT) * grand * 1000000) // t_src
+                          AS BIGINT) AS vt
+              FROM k JOIN t USING (source) CROSS JOIN g)
+        SELECT doc_id, source, CAST(k AS INT) AS k, vt,
+               ROW_NUMBER() OVER (ORDER BY vt, doc_id) AS position
+        FROM v
+    """,
     "q202_rrf_fusion": f"""
         WITH t AS (
             SELECT doc_id, n_chars AS k1, len({_TOK}) AS k2

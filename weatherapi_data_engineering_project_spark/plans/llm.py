@@ -948,6 +948,66 @@ def q85_crosssource_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q241_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval near-dup leakage audit: q24's verified near-dup
+    pairs joined to q79's deterministic split assignment on BOTH ends,
+    counted per unordered split pair — the eval-hygiene check that
+    catches a test document whose near-duplicate sits in train, which
+    exact-overlap contamination (q63) and semantic contamination (q93)
+    measure differently (this one uses the dedup pipeline's own pair
+    evidence, so 'leaked' here means 'the dedup run would have caught
+    it'). Output: (split_a <= split_b, n_pairs, n_docs involved).
+
+    Scale shape: the pair frame is the df-capped shingle equi-join
+    (candidate-bounded, never corpus²); the split column is a
+    codegen'd md5 projection; the two split lookups join on doc_id
+    (duplicate-count-sized right sides, AQE broadcasts); one final
+    group-agg over ≤6 split-pair rows."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(
+        d, "text", "doc_id", JACCARD_THRESHOLD, max_doc_freq=MAX_SHINGLE_DF
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "0d", F.lit("test"))
+        .when(h2 < "1a", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    sp = d.select("doc_id", split.alias("split"))
+    j = (
+        pairs.select("id1", "id2")
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id1"), F.col("split").alias("s1")
+            ),
+            "id1",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id2"), F.col("split").alias("s2")
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+        )
+    )
+    return (
+        j.select(
+            "split_a", "split_b",
+            F.explode(F.array("id1", "id2")).alias("doc"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+    )
+
+
 def q72_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame ARTIFACT: the kept corpus itself. q47 labels
     every paired document; here each cluster's non-representative
@@ -1109,6 +1169,7 @@ QUERIES = {
     "q22_fingerprint": q22_fingerprint,
     "q23_exact_dedup": q23_exact_dedup,
     "q24_jaccard_pairs": q24_jaccard_pairs,
+    "q241_split_leakage": q241_split_leakage,
     "q25_minhash_lsh": q25_minhash_lsh,
     "q123_containment_dedup": q123_containment_dedup,
     "q141_dedup_savings": q141_dedup_savings,
@@ -1566,6 +1627,41 @@ ORACLE = {
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY 1
+    """,
+    "q241_split_leakage": f"""
+        WITH {_SHINGLES_CTE},
+        hot AS (SELECT shingle FROM ex
+                GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+        exc AS (SELECT e.doc_id, e.shingle FROM ex e
+                ANTI JOIN hot h ON e.shingle = h.shingle),
+        exn AS (SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
+                       shingle
+                FROM exc),
+        p AS (SELECT id1, id2 FROM (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       CAST(COUNT(*) AS DOUBLE)
+                           / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+                FROM exn a JOIN exn b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              WHERE jaccard >= {JACCARD_THRESHOLD}),
+        sp AS (SELECT doc_id,
+                      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                           THEN 'test'
+                           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                           THEN 'val'
+                           ELSE 'train' END AS split
+               FROM documents),
+        e2 AS (SELECT LEAST(a.split, b.split) AS split_a,
+                      GREATEST(a.split, b.split) AS split_b,
+                      unnest([id1, id2]) AS doc
+               FROM p JOIN sp a ON a.doc_id = id1
+                      JOIN sp b ON b.doc_id = id2)
+        SELECT split_a, split_b,
+               CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+        FROM e2 GROUP BY split_a, split_b
     """,
     "q24_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},

@@ -215,59 +215,28 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-def q218_stream_outer_interval_join(
-    spark: SparkSession, sf_dir: str
+def _drain_sentinel_interval_join(
+    spark: SparkSession, sf_dir: str, tag: str, how: str
 ) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join through the REAL
-    engine: click (even event_id) → purchase (odd event_id) pairs of
-    the same user within 1 hour, where a click with NO purchase in its
-    window is emitted with a NULL right side — attribution's
-    "never-converted" rows, which the engine may only emit once the
-    watermark proves a late purchase impossible. This is the
-    watermark-EVICTION semantics q70's inner join never exercises:
-    outer results exist ONLY because state aged out.
-
-    Oracle completeness via the sentinel-flush protocol: the real
-    events replay as 8 files taken in micro-batch 1; two sentinel
-    files (one row per join-side parity, event_id −1/−2, at +10 d and
-    +20 d past the real max ts) land in micro-batches 2 and 3 under
-    ``maxFilesPerTrigger=8``. Batch 2's watermark (= real max − 2 h
-    delay) evicts-and-emits most unmatched clicks; batch 3's
-    (= sentinel1 − 2 h, far past every real window) flushes the rest —
-    so by stop, EVERY real click has either its matches or its NULL
-    row, and the result equals the batch LEFT JOIN exactly (sentinels
-    filtered by id sign; they can match nothing real). Per-batch
-    parquet spill, no driver collect."""
+    """The q218 sentinel-flush drain, shared by the left- and
+    full-outer variants (q218/q239): replay events as 8 files (one
+    micro-batch), then two sentinel waves (+10 d / +20 d, both join
+    parities) that advance the watermark far past every real window so
+    EVERY outer-null row flushes before stop. Sentinel participations
+    filter out on read-back by id sign — never on the streaming plan
+    (a left-side predicate would push through the outer join into the
+    scan and starve the watermark node; see q218's docstring)."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id"
     )
-    work = _work_dir("q218", sf_dir)
+    work = _work_dir(tag, sf_dir)
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
-    # Exactly 8 real files (repartition, NOT coalesce — a single-split
-    # scan cannot be coalesced UP, and a 1-file wave would misalign
-    # every micro-batch boundary below) so wave 1 fills micro-batch 1
-    # under maxFilesPerTrigger=8.
     ev.repartition(8).write.mode("overwrite").parquet(src)
     max_ts = ev.agg(F.max("ts").alias("m")).first().m
-    # Sentinel parity: Spark's % keeps the sign, so the LEFT filter
-    # (% 2 == 0) catches −2/−4 and the RIGHT filter (% 2 != 0) catches
-    # −1/−3 — each side's watermark column sees both jumps. Watermarks
-    # advance only BETWEEN micro-batches, and AvailableNow runs no
-    # trailing no-data batch — so eviction driven by a wave's rows
-    # happens during the NEXT wave's batch. Wave 2 (8 single-row
-    # sentinel files at +10 d) fills micro-batch 2: its eviction pass
-    # uses wave 1's watermark and flushes most unmatched clicks; wave
-    # 3 (one file at +20 d) is micro-batch 3, whose eviction pass uses
-    # wave 2's +10 d watermark — far past every real join window — and
-    # flushes the rest. The 1 s sleeps keep the waves' file mod-times
-    # strictly ordered (the file source batches oldest-first).
-    # spark.range(lo, hi, 1, n) pre-splits into n contiguous non-empty
-    # partitions — one write job per wave, exact file counts, no
-    # shuffle and no per-row py4j round-trips.
     for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
         time.sleep(1.0)
         sent = spark.range(lo, hi, 1, nparts).select(
@@ -293,15 +262,8 @@ def q218_stream_outer_interval_join(
         stream.filter(F.col("event_id") % 2 != 0),
         max_lag="1 hour",
         watermark="2 hours",
-        how="left_outer",
+        how=how,
     )
-    # The sentinel filter MUST NOT sit on the streaming plan: a
-    # left-side predicate pushes THROUGH a left-outer join into the
-    # left scan, and the left watermark node would then never see the
-    # sentinel event times (the drain stalls at the real-data
-    # watermark and the tail nulls never flush). Filter the spill on
-    # read-back instead — sentinel participations are identifiable by
-    # id sign.
     q = (
         joined.writeStream.foreachBatch(sink)
         .outputMode("append")
@@ -318,7 +280,71 @@ def q218_stream_outer_interval_join(
             "user_id bigint, event_id bigint, ts timestamp, "
             "p_event_id bigint, p_ts timestamp, lag_us bigint",
         )
-    return spark.read.parquet(out).filter(F.col("event_id") >= 0)
+    # sentinel filter on read-back: either side's id < 0 marks a
+    # sentinel participation (full_outer rows may carry NULL on one
+    # side — coalesce treats the absent side as real)
+    return spark.read.parquet(out).filter(
+        (F.coalesce(F.col("event_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("p_event_id"), F.lit(0)) >= 0)
+    )
+
+
+def q218_stream_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through the REAL
+    engine: click (even event_id) → purchase (odd event_id) pairs of
+    the same user within 1 hour, where a click with NO purchase in its
+    window is emitted with a NULL right side — attribution's
+    "never-converted" rows, which the engine may only emit once the
+    watermark proves a late purchase impossible. This is the
+    watermark-EVICTION semantics q70's inner join never exercises:
+    outer results exist ONLY because state aged out.
+
+    Oracle completeness via the sentinel-flush protocol: the real
+    events replay as 8 files taken in micro-batch 1; two sentinel
+    files (one row per join-side parity, event_id −1/−2, at +10 d and
+    +20 d past the real max ts) land in micro-batches 2 and 3 under
+    ``maxFilesPerTrigger=8``. Batch 2's watermark (= real max − 2 h
+    delay) evicts-and-emits most unmatched clicks; batch 3's
+    (= sentinel1 − 2 h, far past every real window) flushes the rest —
+    so by stop, EVERY real click has either its matches or its NULL
+    row, and the result equals the batch LEFT JOIN exactly (sentinels
+    filtered by id sign; they can match nothing real). Per-batch
+    parquet spill, no driver collect.
+
+    Mechanics notes (shared drain, _drain_sentinel_interval_join):
+    exactly 8 real files (repartition, NOT coalesce — a single-split
+    scan cannot be coalesced UP) fill micro-batch 1 under
+    maxFilesPerTrigger=8. Sentinel parity: Spark's % keeps the sign,
+    so the LEFT filter (% 2 == 0) catches −2/−4 and the RIGHT filter
+    catches −1/−3 — each side's watermark column sees both jumps.
+    Watermarks advance only BETWEEN micro-batches and AvailableNow
+    runs no trailing no-data batch, so wave 2 (8 single-row files at
+    +10 d) evicts under wave 1's watermark and wave 3 (+20 d) flushes
+    the rest. 1 s sleeps keep wave mod-times strictly ordered;
+    spark.range(lo, hi, 1, n) yields n non-empty files in ONE job."""
+    return _drain_sentinel_interval_join(spark, sf_dir, "q218", "left_outer")
+
+
+def q239_stream_full_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join through the real engine:
+    q218's click→purchase attribution, now ALSO emitting orphan
+    purchases — conversions with no attributable click inside the
+    look-back window, the rows a marketing pipeline books as "organic".
+    Both directions of null-emission are watermark-EVICTION results:
+    an unmatched click flushes when the purchase watermark passes its
+    window, an unmatched purchase when the click watermark does — the
+    symmetric state-retirement semantics only a full outer join
+    exercises (left_outer retires right-side state silently).
+
+    Same sentinel-flush drain as q218 (both parities ride every wave,
+    so both sides' watermarks jump together); user_id coalesces across
+    sides so right-only rows keep their key. Oracle: the batch FULL
+    JOIN with the identical interval condition."""
+    return _drain_sentinel_interval_join(spark, sf_dir, "q239", "full_outer")
 
 
 def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +728,7 @@ QUERIES = {
     "q43_approx_distinct": q43_approx_distinct,
     "q70_stream_interval_join": q70_stream_interval_join,
     "q218_stream_outer_interval_join": q218_stream_outer_interval_join,
+    "q239_stream_full_outer_interval_join": q239_stream_full_outer_interval_join,
     "q76_stream_dedup": q76_stream_dedup,
     "q84_continuous_rollup": q84_continuous_rollup,
     "q90_stream_static_enrich": q90_stream_static_enrich,
@@ -776,6 +803,22 @@ ORACLE: dict[str, str] = {
     """,
     "q76_stream_dedup": """
         SELECT event_id, ts, user_id FROM events
+    """,
+    "q239_stream_full_outer_interval_join": """
+        WITH l AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_id % 2 = 0),
+        r AS (
+            SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event_id
+            FROM events WHERE event_id % 2 = 1)
+        SELECT COALESCE(l.user_id, r.p_user) AS user_id,
+               l.event_id, l.ts,
+               r.p_event_id, r.p_ts,
+               epoch_us(r.p_ts) - epoch_us(l.ts) AS lag_us
+        FROM l FULL JOIN r
+          ON r.p_user = l.user_id
+         AND r.p_ts >= l.ts
+         AND r.p_ts <= l.ts + INTERVAL 1 HOUR
     """,
     "q218_stream_outer_interval_join": """
         WITH l AS (

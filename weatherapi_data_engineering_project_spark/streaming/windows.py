@@ -165,6 +165,13 @@ def stream_interval_join(
     advance the watermark past every real row before stopping
     (q218's sentinel protocol).
 
+    ``how="full_outer"`` (q239): BOTH sides emit null-partner rows on
+    eviction — unconverted clicks AND orphan purchases (conversions
+    with no attributable click) in one pass; ``user_id`` coalesces
+    across sides so the output key survives right-only rows. State
+    bounds are identical to left_outer (both sides already buffer
+    under both watermarks).
+
     Output: (user_id, event_id, ts, p_event_id, p_ts, lag_us) with
     the lag as exact integer microseconds.
     """
@@ -182,10 +189,15 @@ def stream_interval_join(
         & (F.col("p_ts") >= F.col("ts"))
         & (F.col("p_ts") <= F.col("ts") + F.expr(f"INTERVAL {max_lag}"))
     )
+    uid = (
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id")
+        if how == "full_outer"
+        else F.col("user_id")
+    )
     return (
         lhs.join(rhs, cond, how)
         .select(
-            "user_id",
+            uid,
             "event_id",
             "ts",
             "p_event_id",
