@@ -395,3 +395,26 @@ def test_q241_split_leakage_consistency(spark):
     for r in rows:
         assert 1 <= r.n_docs <= 2 * r.n_pairs
         assert r.split_a <= r.split_b
+
+
+def test_q242_bucketed_join_eliminates_join_exchanges(spark):
+    """The co-located join must read bucket files straight into the
+    SortMergeJoin: no Exchange on either join key anywhere in the
+    plan — the only shuffle left is the final groupBy's. (Broadcast
+    disabled for the pin so the SMJ path is observable.)"""
+    from weatherapi_data_engineering_project_spark.plans.layout import (
+        q242_bucketed_join,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q242_bucketed_join(spark, SF1)
+        df.collect()
+        p = _phys(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
+    assert "CartesianProduct" not in p

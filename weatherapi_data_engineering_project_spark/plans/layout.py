@@ -875,8 +875,71 @@ def q192_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q242_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-level bucketing + exchange-free co-located join: orders
+    and lineitem are written as BUCKETED tables (8 buckets, clustered
+    and sorted by orderkey), then joined — the physical plan reads the
+    bucket files directly into a SortMergeJoin with NO shuffle on
+    either side (pinned in tests/test_round8_queries.py: the only
+    Exchange left is the final groupBy's). This is the standing answer
+    to the repeated-big-join problem at 100 TB: pay the orderkey
+    shuffle ONCE at write time, and every subsequent join/aggregation
+    on that key is exchange-free; co-bucketed fact tables co-locate
+    without broadcast or AQE help.
+
+    Mechanics: external datasource tables (explicit path under the
+    session temp dir, name tagged by sf_dir) registered in the session
+    catalog — bucket metadata lives in the catalog, so create + read
+    happen in the same invocation; DROP + overwrite keeps reruns
+    idempotent. Result values are layout-independent (the oracle is
+    the plain join over the raw parquet), so the differential certifies
+    that bucketing changed the PLAN, not the answer."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"bkt_tables_{tag}")
+    specs = [
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus"]),
+        (
+            "lineitem",
+            "l_orderkey",
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+    ]
+    for tbl, key, cols in specs:
+        name = f"bkt_{tbl}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table(f"bkt_orders_{tag}")
+    li = spark.table(f"bkt_lineitem_{tag}")
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.expr(rev)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
+    "q242_bucketed_join": q242_bucketed_join,
     "q192_zonemap_prune": q192_zonemap_prune,
     "q107_countmin_sketch": q107_countmin_sketch,
     "q108_bloom_prune": q108_bloom_prune,
@@ -891,6 +954,15 @@ _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
 _DUCK_BLOOM_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _BLOOM_SEEDS)
 
 ORACLE = {
+    "q242_bucketed_join": """
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
     "q192_zonemap_prune": """
         WITH rng AS (
             SELECT MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
