@@ -1809,8 +1809,330 @@ def q238_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 8 batch 2: the eight TPC-H shapes that complete the 22 ---
+# Q4, Q6, Q9, Q10, Q12, Q14, Q15, Q16 adapted to this testdata schema
+# (no partsupp / l_commitdate / l_shipmode; adaptations documented per
+# query). With these, every one of the 22 TPC-H query shapes has an
+# oracle-matched twin in the registry.
+
+_Q243_SQL_SPARK = """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+        GROUP BY o_orderpriority
+    """
+
+
+def q243_priority_delay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: lineitem has no
+    commitdate/receiptdate, so "late" = shipped more than 60 days
+    after the order date — which makes the EXISTS subquery correlate
+    on BOTH an equality (orderkey) and an inequality that references
+    the OUTER table's o_orderdate. Runs as literal SQL so Catalyst
+    exercises `RewritePredicateSubquery` with a non-equi conjunct: the
+    rewrite must keep the inequality in the LeftSemi join condition
+    (pinned, tests/test_round8_queries.py) rather than dropping or
+    pre-filtering it. One semi-join shuffle on orderkey, then a tiny
+    5-group aggregate; the date range pushes into the orders scan."""
+    _register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q243_SQL_SPARK)
+
+
+def q244_discount_revenue_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): scan-only aggregate —
+    what revenue was given away as discount in 1996 on mid-discount,
+    small-quantity lines. No join at all: the yardstick query for
+    predicate pushdown + whole-stage codegen (all three filters reach
+    the parquet scan; only 4 columns read). Exactness: the discount
+    band compares DECIMAL(18,2) images (a raw double BETWEEN 0.05 AND
+    0.07 would hinge on binary-fraction luck); revenue is the exact
+    4-decimal product ext·disc summed as decimal, cast to double
+    once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.expr("CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07")
+            & (F.col("l_quantity").cast("bigint") < 24)
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * CAST(l_discount AS DECIMAL(18,2))"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# exact 0.1-millicent ledger terms shared by q245/q246/q248: revenue
+# (4 true decimals) and a unit supply cost of p_retailprice/10 (3 true
+# decimals), both as BIGINT e4 units so sums/compares are integer-exact
+_REV_E4 = f"CAST(CAST({_REV} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+_COST_E4 = (
+    "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " * 10 * CAST(l_quantity AS BIGINT)"
+)
+
+
+def q245_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no partsupp, so the
+    supply cost of a line is p_retailprice/10 per unit; profit =
+    revenue − cost, for parts named 'red %', grouped by the SUPPLIER's
+    nation and order year. The 5-way star: part/supplier/nation
+    broadcast onto the lineitem scan (the part name filter prunes
+    lineitem FIRST), then one shuffle joins orders for the year.
+    Exactness: both terms live in BIGINT e4 units (_REV_E4/_COST_E4),
+    so the per-group profit sum is integer-exact and order-independent;
+    ONE cast to double at output."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey", "p_retailprice")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    j = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.expr(_REV_E4) - F.expr(_COST_E4)).alias("profit_e4"),
+        )
+        .join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum("profit_e4").alias("p4"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("p4").cast("double") / 10000).alias("sum_profit"),
+        )
+    )
+
+
+def q246_returned_item_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns (l_returnflag = 'R') on Q4-1996 orders. The
+    fact-fact join shuffles on orderkey; the customer/nation dims
+    broadcast; the top-20 is a TakeOrderedAndProject (pinned — no
+    global sort materializes). Exactness: revenue ranks by its BIGINT
+    e4 image with a custkey tiebreak, so the SELECTED set is
+    deterministic cross-engine; double conversion happens after the
+    cut."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", F.expr(_REV_E4).alias("rev_e4"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum("rev_e4").alias("rev_e4")
+    )
+    return (
+        g.orderBy(F.desc("rev_e4"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def q247_late_shipment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted: no
+    l_shipmode column, so the grouping dimension is l_linestatus and
+    "late" = shipped more than 90 days after the order date. Counts
+    critical- vs normal-priority orders among 1996's late lines — the
+    conditional-aggregate-over-join shape. One shuffle on orderkey;
+    the shipdate range pushes into the lineitem scan while the
+    cross-table lateness predicate evaluates post-join. Pure integer
+    outputs."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL '90' DAY")
+    )
+    return late.groupBy("l_linestatus").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        ).alias("high_line_count"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0
+            ).otherwise(1)
+        ).alias("low_line_count"),
+    )
+
+
+def q248_promo_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of September-1996
+    revenue that came from PROMO-type parts. Broadcast part join onto
+    the month-pruned lineitem scan; ONE conditional aggregate produces
+    numerator and denominator together (the classic two-scan phrasing
+    is one scan here). Exactness: both sums are BIGINT e4 ledgers; the
+    percentage divides their exact double images with the same formula
+    string on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p_type") == "PROMO", F.expr(_REV_E4)
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("promo_e4"),
+            F.sum(F.expr(_REV_E4)).alias("total_e4"),
+        )
+    )
+    return g.select(
+        (F.col("promo_e4").cast("double") / 10000).alias("promo_revenue"),
+        (F.col("total_e4").cast("double") / 10000).alias("total_revenue"),
+        (
+            F.col("promo_e4").cast("double")
+            * 100
+            / F.col("total_e4").cast("double")
+        ).alias("promo_share"),
+    )
+
+
+_Q249_SQL = f"""
+        WITH r AS (
+            SELECT l_suppkey,
+                   CAST(SUM({_REV}) AS DECIMAL(18,4)) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN r ON s_suppkey = l_suppkey
+        WHERE rev = (SELECT MAX(rev) FROM r)
+    """
+
+
+def q249_top_revenue_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose Q1-1996 revenue
+    equals the global maximum — the view + uncorrelated scalar
+    subquery shape. Literal SQL so Catalyst plans the scalar MAX as a
+    broadcast 1-row subquery result over the re-used revenue CTE;
+    plan pin: no cartesian / nested-loop join. Exactness: revenues
+    compare as DECIMAL(18,4) (the exact 4-decimal sum), so the
+    max-equality never hinges on a double ulp; the only double is the
+    output column."""
+    _register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_Q249_SQL)
+
+
+def q250_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: supplier
+    offerings derive from DISTINCT (partkey, suppkey) lineitem pairs
+    (no partsupp), excluded suppliers are those with negative account
+    balance (no s_comment to grep), and the count-distinct histogram
+    runs per (brand, type, size) over the usual Q16 filter. The NOT IN
+    becomes a broadcast LeftAnti (pinned); part is a broadcast join;
+    the only big shuffle deduplicates the pair set, and the
+    count-distinct re-shuffles the surviving ~50k pairs."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
+    "q243_priority_delay_audit": q243_priority_delay_audit,
+    "q244_discount_revenue_forecast": q244_discount_revenue_forecast,
+    "q245_nation_profit": q245_nation_profit,
+    "q246_returned_item_revenue": q246_returned_item_revenue,
+    "q247_late_shipment_priority": q247_late_shipment_priority,
+    "q248_promo_revenue_share": q248_promo_revenue_share,
+    "q249_top_revenue_supplier": q249_top_revenue_supplier,
+    "q250_supplier_part_counts": q250_supplier_part_counts,
     "q234_large_order_customers": q234_large_order_customers,
     "q235_disjunctive_revenue": q235_disjunctive_revenue,
     "q236_idle_rich_customers": q236_idle_rich_customers,
@@ -1927,6 +2249,99 @@ ORACLE = {
                    / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
                CAST(SUM(rev) AS DOUBLE) AS total_revenue
         FROM j GROUP BY o_year
+    """,
+    "q243_priority_delay_audit": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q244_discount_revenue_forecast": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+          AND CAST(l_quantity AS BIGINT) < 24
+    """,
+    "q245_nation_profit": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM({_REV_E4} - {_COST_E4}) AS DOUBLE) / 10000
+                   AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE 'red %'
+        GROUP BY n_name, 2
+    """,
+    "q246_returned_item_revenue": f"""
+        WITH g AS (
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM({_REV_E4}) AS BIGINT) AS rev_e4
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name)
+        SELECT c_custkey, c_name,
+               CAST(rev_e4 AS DOUBLE) / 10000 AS revenue,
+               c_acctbal, n_name
+        FROM g ORDER BY rev_e4 DESC, c_custkey LIMIT 20
+    """,
+    "q247_late_shipment_priority": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+    """,
+    "q248_promo_revenue_share": f"""
+        WITH g AS (
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_E4}
+                                 ELSE 0 END) AS BIGINT) AS promo_e4,
+                   CAST(SUM({_REV_E4}) AS BIGINT) AS total_e4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01')
+        SELECT CAST(promo_e4 AS DOUBLE) / 10000 AS promo_revenue,
+               CAST(total_e4 AS DOUBLE) / 10000 AS total_revenue,
+               CAST(promo_e4 AS DOUBLE) * 100 / CAST(total_e4 AS DOUBLE)
+                   AS promo_share
+        FROM g
+    """,
+    "q249_top_revenue_supplier": _Q249_SQL,
+    "q250_supplier_part_counts": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs
+        JOIN part ON p_partkey = l_partkey
+        ANTI JOIN bad ON l_suppkey = s_suppkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+        GROUP BY p_brand, p_type, p_size
     """,
     # q228/q230 run as literal SQL on the Spark side; the oracle is the
     # SAME text (both are plain ANSI), so any drift is engine drift.
