@@ -2274,8 +2274,541 @@ def q217_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- round 8 batch 3: nonparametric rank statistics ---
+# Mann-Whitney U, Spearman rho, Kruskal-Wallis H, Kendall tau-b,
+# Theil-Sen slope. The shared trick: every rank is a VALUE-LEVEL
+# quantity — midrank(v) = cum_before(v) + (ties(v)+1)/2 — so ranking
+# needs only the per-distinct-value count frame (bounded by the value
+# domain, not the corpus) and a cumulative window over that bounded
+# grid. Doubled midranks (2·midrank, always integral) keep every rank
+# sum a BIGINT; doubles appear once, in the final shared formula.
+
+
+def _midrank2_frame(counts: DataFrame, extra: list[str]) -> DataFrame:
+    """counts(v, cnt, *extra) -> + mr2 = 2·midrank(v) (exact BIGINT).
+
+    The window runs over the DISTINCT-VALUE frame — bounded by the
+    value domain (doc lengths, quantity levels), not the row count, so
+    the single-partition cumsum is a bounded-grid scan at any corpus
+    size (the q127 ECDF argument)."""
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "v",
+        "cnt",
+        *extra,
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("mr2"),
+    )
+
+
+# z-score of the U statistic from exact integer aggregates (tie-corrected
+# variance); identical formula string on both engines, ONE sqrt of exact
+# doubles (IEEE sqrt is correctly rounded, hence cross-engine-identical)
+_MWU_Z = (
+    "ROUND((CAST(u_a_x2 AS DOUBLE) / 2"
+    " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)"
+    " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12"
+    "        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)"
+    "           - CAST(tt AS DOUBLE)"
+    "             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    "                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))))"
+    ", 6)"
+)
+
+
+def q251_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: did the single-digit sources
+    (src0-src9) produce systematically longer documents than the
+    double-digit ones? The workhorse nonparametric A/B test for skewed
+    metrics (doc length, latency) where the t-test's normality
+    assumption fails.
+
+    Exactness: doubled midranks keep the rank sum R_A and the U
+    statistic integral (2·U = 2·R_A − n_A(n_A+1)); the tie term
+    Σ(t³−t) accumulates in DECIMAL(38,0) (a cube of a hot value's tie
+    count can pass 2^63); the tie-corrected z divides exact doubles in
+    one shared formula. Scale: one partial-agg shuffle to value-level
+    counts, a bounded-domain cumsum, a 1-row reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.col("n_chars").alias("v"),
+            F.when(F.length("source") == 4, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("a").alias("cnt_a"))
+    )
+    r = _midrank2_frame(counts, ["cnt_a"])
+    cd = F.col("cnt").cast("decimal(20,0)")
+    s = r.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("mr2")).alias("r_a_x2"),
+        F.sum(cd * cd * cd - cd).cast("decimal(38,0)").alias("tt"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "r_a_x2",
+        (F.col("r_a_x2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u_a_x2"),
+        F.expr(_MWU_Z).alias("z_score"),
+    )
+
+
+_SPEARMAN_RHO = (
+    "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+def q252_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and
+    discount — "do bigger orders get bigger discounts?" asked
+    monotonically, immune to the columns' scales. Pearson on midranks,
+    computed WITHOUT ranking rows: both columns have bounded value
+    domains (50 quantity levels × 11 discount levels), so the joint
+    (qty, disc) cell-count frame plus each column's value-level
+    midrank lookup (broadcast onto the cells) yields every power sum.
+    Second moments accumulate in DECIMAL(38,0) (q135 convention — a
+    BIGINT Σr² overflows ~2^63 at full scale); the rho formula divides
+    their exact double images identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nc"))
+    rx = _midrank2_frame(
+        cells.groupBy(F.col("x").alias("v")).agg(F.sum("nc").alias("cnt")),
+        [],
+    ).select(F.col("v").alias("x"), F.col("mr2").alias("rx2"))
+    ry = _midrank2_frame(
+        cells.groupBy(F.col("y").alias("v")).agg(F.sum("nc").alias("cnt")),
+        [],
+    ).select(F.col("v").alias("y"), F.col("mr2").alias("ry2"))
+    j = cells.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    rxd = F.col("rx2").cast("decimal(19,0)")
+    ryd = F.col("ry2").cast("decimal(19,0)")
+    s = j.agg(
+        F.sum("nc").alias("n"),
+        F.sum(F.col("nc") * F.col("rx2")).alias("sx"),
+        F.sum(F.col("nc") * F.col("ry2")).alias("sy"),
+        F.sum(F.col("nc") * (rxd * rxd)).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("nc") * (ryd * ryd)).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("nc") * (rxd * ryd)).cast("decimal(38,0)").alias("sxy"),
+    )
+    return s.select(
+        "n", "sx", "sy", F.expr(_SPEARMAN_RHO).alias("spearman_rho")
+    )
+
+
+def q253_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: one-way rank ANOVA across ALL 20 sources'
+    doc-length distributions — the k-group generalization of q251
+    ("is any source's length profile shifted?"). Output: one row per
+    source with its exact doubled rank sum and mean rank, plus the
+    global tie-corrected H on every row (broadcast scalar).
+
+    Exactness: midranks from the value-level frame as in q251; each
+    source's R²/n term is a ROUND-9 double CAST to DECIMAL(28,9)
+    before summing (the q124 per-term convention) so the H sum is
+    order-independent; Σ(t³−t) in DECIMAL(38,0). Scale: value-level
+    counts shuffle, a bounded-domain cumsum, one 20-row agg."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        F.col("n_chars").alias("v"), "source"
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    totals = cells.groupBy("v").agg(F.sum("nc").alias("cnt"))
+    mr = _midrank2_frame(totals, []).select("v", "mr2", "cnt")
+    per_src = (
+        cells.join(F.broadcast(mr.select("v", "mr2")), "v")
+        .groupBy("source")
+        .agg(
+            F.sum("nc").alias("n_j"),
+            F.sum(F.col("nc") * F.col("mr2")).alias("r_x2"),
+        )
+    )
+    # per-source H contribution: (R_j)^2 / n_j = (r_x2/2)^2 / n_j,
+    # rounded to 9 decimals then summed exactly as decimal
+    rd = F.col("r_x2").cast("decimal(19,0)")
+    term = (
+        F.round(
+            (rd * rd).cast("decimal(38,0)").cast("double")
+            / (4 * F.col("n_j")),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("term")
+    )
+    cd = F.col("cnt").cast("decimal(20,0)")
+    glob = (
+        per_src.select("n_j", term)
+        .agg(F.sum("n_j").alias("nn"), F.sum("term").alias("sterm"))
+        .crossJoin(
+            F.broadcast(
+                mr.agg(
+                    F.sum(cd * cd * cd - cd)
+                    .cast("decimal(38,0)")
+                    .alias("tt")
+                )
+            )
+        )
+        .select(
+            "nn",
+            F.expr(
+                "ROUND(12 * CAST(sterm AS DOUBLE)"
+                " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))"
+                " - 3 * (CAST(nn AS DOUBLE) + 1), 6)"
+            ).alias("h_stat"),
+            F.expr(
+                "ROUND((12 * CAST(sterm AS DOUBLE)"
+                " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))"
+                " - 3 * (CAST(nn AS DOUBLE) + 1))"
+                " / (1 - CAST(tt AS DOUBLE)"
+                "     / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
+                "        * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6)"
+            ).alias("h_corrected"),
+        )
+    )
+    return per_src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_j",
+        "r_x2",
+        F.expr(
+            "ROUND(CAST(r_x2 AS DOUBLE) / (2 * CAST(n_j AS DOUBLE)), 6)"
+        ).alias("mean_rank"),
+        "h_stat",
+        "h_corrected",
+    )
+
+
+_TAUB = (
+    "ROUND((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))"
+    " / (sqrt((CAST(n0_x2 AS DOUBLE) - CAST(n1_x2 AS DOUBLE)) / 2)"
+    "    * sqrt((CAST(n0_x2 AS DOUBLE) - CAST(n2_x2 AS DOUBLE)) / 2)), 6)"
+)
+
+
+def q254_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between lineitem quantity and discount: the
+    concordant/discordant pair census, computed on the DENSE bounded
+    (quantity × discount) grid instead of the O(n²) pair join — for
+    cell (i,j), the pairs concordant with it are n_ij · Σ_{k>i,l>j}
+    n_kl, and that double suffix sum is two cascaded windows over the
+    ~550-cell grid (suffix-within-discount, then suffix-across-
+    discounts). The value-domain grid is corpus-size-independent: the
+    only full-data pass is the cell count.
+
+    Exactness: everything integral — doubled tie terms n(n−1) stay
+    even, C/D are exact BIGINTs, tau-b's denominator multiplies two
+    IEEE sqrts of exact doubles in a shared formula string."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nc"))
+    xs = cells.select("x").distinct()
+    ys = cells.select("y").distinct()
+    dense = (
+        xs.crossJoin(F.broadcast(ys))
+        .join(cells, ["x", "y"], "left")
+        .fillna(0, subset=["nc"])
+    )
+    sfx_x = Window.partitionBy("y").orderBy("x").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    g = dense.withColumn(
+        "sx", F.coalesce(F.sum("nc").over(sfx_x), F.lit(0))
+    )
+    up_y = Window.partitionBy("x").orderBy("y").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    dn_y = Window.partitionBy("x").orderBy(F.desc("y")).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    g = g.withColumn(
+        "cc", F.coalesce(F.sum("sx").over(up_y), F.lit(0))
+    ).withColumn("dd", F.coalesce(F.sum("sx").over(dn_y), F.lit(0)))
+    marg_x = cells.groupBy("x").agg(F.sum("nc").alias("m"))
+    marg_y = cells.groupBy("y").agg(F.sum("nc").alias("m"))
+    t1 = marg_x.agg(
+        F.sum(F.col("m") * (F.col("m") - 1)).alias("n1_x2")
+    )
+    t2 = marg_y.agg(
+        F.sum(F.col("m") * (F.col("m") - 1)).alias("n2_x2")
+    )
+    s = g.agg(
+        F.sum("nc").alias("n"),
+        F.sum(F.col("nc") * F.col("cc")).cast("bigint").alias("concordant"),
+        F.sum(F.col("nc") * F.col("dd")).cast("bigint").alias("discordant"),
+    )
+    return (
+        s.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "concordant",
+            "discordant",
+            (F.col("n") * (F.col("n") - 1)).cast("bigint").alias("n0_x2"),
+            F.col("n1_x2").cast("bigint").alias("n1_x2"),
+            F.col("n2_x2").cast("bigint").alias("n2_x2"),
+            F.expr(_TAUB).alias("tau_b"),
+        )
+    )
+
+
+def q255_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the (lower) median
+    of all pairwise slopes between the ~82 calendar months — the
+    median-based slope estimator that one outlier month cannot move
+    (unlike q126's OLS fit). The pair frame is the calendar-bounded
+    monthly grid self-joined (≤ a few thousand pairs at ANY corpus
+    size — the grid, not the data, sets the cost), so the full-data
+    work is one month-keyed partial agg.
+
+    Exactness: monthly revenue is the BIGINT e4 ledger; each slope
+    divides two exact integers (IEEE division — identical doubles both
+    engines); the median is selected by (slope, m1, m2) order with
+    row_number = (n+1) DIV 2, deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("mon")
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+                " AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+            )
+        ).alias("c4"),
+        F.datediff(
+            F.to_date(F.date_trunc("month", F.min("l_shipdate"))),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("d"),
+    )
+    a = monthly.select(
+        F.col("mon").alias("m1"), F.col("c4").alias("c1"),
+        F.col("d").alias("d1"),
+    )
+    b = monthly.select(
+        F.col("mon").alias("m2"), F.col("c4").alias("c2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2")).select(
+        "m1",
+        "m2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope_e4"),
+    )
+    w = Window.orderBy("slope_e4", "m1", "m2")
+    ranked = pairs.select(
+        "m1",
+        "m2",
+        "slope_e4",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n_pairs"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+    return med.select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.to_date("m1").alias("median_m1"),
+        F.to_date("m2").alias("median_m2"),
+        F.expr("ROUND(slope_e4 / 10000, 6)").alias("slope_per_day"),
+    )
+
+
+def q260_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan: allocate a fixed
+    budget of 1000 sampled docs across the 20 sources proportional to
+    N_h·S_h (stratum size × stratum std of n_chars) — the allocation
+    that minimizes the variance of the estimated corpus mean, i.e. the
+    design step BEFORE q52's stratified draw. Integer allocations come
+    from the largest-remainder method, so they sum to the budget
+    EXACTLY (floor every quota, then +1 to the largest fractional
+    remainders) — a property proportional rounding does not have.
+
+    Exactness: per-stratum variance numerator n·Σx² − (Σx)² in
+    DECIMAL(38,0) (q135 convention); each weight w_h = N_h·S_h is a
+    ROUND-9 double CAST to DECIMAL(28,9) so the total weight W is an
+    order-independent exact sum; quotas/remainders are shared double
+    formulas over those exact inputs; the remainder ranking (with
+    source tiebreak) runs over the 20-row stratum frame — bounded by
+    the stratum count, not the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("x").alias("s1"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("s2"),
+    )
+    # w_h = N_h * sample std (0 when the stratum cannot estimate one)
+    _W = (
+        "CASE WHEN n_h > 1 THEN CAST(n_h AS DOUBLE)"
+        " * sqrt((CAST(n_h AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        "        / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1)))"
+        " ELSE 0.0 END"
+    )
+    wf = per.select(
+        "source",
+        "n_h",
+        F.expr(f"CAST(ROUND({_W}, 9) AS DECIMAL(28,9))").alias("w"),
+    )
+    tot = wf.agg(F.sum("w").alias("ww"))
+    q = wf.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        F.expr(
+            "1000 * CAST(w AS DOUBLE) / CAST(ww AS DOUBLE)"
+        ).alias("quota"),
+    )
+    q = q.select(
+        "source",
+        "n_h",
+        "quota",
+        F.floor("quota").alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    )
+    leftover = q.agg(
+        (F.lit(1000) - F.sum("base")).cast("bigint").alias("r")
+    )
+    w_rank = Window.orderBy(F.desc("rem"), "source")
+    return (
+        q.withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            F.col("n_h").cast("bigint").alias("n_h"),
+            F.expr("ROUND(quota, 6)").alias("quota"),
+            (
+                F.col("base") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+
+
+_WILC_Z = (
+    "ROUND((CAST(w_pos_x2 AS DOUBLE) / 2"
+    " - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4)"
+    " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)"
+    "        * (2 * CAST(n AS DOUBLE) + 1) / 24"
+    "        - CAST(tt AS DOUBLE) / 48), 6)"
+)
+
+
+def q263_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-user spend SHIFT between the
+    first and second half of the observation window? The paired twin
+    of q251 (same user before/after, so between-user variance cancels)
+    and the magnitude-aware upgrade of q203's sign-only McNemar.
+
+    Pairs: per user, exact cent sums over each half (midpoint =
+    integer mean of the global min/max event micros); zero diffs drop
+    per the standard definition. Midranks of |d| come from the VALUE-
+    LEVEL count frame — but unlike q251's length domain, |d| is NOT
+    value-bounded, so the cumsum runs as the q65/q150 two-phase
+    bucketed rewrite (quantile-bounded buckets, in-bucket windows,
+    broadcast offset stitch) — no unpartitioned window over an
+    unbounded domain. Doubled midranks keep W⁺ integral; Σ(t³−t) in
+    DECIMAL(38,0); the tie-corrected z is one shared formula."""
+    from ._buckets import bucket_of, quantile_bounds
+    from ..caching import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    mid = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("bigint").alias("mid")
+    )
+    per = ev.crossJoin(F.broadcast(mid)).groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("us") <= F.col("mid"), F.col("cents")).otherwise(0)
+        ).alias("s1"),
+        F.sum(
+            F.when(F.col("us") > F.col("mid"), F.col("cents")).otherwise(0)
+        ).alias("s2"),
+    )
+    dd = per.filter(F.col("s1") != F.col("s2")).select(
+        (F.col("s2") - F.col("s1")).alias("d")
+    )
+    vals = persist_tracked(
+        dd.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cnt_pos"),
+        )
+        .withColumn("_kd", F.col("ad").cast("double"))
+    )
+    bnds = quantile_bounds(vals, "_kd")
+    bk = vals.withColumn("_bkt", bucket_of("_kd", bnds))
+    bs = bk.groupBy("_bkt").agg(F.sum("cnt").alias("bn"))
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            F.col("b._bkt") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("loff"))
+    )
+    wb = (
+        Window.partitionBy("_bkt")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = bk.join(F.broadcast(offs), "_bkt").select(
+        "cnt",
+        "cnt_pos",
+        (
+            2
+            * (
+                F.col("loff")
+                + F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+            )
+            + F.col("cnt")
+            + 1
+        ).alias("mr2"),
+    )
+    cd = F.col("cnt").cast("decimal(20,0)")
+    s = r.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt_pos") * F.col("mr2")).cast("bigint")
+        .alias("w_pos_x2"),
+        F.sum(cd * cd * cd - cd).cast("decimal(38,0)").alias("tt"),
+    )
+    return s.select("n", "w_pos_x2", F.expr(_WILC_Z).alias("z_score"))
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
+    "q263_wilcoxon_signed_rank": q263_wilcoxon_signed_rank,
+    "q260_neyman_allocation": q260_neyman_allocation,
+    "q251_mann_whitney": q251_mann_whitney,
+    "q252_spearman_rank_corr": q252_spearman_rank_corr,
+    "q253_kruskal_wallis": q253_kruskal_wallis,
+    "q254_kendall_tau": q254_kendall_tau,
+    "q255_theil_sen": q255_theil_sen,
     "q203_mcnemar_test": q203_mcnemar_test,
     "q217_correlation_matrix": q217_correlation_matrix,
     "q204_calibration_bins": q204_calibration_bins,
@@ -2345,7 +2878,241 @@ def _q217_oracle() -> str:
     )
 
 
+# shared CTE text for the doubled-midrank frame over a (v, cnt[, ...])
+# count table named {src}: 2*cum_before + cnt + 1
+def _mr2_cte(src: str, extra: str = "") -> str:
+    return f"""
+        SELECT v, cnt{extra},
+               2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + cnt + 1 AS mr2
+        FROM {src}"""
+
+
+_Q255_REV_E4 = (
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+    " * 10000 AS BIGINT)"
+)
+
+
+_Q260_W = (
+    "CASE WHEN n_h > 1 THEN CAST(n_h AS DOUBLE)"
+    " * sqrt((CAST(n_h AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    "         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    "        / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1)))"
+    " ELSE 0.0 END"
+)
+
 ORACLE = {
+    "q263_wilcoxon_signed_rank": f"""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   epoch_us(ts) AS us
+            FROM events),
+        m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        per AS (
+            SELECT user_id,
+                   SUM(CASE WHEN us <= mid THEN cents ELSE 0 END) AS s1,
+                   SUM(CASE WHEN us > mid THEN cents ELSE 0 END) AS s2
+            FROM ev, m GROUP BY user_id),
+        dd AS (SELECT CAST(s2 - s1 AS BIGINT) AS d FROM per
+               WHERE s1 <> s2),
+        vals AS (
+            SELECT ABS(d) AS ad, COUNT(*) AS cnt,
+                   SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cnt_pos
+            FROM dd GROUP BY 1),
+        r AS (
+            SELECT cnt, cnt_pos,
+                   2 * COALESCE(SUM(cnt) OVER (ORDER BY ad
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + cnt + 1 AS mr2
+            FROM vals),
+        s AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(cnt_pos * mr2) AS BIGINT) AS w_pos_x2,
+                   SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tt
+            FROM r)
+        SELECT n, w_pos_x2, {_WILC_Z} AS z_score FROM s
+    """,
+    "q260_neyman_allocation": f"""
+        WITH per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+                   CAST(SUM(n_chars) AS BIGINT) AS s1,
+                   SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+            FROM documents GROUP BY 1),
+        wf AS (
+            SELECT source, n_h,
+                   CAST(ROUND({_Q260_W}, 9) AS DECIMAL(28,9)) AS w
+            FROM per),
+        tot AS (SELECT SUM(w) AS ww FROM wf),
+        q AS (
+            SELECT source, n_h,
+                   1000 * CAST(w AS DOUBLE) / CAST(ww AS DOUBLE) AS quota
+            FROM wf, tot),
+        q2 AS (
+            SELECT source, n_h, quota,
+                   CAST(FLOOR(quota) AS BIGINT) AS base,
+                   quota - FLOOR(quota) AS rem
+            FROM q),
+        lo AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS r FROM q2),
+        rk AS (
+            SELECT source, n_h, quota, base,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+            FROM q2)
+        SELECT source, n_h, ROUND(quota, 6) AS quota,
+               CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+                   AS alloc
+        FROM rk, lo
+    """,
+    "q251_mann_whitney": f"""
+        WITH c AS (
+            SELECT n_chars AS v, COUNT(*) AS cnt,
+                   SUM(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END)
+                       AS cnt_a
+            FROM documents GROUP BY 1),
+        r AS (
+            SELECT v, cnt, cnt_a,
+                   2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + cnt + 1 AS mr2
+            FROM c),
+        s AS (
+            SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                   CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+                   CAST(SUM(cnt_a * mr2) AS BIGINT) AS r_a_x2,
+                   SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tt
+            FROM r)
+        SELECT n_a, n_b, r_a_x2,
+               CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+               {_MWU_Z} AS z_score
+        FROM s
+    """,
+    "q252_spearman_rank_corr": f"""
+        WITH li AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS y
+            FROM lineitem),
+        cells AS (SELECT x, y, COUNT(*) AS nc FROM li GROUP BY x, y),
+        cx AS (SELECT x AS v, SUM(nc) AS cnt FROM cells GROUP BY 1),
+        cy AS (SELECT y AS v, SUM(nc) AS cnt FROM cells GROUP BY 1),
+        rx AS (SELECT v AS x, mr2 AS rx2 FROM ({_mr2_cte("cx")})),
+        ry AS (SELECT v AS y, mr2 AS ry2 FROM ({_mr2_cte("cy")})),
+        j AS (SELECT nc, rx2, ry2
+              FROM cells JOIN rx USING (x) JOIN ry USING (y)),
+        s AS (
+            SELECT CAST(SUM(nc) AS BIGINT) AS n,
+                   CAST(SUM(nc * rx2) AS BIGINT) AS sx,
+                   CAST(SUM(nc * ry2) AS BIGINT) AS sy,
+                   SUM(nc * CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+                   SUM(nc * CAST(ry2 AS HUGEINT) * ry2) AS syy,
+                   SUM(nc * CAST(rx2 AS HUGEINT) * ry2) AS sxy
+            FROM j)
+        SELECT n, sx, sy, {_SPEARMAN_RHO} AS spearman_rho FROM s
+    """,
+    "q253_kruskal_wallis": f"""
+        WITH cells AS (
+            SELECT n_chars AS v, source, COUNT(*) AS nc
+            FROM documents GROUP BY 1, 2),
+        tot AS (SELECT v, SUM(nc) AS cnt FROM cells GROUP BY 1),
+        mr AS ({_mr2_cte("tot")}),
+        ps AS (
+            SELECT source, CAST(SUM(nc) AS BIGINT) AS n_j,
+                   CAST(SUM(nc * mr2) AS BIGINT) AS r_x2
+            FROM cells JOIN mr USING (v) GROUP BY source),
+        tm AS (
+            SELECT CAST(SUM(n_j) AS BIGINT) AS nn,
+                   SUM(CAST(ROUND(CAST(CAST(r_x2 AS HUGEINT) * r_x2
+                                       AS DOUBLE) / (4 * n_j), 9)
+                            AS DECIMAL(28,9))) AS sterm
+            FROM ps),
+        tc AS (SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tt
+               FROM mr),
+        g AS (
+            SELECT nn,
+                   ROUND(12 * CAST(sterm AS DOUBLE)
+                         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))
+                         - 3 * (CAST(nn AS DOUBLE) + 1), 6) AS h_stat,
+                   ROUND((12 * CAST(sterm AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))
+                          - 3 * (CAST(nn AS DOUBLE) + 1))
+                         / (1 - CAST(tt AS DOUBLE)
+                            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                               * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))),
+                         6) AS h_corrected
+            FROM tm, tc)
+        SELECT source, n_j, r_x2,
+               ROUND(CAST(r_x2 AS DOUBLE) / (2 * CAST(n_j AS DOUBLE)), 6)
+                   AS mean_rank,
+               h_stat, h_corrected
+        FROM ps, g
+    """,
+    "q254_kendall_tau": f"""
+        WITH li AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS y
+            FROM lineitem),
+        cells AS (SELECT x, y, COUNT(*) AS nc FROM li GROUP BY x, y),
+        xs AS (SELECT DISTINCT x FROM cells),
+        ys AS (SELECT DISTINCT y FROM cells),
+        dense AS (
+            SELECT xs.x, ys.y, COALESCE(nc, 0) AS nc
+            FROM xs CROSS JOIN ys LEFT JOIN cells USING (x, y)),
+        g AS (
+            SELECT x, y, nc,
+                   COALESCE(SUM(nc) OVER (PARTITION BY y ORDER BY x
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS sx
+            FROM dense),
+        h AS (
+            SELECT nc,
+                   COALESCE(SUM(sx) OVER (PARTITION BY x ORDER BY y
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS cc,
+                   COALESCE(SUM(sx) OVER (PARTITION BY x ORDER BY y DESC
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                       0) AS dd
+            FROM g),
+        m1 AS (SELECT CAST(SUM(m * (m - 1)) AS BIGINT) AS n1_x2
+               FROM (SELECT x, SUM(nc) AS m FROM cells GROUP BY x)),
+        m2 AS (SELECT CAST(SUM(m * (m - 1)) AS BIGINT) AS n2_x2
+               FROM (SELECT y, SUM(nc) AS m FROM cells GROUP BY y)),
+        s AS (
+            SELECT CAST(SUM(nc) AS BIGINT) AS n,
+                   CAST(SUM(nc * cc) AS BIGINT) AS concordant,
+                   CAST(SUM(nc * dd) AS BIGINT) AS discordant
+            FROM h)
+        SELECT concordant, discordant,
+               CAST(n * (n - 1) AS BIGINT) AS n0_x2, n1_x2, n2_x2,
+               {_TAUB} AS tau_b
+        FROM s, m1, m2
+    """,
+    "q255_theil_sen": f"""
+        WITH monthly AS (
+            SELECT date_trunc('month', l_shipdate) AS mon,
+                   CAST(SUM({_Q255_REV_E4}) AS BIGINT) AS c4,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(date_trunc('month', MIN(l_shipdate)) AS DATE))
+                        AS INT) AS d
+            FROM lineitem GROUP BY 1),
+        pairs AS (
+            SELECT a.mon AS m1, b.mon AS m2,
+                   CAST(b.c4 - a.c4 AS DOUBLE)
+                       / CAST(b.d - a.d AS DOUBLE) AS slope_e4
+            FROM monthly a JOIN monthly b ON a.d < b.d),
+        ranked AS (
+            SELECT m1, m2, slope_e4,
+                   ROW_NUMBER() OVER (ORDER BY slope_e4, m1, m2) AS rn,
+                   COUNT(*) OVER () AS n_pairs
+            FROM pairs)
+        SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(m1 AS DATE) AS median_m1, CAST(m2 AS DATE) AS median_m2,
+               ROUND(slope_e4 / 10000, 6) AS slope_per_day
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
     "q217_correlation_matrix": _q217_oracle(),
     "q203_mcnemar_test": f"""
         WITH t AS (

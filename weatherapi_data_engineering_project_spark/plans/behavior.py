@@ -1688,8 +1688,71 @@ def q226_gap_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q258_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness privacy audit — the third leg of the disclosure-
+    control suite (q158 k-anonymity, q207 l-diversity): for each
+    quasi-identifier group (source), the Earth Mover's Distance
+    between its sensitive-attribute distribution (length bucket,
+    n_chars DIV 64 — an ORDERED attribute, so EMD is the mean absolute
+    cumulative gap) and the global distribution. A group with small
+    count but EMD ~ 0 leaks nothing; a k-anonymous group whose length
+    profile diverges from global still fingerprints its members —
+    which is exactly what k and l miss.
+
+    Exactness: EMD = (1/(m-1))·Σ_k |P̂_k − Q̂_k| stays RATIONAL until
+    the end — |a_k·N − b_k·n_g| sums as exact BIGINT (the q127 KS
+    cross-multiplication trick) and one shared division produces the
+    t value. Scale: one partial-agg shuffle to (source × bucket)
+    cells, cumulative windows over the bounded bucket domain, a
+    per-source reduce."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") / 64).cast("bigint").alias("b")
+    )
+    cells = d.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    # dense (source × bucket) grid: every source needs a cumulative
+    # value at every bucket, else missing cells skip cumulative gaps
+    buckets = cells.select("b").distinct()
+    srcs = cells.groupBy("source").agg(F.sum("c").alias("n_g"))
+    dense = (
+        srcs.crossJoin(F.broadcast(buckets))
+        .join(cells, ["source", "b"], "left")
+        .fillna(0, subset=["c"])
+    )
+    wg = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grp = dense.select(
+        "source", "n_g", "b", F.sum("c").over(wg).alias("a_cum")
+    )
+    glob_cells = cells.groupBy("b").agg(F.sum("c").alias("gc"))
+    wq = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    glob = glob_cells.select(
+        "b", F.sum("gc").over(wq).alias("b_cum")
+    ).crossJoin(
+        F.broadcast(cells.agg(F.sum("c").alias("nn")))
+    )
+    j = grp.join(F.broadcast(glob), "b")
+    per_src = j.groupBy("source", "n_g", "nn").agg(
+        F.sum(
+            F.abs(F.col("a_cum") * F.col("nn") - F.col("b_cum") * F.col("n_g"))
+        ).alias("gap_x"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_g").cast("bigint").alias("n_docs"),
+        F.col("gap_x").cast("bigint").alias("gap_x"),
+        F.expr(
+            "ROUND(CAST(gap_x AS DOUBLE)"
+            " / ((CAST(m AS DOUBLE) - 1) * CAST(n_g AS DOUBLE)"
+            "    * CAST(nn AS DOUBLE)), 9)"
+        ).alias("t_emd"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
+    "q258_t_closeness": q258_t_closeness,
     "q198_trend_test": q198_trend_test,
     "q208_dispersion_audit": q208_dispersion_audit,
     "q226_gap_burstiness": q226_gap_burstiness,
@@ -1718,6 +1781,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q258_t_closeness": """
+        WITH d AS (SELECT source, n_chars // 64 AS b FROM documents),
+        cells AS (SELECT source, b, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        buckets AS (SELECT DISTINCT b FROM cells),
+        srcs AS (SELECT source, SUM(c) AS n_g FROM cells GROUP BY 1),
+        dense AS (
+            SELECT srcs.source, srcs.n_g, buckets.b, COALESCE(c, 0) AS c
+            FROM srcs CROSS JOIN buckets
+            LEFT JOIN cells ON cells.source = srcs.source
+                           AND cells.b = buckets.b),
+        grp AS (
+            SELECT source, n_g, b,
+                   SUM(c) OVER (PARTITION BY source ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS a_cum
+            FROM dense),
+        gl AS (
+            SELECT b, SUM(gc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                       AS b_cum,
+                   (SELECT SUM(c) FROM cells) AS nn
+            FROM (SELECT b, SUM(c) AS gc FROM cells GROUP BY 1)),
+        per_src AS (
+            SELECT source, n_g, nn,
+                   CAST(SUM(ABS(a_cum * nn - b_cum * n_g)) AS BIGINT)
+                       AS gap_x,
+                   COUNT(*) AS m
+            FROM grp JOIN gl USING (b)
+            GROUP BY source, n_g, nn)
+        SELECT source, CAST(n_g AS BIGINT) AS n_docs, gap_x,
+               ROUND(CAST(gap_x AS DOUBLE)
+                     / ((CAST(m AS DOUBLE) - 1) * CAST(n_g AS DOUBLE)
+                        * CAST(nn AS DOUBLE)), 9) AS t_emd
+        FROM per_src
+    """,
     "q226_gap_burstiness": f"""
         WITH gaps AS (
             SELECT event_type,

@@ -937,8 +937,177 @@ def q242_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q257_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a partition-laid-out fact table:
+    orders written partitioned by o_orderpriority, then joined to a
+    tiny priority-dimension whose filter (critical priorities only) is
+    NOT on the fact table — Catalyst inserts a dynamicpruning
+    subquery into the fact scan's PartitionFilters, so the scan reads
+    2 of 5 partition directories without the query ever naming them.
+    This is THE mechanism that makes dim-filtered star joins cheap on
+    a 100 TB date/tenant-partitioned fact: the dim filter prunes fact
+    I/O at runtime, not just rows after the scan. Plan pin
+    (tests/test_round8d_queries.py): `dynamicpruning` appears in the
+    fact scan's partition filters and only matching partitions are
+    read.
+
+    The q242 convention: layout is session-temp, tagged by sf_dir,
+    idempotent overwrite; the oracle computes the same aggregate from
+    the RAW table, so the differential certifies the layout changed
+    the PLAN, not the answer."""
+    import os as _os
+    import tempfile as _tempfile
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _os.path.join(_tempfile.gettempdir(), f"dpp_tables_{tag}")
+    fact_path = _os.path.join(base, "orders_by_priority")
+    dim_path = _os.path.join(base, "priority_dim")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(fact_path)
+    )
+    (
+        o.select(F.col("o_orderpriority").alias("p_name"))
+        .distinct()
+        .select(
+            "p_name",
+            F.when(
+                F.col("p_name").isin("1-URGENT", "2-HIGH"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_critical"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("is_critical") == 1)
+    return (
+        fact.join(
+            F.broadcast(dim),
+            fact["o_orderpriority"] == dim["p_name"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q261_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: assign each document (standing in
+    for a data file, sized by n_chars) to an output shard of ~20k
+    chars within its source partition, by the running-offset rule
+    shard = floor(bytes_before / target) — the deterministic next-fit
+    packing a table OPTIMIZE job runs before rewriting thousands of
+    kilobyte files into megabyte ones. Output: per (source, shard) the
+    file count and byte total the rewrite tasks would each handle.
+
+    Scale shape: ONE window shuffle partitioned by source (each
+    partition's running offset sorts locally — the same contract as
+    every per-entity timeline here), then a partial-agg groupBy on the
+    assigned shard. All integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = d.select(
+        "source",
+        "n_chars",
+        (
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 20000
+        )
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return assigned.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("shard_chars"),
+    )
+
+
+def q262_twophase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cardinality COUNT DISTINCT as a salted two-phase exact
+    aggregate: per event type, distinct users counted as
+    groupBy(type, user_id % 16) partial distincts SUMMED per type.
+    Because the salt is a FUNCTION OF THE KEY, a user lands in exactly
+    one salt bucket and the partial counts add exactly — this is the
+    rewrite that replaces one hot distinct-aggregation state per type
+    (the q05 plan's single reducer per group at 100 TB) with 16
+    parallel, individually small states. The oracle is the plain
+    COUNT(DISTINCT): the rewrite must be invisible in the answer.
+
+    Scale shape: shuffle 1 on (type, salt) — 16x the parallelism of a
+    plain per-type distinct, each state 1/16 the keyspace; shuffle 2
+    reduces 16 rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", (F.col("user_id") % 16).alias("salt")
+    ).agg(F.countDistinct("user_id").alias("pd"))
+    return partial.groupBy("event_type").agg(
+        F.sum("pd").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_salts_hit"),
+    )
+
+
+def q265_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same
+    table — gen-1 files written BEFORE a `lang` column existed (even
+    doc_ids), gen-2 files with it (odd doc_ids) — read back as ONE
+    frame via mergeSchema, old files surfacing NULL for the added
+    column. This is the lakehouse reality at 100 TB: you never rewrite
+    history to add a column; the reader reconciles footers per file.
+    The audit reports, per source, how much of the corpus carries the
+    new column and confirms no rows were lost across generations.
+
+    The q242/q257 convention: layout under the session temp dir keyed
+    by sf_dir, idempotent overwrite; the oracle recomputes from the
+    RAW table with the generation rule inlined, so the differential
+    certifies the merged read reconstructs exactly the pre-split
+    data."""
+    import os as _os
+    import tempfile as _tempfile
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _os.path.join(_tempfile.gettempdir(), f"evo_tables_{tag}")
+    d = load_table(spark, sf_dir, "documents")
+    (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .parquet(_os.path.join(base, "gen=1"))
+    )
+    (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite")
+        .parquet(_os.path.join(base, "gen=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(base, "gen=1"), _os.path.join(base, "gen=2")
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("lang").alias("n_with_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
+    "q265_schema_evolution": q265_schema_evolution,
+    "q261_compaction_plan": q261_compaction_plan,
+    "q262_twophase_distinct": q262_twophase_distinct,
+    "q257_dpp_prune": q257_dpp_prune,
     "q242_bucketed_join": q242_bucketed_join,
     "q192_zonemap_prune": q192_zonemap_prune,
     "q107_countmin_sketch": q107_countmin_sketch,
@@ -954,6 +1123,44 @@ _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
 _DUCK_BLOOM_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _BLOOM_SEEDS)
 
 ORACLE = {
+    "q265_schema_evolution": """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_lang,
+               CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
+                    AS BIGINT) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
+    """,
+    "q261_compaction_plan": """
+        WITH a AS (
+            SELECT source, n_chars,
+                   COALESCE(SUM(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 20000 AS shard
+            FROM documents)
+        SELECT source, CAST(shard AS BIGINT) AS shard,
+               COUNT(*) AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+        FROM a GROUP BY 1, 2
+    """,
+    "q262_twophase_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT user_id % 16) AS BIGINT) AS n_salts_hit
+        FROM events GROUP BY event_type
+    """,
+    "q257_dpp_prune": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority
+    """,
     "q242_bucketed_join": """
         SELECT o_orderstatus,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -1162,7 +1162,76 @@ def q173_quality_representatives(
     )
 
 
+def q259_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 + macro-F1 for the q20 language-ID
+    heuristic against the labeled lang column — the standard
+    classifier report card, computed entirely from the confusion
+    counts (so it costs ONE scan + two tiny aggregates regardless of
+    corpus size). One row per TRUE class; macro_f1 is the broadcast
+    scalar mean of the per-class F1s.
+
+    Exactness: tp/fp/fn are exact integers; precision/recall/F1 are
+    shared double formula strings over them; macro-F1 sums ROUND-9 F1
+    terms as DECIMAL(28,9) (the q124 per-term convention) before one
+    final division."""
+    d = load_table(spark, sf_dir, "documents")
+    conf = (
+        d.select("lang", TX.lang_id_heuristic("text").alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    true_tot = conf.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    pred_tot = conf.groupBy(F.col("pred").alias("lang")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = conf.filter(F.col("lang") == F.col("pred")).select(
+        "lang", F.col("n").alias("tp")
+    )
+    per = (
+        true_tot.join(F.broadcast(tp), "lang", "left")
+        .join(F.broadcast(pred_tot), "lang", "left")
+        .fillna(0, subset=["tp", "n_pred"])
+        .select(
+            "lang",
+            F.col("tp").cast("bigint").alias("tp"),
+            (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("n_true") - F.col("tp")).cast("bigint").alias("fn"),
+        )
+    )
+    _P = (
+        "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)"
+        " / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) ELSE 0.0 END"
+    )
+    _R = (
+        "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)"
+        " / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) ELSE 0.0 END"
+    )
+    _F1 = (
+        f"CASE WHEN ({_P}) + ({_R}) > 0 THEN"
+        f" 2 * ({_P}) * ({_R}) / (({_P}) + ({_R})) ELSE 0.0 END"
+    )
+    scored = per.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(f"ROUND({_P}, 6)").alias("precision_"),
+        F.expr(f"ROUND({_R}, 6)").alias("recall_"),
+        F.expr(f"ROUND({_F1}, 6)").alias("f1"),
+        F.expr(f"CAST(ROUND({_F1}, 9) AS DECIMAL(28,9))").alias("_f1t"),
+    )
+    macro = scored.agg(
+        F.sum("_f1t").alias("sf1"), F.count(F.lit(1)).alias("k")
+    ).select(
+        F.expr(
+            "ROUND(CAST(sf1 AS DOUBLE) / CAST(k AS DOUBLE), 6)"
+        ).alias("macro_f1")
+    )
+    return scored.drop("_f1t").crossJoin(F.broadcast(macro))
+
+
 QUERIES = {
+    "q259_langid_metrics": q259_langid_metrics,
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
     "q21_token_count": q21_token_count,
@@ -1487,7 +1556,62 @@ _Q29_SQL_TMPL = f"""
 
 _Q29_SQL = _Q29_SQL_TMPL.format(threshold="0.4")
 
+# q20's marker-cascade prediction as a DuckDB CASE (shared by the q20
+# and q259 oracles)
+_LANGID_CASE = """
+        CASE WHEN regexp_matches(lower(text), '(^|\\s)the(\\s|$)')
+               OR regexp_matches(lower(text), '(^|\\s)and(\\s|$)') THEN 'en'
+             WHEN regexp_matches(lower(text), '(^|\\s)el(\\s|$)')
+               OR regexp_matches(lower(text), '(^|\\s)los(\\s|$)') THEN 'es'
+             WHEN regexp_matches(lower(text), '(^|\\s)le(\\s|$)')
+               OR regexp_matches(lower(text), '(^|\\s)les(\\s|$)') THEN 'fr'
+             WHEN regexp_matches(lower(text), '(^|\\s)der(\\s|$)')
+               OR regexp_matches(lower(text), '(^|\\s)und(\\s|$)') THEN 'de'
+             ELSE 'unk' END"""
+
+_Q259_P = (
+    "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)"
+    " / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) ELSE 0.0 END"
+)
+_Q259_R = (
+    "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)"
+    " / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) ELSE 0.0 END"
+)
+_Q259_F1 = (
+    f"CASE WHEN ({_Q259_P}) + ({_Q259_R}) > 0 THEN"
+    f" 2 * ({_Q259_P}) * ({_Q259_R}) / (({_Q259_P}) + ({_Q259_R}))"
+    " ELSE 0.0 END"
+)
+
 ORACLE = {
+    "q259_langid_metrics": f"""
+        WITH conf AS (
+            SELECT lang, {_LANGID_CASE} AS pred, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2),
+        tt AS (SELECT lang, SUM(n) AS n_true FROM conf GROUP BY 1),
+        pt AS (SELECT pred AS lang, SUM(n) AS n_pred FROM conf GROUP BY 1),
+        tpt AS (SELECT lang, n AS tp FROM conf WHERE lang = pred),
+        per AS (
+            SELECT tt.lang,
+                   CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(n_pred, 0) - COALESCE(tp, 0) AS BIGINT)
+                       AS fp,
+                   CAST(n_true - COALESCE(tp, 0) AS BIGINT) AS fn
+            FROM tt LEFT JOIN tpt USING (lang) LEFT JOIN pt USING (lang)),
+        scored AS (
+            SELECT lang, tp, fp, fn,
+                   ROUND({_Q259_P}, 6) AS precision_,
+                   ROUND({_Q259_R}, 6) AS recall_,
+                   ROUND({_Q259_F1}, 6) AS f1,
+                   CAST(ROUND({_Q259_F1}, 9) AS DECIMAL(28,9)) AS f1t
+            FROM per),
+        macro AS (
+            SELECT ROUND(CAST(SUM(f1t) AS DOUBLE) / COUNT(*), 6)
+                       AS macro_f1
+            FROM scored)
+        SELECT lang, tp, fp, fn, precision_, recall_, f1, macro_f1
+        FROM scored, macro
+    """,
     "q19_text_stats": """
         SELECT doc_id,
                length(text) AS n_chars_m,

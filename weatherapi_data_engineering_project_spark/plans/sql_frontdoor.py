@@ -129,13 +129,60 @@ def q233_sql_star_daily_summary(
     return spark.sql(Q233_SQL)
 
 
+# Recursive CTE (Spark 4's WITH RECURSIVE, UNION ALL form): roll part
+# retail cents up a strict binary hierarchy (parent(k) = floor(k/2)) —
+# each node's ancestor chain is ~log2(|part|) rows, so the recursion
+# materializes O(n·log n) rows and terminates structurally (the chain
+# hits 1). Written as the SAME SQL text on both engines (`FLOOR(a/2)`
+# instead of the dialect-split `DIV` / `//`), so the differential
+# certifies Spark's recursive-CTE execution against DuckDB's.
+Q264_SQL = """
+    WITH RECURSIVE anc(node, a) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION ALL
+        SELECT node, CAST(FLOOR(a / 2) AS BIGINT) FROM anc WHERE a > 1
+    )
+    SELECT a AS ancestor,
+           COUNT(*) AS n_desc,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM anc
+    JOIN (SELECT p_partkey,
+                 CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS cents
+          FROM part) p
+      ON p.p_partkey = anc.node
+    GROUP BY a
+"""
+
+
+def q264_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup via a RECURSIVE CTE: for every
+    ancestor in the implicit binary part hierarchy, the count and
+    exact retail-cent total of its whole subtree — the BOM/org-chart
+    aggregation pattern, expressed in the same literal SQL Spark 4 and
+    DuckDB both execute (UNION ALL recursion; Spark does not yet
+    accept the deduplicating UNION form, so the hierarchy is a strict
+    parent CHAIN that terminates structurally, not a graph closure —
+    q47's fixpoint loop remains the cyclic-graph path).
+
+    Scale shape: each recursion step is one self-join of the frontier
+    against nothing but itself shrinking by halving — ~log2(n) rounds,
+    frontier ≤ n rows; the rollup is one partial-agg shuffle on the
+    ancestor key."""
+    _register_views(spark, sf_dir, "part")
+    return spark.sql(Q264_SQL)
+
+
 QUERIES = {
+    "q264_recursive_rollup": q264_recursive_rollup,
     "q231_sql_pricing_summary": q231_sql_pricing_summary,
     "q232_sql_shipping_priority": q232_sql_shipping_priority,
     "q233_sql_star_daily_summary": q233_sql_star_daily_summary,
 }
 
 ORACLE = {
+    # identical text on purpose: dialect-shared recursion (see Q264_SQL)
+    "q264_recursive_rollup": Q264_SQL,
     "q231_sql_pricing_summary": STAR_ORACLE["q01_pricing_summary"],
     "q232_sql_shipping_priority": EXT_ORACLE["q219_shipping_priority"],
     "q233_sql_star_daily_summary": WEATHER_ORACLE["w06_star_daily_summary"],

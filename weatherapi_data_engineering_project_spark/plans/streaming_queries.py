@@ -723,8 +723,168 @@ def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q256_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join through the real engine:
+    clicks (even event_id) that CONVERTED — at least one purchase (odd
+    event_id) by the same user within 1 hour — each emitted exactly
+    once, with no right-side columns. The attribution filter shape:
+    downstream wants the converted clicks themselves, not the
+    (click, purchase) pairs q70 produces, and the semi join keeps the
+    output linear in clicks when a click can match many purchases.
+
+    Drain protocol: like q70, the 8-file replay drains in ONE
+    AvailableNow micro-batch, so no watermark eviction precedes any
+    match and the streaming result equals the batch semi join — which
+    is what lets a stream-stream SEMI join carry an exact SQL oracle
+    (DuckDB SEMI JOIN with the same interval condition). State bounds
+    in a live run are identical to the inner join's: both sides buffer
+    under both watermarks; emitted-left tracking is part of the same
+    state entry."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _work_dir("q256", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.select("event_id", "ts", "user_id").coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    s2 = _cloned_session(spark)
+    stream = s2.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint"
+    ).parquet(src)
+    joined = stream_interval_join(
+        stream.filter(F.col("event_id") % 2 == 0),
+        stream.filter(F.col("event_id") % 2 == 1),
+        max_lag="1 hour",
+        watermark="2 hours",
+        how="left_semi",
+    )
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [], "user_id bigint, event_id bigint, ts timestamp"
+        )
+    return spark.read.parquet(out)
+
+
+def q266_stream_append_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation in APPEND mode through
+    the real engine: per (epoch day × event type), event count and
+    exact cent sum — where a window row emits ONLY once the watermark
+    proves it final (append mode's contract: each window exactly once,
+    immutable). q42/q84 exercise update-mode state; this is the
+    finalization path — the one that silently LOSES the last windows
+    under a naive AvailableNow drain, because watermarks advance only
+    between micro-batches and no trailing batch runs.
+
+    Drain: the q218 sentinel protocol adapted to aggregation — 8 real
+    files fill micro-batch 1; sentinel waves at +10 d / +20 d (8 files
+    then 1, under maxFilesPerTrigger=8) run two more batches whose
+    advancing watermark finalizes EVERY real day window before stop.
+    Sentinel rows form far-future windows filtered on READ-BACK by the
+    real max day index — never on the streaming plan (a pre-aggregation
+    filter would hide the sentinels from the watermark node, the q218
+    trap). The differential therefore certifies the append-mode
+    finalization semantics themselves: the streamed result equals the
+    batch GROUP BY exactly."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    work = _work_dir("q266", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    stats = ev.agg(
+        F.max("ts").alias("m"),
+        (F.max(F.unix_micros("ts")) / 86400000000)
+        .cast("bigint")
+        .alias("max_day"),
+    ).first()
+    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
+        time.sleep(1.0)
+        sent = spark.range(lo, hi, 1, nparts).select(
+            (
+                F.lit(stats.m) + F.expr(f"INTERVAL {days} DAYS")
+            ).alias("ts"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        sent.write.mode("append").parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    s2 = _cloned_session(spark)
+    stream = (
+        s2.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+            ).alias("sum_cents"),
+        )
+        .select(
+            (F.unix_micros(F.col("window.start")) / 86400000000)
+            .cast("bigint")
+            .alias("day_idx"),
+            "event_type",
+            "n_events",
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "day_idx bigint, event_type string, n_events bigint, "
+            "sum_cents bigint",
+        )
+    return spark.read.parquet(out).filter(
+        F.col("day_idx") <= F.lit(int(stats.max_day))
+    )
+
+
 QUERIES = {
     "q42_stateful_totals": q42_stateful_totals,
+    "q256_stream_semi_join": q256_stream_semi_join,
+    "q266_stream_append_windows": q266_stream_append_windows,
     "q43_approx_distinct": q43_approx_distinct,
     "q70_stream_interval_join": q70_stream_interval_join,
     "q218_stream_outer_interval_join": q218_stream_outer_interval_join,
@@ -834,6 +994,24 @@ ORACLE: dict[str, str] = {
           ON r.p_user = l.user_id
          AND r.p_ts >= l.ts
          AND r.p_ts <= l.ts + INTERVAL 1 HOUR
+    """,
+    "q266_stream_append_windows": """
+        SELECT epoch_us(ts) // 86400000000 AS day_idx,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "q256_stream_semi_join": """
+        SELECT e.user_id, e.event_id, e.ts
+        FROM events e
+        SEMI JOIN events p
+          ON e.user_id = p.user_id
+         AND p.event_id % 2 = 1
+         AND p.ts >= e.ts
+         AND p.ts <= e.ts + INTERVAL 1 HOUR
+        WHERE e.event_id % 2 = 0
     """,
     "q70_stream_interval_join": """
         SELECT e.user_id,

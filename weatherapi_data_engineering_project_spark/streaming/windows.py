@@ -189,6 +189,13 @@ def stream_interval_join(
         & (F.col("p_ts") >= F.col("ts"))
         & (F.col("p_ts") <= F.col("ts") + F.expr(f"INTERVAL {max_lag}"))
     )
+    if how == "left_semi":
+        # converted-clicks shape (q256): each left row at most once,
+        # no right columns. Streaming semi joins buffer exactly like
+        # inner joins (both sides under both watermarks) but emit the
+        # LEFT row on first match — same bounded state, half the
+        # output width.
+        return lhs.join(rhs, cond, how).select("user_id", "event_id", "ts")
     uid = (
         F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id")
         if how == "full_outer"
