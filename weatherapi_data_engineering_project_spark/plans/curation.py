@@ -1891,8 +1891,91 @@ def q200_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q269_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment: within each
+    source, docs order by (md5(doc_id), doc_id) — the q39/q79 no-RNG
+    discipline — and fold = (rank−1) mod 5, so every stratum's folds
+    are balanced to ±1 doc EXACTLY (hash-threshold splits like q79
+    only balance in expectation). Output: the per-(source, fold)
+    manifest with the balance guarantee visible as max−min ≤ 1.
+
+    Scale shape: one window shuffle partitioned by source (the
+    standard per-stratum timeline contract); the manifest agg reuses
+    the same partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    folded = d.select(
+        "source",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 5).alias("fold"),
+    )
+    return folded.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def q270_group_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe fold assignment at the GROUP level: every doc
+    inherits the fold of its exact-dup fingerprint (md5 of normalized
+    text, q22's key), folds carved as hex ranges of the fingerprint —
+    so two copies of the same document can NEVER straddle folds, the
+    q241 train/eval-leakage failure mode for exact dups. The output
+    also scores the counterfactual: how many dup groups WOULD straddle
+    splits under q79's doc-level assignment (the audit that motivates
+    group-level carving).
+
+    Scale shape: fold is a pure projection of the fingerprint (no
+    ranking, no shuffle); the group/doc manifest is one fp-keyed
+    partial agg; the counterfactual audit reuses the same fp shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint("text")
+    h2_doc = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    doc_split = (
+        F.when(h2_doc < "0d", F.lit("test"))
+        .when(h2_doc < "1a", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    fold = (
+        F.when(F.substring(fp, 1, 2) < "33", 0)
+        .when(F.substring(fp, 1, 2) < "66", 1)
+        .when(F.substring(fp, 1, 2) < "99", 2)
+        .when(F.substring(fp, 1, 2) < "cc", 3)
+        .otherwise(4)
+    )
+    base = d.select(
+        fp.alias("fp"),
+        fold.alias("fold"),
+        doc_split.alias("doc_split"),
+        "n_chars",
+    )
+    per_group = base.groupBy("fp", "fold").agg(
+        F.count(F.lit(1)).alias("gd"),
+        F.sum("n_chars").alias("gc"),
+        F.countDistinct("doc_split").alias("n_doc_splits"),
+    )
+    leaky = per_group.agg(
+        F.sum(F.when(F.col("n_doc_splits") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("doc_level_leaky_groups")
+    )
+    return (
+        per_group.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("gd").cast("bigint").alias("n_docs"),
+            F.sum("gc").cast("bigint").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leaky))
+    )
+
+
 QUERIES = {
     "q79_split_assign": q79_split_assign,
+    "q269_stratified_kfold": q269_stratified_kfold,
+    "q270_group_safe_folds": q270_group_safe_folds,
     "q195_js_divergence": q195_js_divergence,
     "q199_bootstrap_ci": q199_bootstrap_ci,
     "q207_l_diversity": q207_l_diversity,
@@ -2000,7 +2083,51 @@ _BPE_FINAL = " UNION ALL ".join(
     for r in range(1, _BPE_ROUNDS + 1)
 )
 
+_Q270_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
 ORACLE = {
+    "q269_stratified_kfold": """
+        WITH folded AS (
+            SELECT source, n_chars,
+                   (ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    - 1) % 5 AS fold
+            FROM documents)
+        SELECT source, CAST(fold AS INT) AS fold,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM folded GROUP BY 1, 2
+    """,
+    "q270_group_safe_folds": f"""
+        WITH base AS (
+            SELECT {_Q270_FP} AS fp,
+                   CASE WHEN substr({_Q270_FP}, 1, 2) < '33' THEN 0
+                        WHEN substr({_Q270_FP}, 1, 2) < '66' THEN 1
+                        WHEN substr({_Q270_FP}, 1, 2) < '99' THEN 2
+                        WHEN substr({_Q270_FP}, 1, 2) < 'cc' THEN 3
+                        ELSE 4 END AS fold,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '0d' THEN 'test'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '1a' THEN 'val'
+                        ELSE 'train' END AS doc_split,
+                   n_chars
+            FROM documents),
+        per_group AS (
+            SELECT fp, fold, COUNT(*) AS gd, SUM(n_chars) AS gc,
+                   COUNT(DISTINCT doc_split) AS n_doc_splits
+            FROM base GROUP BY 1, 2),
+        leaky AS (
+            SELECT CAST(SUM(CASE WHEN n_doc_splits > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS doc_level_leaky_groups
+            FROM per_group)
+        SELECT fold, COUNT(*) AS n_groups,
+               CAST(SUM(gd) AS BIGINT) AS n_docs,
+               CAST(SUM(gc) AS BIGINT) AS total_chars,
+               doc_level_leaky_groups
+        FROM per_group, leaky
+        GROUP BY fold, doc_level_leaky_groups
+    """,
     "q195_js_divergence": f"""
         WITH toks AS (
             SELECT source, unnest({_TOK}) AS term

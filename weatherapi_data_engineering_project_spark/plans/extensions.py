@@ -2123,8 +2123,46 @@ def q250_supplier_part_counts(
     )
 
 
+def q267_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: for every event, the count and exact
+    cent sum of the SAME user's events in the strictly-preceding hour
+    — the per-row trailing-window feature (velocity/fraud signals)
+    that ROWS frames cannot express when event spacing is irregular.
+    The frame is `RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING`
+    over exact epoch micros: the 1-µs upper bound excludes the row
+    itself AND simultaneous events identically on both engines (a
+    CURRENT ROW bound would include ties and diverge from "strictly
+    before").
+
+    Scale shape: ONE window shuffle hash-partitioned by user_id; each
+    user's timeline sorts locally — q50's contract with a range frame
+    instead of lag."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3600000000, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias(
+            "n_prev_hour"
+        ),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cents_prev_hour"),
+    )
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
+    "q267_time_range_window": q267_time_range_window,
     "q243_priority_delay_audit": q243_priority_delay_audit,
     "q244_discount_revenue_forecast": q244_discount_revenue_forecast,
     "q245_nation_profit": q245_nation_profit,
@@ -2249,6 +2287,19 @@ ORACLE = {
                    / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
                CAST(SUM(rev) AS DOUBLE) AS total_revenue
         FROM j GROUP BY o_year
+    """,
+    "q267_time_range_window": """
+        SELECT event_id, user_id,
+               CAST(COALESCE(COUNT(*) OVER w, 0) AS BIGINT)
+                   AS n_prev_hour,
+               CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+                   AS cents_prev_hour
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING
+                               AND 1 PRECEDING)
     """,
     "q243_priority_delay_audit": """
         SELECT o_orderpriority, COUNT(*) AS order_count

@@ -1102,8 +1102,75 @@ def q265_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q268_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact equi-depth histogram boundaries of order price — the
+    ANALYZE-stats artifact a cost-based optimizer consumes (selectivity
+    of `price < x` ≈ bucket fraction). The k-th of 8 boundaries is the
+    value at global rank ceil(k·n/8) under (cents, orderkey) order —
+    computed by the q65/q150 two-phase bucketed rank (sampled
+    boundaries bucket the rows, in-bucket row_numbers lift through
+    broadcast offsets; no unpartitioned window), then ONE broadcast
+    join of the 8 target ranks against the ranked frame. q62's GK
+    sketch answers the same question approximately in one pass; this
+    is its exact twin, and the differential's truth.
+
+    Exactness: prices rank as exact cent BIGINTs (the double image
+    used for bucketing is order-preserving far below 2^53); targets
+    are pure integer arithmetic ceil = (k·n + 7) DIV 8."""
+    from ._buckets import bucket_of, quantile_bounds
+    from ..caching import persist_tracked
+
+    o = persist_tracked(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .withColumn("_kd", F.col("cents").cast("double"))
+    )
+    bnds = quantile_bounds(o, "_kd")
+    bk = o.withColumn("_bkt", bucket_of("_kd", bnds))
+    bs = bk.groupBy("_bkt").agg(F.count(F.lit(1)).alias("bn"))
+    offs = (
+        bs.alias("a")
+        .join(
+            F.broadcast(bs.alias("b")),
+            F.col("b._bkt") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("loff"))
+    )
+    wl = Window.partitionBy("_bkt").orderBy("cents", "o_orderkey")
+    ranked = bk.join(F.broadcast(offs), "_bkt").select(
+        "cents", (F.col("loff") + F.row_number().over(wl)).alias("grank")
+    )
+    n = bs.agg(F.sum("bn").alias("n"))
+    targets = (
+        spark.range(1, 9)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(n))
+        .select("k", F.expr("(k * n + 7) DIV 8").alias("target"))
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), F.col("grank") == F.col("target")
+        )
+        .select(
+            "k",
+            F.col("target").cast("bigint").alias("target_rank"),
+            F.col("cents").alias("boundary_cents"),
+            (F.col("cents").cast("double") / 100).alias("boundary_price"),
+        )
+    )
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
+    "q268_equidepth_histogram": q268_equidepth_histogram,
     "q265_schema_evolution": q265_schema_evolution,
     "q261_compaction_plan": q261_compaction_plan,
     "q262_twophase_distinct": q262_twophase_distinct,
@@ -1123,6 +1190,26 @@ _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
 _DUCK_BLOOM_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _BLOOM_SEEDS)
 
 ORACLE = {
+    "q268_equidepth_histogram": """
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, o_orderkey)
+                       AS grank
+            FROM o),
+        n AS (SELECT COUNT(*) AS n FROM o),
+        targets AS (
+            SELECT k, (k * n + 7) // 8 AS target
+            FROM (SELECT unnest(range(1, 9)) AS k), n)
+        SELECT k, CAST(target AS BIGINT) AS target_rank,
+               cents AS boundary_cents,
+               CAST(cents AS DOUBLE) / 100 AS boundary_price
+        FROM ranked JOIN targets ON grank = target
+    """,
     "q265_schema_evolution": """
         SELECT source,
                COUNT(*) AS n_docs,

@@ -1230,8 +1230,79 @@ def q259_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.drop("_f1t").crossJoin(F.broadcast(macro))
 
 
+def q271_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-dup candidates: per document, hash every
+    4-token gram, slide a 4-gram window and keep each window's MINIMUM
+    hash (leftmost on ties) — the classic guarantee that any shared
+    run of ≥ 7 tokens contributes at least one SHARED fingerprint, at
+    ~1/4 the fingerprint density of full shingling (q24/q25's cost,
+    winnowed). Pairs sharing ≥ 2 selected fingerprints are the
+    candidates. Complements the suite: q22 is whole-doc exact, q25 is
+    probabilistic MinHash, winnowing is deterministic local sampling.
+
+    Exactness: the window minimum picks min(hash, pos) via the
+    fixed-width packed string key (hex is constant 32 chars, pos
+    zero-padded — the q181 composite-min convention), so selection is
+    string-total-order exact on both engines. Scale shape: grams and
+    window minima are per-doc windows (partitioned by doc_id); the
+    pair join is df-capped (fingerprints in ≤ 10 docs) like q123."""
+    d = load_table(spark, sf_dir, "documents")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    tok = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "w")
+    )
+    grams = (
+        tok.withColumn("w1", F.lead("w", 1).over(wd))
+        .withColumn("w2", F.lead("w", 2).over(wd))
+        .withColumn("w3", F.lead("w", 3).over(wd))
+        .filter(F.col("w3").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", "w", "w1", "w2", "w3")).alias("h"),
+        )
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.concat(
+            F.col("h"),
+            F.lit("|"),
+            F.lpad(F.col("pos").cast("string"), 10, "0"),
+        ).alias("key"),
+        F.lead("h", 3).over(wd).alias("h3"),
+    )
+    # the min window runs over ALL grams (trailing grams are candidates
+    # inside earlier windows); only window STARTS restrict to full
+    # 4-gram windows (h3 present)
+    sel = (
+        keyed.select(
+            "doc_id",
+            F.col("h3").isNotNull().alias("full"),
+            F.min("key").over(wd.rowsBetween(0, 3)).alias("mkey"),
+        )
+        .filter(F.col("full"))
+        .select("doc_id", F.substring("mkey", 1, 32).alias("h"))
+        .distinct()
+    )
+    df_ok = sel.groupBy("h").agg(
+        F.count(F.lit(1)).alias("df")
+    ).filter(F.col("df") <= 10)
+    capped = sel.join(F.broadcast(df_ok.select("h")), "h")
+    a = capped.select(F.col("h"), F.col("doc_id").alias("d1"))
+    b = capped.select(F.col("h"), F.col("doc_id").alias("d2"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 QUERIES = {
     "q259_langid_metrics": q259_langid_metrics,
+    "q271_winnowing_dedup": q271_winnowing_dedup,
     "q19_text_stats": q19_text_stats,
     "q20_lang_id": q20_lang_id,
     "q21_token_count": q21_token_count,
@@ -1584,6 +1655,44 @@ _Q259_F1 = (
 )
 
 ORACLE = {
+    "q271_winnowing_dedup": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts({_TOK}, 1) - 1 AS pos,
+                   unnest({_TOK}) AS w
+            FROM documents),
+        grams AS (
+            SELECT doc_id, pos,
+                   md5(w || ' ' || LEAD(w, 1) OVER wd
+                         || ' ' || LEAD(w, 2) OVER wd
+                         || ' ' || LEAD(w, 3) OVER wd) AS h
+            FROM tok
+            WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY LEAD(w, 3) OVER wd IS NOT NULL),
+        keyed AS (
+            SELECT doc_id, pos,
+                   h || '|' || lpad(CAST(pos AS VARCHAR), 10, '0') AS key,
+                   LEAD(h, 3) OVER wd AS h3
+            FROM grams
+            WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+        sel AS (
+            SELECT DISTINCT doc_id,
+                   substr(MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING), 1, 32)
+                       AS h
+            FROM keyed
+            QUALIFY h3 IS NOT NULL),
+        capped AS (
+            SELECT sel.doc_id, sel.h FROM sel
+            SEMI JOIN (SELECT h FROM sel GROUP BY h
+                       HAVING COUNT(*) <= 10) ok
+              ON sel.h = ok.h)
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    """,
     "q259_langid_metrics": f"""
         WITH conf AS (
             SELECT lang, {_LANGID_CASE} AS pred, COUNT(*) AS n

@@ -173,8 +173,35 @@ def q264_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q264_SQL)
 
 
+# Window-function front door — the literal-SQL twin of
+# star.q16_topk_per_group (same partition, same DESC order, same
+# orderkey tiebreak, same rn <= 3 cut). Pinned plan-equal in
+# tests/test_round8h_queries.py: SQL text and DataFrame compile to the
+# identical optimized plan (WindowGroupLimit pushdown included).
+Q272_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+"""
+
+
+def q272_sql_topk_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ranked top-k per group from LITERAL SQL text — extends the SQL
+    front door (q231-q233 cover scan-agg, star join, weather star) to
+    the window-function surface. A SQL user writing the textbook
+    ROW_NUMBER-and-filter gets the same WindowGroupLimit-optimized
+    plan the DataFrame twin (q16) gets."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(Q272_SQL)
+
+
 QUERIES = {
     "q264_recursive_rollup": q264_recursive_rollup,
+    "q272_sql_topk_per_group": q272_sql_topk_per_group,
     "q231_sql_pricing_summary": q231_sql_pricing_summary,
     "q232_sql_shipping_priority": q232_sql_shipping_priority,
     "q233_sql_star_daily_summary": q233_sql_star_daily_summary,
@@ -183,6 +210,7 @@ QUERIES = {
 ORACLE = {
     # identical text on purpose: dialect-shared recursion (see Q264_SQL)
     "q264_recursive_rollup": Q264_SQL,
+    "q272_sql_topk_per_group": STAR_ORACLE["q16_topk_per_group"],
     "q231_sql_pricing_summary": STAR_ORACLE["q01_pricing_summary"],
     "q232_sql_shipping_priority": EXT_ORACLE["q219_shipping_priority"],
     "q233_sql_star_daily_summary": WEATHER_ORACLE["w06_star_daily_summary"],
