@@ -2800,8 +2800,76 @@ def q263_wilcoxon_signed_rank(
     return s.select("n", "w_pos_x2", F.expr(_WILC_Z).alias("z_score"))
 
 
+def q274_interpolated_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type-7 (PERCENTILE_CONT) interpolated quartiles of doc length
+    per source — the R/NumPy-default quantile definition, completing
+    the quantile family (q205 exact type-1, q62 GK sketch, q268
+    equi-depth boundaries): q_p = v⌈h⌉₊ interpolated with fraction
+    h−⌊h⌋ where h = (n−1)p. Everything stays integral until one shared
+    formula: h·100 = (n−1)·p100 is exact, lo = h100 DIV 100 + 1 is a
+    1-based rank, and the interpolation weight is rem/100 of the
+    integer value gap.
+
+    Scale shape: ranks come from ONE window partitioned by source (the
+    per-stratum contract); the 3-quantile target grid (sources × p)
+    broadcasts against the ranked frame twice (rank lo, rank lo+1)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        F.col("n_chars").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    )
+    ns = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ps = spark.range(1, 4).select((F.col("id") * 25).alias("p100"))
+    targets = ns.crossJoin(F.broadcast(ps)).select(
+        "source",
+        "p100",
+        "n",
+        (
+            ((F.col("n") - 1) * F.col("p100")) / 100
+        ).cast("bigint").alias("lo0"),
+        (((F.col("n") - 1) * F.col("p100")) % 100).alias("rem"),
+    )
+    r1 = ranked.select(
+        F.col("source").alias("s1"),
+        F.col("rn").alias("rn1"),
+        F.col("v").alias("v1"),
+    )
+    r2 = ranked.select(
+        F.col("source").alias("s2"),
+        F.col("rn").alias("rn2"),
+        F.col("v").alias("v2"),
+    )
+    j = (
+        targets.join(
+            r1,
+            (F.col("source") == F.col("s1"))
+            & (F.col("rn1") == F.col("lo0") + 1),
+        )
+        .join(
+            r2,
+            (F.col("source") == F.col("s2"))
+            & (F.col("rn2") == F.col("lo0") + 2),
+            "left",
+        )
+    )
+    return j.select(
+        "source",
+        F.col("p100").cast("int").alias("p100"),
+        "n",
+        F.expr(
+            "CAST(v1 AS DOUBLE)"
+            " + CAST(rem AS DOUBLE) * (COALESCE(v2, v1) - v1) / 100"
+        ).alias("q_value"),
+    )
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
+    "q274_interpolated_quantiles": q274_interpolated_quantiles,
     "q263_wilcoxon_signed_rank": q263_wilcoxon_signed_rank,
     "q260_neyman_allocation": q260_neyman_allocation,
     "q251_mann_whitney": q251_mann_whitney,
@@ -2905,6 +2973,28 @@ _Q260_W = (
 )
 
 ORACLE = {
+    "q274_interpolated_quantiles": """
+        WITH ranked AS (
+            SELECT source, n_chars AS v,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS rn
+            FROM documents),
+        ns AS (SELECT source, COUNT(*) AS n FROM ranked GROUP BY 1),
+        ps AS (SELECT unnest([25, 50, 75]) AS p100),
+        targets AS (
+            SELECT source, p100, n,
+                   ((n - 1) * p100) // 100 AS lo0,
+                   ((n - 1) * p100) % 100 AS rem
+            FROM ns CROSS JOIN ps)
+        SELECT t.source, CAST(p100 AS INT) AS p100,
+               CAST(n AS BIGINT) AS n,
+               CAST(r1.v AS DOUBLE)
+                   + CAST(rem AS DOUBLE)
+                     * (COALESCE(r2.v, r1.v) - r1.v) / 100 AS q_value
+        FROM targets t
+        JOIN ranked r1 ON r1.source = t.source AND r1.rn = lo0 + 1
+        LEFT JOIN ranked r2 ON r2.source = t.source AND r2.rn = lo0 + 2
+    """,
     "q263_wilcoxon_signed_rank": f"""
         WITH ev AS (
             SELECT user_id,

@@ -2160,8 +2160,64 @@ def q267_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q275_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star's foreign keys:
+    for each child→parent relationship (lineitem→orders,
+    lineitem→part, lineitem→supplier, orders→customer,
+    customer→nation, supplier→nation), the child row count, the
+    orphan count (child keys with no parent — LEFT ANTI against the
+    parent key set), and distinct orphan keys. The pre-flight a
+    warehouse runs before trusting its joins: an inner join silently
+    DROPS orphans, so q55's revenue is only correct if this report
+    says zero.
+
+    Scale shape: each anti join shuffles on its key (or broadcasts
+    the dim-side parent keys); the six relationships are independent
+    unions of 1-row aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rels = [
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey", False),
+        ("lineitem->part", li, "l_partkey",
+         load_table(spark, sf_dir, "part"), "p_partkey", True),
+        ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey", True),
+        ("orders->customer", o, "o_custkey", c, "c_custkey", False),
+        ("customer->nation", c, "c_nationkey", n, "n_nationkey", True),
+        ("supplier->nation", s, "s_nationkey", n, "n_nationkey", True),
+    ]
+    parts = []
+    for name, child, ck, parent, pk, bcast in rels:
+        pkeys = parent.select(F.col(pk).alias("_pk")).distinct()
+        if bcast:
+            pkeys = F.broadcast(pkeys)
+        orphans = child.select(F.col(ck).alias("_ck")).join(
+            pkeys, F.col("_ck") == F.col("_pk"), "left_anti"
+        )
+        parts.append(
+            child.agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_child"),
+            ).crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).alias("n_orphans"),
+                        F.countDistinct("_ck").alias("n_orphan_keys"),
+                    )
+                )
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
+    "q275_fk_integrity": q275_fk_integrity,
     "q267_time_range_window": q267_time_range_window,
     "q243_priority_delay_audit": q243_priority_delay_audit,
     "q244_discount_revenue_forecast": q244_discount_revenue_forecast,
@@ -2287,6 +2343,56 @@ ORACLE = {
                    / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
                CAST(SUM(rev) AS DOUBLE) AS total_revenue
         FROM j GROUP BY o_year
+    """,
+    "q275_fk_integrity": """
+        WITH rel AS (
+            SELECT 'lineitem->orders' AS relationship,
+                   (SELECT COUNT(*) FROM lineitem) AS n_child,
+                   (SELECT COUNT(*) FROM lineitem
+                    ANTI JOIN orders ON l_orderkey = o_orderkey)
+                       AS n_orphans,
+                   (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+                    ANTI JOIN orders ON l_orderkey = o_orderkey)
+                       AS n_orphan_keys
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem
+                    ANTI JOIN part ON l_partkey = p_partkey),
+                   (SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+                    ANTI JOIN part ON l_partkey = p_partkey)
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem
+                    ANTI JOIN supplier ON l_suppkey = s_suppkey),
+                   (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+                    ANTI JOIN supplier ON l_suppkey = s_suppkey)
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders
+                    ANTI JOIN customer ON o_custkey = c_custkey),
+                   (SELECT COUNT(DISTINCT o_custkey) FROM orders
+                    ANTI JOIN customer ON o_custkey = c_custkey)
+            UNION ALL
+            SELECT 'customer->nation',
+                   (SELECT COUNT(*) FROM customer),
+                   (SELECT COUNT(*) FROM customer
+                    ANTI JOIN nation ON c_nationkey = n_nationkey),
+                   (SELECT COUNT(DISTINCT c_nationkey) FROM customer
+                    ANTI JOIN nation ON c_nationkey = n_nationkey)
+            UNION ALL
+            SELECT 'supplier->nation',
+                   (SELECT COUNT(*) FROM supplier),
+                   (SELECT COUNT(*) FROM supplier
+                    ANTI JOIN nation ON s_nationkey = n_nationkey),
+                   (SELECT COUNT(DISTINCT s_nationkey) FROM supplier
+                    ANTI JOIN nation ON s_nationkey = n_nationkey))
+        SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+               CAST(n_orphans AS BIGINT) AS n_orphans,
+               CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+        FROM rel
     """,
     "q267_time_range_window": """
         SELECT event_id, user_id,

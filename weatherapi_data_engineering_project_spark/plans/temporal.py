@@ -389,8 +389,113 @@ def q225_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q273_interval_union_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-union coverage per user: treat each event as a 5-minute
+    activity interval [ts, ts+5 min) and report, per user, how much
+    wall-clock the UNION of those intervals covers and how many
+    disjoint activity islands it merges into — the billing/engagement
+    metric that double-counting (q184 counts concurrency instead)
+    gets wrong. Gaps-and-islands: an event opens a new island iff its
+    start exceeds the running max end of all earlier intervals; island
+    coverage is its max end − its min start, summed per user.
+
+    Exactness: pure epoch-microsecond integers end to end. Scale
+    shape: ONE window shuffle partitioned by user_id (the per-entity
+    timeline contract), then a two-level partial agg on (user,
+    island)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") + F.lit(300000000)).alias("en"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "prev_max_end",
+        F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("us") > F.col("prev_max_end")),
+            1,
+        ).otherwise(0),
+    )
+    islanded = marked.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islanded.groupBy("user_id", "island").agg(
+        (F.max("en") - F.min("us")).alias("cov")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("cov").cast("bigint").alias("covered_us"),
+    )
+
+
+def q276_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each click (even event_id) pairs
+    with the closest purchase (odd) of the same user within ±30
+    minutes — either direction, unlike q32's backward-only as-of. The
+    pandas `merge_asof(direction='nearest')` semantic, done
+    distributed: a user-equi join banded by the tolerance, then ONE
+    row per click by (|Δt|, purchase_id) rank. Clicks with no purchase
+    in the band drop (the match report counts them via n_candidates).
+
+    Exactness: Δt is exact integer microseconds; the nearest choice
+    tiebreaks on purchase_id, so selection is deterministic
+    cross-engine. Scale shape: the band join shuffles on user_id;
+    the per-click top-1 window partitions by click id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    clicks = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("us").alias("cus"),
+    )
+    buys = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("us").alias("pus"),
+    )
+    band = clicks.join(
+        buys,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pus") >= F.col("cus") - 1800000000)
+        & (F.col("pus") <= F.col("cus") + 1800000000),
+    ).select(
+        "click_id",
+        F.col("cu").alias("user_id"),
+        "purchase_id",
+        F.abs(F.col("pus") - F.col("cus")).alias("abs_lag_us"),
+        (F.col("pus") - F.col("cus")).alias("lag_us"),
+    )
+    w = Window.partitionBy("click_id").orderBy("abs_lag_us", "purchase_id")
+    return (
+        band.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_candidates",
+            F.count(F.lit(1)).over(Window.partitionBy("click_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            "lag_us",
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        )
+    )
+
+
 QUERIES = {
     "q100_scd2_history": q100_scd2_history,
+    "q276_asof_nearest": q276_asof_nearest,
+    "q273_interval_union_time": q273_interval_union_time,
     "q206_seasonal_profile": q206_seasonal_profile,
     "q225_weekly_growth": q225_weekly_growth,
     "q194_cusum_changepoint": q194_cusum_changepoint,
@@ -400,6 +505,54 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q276_asof_nearest": """
+        WITH ev AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        band AS (
+            SELECT c.event_id AS click_id, c.user_id,
+                   p.event_id AS purchase_id,
+                   ABS(p.us - c.us) AS abs_lag_us,
+                   p.us - c.us AS lag_us
+            FROM ev c JOIN ev p
+              ON c.user_id = p.user_id
+             AND c.event_id % 2 = 0 AND p.event_id % 2 = 1
+             AND p.us BETWEEN c.us - 1800000000 AND c.us + 1800000000),
+        ranked AS (
+            SELECT click_id, user_id, purchase_id, lag_us,
+                   ROW_NUMBER() OVER (PARTITION BY click_id
+                       ORDER BY abs_lag_us, purchase_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY click_id) AS n_candidates
+            FROM band)
+        SELECT click_id, user_id, purchase_id, lag_us,
+               CAST(n_candidates AS BIGINT) AS n_candidates
+        FROM ranked WHERE rn = 1
+    """,
+    "q273_interval_union_time": """
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   epoch_us(ts) + 300000000 AS en
+            FROM events),
+        marked AS (
+            SELECT user_id, event_id, us, en,
+                   CASE WHEN MAX(en) OVER w IS NULL
+                             OR us > MAX(en) OVER w
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        islanded AS (
+            SELECT user_id, us, en,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked),
+        per_island AS (
+            SELECT user_id, island, MAX(en) - MIN(us) AS cov
+            FROM islanded GROUP BY 1, 2)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(cov) AS BIGINT) AS covered_us
+        FROM per_island GROUP BY user_id
+    """,
     "q225_weekly_growth": """
         WITH wk AS (
             SELECT CAST(date_diff('day', DATE '1970-01-01',
