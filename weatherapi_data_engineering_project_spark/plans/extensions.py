@@ -2215,8 +2215,97 @@ def q275_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q277_arrow_group_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped operator on the Arrow path: per-user median
+    absolute deviation of spend cents, computed by numpy inside
+    ``groupBy().applyInPandas`` — the (b) lane of the custom-operator
+    policy (a Python kernel Spark lacks, Arrow-batched per group,
+    never row-at-a-time). The kernel uses the LOWER (type-1) median on
+    exact integer cents, so the result is integer-exact and the full
+    DuckDB oracle states the same definition with rank windows — the
+    differential certifies the Arrow exchange itself, not just the
+    plan around it.
+
+    Scale shape: ONE shuffle on user_id; each group's kernel is O(n
+    log n) in its own rows; output is one row per user. The sibling
+    q131 computes global MAD relationally — this one exists to verify
+    the applyInPandas lane end to end on a relational query."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        c = np.sort(pdf["cents"].to_numpy())
+        n = len(c)
+        med = int(c[(n - 1) // 2])
+        dev = np.sort(np.abs(c - med))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                "med_cents": [med],
+                "mad_cents": [int(dev[(n - 1) // 2])],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        kernel,
+        "user_id bigint, n bigint, med_cents bigint, mad_cents bigint",
+    )
+
+
+def q278_static_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Static partition pruning: events written partitioned by
+    event_type, then filtered on two types — the scan must list ONLY
+    those two directories at PLANNING time (PartitionCount: 2 in the
+    scan node; q257 is the runtime/dynamic sibling where the filter
+    arrives through a join). The everyday 100 TB discipline: filter
+    columns you partitioned by never cost a full listing, let alone a
+    full read.
+
+    The q242/q257/q265 layout convention: session-temp path tagged by
+    sf_dir, idempotent overwrite; the oracle computes from the raw
+    table, so the differential certifies layout changed the PLAN, not
+    the answer."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import hashlib as _hl
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"spp_tables_{tag}", "events_by_type"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    part = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return part.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+        ).alias("sum_cents"),
+    )
+
+
 QUERIES = {
     "q211_json_field_stats": q211_json_field_stats,
+    "q277_arrow_group_mad": q277_arrow_group_mad,
+    "q278_static_partition_prune": q278_static_partition_prune,
     "q275_fk_integrity": q275_fk_integrity,
     "q267_time_range_window": q267_time_range_window,
     "q243_priority_delay_audit": q243_priority_delay_audit,
@@ -2343,6 +2432,42 @@ ORACLE = {
                    / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
                CAST(SUM(rev) AS DOUBLE) AS total_revenue
         FROM j GROUP BY o_year
+    """,
+    "q277_arrow_group_mad": """
+        WITH c AS (
+            SELECT user_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        r AS (
+            SELECT user_id, cents,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY cents) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM c),
+        med AS (SELECT user_id, cents AS med_cents, n FROM r
+                WHERE rn = (n + 1) // 2),
+        d AS (
+            SELECT c.user_id, ABS(c.cents - med_cents) AS dev,
+                   med_cents, n
+            FROM c JOIN med USING (user_id)),
+        r2 AS (
+            SELECT user_id, dev, med_cents, n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY dev) AS rn2
+            FROM d)
+        SELECT user_id, CAST(n AS BIGINT) AS n, med_cents,
+               dev AS mad_cents
+        FROM r2 WHERE rn2 = (n + 1) // 2
+    """,
+    "q278_static_partition_prune": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
     """,
     "q275_fk_integrity": """
         WITH rel AS (
