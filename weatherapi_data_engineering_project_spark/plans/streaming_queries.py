@@ -347,6 +347,23 @@ def q239_stream_full_outer_interval_join(
     return _drain_sentinel_interval_join(spark, sf_dir, "q239", "full_outer")
 
 
+def q279_stream_right_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the orphan-purchase
+    report alone: every purchase, with its attributing click when one
+    exists and NULL left side when the CLICK watermark proves no click
+    can still arrive. Completes the streaming join-type matrix
+    (inner q70, left q218, full q239, semi q256): right-outer retires
+    LEFT-side state silently and emits on RIGHT-side eviction — the
+    mirror semantics of q218, exercised through the same shared
+    sentinel-flush drain (both parities ride every wave). user_id
+    coalesces across sides so right-only rows keep their key."""
+    return _drain_sentinel_interval_join(
+        spark, sf_dir, "q279", "right_outer"
+    )
+
+
 def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup run through the REAL streaming engine:
     the events table plus planted re-deliveries (an exact copy of every
@@ -889,6 +906,7 @@ QUERIES = {
     "q70_stream_interval_join": q70_stream_interval_join,
     "q218_stream_outer_interval_join": q218_stream_outer_interval_join,
     "q239_stream_full_outer_interval_join": q239_stream_full_outer_interval_join,
+    "q279_stream_right_outer_interval_join": q279_stream_right_outer_interval_join,
     "q76_stream_dedup": q76_stream_dedup,
     "q84_continuous_rollup": q84_continuous_rollup,
     "q90_stream_static_enrich": q90_stream_static_enrich,
@@ -963,6 +981,22 @@ ORACLE: dict[str, str] = {
     """,
     "q76_stream_dedup": """
         SELECT event_id, ts, user_id FROM events
+    """,
+    "q279_stream_right_outer_interval_join": """
+        WITH l AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_id % 2 = 0),
+        r AS (
+            SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event_id
+            FROM events WHERE event_id % 2 = 1)
+        SELECT COALESCE(l.user_id, r.p_user) AS user_id,
+               l.event_id, l.ts,
+               r.p_event_id, r.p_ts,
+               epoch_us(r.p_ts) - epoch_us(l.ts) AS lag_us
+        FROM l RIGHT JOIN r
+          ON r.p_user = l.user_id
+         AND r.p_ts >= l.ts
+         AND r.p_ts <= l.ts + INTERVAL 1 HOUR
     """,
     "q239_stream_full_outer_interval_join": """
         WITH l AS (

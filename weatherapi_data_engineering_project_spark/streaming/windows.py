@@ -198,7 +198,7 @@ def stream_interval_join(
         return lhs.join(rhs, cond, how).select("user_id", "event_id", "ts")
     uid = (
         F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id")
-        if how == "full_outer"
+        if how in ("full_outer", "right_outer")
         else F.col("user_id")
     )
     return (
