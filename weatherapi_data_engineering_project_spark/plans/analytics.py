@@ -2867,8 +2867,237 @@ def q274_interpolated_quantiles(
     )
 
 
+def q280_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked rank ANOVA: does per-user spend DIFFER across
+    the five event types, with each user as their own block? The
+    blocked completion of the rank-test family (q251 two independent
+    groups, q253 k independent groups, q263 paired two) — between-user
+    spend level cancels because ranks are WITHIN user.
+
+    Cells: per (user, type) total cents, dense over the user × type
+    grid (a user with no 'error' events still ranks it, at 0).
+    Midranks within each 5-row block; Conover's tie-robust statistic
+    T1 = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C) stays INTEGRAL end to
+    end in doubled ranks: T1 = (k−1)·Σ(R2_j − n(k+1))² / (A2 −
+    nk(k+1)²), one final division. Scale: one (user,type) partial agg,
+    one 5-row-per-user block window, a k-row reduce (squares in
+    DECIMAL(38,0) per q135)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.sum("cents").alias("c")
+    )
+    users = cells.select("user_id").distinct()
+    types = cells.select("event_type").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(types))
+        .join(cells, ["user_id", "event_type"], "left")
+        .fillna(0, subset=["c"])
+    )
+    # midrank2 within the k-row block via the value-level trick on
+    # (user, c): 2*cum_before + ties + 1
+    blk = dense.groupBy("user_id", "c").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_list("event_type").alias("_ts"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mr = blk.select(
+        "user_id",
+        "c",
+        F.explode("_ts").alias("event_type"),
+        (
+            2 * F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("mr2"),
+    )
+    per_type = mr.groupBy("event_type").agg(F.sum("mr2").alias("r_x2"))
+    m2d = F.col("mr2").cast("decimal(19,0)")
+    glob = mr.agg(
+        F.sum(m2d * m2d).cast("decimal(38,0)").alias("a2"),
+        F.countDistinct("user_id").alias("n"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    rd = F.col("r_x2").cast("decimal(19,0)")
+    stat = (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            ((rd - F.col("n") * (F.col("k") + 1))
+             * (rd - F.col("n") * (F.col("k") + 1)))
+            .cast("decimal(38,0)")
+            .alias("sq"),
+            "n",
+            "k",
+            "a2",
+        )
+        .groupBy("n", "k", "a2")
+        .agg(F.sum("sq").cast("decimal(38,0)").alias("s4"))
+        .select(
+            F.expr(
+                "ROUND((CAST(k AS DOUBLE) - 1) * CAST(s4 AS DOUBLE)"
+                " / (CAST(a2 AS DOUBLE) - CAST(n AS DOUBLE)"
+                "    * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1)"
+                "    * (CAST(k AS DOUBLE) + 1)), 6)"
+            ).alias("chi2_f"),
+            F.col("n").cast("bigint").alias("n_blocks"),
+            F.col("k").cast("bigint").alias("k_treatments"),
+        )
+    )
+    return per_type.select(
+        "event_type", F.col("r_x2").cast("bigint").alias("r_x2")
+    ).crossJoin(F.broadcast(stat))
+
+
+def q281_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: do the five event types differ in the rate at
+    which a user FAVORS them — the k-treatment generalization of
+    q203's McNemar (k=2 reduces to it), on binary per-(user, type)
+    indicators "this type's count strictly exceeds the user's own
+    per-type mean" (scale-free, so blocks stay informative at any sf;
+    reach-style absolute indicators saturate — every user here touches
+    all 5 types). Q = (k−1)·Σ_j(k·C_j − N)² / (k·(k·ΣR_i − ΣR_i²)) is
+    pure integer arithmetic until one final division.
+
+    Scale: one (user,type) partial-agg shuffle, then tiny reductions
+    (per-type column sums; per-user row sums)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_it")
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("n_it").alias("tot_i"))
+    kk = counts.agg(F.countDistinct("event_type").alias("k_"))
+    # binary success: the user's count of this type STRICTLY exceeds
+    # their own per-type mean (n_it·k > tot_i) — scale-free, so blocks
+    # stay informative at any sf (an absolute threshold is not)
+    x = (
+        counts.join(tot, "user_id")
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("n_it") * F.col("k_") > F.col("tot_i"))
+        .select("user_id", "event_type")
+    )
+    per_type = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c_j")
+    )
+    per_user = x.groupBy("user_id").agg(F.count(F.lit(1)).alias("r_i"))
+    # k is the TREATMENT count (all observed types), not the count of
+    # types that ever succeed; N is total successes
+    k_n = kk.crossJoin(
+        F.broadcast(x.agg(F.count(F.lit(1)).alias("nn")))
+    ).select(F.col("k_").alias("k"), "nn")
+    denom = per_user.agg(
+        F.sum("r_i").alias("sr"),
+        F.sum(F.col("r_i") * F.col("r_i")).alias("sr2"),
+    )
+    num = (
+        per_type.crossJoin(F.broadcast(k_n))
+        .select(
+            (
+                (F.col("k") * F.col("c_j") - F.col("nn"))
+                * (F.col("k") * F.col("c_j") - F.col("nn"))
+            ).alias("sq"),
+            "k",
+        )
+        .groupBy("k")
+        .agg(F.sum("sq").alias("s"))
+    )
+    q = num.crossJoin(F.broadcast(denom)).select(
+        F.expr(
+            "ROUND((CAST(k AS DOUBLE) - 1) * CAST(s AS DOUBLE)"
+            " / (CAST(k AS DOUBLE)"
+            "    * (CAST(k AS DOUBLE) * CAST(sr AS DOUBLE)"
+            "       - CAST(sr2 AS DOUBLE))), 6)"
+        ).alias("cochran_q"),
+        F.col("k").cast("bigint").alias("k_treatments"),
+    )
+    return per_type.select(
+        "event_type", F.col("c_j").cast("bigint").alias("n_users_above")
+    ).crossJoin(F.broadcast(q))
+
+
+def q282_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test: do the event types
+    differ in spend SPREAD (not level)? One-way ANOVA on absolute
+    deviations from each type's median — the robust Levene variant.
+    The prerequisite check before pooled-variance tests like q153.
+
+    Exactness: group medians are type-1 order statistics on integer
+    cents (rank windows); deviations z are exact integers; the F
+    statistic assembles from Σz, Σz², and per-group ROUND-9 S²/n terms
+    summed as DECIMAL(28,9) (the q253 convention), then one shared
+    double formula. Scale: ranks partition by type; two partial aggs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_g"),
+    )
+    # lower (type-1) median: rank (n+1) DIV 2
+    med = r.filter(F.col("rn") == F.expr("(n_g + 1) DIV 2")).select(
+        "event_type", F.col("cents").alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    zd = F.col("z").cast("decimal(19,0)")
+    per_g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(zd * zd).cast("decimal(38,0)").alias("s2_g"),
+    )
+    terms = per_g.select(
+        "event_type",
+        "n_g",
+        "s_g",
+        "s2_g",
+        F.expr(
+            "CAST(ROUND(CAST(CAST(s_g AS DECIMAL(19,0))"
+            " * s_g AS DOUBLE) / n_g, 9) AS DECIMAL(28,9))"
+        ).alias("t"),
+    )
+    glob = terms.agg(
+        F.sum("n_g").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("s2_g").cast("decimal(38,0)").alias("szz"),
+        F.sum("t").alias("st"),
+    ).select(
+        F.expr(
+            "ROUND(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))"
+            " / (CAST(k AS DOUBLE) - 1))"
+            " * (CAST(st AS DOUBLE)"
+            "    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            "      / CAST(nn AS DOUBLE))"
+            " / (CAST(szz AS DOUBLE) - CAST(st AS DOUBLE)), 6)"
+        ).alias("bf_f"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("k_groups"),
+    )
+    return terms.select(
+        "event_type",
+        F.col("n_g").cast("bigint").alias("n_g"),
+        F.col("s_g").cast("bigint").alias("sum_absdev"),
+    ).crossJoin(F.broadcast(glob))
+
+
 QUERIES = {
     "q31_sessionize": q31_sessionize,
+    "q280_friedman_test": q280_friedman_test,
+    "q281_cochran_q": q281_cochran_q,
+    "q282_brown_forsythe": q282_brown_forsythe,
     "q274_interpolated_quantiles": q274_interpolated_quantiles,
     "q263_wilcoxon_signed_rank": q263_wilcoxon_signed_rank,
     "q260_neyman_allocation": q260_neyman_allocation,
@@ -2973,6 +3202,122 @@ _Q260_W = (
 )
 
 ORACLE = {
+    "q280_friedman_test": """
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        cells AS (SELECT user_id, event_type, SUM(cents) AS c
+                  FROM ev GROUP BY 1, 2),
+        users AS (SELECT DISTINCT user_id FROM cells),
+        types AS (SELECT DISTINCT event_type FROM cells),
+        dense AS (
+            SELECT users.user_id, types.event_type, COALESCE(c, 0) AS c
+            FROM users CROSS JOIN types
+            LEFT JOIN cells USING (user_id, event_type)),
+        blk AS (SELECT user_id, c, COUNT(*) AS cnt
+                FROM dense GROUP BY 1, 2),
+        mrv AS (
+            SELECT user_id, c,
+                   2 * COALESCE(SUM(cnt) OVER (PARTITION BY user_id
+                       ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + cnt + 1 AS mr2
+            FROM blk),
+        mr AS (SELECT dense.user_id, dense.event_type, mr2
+               FROM dense JOIN mrv ON dense.user_id = mrv.user_id
+                                  AND dense.c = mrv.c),
+        pt AS (SELECT event_type, CAST(SUM(mr2) AS BIGINT) AS r_x2
+               FROM mr GROUP BY 1),
+        gl AS (SELECT SUM(CAST(mr2 AS HUGEINT) * mr2) AS a2,
+                      COUNT(DISTINCT user_id) AS n,
+                      COUNT(DISTINCT event_type) AS k
+               FROM mr),
+        sq AS (SELECT n, k, a2,
+                      SUM(CAST(r_x2 - n * (k + 1) AS HUGEINT)
+                          * (r_x2 - n * (k + 1))) AS s4
+               FROM pt, gl GROUP BY n, k, a2),
+        st AS (
+            SELECT ROUND((CAST(k AS DOUBLE) - 1) * CAST(s4 AS DOUBLE)
+                         / (CAST(a2 AS DOUBLE) - CAST(n AS DOUBLE)
+                            * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1)
+                            * (CAST(k AS DOUBLE) + 1)), 6) AS chi2_f,
+                   CAST(n AS BIGINT) AS n_blocks,
+                   CAST(k AS BIGINT) AS k_treatments
+            FROM sq)
+        SELECT event_type, r_x2, chi2_f, n_blocks, k_treatments
+        FROM pt, st
+    """,
+    "q281_cochran_q": """
+        WITH counts AS (SELECT user_id, event_type, COUNT(*) AS n_it
+                        FROM events GROUP BY 1, 2),
+        tot AS (SELECT user_id, SUM(n_it) AS tot_i
+                FROM counts GROUP BY 1),
+        kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM counts),
+        x AS (SELECT user_id, event_type
+              FROM counts JOIN tot USING (user_id), kk
+              WHERE n_it * k > tot_i),
+        pt AS (SELECT event_type, COUNT(*) AS c_j FROM x GROUP BY 1),
+        pu AS (SELECT user_id, COUNT(*) AS r_i FROM x GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS nn FROM x),
+        den AS (SELECT SUM(r_i) AS sr, SUM(r_i * r_i) AS sr2 FROM pu),
+        num AS (SELECT k,
+                       SUM(CAST(k * c_j - nn AS HUGEINT)
+                           * (k * c_j - nn)) AS s
+                FROM pt, kk, nt GROUP BY k),
+        q AS (
+            SELECT ROUND((CAST(k AS DOUBLE) - 1) * CAST(s AS DOUBLE)
+                         / (CAST(k AS DOUBLE)
+                            * (CAST(k AS DOUBLE) * CAST(sr AS DOUBLE)
+                               - CAST(sr2 AS DOUBLE))), 6) AS cochran_q,
+                   CAST(k AS BIGINT) AS k_treatments
+            FROM num, den)
+        SELECT event_type, CAST(c_j AS BIGINT) AS n_users_above,
+               cochran_q, k_treatments
+        FROM pt, q
+    """,
+    "q282_brown_forsythe": """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        r AS (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY cents) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_g
+            FROM ev),
+        med AS (SELECT event_type, cents AS med FROM r
+                WHERE rn = (n_g + 1) // 2),
+        z AS (SELECT ev.event_type, ABS(cents - med) AS z
+              FROM ev JOIN med USING (event_type)),
+        pg AS (SELECT event_type, COUNT(*) AS n_g,
+                      CAST(SUM(z) AS BIGINT) AS s_g,
+                      SUM(CAST(z AS HUGEINT) * z) AS s2_g
+               FROM z GROUP BY 1),
+        terms AS (
+            SELECT event_type, n_g, s_g, s2_g,
+                   CAST(ROUND(CAST(CAST(s_g AS HUGEINT) * s_g AS DOUBLE)
+                              / n_g, 9) AS DECIMAL(28,9)) AS t
+            FROM pg),
+        gl AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn, COUNT(*) AS k,
+                      CAST(SUM(s_g) AS BIGINT) AS s,
+                      SUM(s2_g) AS szz, SUM(t) AS st
+               FROM terms),
+        f AS (
+            SELECT ROUND(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+                          / (CAST(k AS DOUBLE) - 1))
+                         * (CAST(st AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(nn AS DOUBLE))
+                         / (CAST(szz AS DOUBLE) - CAST(st AS DOUBLE)),
+                         6) AS bf_f,
+                   nn AS n_total, CAST(k AS BIGINT) AS k_groups
+            FROM gl)
+        SELECT event_type, CAST(n_g AS BIGINT) AS n_g,
+               s_g AS sum_absdev, bf_f, n_total, k_groups
+        FROM terms, f
+    """,
     "q274_interpolated_quantiles": """
         WITH ranked AS (
             SELECT source, n_chars AS v,

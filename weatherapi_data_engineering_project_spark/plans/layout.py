@@ -1168,8 +1168,66 @@ def q268_equidepth_histogram(
     )
 
 
+def q283_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the anti-entropy check
+    two replicas (or a source and its migrated copy) compare WITHOUT
+    shipping rows: per table, the row count, a BIT_XOR signature and a
+    mod-p additive signature of a per-row md5-derived 60-bit integer.
+    XOR catches any odd multiset difference, the mod-sum catches
+    XOR-cancelling even swaps; both are commutative + associative, so
+    they reduce map-side with NO shuffle of row data at any scale and
+    never depend on row order or partitioning.
+
+    Exactness: the canonical row string uses only integers, strings,
+    exact cent casts, and ISO date strings (a raw double or timestamp
+    would hit cross-engine formatting/timezone traps); the
+    15-hex-digit prefix of
+    md5 converts exactly in both engines (Spark conv(,16,10), DuckDB
+    CAST('0x'… AS BIGINT)); the additive signature sums per-row
+    residues mod 1e9+7 in DECIMAL(38,0) so it cannot overflow at any
+    row count."""
+    specs = {
+        "orders": (
+            "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+            " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),"
+            " CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)"
+        ),
+        "customer": (
+            "concat_ws('|', c_custkey, c_name, c_nationkey,"
+            " CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),"
+            " c_mktsegment)"
+        ),
+        "supplier": (
+            "concat_ws('|', s_suppkey, s_name, s_nationkey,"
+            " CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        ),
+    }
+    parts = []
+    for tbl, canon in specs.items():
+        t = load_table(spark, sf_dir, tbl)
+        h = F.expr(
+            f"CAST(conv(substring(md5({canon}), 1, 15), 16, 10) AS BIGINT)"
+        )
+        parts.append(
+            t.select(h.alias("h")).agg(
+                F.lit(tbl).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("xor_sig"),
+                F.expr(
+                    "CAST(CAST(SUM(CAST(h % 1000000007 AS DECIMAL(38,0)))"
+                    " % 1000000007 AS BIGINT) AS BIGINT)"
+                ).alias("modsum_sig"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "q106_zorder_layout": q106_zorder_layout,
+    "q283_table_checksum": q283_table_checksum,
     "q268_equidepth_histogram": q268_equidepth_histogram,
     "q265_schema_evolution": q265_schema_evolution,
     "q261_compaction_plan": q261_compaction_plan,
@@ -1190,6 +1248,45 @@ _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
 _DUCK_BLOOM_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _BLOOM_SEEDS)
 
 ORACLE = {
+    "q283_table_checksum": """
+        WITH h_orders AS (
+            SELECT CAST('0x' || substr(md5(concat_ws('|', o_orderkey,
+                       o_custkey, o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT),
+                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                       o_orderpriority)), 1, 15)
+                    AS BIGINT) AS h
+            FROM orders),
+        h_customer AS (
+            SELECT CAST('0x' || substr(md5(concat_ws('|', c_custkey,
+                       c_name, c_nationkey,
+                       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                            AS BIGINT),
+                       c_mktsegment)), 1, 15) AS BIGINT) AS h
+            FROM customer),
+        h_supplier AS (
+            SELECT CAST('0x' || substr(md5(concat_ws('|', s_suppkey,
+                       s_name, s_nationkey,
+                       CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100
+                            AS BIGINT))), 1, 15) AS BIGINT) AS h
+            FROM supplier)
+        SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+               CAST(BIT_XOR(h) AS BIGINT) AS xor_sig,
+               CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT)
+                   AS modsum_sig
+        FROM h_orders
+        UNION ALL
+        SELECT 'customer', COUNT(*),
+               CAST(BIT_XOR(h) AS BIGINT),
+               CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT)
+        FROM h_customer
+        UNION ALL
+        SELECT 'supplier', COUNT(*),
+               CAST(BIT_XOR(h) AS BIGINT),
+               CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT)
+        FROM h_supplier
+    """,
     "q268_equidepth_histogram": """
         WITH o AS (
             SELECT o_orderkey,
