@@ -23,9 +23,20 @@ flag
 Queries whose docstrings DOCUMENT a bounded single-partition step
 (calendar grids, value-domain frames, ≤33-row bucket stitches) are
 waived with the same justification — every flag is either absent or
-explicitly accounted for, never silent. Streaming queries that
-physically run a drain inside their builder are skipped (their plan is
-exercised end-to-end by their differential).
+explicitly accounted for, never silent.
+
+Streaming drains are NOT skipped (VERDICT r08 #4): each drain runs at
+sf0.001 with SPARK_GRAFT_CAPTURE_BATCH_PLANS set and THREE plans get
+the same lint — the engine's final incremental micro-batch plan
+(explainInternal: the one holding StreamingSymmetricHashJoin /
+StateStoreSave / watermark exchanges), each foreachBatch sink's
+executed plan (q84's in-sink merge is a real join-aggregate), and the
+returned read-back frame. The inside of a foreachBatch is exactly
+where a silent nested-loop fallback would hide at scale.
+
+NOTE: drains clear and reuse deterministic work dirs — do not run this
+tool concurrently with another process that drives the same streaming
+queries at sf0.001 (e.g. the pytest suite).
 
 Usage: python tools/plan_audit.py [out.json]
 Exit 0 iff every flag is waived; prints one line per unwaived flag.
@@ -99,7 +110,29 @@ WAIVERS: dict[str, dict[str, str]] = {
 }
 
 
+def _lint_plan(plan: str) -> tuple[dict, dict]:
+    """The four scale-killer checks over one physical plan string."""
+    bnl_lines = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    flags = {
+        "cartesian": "CartesianProduct" in plan,
+        "bnl_noncross": any(", Cross" not in ln for ln in bnl_lines),
+        "global_sort": bool(
+            re.search(r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", plan)
+        ),
+        "python_udf": "BatchEvalPython" in plan,
+    }
+    stats = {
+        "exchanges": plan.count("Exchange "),
+        "scans": plan.count("Scan parquet"),
+        "codegen_spans": plan.count("WholeStageCodegen"),
+        "bnl_cross": sum(1 for ln in bnl_lines if ", Cross" in ln),
+    }
+    return flags, stats
+
+
 def main() -> int:
+    import os
+
     from pyspark.sql import SparkSession
 
     from weatherapi_data_engineering_project_spark.plans import (
@@ -113,47 +146,55 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
-    skip = set(streaming_queries.QUERIES) - {"q43_approx_distinct"}
+    spark.sparkContext.setLogLevel("ERROR")
+    # turn on final-micro-batch plan capture inside every drain sink
+    os.environ["SPARK_GRAFT_CAPTURE_BATCH_PLANS"] = "1"
+    drains = set(streaming_queries.QUERIES) - {"q43_approx_distinct"}
     results: dict[str, dict] = {}
     unwaived: list[tuple[str, str]] = []
     stale = []
     fired: dict[str, set] = {k: set() for k in WAIVERS}
     for name, fn in sorted(registry.all_queries().items()):
-        if name in skip:
-            results[name] = {"skipped": "streaming drain"}
-            continue
+        is_drain = name in drains
         try:
-            plan = (
-                fn(spark, SF_DIR)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = fn(spark, SF_DIR)  # for a drain this RUNS the stream
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — record, don't abort
             results[name] = {"error": str(e)[:200]}
             unwaived.append((name, "error"))
             continue
-        bnl_lines = re.findall(
-            r"BroadcastNestedLoopJoin[^\n]*", plan
-        )
-        flags = {
-            "cartesian": "CartesianProduct" in plan,
-            "bnl_noncross": any(
-                ", Cross" not in ln for ln in bnl_lines
-            ),
-            "global_sort": bool(
-                re.search(
-                    r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", plan
+        flags, rec = _lint_plan(plan)
+        if is_drain:
+            # lint every captured drain plan too — the engine's final
+            # incremental micro-batch plan ("<tag>/engine", the one with
+            # the stateful operators) and each sink-side plan — and
+            # OR-merge their flags (a BNLJ inside the drain is as real
+            # as one outside)
+            tag = name.split("_", 1)[0]
+            captured = {
+                k: v
+                for k, v in streaming_queries.LAST_BATCH_PLANS.items()
+                if k.split("/", 1)[0] == tag
+            }
+            if f"{tag}/engine" not in captured:
+                results[name] = {"error": "no engine plan captured"}
+                unwaived.append((name, "error"))
+                continue
+            for key, bplan in sorted(captured.items()):
+                bflags, bstats = _lint_plan(bplan)
+                flags = {k: flags[k] or bflags[k] for k in flags}
+                bstats["stateful_ops"] = sum(
+                    bplan.count(op)
+                    for op in (
+                        "StateStoreSave",
+                        "StreamingSymmetricHashJoin",
+                        "FlatMapGroupsInPandasWithState",
+                        "TransformWithStateInPySpark",
+                        "StreamingDeduplicate",
+                        "SessionWindowStateStore",
+                    )
                 )
-            ),
-            "python_udf": "BatchEvalPython" in plan,
-        }
-        rec = {
-            "exchanges": plan.count("Exchange "),
-            "scans": plan.count("Scan parquet"),
-            "codegen_spans": plan.count("WholeStageCodegen"),
-            "bnl_cross": sum(1 for ln in bnl_lines if ", Cross" in ln),
-        }
+                rec[key.split("/", 1)[1] + "_plan"] = bstats
         for flag, hit in flags.items():
             if not hit:
                 continue
@@ -172,7 +213,7 @@ def main() -> int:
     n_flagged = sum(1 for r in results.values() if r.get("flags"))
     summary = {
         "queries": len(results),
-        "skipped_streaming": len(skip),
+        "streaming_drains_linted": sorted(drains),
         "flagged": n_flagged,
         "unwaived": [f"{n}:{f}" for n, f in unwaived],
         "stale_waivers": stale,

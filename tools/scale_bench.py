@@ -1,0 +1,175 @@
+"""Empirical scaling check (VERDICT r08 #5): 1× vs 10× walls for the
+slowest non-streaming queries.
+
+The 100×-scale claims in docstrings are design arguments; this measures
+them. A ~10× corpus is synthesized locally by union-replicating the
+sf0.1 parquet with key-offset re-stamping (PKs stay unique; fact keys
+offset consistently across orders/lineitem so FKs stay valid; dims stay
+1× — facts grow, dimensions don't). Replicated documents get a per-copy
+text suffix and replicated embeddings a per-copy coordinate nudge so
+dedup/ANN queries don't degenerate into artificial groups of 10
+identical items (which would measure an input pathology, not scaling).
+
+Then each target query runs best-of-2 at BOTH scales in one warmed
+session (bench.py's recipe) and the ratio is recorded. A shuffle-bound
+query should land near 10×·log-ish growth; anything super-linear beyond
+shuffle-volume expectations gets a plan fix or a documented reason.
+
+Usage: python tools/scale_bench.py [out.json]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_scale10x),
+     SPARK_GRAFT_SCALE_REPLICAS (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from weatherapi_data_engineering_project_spark.session import get_spark  # noqa: E402
+from weatherapi_data_engineering_project_spark.schemas import (  # noqa: E402
+    TESTDATA_TABLES,
+    load_table,
+)
+from weatherapi_data_engineering_project_spark.plans import registry  # noqa: E402
+from weatherapi_data_engineering_project_spark.caching import release_all  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10x")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+
+# the 10 slowest non-streaming queries of bench_full_r08.json
+TARGETS = [
+    "q89_pagerank",
+    "q87_semantic_dedup",
+    "q77_training_prep",
+    "q191_heaps_law",
+    "q60_ivf_kmeans_ann",
+    "q173_quality_representatives",
+    "q47_dedup_clusters",
+    "q72_dedup_keep_list",
+    "q149_prefix_join",
+    "q93_semantic_contamination",
+]
+
+DIMS = {"region", "nation", "customer", "supplier", "part"}
+
+
+def build_scale_corpus(spark) -> None:
+    """Union-replicate the fact tables REPLICAS× with unique keys."""
+    marker = os.path.join(SCALE_DIR, "_BUILT")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    for t in TESTDATA_TABLES:
+        base = load_table(spark, SF_DIR, t)
+        out = os.path.join(SCALE_DIR, f"{t}.parquet")
+        if t in DIMS:
+            base.write.mode("overwrite").parquet(out)
+            continue
+        # key offset: one power-of-10 stride above the max key in the
+        # table keeps replicated keys disjoint and human-readable
+        copies = []
+        for k in range(REPLICAS):
+            c = base
+            if t == "documents":
+                c = c.select(
+                    (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                    F.when(F.lit(k) == 0, F.col("text"))
+                    .otherwise(F.concat(F.col("text"), F.lit(f" r{k}")))
+                    .alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+                c = c.withColumn("n_chars", F.length("text").cast("long"))
+            elif t == "embeddings":
+                c = c.select(
+                    (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x
+                        + F.when(i == 0, F.lit(k * 1e-3)).otherwise(F.lit(0.0)),
+                    ).cast("array<float>").alias("embedding"),
+                    "label",
+                )
+            elif t == "events":
+                c = c.withColumn(
+                    "event_id", F.col("event_id") + F.lit(k * 100_000_000)
+                )
+            elif t == "orders":
+                c = c.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000)
+                )
+            elif t == "lineitem":
+                c = c.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+                )
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(out)
+    open(marker, "w").write("ok")
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r09.json"
+    spark = get_spark(
+        app_name="scale-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    build_scale_corpus(spark)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    queries = registry.all_queries()
+    # warmup (bench.py recipe)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_DIR, t).count()
+        load_table(spark, SCALE_DIR, t).count()
+
+    def best_of_2(fn, sf_dir: str) -> float:
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+            release_all()
+        return round(best, 3)
+
+    rows = {}
+    for name in TARGETS:
+        fn = queries[name]
+        w1 = best_of_2(fn, SF_DIR)
+        w10 = best_of_2(fn, SCALE_DIR)
+        rows[name] = {
+            "wall_1x": w1,
+            "wall_10x": w10,
+            "ratio": round(w10 / w1, 2),
+        }
+        print(json.dumps({"query": name, **rows[name]}), flush=True)
+
+    result = {
+        "metric": "scale_ratio_10x",
+        "replicas": REPLICAS,
+        "base_sf_dir": SF_DIR,
+        "corpus_build_seconds": build_s,
+        "queries": rows,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps({"written": out_path, "n": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()

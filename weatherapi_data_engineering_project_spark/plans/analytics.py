@@ -2646,7 +2646,9 @@ def q260_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent exact sum; quotas/remainders are shared double
     formulas over those exact inputs; the remainder ranking (with
     source tiebreak) runs over the 20-row stratum frame — bounded by
-    the stratum count, not the corpus."""
+    the stratum count, not the corpus. A zero total weight (every
+    stratum has n_h <= 1) raises loudly on both engines instead of
+    emitting NaN allocations."""
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").alias("x")
     )
@@ -2670,11 +2672,17 @@ def q260_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(ROUND({_W}, 9) AS DECIMAL(28,9))").alias("w"),
     )
     tot = wf.agg(F.sum("w").alias("ww"))
+    # loud rejection (ADVICE r08): when EVERY stratum has n_h <= 1 all
+    # weights are 0 and quota = x/0 would silently emit NaN garbage —
+    # fail the job instead (_update_running_totals' convention)
     q = wf.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_h",
         F.expr(
-            "1000 * CAST(w AS DOUBLE) / CAST(ww AS DOUBLE)"
+            "1000 * CAST(w AS DOUBLE) / CAST("
+            "CASE WHEN ww > 0 THEN ww"
+            " ELSE raise_error('q260: total Neyman weight is zero"
+            " (every stratum has n_h <= 1)') END AS DOUBLE)"
         ).alias("quota"),
     )
     q = q.select(
@@ -2961,7 +2969,10 @@ def q281_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type mean" (scale-free, so blocks stay informative at any sf;
     reach-style absolute indicators saturate — every user here touches
     all 5 types). Q = (k−1)·Σ_j(k·C_j − N)² / (k·(k·ΣR_i − ΣR_i²)) is
-    pure integer arithmetic until one final division.
+    pure integer arithmetic until one final division. The per-type
+    column sums are densified against the full treatment set (left
+    join + COALESCE 0, both sides), so a treatment nobody favors still
+    contributes its N² numerator term and emits a row.
 
     Scale: one (user,type) partial-agg shuffle, then tiny reductions
     (per-type column sums; per-user row sums)."""
@@ -2982,8 +2993,22 @@ def q281_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_it") * F.col("k_") > F.col("tot_i"))
         .select("user_id", "event_type")
     )
-    per_type = x.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("c_j")
+    # densify against the FULL treatment set (ADVICE r08): a treatment
+    # with zero successful users must still contribute its (k·0 − N)²
+    # = N² numerator term and emit an output row — built only from
+    # observed successes, both silently vanish and Q is understated
+    per_type = (
+        counts.select("event_type")
+        .distinct()
+        .join(
+            x.groupBy("event_type").agg(F.count(F.lit(1)).alias("c_obs")),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            F.coalesce("c_obs", F.lit(0)).cast("long").alias("c_j"),
+        )
     )
     per_user = x.groupBy("user_id").agg(F.count(F.lit(1)).alias("r_i"))
     # k is the TREATMENT count (all observed types), not the count of
@@ -3257,7 +3282,10 @@ ORACLE = {
         x AS (SELECT user_id, event_type
               FROM counts JOIN tot USING (user_id), kk
               WHERE n_it * k > tot_i),
-        pt AS (SELECT event_type, COUNT(*) AS c_j FROM x GROUP BY 1),
+        pt AS (SELECT t.event_type, COALESCE(c.c_obs, 0) AS c_j
+               FROM (SELECT DISTINCT event_type FROM counts) t
+               LEFT JOIN (SELECT event_type, COUNT(*) AS c_obs
+                          FROM x GROUP BY 1) c USING (event_type)),
         pu AS (SELECT user_id, COUNT(*) AS r_i FROM x GROUP BY 1),
         nt AS (SELECT COUNT(*) AS nn FROM x),
         den AS (SELECT SUM(r_i) AS sr, SUM(r_i * r_i) AS sr2 FROM pu),
@@ -3384,7 +3412,11 @@ ORACLE = {
         tot AS (SELECT SUM(w) AS ww FROM wf),
         q AS (
             SELECT source, n_h,
-                   1000 * CAST(w AS DOUBLE) / CAST(ww AS DOUBLE) AS quota
+                   1000 * CAST(w AS DOUBLE) / CAST(
+                       CASE WHEN ww > 0 THEN ww
+                            ELSE error('q260: total Neyman weight is zero'
+                                       ' (every stratum has n_h <= 1)')
+                       END AS DOUBLE) AS quota
             FROM wf, tot),
         q2 AS (
             SELECT source, n_h, quota,

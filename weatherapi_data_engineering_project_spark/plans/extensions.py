@@ -2275,14 +2275,10 @@ def q278_static_partition_prune(
     table, so the differential certifies layout changed the PLAN, not
     the answer."""
     import os as _os
-    import tempfile as _tempfile
 
-    import hashlib as _hl
+    from .layout import session_layout_base as _slb
 
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    path = _os.path.join(
-        _tempfile.gettempdir(), f"spp_tables_{tag}", "events_by_type"
-    )
+    path = _os.path.join(_slb(spark, "spp_tables", sf_dir), "events_by_type")
     ev = load_table(spark, sf_dir, "events")
     (
         ev.select("event_id", "user_id", "value", "event_type")

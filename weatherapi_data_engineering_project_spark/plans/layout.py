@@ -50,6 +50,25 @@ from pyspark.sql.window import Window
 
 from ..schemas import load_table
 
+
+def session_layout_base(spark: SparkSession, family: str, sf_dir: str) -> str:
+    """Per-session scratch root for the layout-op queries (q242/q257/
+    q265/q278 convention). Keyed by the Spark applicationId AND the
+    dataset tag (ADVICE r08): a path keyed only by md5(sf_dir) is
+    world-shared and predictable, so two concurrent sessions on the
+    same sf_dir race each other's mode('overwrite') writes and the
+    fixed /tmp name is squattable on multi-user hosts. Within one
+    session the path is stable, keeping reruns idempotent (overwrite
+    replaces the previous run's layout)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "")[-16:]
+    return os.path.join(tempfile.gettempdir(), f"{family}_{app}_{tag}")
+
+
 # --- q106: Z-order (Morton) clustering --------------------------------
 
 _ZBITS = 16  # quantization width per dimension -> 32-bit z-values
@@ -896,10 +915,9 @@ def q242_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bucketing changed the PLAN, not the answer."""
     import hashlib
     import os
-    import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"bkt_tables_{tag}")
+    base = session_layout_base(spark, "bkt_tables", sf_dir)
     specs = [
         ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus"]),
         (
@@ -956,10 +974,8 @@ def q257_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the RAW table, so the differential certifies the layout changed
     the PLAN, not the answer."""
     import os as _os
-    import tempfile as _tempfile
 
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = _os.path.join(_tempfile.gettempdir(), f"dpp_tables_{tag}")
+    base = session_layout_base(spark, "dpp_tables", sf_dir)
     fact_path = _os.path.join(base, "orders_by_priority")
     dim_path = _os.path.join(base, "priority_dim")
     o = load_table(spark, sf_dir, "orders")
@@ -1074,10 +1090,8 @@ def q265_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the merged read reconstructs exactly the pre-split
     data."""
     import os as _os
-    import tempfile as _tempfile
 
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = _os.path.join(_tempfile.gettempdir(), f"evo_tables_{tag}")
+    base = session_layout_base(spark, "evo_tables", sf_dir)
     d = load_table(spark, sf_dir, "documents")
     (
         d.filter(F.col("doc_id") % 2 == 0)
@@ -1225,7 +1239,81 @@ def q283_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q284_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join handling — the PRODUCTION path for skewed keys at
+    100 TB (VERDICT r08 #6): q69's salted join is the manual rewrite;
+    here Spark's runtime ``OptimizeSkewedJoin`` splits the hot
+    partition itself and the oracle certifies the result is unchanged.
+
+    The skew fixture is deliberate: ~43% of lineitem rows land on one
+    derived key (l_linenumber <= 3 → key 0, everything else spread
+    over 97 keys), joined to a 98-row per-key dimension made
+    non-broadcastable (autoBroadcastJoinThreshold = -1 on a CLONED
+    session — the caller's conf is never touched, the q42 pattern) so
+    the plan is a sort-merge join whose key-0 partition is ~6× the
+    median. With skew thresholds scaled to the test corpus the final
+    adaptive plan shows ``SortMergeJoin(skew=true)`` over an
+    ``AQEShuffleRead skewed`` (pinned in tests/test_round9_queries.py)
+    and the hot partition executes as multiple map-range splits with
+    the dim side replicated per split.
+
+    Scale insight this query encodes: AQE splits a skewed REDUCE
+    partition by MAP-index ranges, so a single-mapper shuffle (one
+    thin parquet file scanned as one task) is indivisible and skew
+    handling silently no-ops — the scan side must arrive as multiple
+    map tasks (`repartition(8)` here; thousands of input splits in a
+    real 100 TB scan, where this is automatic). The trailing
+    per-dim-attribute aggregate groups on a NON-join key, so the skew
+    split introduces no extra exchange and fires without
+    ``forceOptimizeSkewedJoin``.
+
+    Exactness: integer-cent revenue (BIGINT sums both engines).
+    Oracle: the PLAIN join+aggregate — hash-matching it proves the
+    runtime split is semantics-preserving, the same algebra-pinning
+    q69 does for the manual salt."""
+    from ..session import cloned_session
+
+    s2 = cloned_session(spark)
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scaled to the sf0.01-0.1 corpus: the hot partition (~0.4-4 MB)
+        # must clear both gates (> factor × median AND > threshold)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        s2.conf.set(k, v)
+    li = (
+        load_table(s2, sf_dir, "lineitem")
+        .repartition(8)  # multi-mapper shuffle input — see docstring
+        .select(
+            F.when(F.col("l_linenumber") <= 3, F.lit(0))
+            .otherwise(F.pmod("l_orderkey", F.lit(97)) + 1)
+            .cast("bigint")
+            .alias("skew_key"),
+            "l_extendedprice",
+        )
+    )
+    dim = s2.range(0, 98).select(
+        F.col("id").alias("skew_key"), (F.col("id") % 7 + 1).alias("w")
+    )
+    return (
+        li.join(dim, "skew_key")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            ).alias("sum_cents"),
+        )
+    )
+
+
 QUERIES = {
+    "q284_aqe_skew_join": q284_aqe_skew_join,
     "q106_zorder_layout": q106_zorder_layout,
     "q283_table_checksum": q283_table_checksum,
     "q268_equidepth_histogram": q268_equidepth_histogram,
@@ -1248,6 +1336,20 @@ _DUCK_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_SEEDS)
 _DUCK_BLOOM_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _BLOOM_SEEDS)
 
 ORACLE = {
+    "q284_aqe_skew_join": """
+        WITH li AS (
+            SELECT CASE WHEN l_linenumber <= 3 THEN 0
+                        ELSE l_orderkey % 97 + 1 END AS skew_key,
+                   l_extendedprice
+            FROM lineitem),
+        dim AS (SELECT gs AS skew_key, gs % 7 + 1 AS w
+                FROM generate_series(0, 97) t(gs))
+        SELECT w, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM li JOIN dim USING (skew_key)
+        GROUP BY 1
+    """,
     "q283_table_checksum": """
         WITH h_orders AS (
             SELECT CAST('0x' || substr(md5(concat_ws('|', o_orderkey,

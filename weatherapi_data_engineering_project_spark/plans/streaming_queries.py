@@ -43,6 +43,34 @@ from ..session import cloned_session as _cloned_session  # noqa: E402
 # and test imports stable)
 
 
+# Final-micro-batch plan capture (plan-audit support): when
+# SPARK_GRAFT_CAPTURE_BATCH_PLANS is set, every drain records (a) the
+# streaming engine's incremental physical plan of its LAST executed
+# micro-batch (``explainInternal`` — StreamingSymmetricHashJoin /
+# StateStoreSave / watermark nodes and their exchanges, keyed
+# "<tag>/engine") and (b) the executed plan of whatever frame each
+# foreachBatch sink writes (keyed "<tag>/sink" — for most drains
+# that's a Scan ExistingRDD handoff, but q84's merge builds a real
+# join-aggregate plan inside the sink). tools/plan_audit.py runs the
+# same cartesian/BNLJ/global-sort/python-UDF lint on BOTH that it
+# runs on batch queries — the inside of a drain was previously
+# skipped, exactly where a silent nested-loop fallback would hide.
+LAST_BATCH_PLANS: dict[str, str] = {}
+
+
+def _audit_batch(tag: str, frame: DataFrame) -> None:
+    if os.environ.get("SPARK_GRAFT_CAPTURE_BATCH_PLANS"):
+        LAST_BATCH_PLANS[f"{tag}/sink"] = (
+            frame._jdf.queryExecution().executedPlan().toString()
+        )
+
+
+def _audit_stream(tag: str, q) -> None:
+    """Record the terminated query's final incremental physical plan."""
+    if os.environ.get("SPARK_GRAFT_CAPTURE_BATCH_PLANS"):
+        LAST_BATCH_PLANS[f"{tag}/engine"] = q._jsq.explainInternal(False)
+
+
 def _work_dir(name: str, sf_dir: str) -> str:
     """Deterministic per-query-per-dataset work dir, cleared on reuse so
     repeated invocations (bench runs each query N times) hold at most
@@ -93,6 +121,7 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(4).write.mode("overwrite").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q42", batch)
         batch.withColumn("q42_batch_id", F.lit(bid)).write.mode(
             "append"
         ).parquet(out)
@@ -118,6 +147,7 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q42", q)
     if not os.path.exists(out):  # no data emitted
         return spark.createDataFrame([], RUNNING_TOTALS_SCHEMA)
     # last emitted update per user is the final total — one window pass,
@@ -182,6 +212,7 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q70", batch)
         batch.write.mode("append").parquet(out)
 
     # cloned session: pinned state-shuffle width + copied runtime confs
@@ -206,6 +237,7 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q70", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
@@ -249,6 +281,7 @@ def _drain_sentinel_interval_join(
         sent.write.mode("append").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch(tag, batch)
         batch.write.mode("append").parquet(out)
 
     s2 = _cloned_session(spark)
@@ -274,6 +307,7 @@ def _drain_sentinel_interval_join(
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream(tag, q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
@@ -393,6 +427,7 @@ def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q76", batch)
         batch.write.mode("append").parquet(out)
 
     s2 = _cloned_session(spark)
@@ -412,6 +447,7 @@ def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q76", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [], "event_id bigint, ts timestamp, user_id bigint"
@@ -462,6 +498,7 @@ def q84_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("sv").alias("sv"),
                 )
             )
+        _audit_batch("q84", part)
         tmp = f"{out}.tmp-{bid}"
         part.write.mode("overwrite").parquet(tmp)
         if os.path.exists(out):
@@ -484,6 +521,7 @@ def q84_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q84", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
@@ -538,6 +576,7 @@ def q121_stream_session_window(
     ).parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q121", batch)
         tmp = f"{out}.tmp-{bid}"
         batch.write.mode("overwrite").parquet(tmp)
         if os.path.exists(out):
@@ -562,6 +601,7 @@ def q121_stream_session_window(
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q121", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
@@ -613,6 +653,7 @@ def q136_stream_sliding_window(
     ).write.mode("overwrite").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q136", batch)
         tmp = f"{out}.tmp-{bid}"
         batch.write.mode("overwrite").parquet(tmp)
         if os.path.exists(out):
@@ -639,6 +680,7 @@ def q136_stream_sliding_window(
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q136", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
@@ -686,6 +728,7 @@ def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(8).write.mode("overwrite").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q90", batch)
         batch.write.mode("append").parquet(out)
 
     s2 = _cloned_session(spark)
@@ -723,6 +766,7 @@ def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q90", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
@@ -769,6 +813,7 @@ def q256_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q256", batch)
         batch.write.mode("append").parquet(out)
 
     s2 = _cloned_session(spark)
@@ -792,6 +837,7 @@ def q256_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q256", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [], "user_id bigint, event_id bigint, ts timestamp"
@@ -849,6 +895,7 @@ def q266_stream_append_windows(
         sent.write.mode("append").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q266", batch)
         batch.write.mode("append").parquet(out)
 
     s2 = _cloned_session(spark)
@@ -887,6 +934,7 @@ def q266_stream_append_windows(
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
+    _audit_stream("q266", q)
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
@@ -898,7 +946,114 @@ def q266_stream_append_windows(
     )
 
 
+# per-batch state-store row counts of the last q285 drain, for the
+# eviction-metrics assertion (tests/test_round9_queries.py): the
+# differential proves the VALUES; this proves state actually SHRANK.
+LAST_STATE_METRICS: dict[str, list] = {}
+
+
+def q285_stream_timeout_flush(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idle-key state EVICTION through the real engine (VERDICT r08
+    #7): per-user exact totals held silently in
+    ``applyInPandasWithState`` state and emitted ONLY when the user's
+    event-time timeout fires — ``GroupStateTimeout.EventTimeTimeout``,
+    the session-gap idle-user flush (streaming/windows.
+    idle_flush_totals). q42 proves stateful totals survive restarts;
+    this proves state is RETIRED: every output row exists because the
+    watermark passed last_ts + gap, the timeout branch ran, and the
+    key was removed from the store. At 100 TB uncollected idle state
+    is the #1 streaming OOM; this is the program shape that bounds it.
+
+    Drain: the q266 sentinel protocol adapted to timeouts — 8 real
+    files fill micro-batch 1 (timeouts set, nothing emitted); the
+    +10 d wave's batch runs under watermark = real_max − 2 h (flushes
+    users idle > 3 h before corpus end); the +20 d wave's batch runs
+    under watermark = +10 d − 2 h, far past every real timeout, so
+    EVERY real user has flushed exactly once before stop. The sentinel
+    user (-1) keeps its state forever and never emits — filtered on
+    read-back by id sign anyway (defense in depth; never on the
+    streaming plan, the q218 trap). Per-batch parquet spill, no
+    driver collect; per-batch state-store row counts are recorded in
+    ``LAST_STATE_METRICS`` so tests can assert the store SHRANK to
+    exactly the sentinel key after the flush.
+
+    Oracle completeness: emission-only-on-timeout means the drained
+    result equals the batch GROUP BY user_id IFF eviction fired for
+    every user — the differential hash-certifies the timeout path
+    itself (integer-cent exactness, q42's argument)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import idle_flush_totals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    work = _work_dir("q285", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    max_ts = ev.agg(F.max("ts").alias("m")).first().m
+    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
+        time.sleep(1.0)
+        sent = spark.range(lo, hi, 1, nparts).select(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        sent.write.mode("append").parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q285", batch)
+        batch.write.mode("append").parquet(out)
+
+    s2 = _cloned_session(spark)
+    stream = (
+        s2.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    q = (
+        idle_flush_totals(stream, watermark="2 hours")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    _audit_stream("q285", q)
+    try:
+        LAST_STATE_METRICS["q285"] = [
+            (
+                p["batchId"],
+                p["stateOperators"][0]["numRowsTotal"],
+                p["stateOperators"][0].get("numRowsRemoved", 0),
+            )
+            for p in (_json.loads(pp.json) for pp in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+    except Exception:  # noqa: BLE001 — metrics are best-effort evidence
+        LAST_STATE_METRICS["q285"] = []
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_events bigint, sum_cents bigint, "
+            "last_ts timestamp",
+        )
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
 QUERIES = {
+    "q285_stream_timeout_flush": q285_stream_timeout_flush,
     "q42_stateful_totals": q42_stateful_totals,
     "q256_stream_semi_join": q256_stream_semi_join,
     "q266_stream_append_windows": q266_stream_append_windows,
@@ -930,6 +1085,18 @@ ORACLE: dict[str, str] = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
                    / 100.0 AS sum_value,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    # q285: same batch twin, integer cents — but the Spark side emits a
+    # row ONLY through the EventTimeTimeout eviction branch, so the
+    # hash match certifies that every user's state was flushed by the
+    # watermark and removed (see q285_stream_timeout_flush docstring).
+    "q285_stream_timeout_flush": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
                MAX(ts) AS last_ts
         FROM events GROUP BY user_id
     """,

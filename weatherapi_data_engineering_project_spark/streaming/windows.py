@@ -296,3 +296,88 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+IDLE_FLUSH_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_cents bigint, last_ts timestamp"
+)
+_IDLE_GAP_MS = 3_600_000  # 1-hour event-time idle gap before flush
+
+
+def _flush_idle_totals(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Timeout-EVICTION state program: fold rows silently, emit a
+    user's totals ONLY when their event-time timeout fires (the
+    watermark passed last_ts + gap), then REMOVE the state. Emission
+    exclusively through the ``hasTimedOut`` branch is what makes the
+    q285 differential certify eviction itself: a user whose state is
+    never flushed is a missing output row, not a wrong value."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, cents, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_cents": [cents],
+                "last_ts": [pd.Timestamp(last_us * 1_000)],
+            }
+        )
+        return
+    if state.exists:
+        n, cents, last_us = state.get
+    else:
+        n, cents, last_us = 0, 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        # exact integer cents — _update_running_totals' 2-decimal-money
+        # precondition and loud rejection apply unchanged
+        scaled = pdf["value"].mul(100)
+        drift = (scaled - scaled.round()).abs()
+        tol = scaled.abs().clip(lower=1.0) * 1e-9
+        if bool((drift > tol).any()):
+            offender = pdf["value"][drift > tol].iloc[0]
+            raise ValueError(
+                "idle_flush_totals requires 2-decimal money values "
+                f"(value*100 must be integral); got {offender!r}"
+            )
+        cents += int(scaled.round().astype("int64").sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1_000))
+    state.update((n, cents, last_us))
+    # event-time timeout: fires once the WATERMARK passes this stamp —
+    # i.e. once a late event inside the gap is provably impossible
+    state.setTimeoutTimestamp(last_us // 1_000 + _IDLE_GAP_MS)
+    yield from ()
+
+
+def idle_flush_totals(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-idle flush via ``GroupStateTimeout.EventTimeTimeout``:
+    per-user exact totals that sit silently in the state store while
+    the user is active and EMIT-AND-EVICT once the user has been idle
+    past the gap (watermark-driven). This is the state-RETIREMENT path
+    q42's NoTimeout operator never exercises — at 100 TB uncollected
+    idle-key state is the #1 streaming OOM, and this program bounds
+    state at O(active users in the idle horizon) by construction.
+
+    The watermark is mandatory: event-time timeouts are defined
+    against it (timeout fires when watermark > last_ts + gap)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _flush_idle_totals,
+            outputStructType=IDLE_FLUSH_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
