@@ -10,6 +10,21 @@ text suffix and replicated embeddings a per-copy coordinate nudge so
 dedup/ANN queries don't degenerate into artificial groups of 10
 identical items (which would measure an input pathology, not scaling).
 
+Replica distinctness matters MORE than key uniqueness for similarity
+workloads (measured, r09): a first corpus that appended a short
+per-copy suffix to each document (and nudged one embedding coordinate
+by 1e-3) made every item a 10-way TRUE near-duplicate of its base —
+q149's Jaccard>=1/2 self-join output grew ~45x (C(10,2) pairs per
+group) and its wall 47x, q93's cosine pairs likewise (18.5x). Those
+walls were OUTPUT-bound, not plan pathologies, but they measure an
+input artifact, not scaling. This builder therefore salts ALTERNATE
+WORDS with a copy tag (cross-copy token Jaccard ~1/3, below the 1/2
+threshold, while half the vocabulary still collides across copies so
+candidate buckets stay realistically mixed) and ROTATES each replica's
+embedding by k positions (norm-preserving, cosine to the base ~random),
+so the true near-dup structure is 10 disjoint copies of the base
+corpus's and output grows linearly.
+
 Then each target query runs best-of-2 at BOTH scales in one warmed
 session (bench.py's recipe) and the ratio is recorded. A shuffle-bound
 query should land near 10×·log-ish growth; anything super-linear beyond
@@ -79,24 +94,41 @@ def build_scale_corpus(spark) -> None:
         for k in range(REPLICAS):
             c = base
             if t == "documents":
+                if k == 0:
+                    text = F.col("text")
+                else:
+                    # salt alternate words with the copy tag: cross-copy
+                    # token Jaccard ~1/3 (no artificial near-dups) while
+                    # unsalted words keep buckets mixed across copies
+                    words = F.split(F.col("text"), " ")
+                    text = F.array_join(
+                        F.transform(
+                            words,
+                            lambda w, i: F.when(
+                                i % 2 == 0, F.concat(w, F.lit(f"x{k}"))
+                            ).otherwise(w),
+                        ),
+                        " ",
+                    )
                 c = c.select(
                     (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
-                    F.when(F.lit(k) == 0, F.col("text"))
-                    .otherwise(F.concat(F.col("text"), F.lit(f" r{k}")))
-                    .alias("text"),
+                    text.alias("text"),
                     "lang",
                     "source",
-                    "n_chars",
+                    F.length(text).cast("long").alias("n_chars"),
                 )
-                c = c.withColumn("n_chars", F.length("text").cast("long"))
             elif t == "embeddings":
+                emb = F.col("embedding")
+                if k > 0:
+                    # rotate by k positions: norm-preserving, cosine to
+                    # the base ~random — replicas are semantically new
+                    emb = F.concat(
+                        F.slice(emb, k + 1, F.size(emb) - k),
+                        F.slice(emb, 1, k),
+                    )
                 c = c.select(
                     (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x, i: x
-                        + F.when(i == 0, F.lit(k * 1e-3)).otherwise(F.lit(0.0)),
-                    ).cast("array<float>").alias("embedding"),
+                    emb.cast("array<float>").alias("embedding"),
                     "label",
                 )
             elif t == "events":
