@@ -110,6 +110,194 @@ def test_timeout_flush_evicts_all_real_user_state(spark):
     assert removed == n_users  # evictions are counted, not silent
 
 
+def _np_lsh_pairs(X, ids, n_bands, band_bits, threshold):
+    """Brute-force numpy replica of operators/similarity.
+    cosine_neardup_pairs: md5-hyperplane sign buckets, OR-banded
+    candidates, exact-cosine verify."""
+    import hashlib
+
+    import numpy as np
+
+    n_bits = n_bands * band_bits
+    d = X.shape[1]
+    W = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"{b}_{p}".encode()).hexdigest()[0] >= "8"
+                else -1.0
+                for p in range(d)
+            ]
+            for b in range(n_bits)
+        ]
+    )
+    bits = (X @ W.T >= 0).astype(np.int8)  # n × n_bits
+    norms = np.sqrt((X * X).sum(axis=1))
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            shared = any(
+                (
+                    bits[i, b * band_bits : (b + 1) * band_bits]
+                    == bits[j, b * band_bits : (b + 1) * band_bits]
+                ).all()
+                for b in range(n_bands)
+            )
+            if not shared:
+                continue
+            cos = round(float(X[i] @ X[j] / (norms[i] * norms[j])), 6)
+            if cos >= threshold:
+                a, b2 = sorted((ids[i], ids[j]))
+                out.add((a, b2, cos))
+    return out
+
+
+def test_lsh_recall_audit_matches_numpy_brute_force(spark):
+    """q287's (config, band) truth/found counts against a full numpy
+    re-derivation — a third independent implementation next to the
+    Spark plan and the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from weatherapi_data_engineering_project_spark.plans.corpus import (
+        q287_lsh_recall_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].tolist()
+    norms = np.sqrt((X * X).sum(axis=1))
+
+    def band_of(c):
+        return (
+            "high_0.70+" if c >= 0.7 else "mid_0.50" if c >= 0.5 else "low_0.35"
+        )
+
+    idx = {v: i for i, v in enumerate(ids)}
+    truth = {}
+    for a in sorted(ids):
+        if a >= 64:
+            continue
+        for b in sorted(ids):
+            if b <= a:
+                continue
+            i, j = idx[a], idx[b]
+            cos = round(float(X[i] @ X[j] / (norms[i] * norms[j])), 6)
+            if cos >= 0.35:
+                truth[(a, b)] = band_of(cos)
+
+    expected = {}
+    for bits in (4, 8):
+        found = {
+            (a, b)
+            for a, b, _c in _np_lsh_pairs(X, ids, 4, bits, 0.35)
+            if a < 64
+        }
+        for (a, b), band in truth.items():
+            key = (f"bands4x{bits}", band)
+            t, f = expected.get(key, (0, 0))
+            expected[key] = (t + 1, f + (1 if (a, b) in found else 0))
+
+    got = {
+        (r.config, r.cos_band): (r.n_true, r.n_found)
+        for r in q287_lsh_recall_audit(spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_scaled_lsh_contamination_matches_numpy_brute_force(spark):
+    """q286's full rollup against a numpy re-derivation (wide 32-bit
+    banding + the q79 md5 split rule + cross-split aggregation). NOTE:
+    q286 is NOT a subset of q93 — bits 16-31 are new hyperplanes, so
+    its bands 2/3 can admit pairs the 16-bit scheme never bucketed."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from weatherapi_data_engineering_project_spark.plans.corpus import (
+        q286_scaled_lsh_contamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].tolist()
+
+    def split_of(v):
+        h = hashlib.md5(str(v).encode()).hexdigest()[:2]
+        return "test" if h < "0d" else ("val" if h < "1a" else "train")
+
+    expected = {}
+    for a, b, cos in _np_lsh_pairs(X, ids, 4, 8, 0.35):
+        s1, s2 = split_of(a), split_of(b)
+        if {s1, s2} != {"test", "train"}:
+            continue
+        tid = a if s1 == "test" else b
+        n, m = expected.get(tid, (0, -1.0))
+        expected[tid] = (n + 1, max(m, cos))
+
+    got = {
+        r.test_id: (r.n_train_neighbors, r.max_cosine)
+        for r in q286_scaled_lsh_contamination(spark, sf).collect()
+    }
+    assert got == expected and expected  # nonempty at sf0.001
+
+
+def test_minhash_recall_audit_matches_python_brute_force(spark):
+    """q288's per-band truth counts against a pure-Python shingle
+    Jaccard re-derivation (integer threshold arithmetic), and the
+    found ⊆ truth containment with recall = found/true."""
+    import re
+
+    import pandas as pd
+
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        q288_minhash_recall_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    sh = {}
+    for _i, row in pdf.iterrows():
+        toks = re.split(r"\s+", row["text"].strip().lower())
+        sh[row["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def band_of(inter, union):
+        if 10 * inter >= 7 * union:
+            return "high_0.70+"
+        if 2 * inter >= union:
+            return "mid_0.50"
+        return "low_0.40"
+
+    truth_bands = {}
+    ids = sorted(sh)
+    for a in ids:
+        if a >= 64:
+            continue
+        for b in ids:
+            if b <= a:
+                continue
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and 5 * inter >= 2 * union:
+                truth_bands[(a, b)] = band_of(inter, union)
+
+    expected_true = {}
+    for band in truth_bands.values():
+        expected_true[band] = expected_true.get(band, 0) + 1
+
+    rows = {r.jac_band: r for r in q288_minhash_recall_audit(spark, sf).collect()}
+    assert {b: r.n_true for b, r in rows.items()} == expected_true
+    for r in rows.values():
+        assert 0 <= r.n_found <= r.n_true
+        assert r.recall == round(r.n_found / r.n_true, 6)
+
+
 def test_session_layout_base_is_session_and_dataset_keyed(spark):
     a = session_layout_base(spark, "bkt_tables", "/root/testdata/sf0.001")
     b = session_layout_base(spark, "bkt_tables", "/root/testdata/sf0.01")

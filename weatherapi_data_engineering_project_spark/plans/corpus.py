@@ -351,6 +351,138 @@ def q93_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q286_scaled_lsh_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q93 at the CORPUS-SCALED LSH width: the same semantic
+    train/test contamination audit, candidate-generated through 4
+    bands of 8 bits (256 buckets/band) instead of q93's 4 bits (16).
+    BENCH_SCALE_r09 measured why this knob exists: fixed-width bands
+    keep a constant bucket count, so candidates per bucket — and the
+    verify stage's work — grow QUADRATICALLY with the corpus (q93 ran
+    20.5× the wall at 10× the vectors; the same computation at
+    band_bits=8 ran ~linear). Production sizing raises band_bits with
+    log(n); this query registers that configuration as a first-class,
+    hash-verified citizen rather than a comment. Recall drops for
+    borderline pairs (the standard LSH amplification trade — a pair
+    must now agree on 8 consecutive hyperplane signs in some band);
+    the oracle shares the EXACT widened banding
+    (plans/llm.signlsh_pairs_sql), so the output is still bit-compared,
+    not bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_neardup_pairs(
+        e, threshold=0.35, n_bands=4, band_bits=8
+    )
+    p = pairs.select(
+        "id1", "id2", "cosine",
+        _split_of(F.col("id1")).alias("s1"),
+        _split_of(F.col("id2")).alias("s2"),
+    )
+    cross = p.filter(
+        ((F.col("s1") == "test") & (F.col("s2") == "train"))
+        | ((F.col("s1") == "train") & (F.col("s2") == "test"))
+    )
+    t = cross.select(
+        F.when(F.col("s1") == "test", F.col("id1"))
+        .otherwise(F.col("id2"))
+        .alias("test_id"),
+        "cosine",
+    )
+    return t.groupBy("test_id").agg(
+        F.count(F.lit(1)).alias("n_train_neighbors"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the two sign-LSH widths (q93's 4-bit bands vs
+    q286's corpus-scaled 8-bit bands) against exact brute-force truth —
+    the measurement that makes the q286 recall/cost trade a VERIFIED
+    number instead of a docstring claim, and the eval every LSH
+    deployment runs before widening bands at scale (q103's pattern
+    applied to pair recall instead of top-k).
+
+    Truth: probe pairs (smaller id < 64) scored exactly — broadcast
+    probes × spread corpus, hoisted norms, the q103 brute shape, kept
+    at cosine >= 0.35 and bucketed into similarity bands (0.35-0.5 /
+    0.5-0.7 / >=0.7 on the ROUND-6 cosine, engine-exact). Each LSH
+    config's verified pair set is LEFT-JOINed onto truth; output per
+    (config, band): n_true, n_found, recall. Expect recall to RISE
+    with similarity and FALL with band width — amplification's
+    signature — and the 4-bit config to dominate found-counts while
+    q286's measured 10x wall advantage is the price it buys.
+
+    Scale: truth is probe-bounded (64 x N, never N^2); the LSH sides
+    are the verified candidate plans; one broadcast join each."""
+    from pyspark.sql.window import Window  # noqa: F401 — q103 symmetry
+
+    from ..caching import persist_tracked
+    from ..operators.similarity import (
+        _dot_arrays,
+        _ensure_parallelism,
+        _norm2_array,
+        _score,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("id1"),
+            F.col("embedding").alias("qvec"),
+            _norm2_array(F.col("embedding")).alias("qn2"),
+        )
+    )
+    cv = _ensure_parallelism(e).select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("cvec"),
+        _norm2_array(F.col("embedding")).alias("cn2"),
+    )
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        F.col("qn2"),
+        F.col("cn2"),
+    )
+    band = (
+        F.when(F.col("cosine") >= 0.7, F.lit("high_0.70+"))
+        .when(F.col("cosine") >= 0.5, F.lit("mid_0.50"))
+        .otherwise(F.lit("low_0.35"))
+    )
+    truth = persist_tracked(
+        qv.crossJoin(cv)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id1", "id2", band.alias("cos_band"))
+    )
+    outs = []
+    for bits in (4, 8):
+        found = (
+            SIM.cosine_neardup_pairs(
+                e, threshold=0.35, n_bands=4, band_bits=bits
+            )
+            .filter(F.col("id1") < 64)
+            .select("id1", "id2", F.lit(1).alias("hit"))
+        )
+        outs.append(
+            truth.join(found, ["id1", "id2"], "left")
+            .groupBy("cos_band")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.count("hit").alias("n_found"),
+            )
+            .select(
+                F.lit(f"bands4x{bits}").alias("config"),
+                "cos_band",
+                "n_true",
+                "n_found",
+                F.round(F.col("n_found") / F.col("n_true"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q94_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q86's ACTIONABLE twin (q72 is to q47 what this is to q86):
     actually remove the cross-document duplicated spans. A token is
@@ -883,6 +1015,8 @@ QUERIES = {
     "q91_quality_model": q91_quality_model,
     "q92_tokenizer_fertility": q92_tokenizer_fertility,
     "q93_semantic_contamination": q93_semantic_contamination,
+    "q286_scaled_lsh_contamination": q286_scaled_lsh_contamination,
+    "q287_lsh_recall_audit": q287_lsh_recall_audit,
     "q94_span_scrub": q94_span_scrub,
     "q95_exact_quantiles": q95_exact_quantiles,
     "q103_ann_recall_audit": q103_ann_recall_audit,
@@ -1498,6 +1632,68 @@ _SPLIT_SQL = (
     "WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < '1a' THEN 'val' "
     "ELSE 'train' END"
 )
+
+from .llm import signlsh_pairs_sql as _signlsh_pairs_sql  # noqa: E402
+
+ORACLE["q286_scaled_lsh_contamination"] = f"""
+    WITH pairs AS ({_signlsh_pairs_sql("0.35", n_bits=32, band_bits=8)}),
+    lab AS (SELECT id1, id2, cosine,
+                   {_SPLIT_SQL.format(c="id1")} AS s1,
+                   {_SPLIT_SQL.format(c="id2")} AS s2
+            FROM pairs),
+    x AS (SELECT CASE WHEN s1 = 'test' THEN id1 ELSE id2 END AS test_id,
+                 cosine
+          FROM lab
+          WHERE (s1 = 'test' AND s2 = 'train')
+             OR (s1 = 'train' AND s2 = 'test'))
+    SELECT test_id,
+           COUNT(*) AS n_train_neighbors,
+           MAX(cosine) AS max_cosine
+    FROM x GROUP BY test_id
+"""
+
+ORACLE["q287_lsh_recall_audit"] = f"""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+              FROM e GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                    SUM(CAST(a.v * b.v AS DECIMAL(38,25))) AS dot
+             FROM e a JOIN e b ON b.pos = a.pos AND a.vec_id < b.vec_id
+             WHERE a.vec_id < 64
+             GROUP BY 1, 2),
+    truth AS (SELECT id1, id2,
+                     CASE WHEN cosine >= 0.7 THEN 'high_0.70+'
+                          WHEN cosine >= 0.5 THEN 'mid_0.50'
+                          ELSE 'low_0.35' END AS cos_band
+              FROM (SELECT d.id1, d.id2,
+                           {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")}
+                               AS cosine
+                    FROM dots d
+                    JOIN norms na ON na.vec_id = d.id1
+                    JOIN norms nb ON nb.vec_id = d.id2)
+              WHERE cosine >= 0.35),
+    l4 AS (SELECT id1, id2
+           FROM ({_signlsh_pairs_sql("0.35", n_bits=16, band_bits=4)})
+           WHERE id1 < 64),
+    l8 AS (SELECT id1, id2
+           FROM ({_signlsh_pairs_sql("0.35", n_bits=32, band_bits=8)})
+           WHERE id1 < 64),
+    r4 AS (SELECT 'bands4x4' AS config, cos_band,
+                  COUNT(*) AS n_true, COUNT(l.id1) AS n_found
+           FROM truth t LEFT JOIN l4 l USING (id1, id2)
+           GROUP BY cos_band),
+    r8 AS (SELECT 'bands4x8' AS config, cos_band,
+                  COUNT(*) AS n_true, COUNT(l.id1) AS n_found
+           FROM truth t LEFT JOIN l8 l USING (id1, id2)
+           GROUP BY cos_band)
+    SELECT config, cos_band,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall
+    FROM (SELECT * FROM r4 UNION ALL SELECT * FROM r8) u
+"""
 
 ORACLE["q93_semantic_contamination"] = f"""
     WITH pairs AS ({_PAIRS_35}),

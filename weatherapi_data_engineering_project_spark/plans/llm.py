@@ -98,6 +98,74 @@ def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
 
 
+def q288_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of q25's MinHash banding (8 hashes × 4 bands of 2)
+    against exact brute-force Jaccard truth — the text-side twin of
+    q287's embedding-LSH audit, and the measurement a dedup deployment
+    runs before trusting banded MinHash at a new threshold. Output per
+    Jaccard band: n_true, n_found, recall (found ⊆ true by
+    construction — the verifier applies the same exact-Jaccard rule).
+
+    Truth is PROBE-bounded (pairs whose smaller doc_id < 64): probe
+    shingles join corpus shingles, per-pair intersection counts, and
+    every threshold/band compare is pure integer arithmetic
+    (5·inter ≥ 2·union for θ = 0.4; 10·inter ≥ 7·union / 2·inter ≥
+    union for the 0.7/0.5 band edges) — no float ratio ever crosses an
+    engine boundary. Any pair at Jaccard ≥ 0.4 shares a shingle, so
+    the shingle join loses nothing. Scale: probes × corpus, never
+    corpus²; the found side is the real q25 pipeline output."""
+    from ..caching import persist_tracked
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = persist_tracked(DD.shingle_sets(d, "text", "doc_id"))
+    pex = ex.select(
+        F.col("doc").alias("id1"),
+        F.col("n_sh").alias("n1"),
+        "shingle",
+    ).filter(F.col("id1") < 64)
+    cex = ex.select(
+        F.col("doc").alias("id2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    inter = (
+        pex.join(cex, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+        )
+    )
+    u = F.col("n1") + F.col("n2") - F.col("inter")
+    band = (
+        F.when(10 * F.col("inter") >= 7 * u, F.lit("high_0.70+"))
+        .when(2 * F.col("inter") >= u, F.lit("mid_0.50"))
+        .otherwise(F.lit("low_0.40"))
+    )
+    truth = inter.filter(5 * F.col("inter") >= 2 * u).select(
+        "id1", "id2", band.alias("jac_band")
+    )
+    found = (
+        DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+        .filter(F.col("id1") < 64)
+        .select("id1", "id2", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.join(found, ["id1", "id2"], "left")
+        .groupBy("jac_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_found"),
+        )
+        .select(
+            "jac_band",
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.6  # containment >= jaccard, so this widens q25
 
 
@@ -1311,6 +1379,7 @@ QUERIES = {
     "q24_jaccard_pairs": q24_jaccard_pairs,
     "q241_split_leakage": q241_split_leakage,
     "q25_minhash_lsh": q25_minhash_lsh,
+    "q288_minhash_recall_audit": q288_minhash_recall_audit,
     "q123_containment_dedup": q123_containment_dedup,
     "q141_dedup_savings": q141_dedup_savings,
     "q149_prefix_join": q149_prefix_join,
@@ -1626,6 +1695,63 @@ _Q29_SQL_TMPL = f"""
     """
 
 _Q29_SQL = _Q29_SQL_TMPL.format(threshold="0.4")
+
+
+def signlsh_pairs_sql(
+    threshold: str, n_bits: int = 16, band_bits: int = 4
+) -> str:
+    """The q29 oracle shape with PARAMETERIZED LSH width — the corpus-
+    scaled configuration path BENCH_SCALE_r09 measured (fixed 4-bit
+    bands make candidates quadratic in corpus size; production sizing
+    raises band_bits with log n). Emits the same deterministic
+    md5-hyperplane banding as operators/similarity.signlsh_buckets for
+    any (n_bits, band_bits), so a wider-band Spark query keeps an
+    exact DuckDB twin (q286). The default arguments reproduce
+    _Q29_SQL's 16-bit/4-band text modulo this function's formatting."""
+    n_bands = n_bits // band_bits
+    bucket = " || ".join(
+        f"MAX(CASE WHEN bit = {i} THEN b END)" for i in range(n_bits)
+    )
+    band_vals = ", ".join(
+        f"substr(bucket, {b * band_bits + 1}, {band_bits})"
+        for b in range(n_bands)
+    )
+    band_idx = ", ".join(str(i) for i in range(n_bands))
+    return f"""
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        proj AS (SELECT vec_id, bit,
+                        SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
+                                       THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
+                 FROM e CROSS JOIN (SELECT unnest(range(0, {n_bits})) AS bit)
+                 GROUP BY vec_id, bit),
+        buckets AS (SELECT vec_id, {bucket} AS bucket
+                    FROM (SELECT vec_id, bit,
+                                 CASE WHEN p >= 0 THEN '1' ELSE '0' END AS b FROM proj)
+                    GROUP BY vec_id),
+        bands AS (SELECT vec_id, unnest([{band_vals}]) AS band_val,
+                         unnest([{band_idx}]) AS band_idx
+                  FROM buckets),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.vec_id < b.vec_id),
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        dots AS (SELECT c.id1, c.id2, SUM(CAST(ae.v * be.v AS DECIMAL(38,25))) AS dot
+                 FROM cand c
+                 JOIN e ae ON ae.vec_id = c.id1
+                 JOIN e be ON be.vec_id = c.id2 AND be.pos = ae.pos
+                 GROUP BY c.id1, c.id2)
+        SELECT id1, id2, cosine FROM (
+            SELECT d.id1, d.id2,
+                   {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")} AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.id1
+            JOIN norms nb ON nb.vec_id = d.id2)
+        WHERE cosine >= {threshold}
+    """
 
 # q20's marker-cascade prediction as a DuckDB CASE (shared by the q20
 # and q259 oracles)
@@ -1966,6 +2092,45 @@ ORACLE = {
         WHERE GREATEST(ROUND(CAST(s.n_common AS DOUBLE) / s.n1, 6),
                        ROUND(CAST(s.n_common AS DOUBLE) / s.n2, 6))
               >= {CONTAINMENT_THRESHOLD}
+    """,
+    "q288_minhash_recall_audit": f"""
+        WITH {_SHINGLES_CTE},
+        inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   COUNT(*) AS inter,
+                   MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            WHERE a.doc_id < 64
+            GROUP BY 1, 2),
+        truth AS (
+            SELECT id1, id2,
+                   CASE WHEN 10 * inter >= 7 * (n1 + n2 - inter)
+                            THEN 'high_0.70+'
+                        WHEN 2 * inter >= (n1 + n2 - inter)
+                            THEN 'mid_0.50'
+                        ELSE 'low_0.40' END AS jac_band
+            FROM inter
+            WHERE 5 * inter >= 2 * (n1 + n2 - inter)),
+        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key
+                  FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        -- found = truth ∩ banded candidates: the q25 verifier applies
+        -- the SAME exact-Jaccard rule, so its output restricted to the
+        -- probes is exactly the truth pairs that banded together
+        hits AS (SELECT t.id1, t.id2, t.jac_band
+                 FROM truth t JOIN cand c
+                   ON c.id1 = t.id1 AND c.id2 = t.id2)
+        SELECT t.jac_band,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COUNT(h.id1) AS BIGINT) AS n_found,
+               ROUND(CAST(COUNT(h.id1) AS DOUBLE) / COUNT(*), 6) AS recall
+        FROM truth t
+        LEFT JOIN hits h ON h.id1 = t.id1 AND h.id2 = t.id2
+        GROUP BY t.jac_band
     """,
     "q25_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
