@@ -34,6 +34,7 @@ Float parity needs no tolerance: fixture numerics are quarter-precision
 
 from __future__ import annotations
 
+import hashlib
 import importlib.util
 import io
 import json
@@ -97,7 +98,22 @@ class _FakeBoto3:
         return self._s3
 
 
+# exec'ing the reference file is arbitrary code execution inside every
+# pytest run, and /root/reference is explicitly untrusted public
+# content — pin the exact bytes we audited (ADVICE r09) and refuse to
+# run anything else. If the reference legitimately changes, re-audit it
+# and update the digest.
+REF_SHA256 = "89cced4426fb780f1cf412b5193cb592912747db4ac03dcc999a5a038e1bcea6"
+
+
 def _load_reference():
+    blob = open(REF_PATH, "rb").read()
+    digest = hashlib.sha256(blob).hexdigest()
+    if digest != REF_SHA256:
+        raise AssertionError(
+            f"{REF_PATH} sha256 {digest} != audited {REF_SHA256}; "
+            "refusing to exec an unaudited reference file"
+        )
     spec = importlib.util.spec_from_file_location("ref_transform", REF_PATH)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -151,18 +167,44 @@ def ref_out():
     }
 
 
-@pytest.fixture(scope="module")
-def spark_curated(spark, tmp_path_factory):
-    """The Spark pipeline's curated zone over the same docs, read back with
-    the declared schemas (exactly what EP3 would load)."""
-    curated = str(tmp_path_factory.mktemp("ref_diff_curated"))
+@pytest.fixture(scope="module", params=["batch", "stream"])
+def spark_curated(request, spark, tmp_path_factory):
+    """The Spark pipeline's output over the same docs, in BOTH planes
+    (VERDICT r09 #7):
+
+    - "batch": the curated zone CSVs read back with the declared
+      schemas (exactly what EP3 would load) — the transform itself.
+    - "stream": the same curated zone DRAINED through the real
+      streaming loader (streaming/load.py: checkpointed readStream →
+      foreachBatch MERGE upsert → warehouse parquet) and the WAREHOUSE
+      tables read back — so every reference assertion below also holds
+      after the full EP3 path, proving batch/stream parity against the
+      reference itself rather than against each other.
+    """
+    curated = str(tmp_path_factory.mktemp(f"ref_diff_curated_{request.param}"))
     transform_to_curated(fixtures.docs_df(spark), curated, spark, run_tag="refdiff")
     out = {}
-    for name, (_fn, schema, _keys, _parts, _derived) in TABLES.items():
-        path = os.path.join(curated, name, "refdiff")
-        out[name] = (
-            spark.read.option("header", True).schema(schema).csv(path).toPandas()
-        )
+    if request.param == "batch":
+        for name, (_fn, schema, _keys, _parts, _derived) in TABLES.items():
+            path = os.path.join(curated, name, "refdiff")
+            out[name] = (
+                spark.read.option("header", True).schema(schema).csv(path).toPandas()
+            )
+        return out
+    from weatherapi_data_engineering_project_spark.pipeline import run_load
+
+    warehouse = str(tmp_path_factory.mktemp("ref_diff_warehouse"))
+    ckpt = str(tmp_path_factory.mktemp("ref_diff_ckpt"))
+    run_load(spark, curated, warehouse, ckpt)
+    for name, (_fn, schema, _keys, _parts, derived) in TABLES.items():
+        df = spark.read.parquet(os.path.join(warehouse, name))
+        # load-time derived columns (the hour fact's key-extracted
+        # partition date) exist only warehouse-side; drop them so the
+        # comparison universe is the reference's CSV columns
+        for extra in (derived or {}):
+            if extra not in schema.fieldNames():
+                df = df.drop(extra)
+        out[name] = df.toPandas()
     return out
 
 

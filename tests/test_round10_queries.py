@@ -1,0 +1,208 @@
+"""Round-10 unit tests: corpus-derived LSH sizing (the VERDICT r09
+scale-killer fix) and the q289/q290 grid tuners.
+
+The sizing rules turn BENCH_SCALE_r09's measured failure (fixed-width
+sign-LSH: q93 at 20.5× wall for 10× corpus) into plan-build-time
+arithmetic; these tests pin the rules' integer identities, the
+derived-equals-pinned equivalence at test scale, and the tuners'
+chosen-row logic against brute-force replays.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from conftest import SF_DIR
+
+from weatherapi_data_engineering_project_spark.operators.dedup import (
+    scaled_rows_per_band,
+)
+from weatherapi_data_engineering_project_spark.operators.similarity import (
+    ceil_log2,
+    scaled_band_bits,
+)
+
+
+def test_ceil_log2_matches_math_for_every_small_n():
+    for n in range(2, 4097):
+        assert ceil_log2(n) == math.ceil(math.log2(n)), n
+    # degenerate corpora clamp to n=2 instead of raising
+    assert ceil_log2(0) == 1 and ceil_log2(1) == 1
+
+
+def test_scaled_band_bits_rule_points():
+    """The rule's contract: 2^band_bits >= n/128 (bucket occupancy
+    bounded), floored at 4 — including the three corpus sizes the
+    scale bench exercises (sf0.01=500, sf0.1=2000, 10x=20000) and the
+    100 TB design point."""
+    assert scaled_band_bits(500) == 4
+    assert scaled_band_bits(2000) == 4
+    assert scaled_band_bits(20_000) == 8  # the measured-good width
+    assert scaled_band_bits(2_000_000_000) == 24
+    for n in (100, 1000, 50_000, 10**7):
+        bb = scaled_band_bits(n)
+        assert 2**bb >= n / 128 or bb == 4
+        # minimality above the floor: one bit fewer would overflow
+        if bb > 4:
+            assert 2 ** (bb - 1) < n / 128
+
+
+def test_scaled_rows_per_band_rule_points():
+    """r = max(2, ceil((ceil_log2(n) - 7)/3)) via the integer identity
+    (x+2)//3 — the false-candidate mass bound at J_bg <= 1/8."""
+    assert scaled_rows_per_band(500) == 2
+    assert scaled_rows_per_band(5000) == 2
+    assert scaled_rows_per_band(8192) == 2  # last r=2 corpus
+    assert scaled_rows_per_band(8193) == 3
+    assert scaled_rows_per_band(50_000) == 3
+    assert scaled_rows_per_band(2_000_000_000) == 8
+    for n in (100, 1000, 50_000, 10**7):
+        assert scaled_rows_per_band(n) == max(
+            2, math.ceil((ceil_log2(n) - 7) / 3)
+        )
+
+
+def test_derived_width_equals_pinned_at_test_scale(spark, sf=SF_DIR):
+    """At n=500 the derived width IS 4 bits / r=2, so the corpus-derived
+    default must reproduce the old pinned plan's output exactly —
+    the invariant that kept every historical oracle green through the
+    default switch."""
+    from weatherapi_data_engineering_project_spark.operators import (
+        dedup as DD,
+        similarity as SIM,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    derived = sorted(
+        tuple(r)
+        for r in SIM.cosine_neardup_pairs(e, threshold=0.4).collect()
+    )
+    pinned = sorted(
+        tuple(r)
+        for r in SIM.cosine_neardup_pairs(
+            e, threshold=0.4, n_bands=4, band_bits=4
+        ).collect()
+    )
+    assert derived == pinned and len(derived) > 0
+
+    d = load_table(spark, sf, "documents")
+    derived_m = sorted(
+        (r.id1, r.id2)
+        for r in DD.minhash_lsh_pairs(d, "text", "doc_id", 0.4).collect()
+    )
+    pinned_m = sorted(
+        (r.id1, r.id2)
+        for r in DD.minhash_lsh_pairs(
+            d, "text", "doc_id", 0.4, rows_per_band=2
+        ).collect()
+    )
+    assert derived_m == pinned_m and len(derived_m) > 0
+
+
+def test_lsh_sizing_tuner_chosen_row(spark, sf=SF_DIR):
+    """q289's chosen config must be the cheapest width whose recall
+    clears the 0.45 integer floor (else max recall), recomputed here
+    from the emitted measurements themselves."""
+    from weatherapi_data_engineering_project_spark.plans.corpus import (
+        q289_lsh_sizing_tuner,
+    )
+
+    rows = q289_lsh_sizing_tuner(spark, sf).collect()
+    assert len(rows) == 3
+    assert sum(r.chosen for r in rows) == 1
+    for r in rows:
+        assert r.meets_floor == int(20 * r.n_found >= 9 * r.n_true)
+        assert r.recall == pytest.approx(
+            round(r.n_found / r.n_true, 6), abs=0
+        )
+    passers = [r for r in rows if r.meets_floor == 1]
+    if passers:
+        want = min(passers, key=lambda r: (r.n_candidates, r.band_bits))
+    else:
+        want = max(rows, key=lambda r: (r.recall, -r.band_bits))
+    got = next(r for r in rows if r.chosen == 1)
+    assert got.config == want.config
+    # wider bands must never cost MORE candidates (amplification is
+    # monotone in width)
+    by_bits = sorted(rows, key=lambda r: r.band_bits)
+    for a, b in zip(by_bits, by_bits[1:]):
+        assert a.n_candidates >= b.n_candidates
+
+
+def test_minhash_sizing_tuner_chosen_row(spark, sf=SF_DIR):
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        q290_minhash_sizing_tuner,
+    )
+
+    rows = q290_minhash_sizing_tuner(spark, sf).collect()
+    assert len(rows) == 2
+    assert sum(r.chosen for r in rows) == 1
+    for r in rows:
+        assert r.meets_floor == int(20 * r.n_found >= 9 * r.n_true)
+    passers = [r for r in rows if r.meets_floor == 1]
+    if passers:
+        want = min(passers, key=lambda r: (r.n_candidates, r.rows_per_band))
+    else:
+        want = max(rows, key=lambda r: (r.recall, -r.rows_per_band))
+    assert next(r for r in rows if r.chosen == 1).config == want.config
+    # deeper bands prune candidates
+    r2 = next(r for r in rows if r.rows_per_band == 2)
+    r3 = next(r for r in rows if r.rows_per_band == 3)
+    assert r2.n_candidates >= r3.n_candidates
+    assert r2.recall >= r3.recall  # shallower bands can only find more
+
+
+def test_streaming_state_is_key_bounded_not_row_bounded(spark, tmp_path):
+    """The streaming waivers claim state is watermark/key-bounded, NOT
+    corpus-proportional (VERDICT r09 #4). Replay the same user
+    universe at 1x and 5x the event volume through q285's real
+    EventTimeTimeout eviction drain: peak state-store rows
+    (numRowsTotal from the engine's own progress metrics) must be
+    IDENTICAL at both scales — state tracks keys, so 5x the rows with
+    the same keys adds zero state — while the drained totals scale by
+    exactly 5 (same users, each event replayed 5 times)."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        LAST_STATE_METRICS,
+        q285_stream_timeout_flush,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    d1 = tmp_path / "ev1x"
+    d5 = tmp_path / "ev5x"
+    ev.write.mode("overwrite").parquet(str(d1 / "events.parquet"))
+    reps = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * 100_000_000))
+        for k in range(5)
+    ]
+    big = reps[0]
+    for c in reps[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(str(d5 / "events.parquet"))
+
+    out1 = {
+        r.user_id: (r.n_events, r.sum_cents)
+        for r in q285_stream_timeout_flush(spark, str(d1)).collect()
+    }
+    peak1 = max(m[1] for m in LAST_STATE_METRICS["q285"])
+    out5 = {
+        r.user_id: (r.n_events, r.sum_cents)
+        for r in q285_stream_timeout_flush(spark, str(d5)).collect()
+    }
+    peak5 = max(m[1] for m in LAST_STATE_METRICS["q285"])
+
+    assert peak1 == peak5, (
+        f"state grew with ROWS not KEYS: peak 1x={peak1} 5x={peak5}"
+    )
+    assert set(out1) == set(out5) and len(out1) > 0
+    for uid, (n, cents) in out1.items():
+        assert out5[uid] == (5 * n, 5 * cents), uid
+    # eviction actually fired at both scales: total removals cover the
+    # full user universe (every real user retired exactly once)
+    removed5 = sum(m[2] for m in LAST_STATE_METRICS["q285"])
+    assert removed5 >= len(out5)

@@ -37,6 +37,30 @@ from ..functions.text import fingerprint, shingles, tokens
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 
+from .similarity import ceil_log2  # noqa: E402 — shared integer log rule
+
+
+def scaled_rows_per_band(n_docs: int, floor: int = 2) -> int:
+    """Corpus-derived MinHash band depth (hashes per band).
+
+    A band of r minhashes collides for an unrelated pair with
+    probability ≈ J_bg^r, so false-candidate mass per band is
+    ~C(n,2)·J_bg^r — quadratic in n unless r grows with log n. With
+    the corpus-typical background shingle Jaccard J_bg ≲ 1/8 (3 bits
+    per extra hash), keeping that mass ≤ ~2^7·n needs
+    r ≥ (log2 n − 7)/3, i.e. ``max(floor, (⌈log2 n⌉ − 5) // 3)`` —
+    the integer identity (x+2)//3 = ⌈x/3⌉ applied to x = ⌈log2 n⌉−7:
+    500→2, 5k→2, 50k→3, 2·10^9→8. Same shape as
+    similarity.scaled_band_bits (sign-LSH learned this the measured
+    way: BENCH_SCALE_r09's 20.5×-at-10× q93); recall per extra hash is
+    measured by q288 and the q290 sizing grid. The SQL twin derives r
+    as ``GREATEST(2, (LENGTH(bin(COUNT(*) - 1)) - 5) // 3)``.
+    NOTE: the static 8-hash × 4-band oracle fragments (_SIG_MIN /
+    _BAND_LIST in plans/llm.py) assume r = 2, which this rule yields
+    for every corpus up to 2^13 docs — q25's oracle derives r
+    dynamically and stays exact at any scale."""
+    return max(floor, (ceil_log2(n_docs) - 5) // 3)
+
 # SimHash: 32-bit fingerprint, banded into 4×8 bits for candidate blocking
 N_SIM_BITS = 32
 N_SIM_BANDS = 4
@@ -635,6 +659,8 @@ def minhash_lsh_pairs(
     id_col: str,
     threshold: float,
     k: int = 3,
+    n_bands: int = N_BANDS,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → candidate join
     → exact Jaccard verification ≥ threshold.
@@ -642,10 +668,20 @@ def minhash_lsh_pairs(
     The exploded shingle frame is built ONCE and persisted: signatures,
     and the Jaccard verifier's two sides, all read it — without the
     persist the tokenize+shingle pipeline re-runs per consumer (Spark
-    reuses exchanges only for identical subplans)."""
+    reuses exchanges only for identical subplans).
+
+    rows_per_band (hashes per band) defaults to CORPUS-DERIVED
+    (scaled_rows_per_band of the doc count, probed at plan-build time)
+    so false-candidate mass stays ~linear in n — the text-side twin of
+    similarity.cosine_neardup_pairs' derived band_bits. Pass an
+    explicit value only where the fixed width is the point (q288's
+    recall comparator, q174's calibration curve)."""
+    if rows_per_band is None:
+        rows_per_band = scaled_rows_per_band(df.count())
+    n_hashes = n_bands * rows_per_band
     ex = persist_tracked(shingle_sets(df, text_col, id_col, k))
-    sigs = minhash_signatures_from_shingles(ex)
-    cands = minhash_band_candidates(sigs)
+    sigs = minhash_signatures_from_shingles(ex, n_hashes)
+    cands = minhash_band_candidates(sigs, n_bands, n_hashes)
     return jaccard_from_shingles(ex, threshold, candidates=cands)
 
 

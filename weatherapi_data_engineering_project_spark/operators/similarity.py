@@ -105,6 +105,36 @@ def _dot_arrays_fast(a, b):
 _PREFILTER_EPS = 1e-6
 
 
+def ceil_log2(n: int) -> int:
+    """⌈log2(n)⌉ by integer bit-length — no floating point, so this
+    Python rule and its SQL twin (``LENGTH(bin(n - 1))`` in DuckDB)
+    agree for every n, including exact powers of two."""
+    return (max(int(n), 2) - 1).bit_length()
+
+
+# Sizing target: ~2^7 = 128 rows per LSH bucket in expectation under
+# random signs. Uniform buckets put n/2^band_bits rows in each, so the
+# banded self-join's candidate mass is ~n·(n/2^band_bits)/2 pairs —
+# linear in n only if 2^band_bits grows with n. BENCH_SCALE_r09
+# measured the failure mode: the old fixed band_bits=4 (16 buckets)
+# made q93 run 20.5× the wall at 10× the corpus, while band_bits=8 at
+# the same 10× corpus ran ~linear (2.11×, q286).
+_LSH_TARGET_LOG2 = 7
+
+
+def scaled_band_bits(n_rows: int, floor: int = 4) -> int:
+    """Corpus-derived sign-LSH band width: the smallest band_bits that
+    keeps expected bucket occupancy ≤ 2^_LSH_TARGET_LOG2 rows, floored
+    so tiny corpora keep enough collision recall.
+
+    band_bits = max(floor, ⌈log2 n⌉ − 7), i.e. 2^band_bits ≥ n/128:
+    500→4, 2k→4, 20k→8, 2·10^9 (the 100 TB corpus)→24. The recall
+    price per extra bit is measured by q287 and the grid tuner q289;
+    the exact-oracle twin is plans/llm.signlsh_pairs_sql_scaled, which
+    derives the same width in SQL from COUNT(*)."""
+    return max(floor, ceil_log2(n_rows) - _LSH_TARGET_LOG2)
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Fan a thin scan out to the session's parallelism.
 
@@ -216,24 +246,23 @@ def signlsh_buckets(
     )
 
 
-def cosine_neardup_pairs(
+def signlsh_band_candidates(
     embeddings: DataFrame,
-    threshold: float = 0.4,
     n_bands: int = 4,
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: (id1, id2, cosine >= threshold).
+    """Banded sign-LSH candidate pairs (id1 < id2), NOT deduped.
 
-    Candidates come from banded sign-LSH (OR over n_bands bands of
-    band_bits bits — any shared band makes a pair a candidate), the
-    standard amplification that trades a little recall for never
-    materializing the quadratic all-pairs join; candidates are then
-    exact-verified with the decimal-accumulated cosine. Both sides of
-    the differential oracle compute the SAME deterministic bands, so
-    the (probabilistic-recall) output is still exactly comparable.
-    """
+    Duplicates (a pair matching in k bands appears k times,
+    k <= n_bands) are deliberately kept: a distinct here would shuffle
+    the full candidate flood, while the verifier's double prefilter
+    prunes it to ~the output size for the cost of scoring each
+    duplicate — the final distinct runs on the survivors only.
+    Measured 2x faster at bench scale. Audit consumers (q289) that
+    need the true candidate COUNT apply their own distinct on this
+    (bucket-bounded) frame."""
     n_bits = n_bands * band_bits
     # buckets are tiny (one short string per vector) and feed BOTH sides
     # of the self-join — cache so the projection runs once, not twice
@@ -245,12 +274,7 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("vid"),
         F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
-    # duplicates (a pair matching in k bands appears k times, k <= n_bands)
-    # are NOT deduped here: a distinct would shuffle the full candidate
-    # flood, while the double prefilter below prunes it to ~the output
-    # size for the cost of scoring each duplicate — the final distinct
-    # runs on the survivors only. Measured 2x faster at bench scale.
-    cands = (
+    return (
         bands.select(F.col("vid").alias("id1"), "band_idx", "band_val")
         .join(
             bands.select(F.col("vid").alias("id2"), "band_idx", "band_val"),
@@ -259,6 +283,46 @@ def cosine_neardup_pairs(
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 4,
+    band_bits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id1, id2, cosine >= threshold).
+
+    Candidates come from banded sign-LSH (OR over n_bands bands of
+    band_bits bits — any shared band makes a pair a candidate), the
+    standard amplification that trades a little recall for never
+    materializing the quadratic all-pairs join; candidates are then
+    exact-verified with the decimal-accumulated cosine. Both sides of
+    the differential oracle compute the SAME deterministic bands, so
+    the (probabilistic-recall) output is still exactly comparable.
+
+    band_bits defaults to CORPUS-DERIVED (scaled_band_bits of the row
+    count, probed at plan-build time — one column-pruned count job,
+    the same class of metadata probe as signlsh_buckets' dim read).
+    A fixed width is sf-tuned by definition: BENCH_SCALE_r09 measured
+    the old band_bits=4 default at 20.5× wall for 10× corpus (q93)
+    because a constant 16 buckets/band makes candidates quadratic in
+    n, while the derived width held ~linear (q286: 2.11×). Pass an
+    explicit band_bits only where the fixed width IS the point (the
+    q287 recall/cost comparator, the q289 sizing grid)."""
+    if candidates is not None:
+        # audit callers (q289) already built the banded frame for the
+        # candidate-count side — verify theirs instead of re-banding
+        cands = candidates
+    else:
+        if band_bits is None:
+            band_bits = scaled_band_bits(embeddings.count())
+        cands = signlsh_band_candidates(
+            embeddings, n_bands, band_bits, id_col, vec_col
+        )
 
     # Two-phase scoring — the 100 TB shape: a cheap double-precision
     # cosine prunes the candidate flood (primitive arithmetic, no

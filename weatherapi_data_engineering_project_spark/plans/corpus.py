@@ -325,11 +325,15 @@ def q93_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to q29 (signatures shuffle, verifiers see
     candidate pairs only) plus a projection — the split labels are
-    row-local md5 arithmetic, never a join against a split table."""
+    row-local md5 arithmetic, never a join against a split table.
+    The LSH band width is CORPUS-DERIVED (similarity.scaled_band_bits;
+    oracle twin plans/llm.signlsh_pairs_sql_scaled): BENCH_SCALE_r09
+    measured the old fixed band_bits=4 at 20.5× wall for 10× vectors
+    (quadratic candidates), while the derived width (8 bits at 20k
+    vectors) ran ~linear — q286 keeps the pinned-8 comparator, q287
+    prices the recall, q289 grids the trade."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_neardup_pairs(
-        e, threshold=0.35, n_bands=4, band_bits=4
-    )
+    pairs = SIM.cosine_neardup_pairs(e, threshold=0.35)
     p = pairs.select(
         "id1", "id2", "cosine",
         _split_of(F.col("id1")).alias("s1"),
@@ -481,6 +485,139 @@ def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH width AUTO-TUNER: the engine-computed version of the
+    scaled_band_bits sizing rule (VERDICT r09 #6). For each width in a
+    pinned grid (4 bands × {4, 6, 8} bits) it MEASURES both sides of
+    the LSH trade on this corpus — candidate mass (n_candidates, the
+    cost the verifier pays; the term that blew up 20.5× in
+    BENCH_SCALE_r09's fixed-width q93) and probe-bounded recall vs
+    exact brute-force truth (q287's construction) — then marks the
+    chosen config: the CHEAPEST width whose recall clears the 0.45
+    floor (pure integer compare, 20·n_found ≥ 9·n_true), falling back
+    to max-recall when none clears. One row per config with a
+    chosen ∈ {0,1} column; q93/q29's default width
+    (similarity.scaled_band_bits) is the zero-cost log(n)
+    approximation of exactly this measurement.
+
+    Scale: truth is probe-bounded (64 × N, never N²); each grid cell
+    is the verified candidate plan plus one count — the whole tuner
+    costs ~|grid| × the audit it replaces, and production runs it on a
+    sample once per corpus, not per query. The winner is a
+    TakeOrderedAndProject over 3 rows joined back broadcast — no
+    single-partition window."""
+    from ..caching import persist_tracked
+    from ..operators.similarity import (
+        _dot_arrays,
+        _ensure_parallelism,
+        _norm2_array,
+        _score,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("id1"),
+            F.col("embedding").alias("qvec"),
+            _norm2_array(F.col("embedding")).alias("qn2"),
+        )
+    )
+    cv = _ensure_parallelism(e).select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("cvec"),
+        _norm2_array(F.col("embedding")).alias("cn2"),
+    )
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        F.col("qn2"),
+        F.col("cn2"),
+    )
+    truth = persist_tracked(
+        qv.crossJoin(cv)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id1", "id2")
+    )
+    rows = []
+    for bits in (4, 6, 8):
+        # one banding per config: the persisted candidate frame feeds
+        # both the cost count and the verifier (candidates= passthrough)
+        cands = persist_tracked(
+            SIM.signlsh_band_candidates(e, n_bands=4, band_bits=bits)
+        )
+        n_cand = cands.distinct().agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
+        found = (
+            SIM.cosine_neardup_pairs(
+                e, threshold=0.35, n_bands=4, band_bits=bits,
+                candidates=cands,
+            )
+            .filter(F.col("id1") < 64)
+            .select("id1", "id2", F.lit(1).alias("hit"))
+        )
+        counts = (
+            truth.join(found, ["id1", "id2"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.count("hit").alias("n_found"),
+            )
+        )
+        rows.append(
+            counts.crossJoin(F.broadcast(n_cand)).select(
+                F.lit(f"bands4x{bits}").alias("config"),
+                F.lit(bits).alias("band_bits"),
+                "n_candidates",
+                "n_true",
+                "n_found",
+                F.round(F.col("n_found") / F.col("n_true"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    grid = rows[0].unionByName(rows[1]).unionByName(rows[2]).select(
+        "*",
+        F.when(20 * F.col("n_found") >= 9 * F.col("n_true"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("meets_floor"),
+    )
+    grid = persist_tracked(grid)
+    # cheapest width clearing the floor; max recall if none does. The
+    # mixed sort key is safe: rows only compare on it within the same
+    # meets_floor value (candidates asc among passers, recall desc —
+    # as -recall asc — among failers), and recall is pre-rounded so
+    # the order itself is engine-exact (q197 argmin convention).
+    winner = (
+        grid.orderBy(
+            F.col("meets_floor").desc(),
+            F.when(
+                F.col("meets_floor") == 1,
+                F.col("n_candidates").cast("double"),
+            ).otherwise(-F.col("recall")),
+            F.col("band_bits"),
+        )
+        .limit(1)
+        .select(F.col("config").alias("win_config"))
+    )
+    return grid.join(
+        F.broadcast(winner),
+        grid["config"] == F.col("win_config"),
+        "left",
+    ).select(
+        "config",
+        "band_bits",
+        "n_candidates",
+        "n_true",
+        "n_found",
+        "recall",
+        "meets_floor",
+        F.when(F.col("win_config").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("chosen"),
+    )
 
 
 def q94_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,6 +1154,7 @@ QUERIES = {
     "q93_semantic_contamination": q93_semantic_contamination,
     "q286_scaled_lsh_contamination": q286_scaled_lsh_contamination,
     "q287_lsh_recall_audit": q287_lsh_recall_audit,
+    "q289_lsh_sizing_tuner": q289_lsh_sizing_tuner,
     "q94_span_scrub": q94_span_scrub,
     "q95_exact_quantiles": q95_exact_quantiles,
     "q103_ann_recall_audit": q103_ann_recall_audit,
@@ -1633,6 +1771,7 @@ _SPLIT_SQL = (
     "ELSE 'train' END"
 )
 
+from .llm import signlsh_cand_sql as _signlsh_cand_sql  # noqa: E402
 from .llm import signlsh_pairs_sql as _signlsh_pairs_sql  # noqa: E402
 
 ORACLE["q286_scaled_lsh_contamination"] = f"""
@@ -1651,6 +1790,90 @@ ORACLE["q286_scaled_lsh_contamination"] = f"""
            MAX(cosine) AS max_cosine
     FROM x GROUP BY test_id
 """
+
+# q289: the grid tuner — per pinned width, candidate COST (distinct
+# banded pairs, the quadratic term q289 exists to watch) and
+# probe-bounded RECALL vs exact brute truth; chosen = cheapest width
+# clearing the 0.45 integer floor (20·found ≥ 9·true), else max
+# recall. Winner selection is ORDER BY ... LIMIT 1 on the pre-rounded
+# keys (q197 argmin convention), so the tie order is engine-exact.
+ORACLE["q289_lsh_sizing_tuner"] = f"""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+              FROM e GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                    SUM(CAST(a.v * b.v AS DECIMAL(38,25))) AS dot
+             FROM e a JOIN e b ON b.pos = a.pos AND a.vec_id < b.vec_id
+             WHERE a.vec_id < 64
+             GROUP BY 1, 2),
+    truth AS (SELECT id1, id2
+              FROM (SELECT d.id1, d.id2,
+                           {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")}
+                               AS cosine
+                    FROM dots d
+                    JOIN norms na ON na.vec_id = d.id1
+                    JOIN norms nb ON nb.vec_id = d.id2)
+              WHERE cosine >= 0.35),
+    c4 AS (SELECT COUNT(*) AS n_candidates
+                FROM ({_signlsh_cand_sql(16, 4)})),
+    f4 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
+                FROM truth t
+                LEFT JOIN (SELECT id1, id2
+                           FROM ({_signlsh_pairs_sql("0.35", 16, 4)})
+                           WHERE id1 < 64) p USING (id1, id2)),
+    c6 AS (SELECT COUNT(*) AS n_candidates
+                FROM ({_signlsh_cand_sql(24, 6)})),
+    f6 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
+                FROM truth t
+                LEFT JOIN (SELECT id1, id2
+                           FROM ({_signlsh_pairs_sql("0.35", 24, 6)})
+                           WHERE id1 < 64) p USING (id1, id2)),
+    c8 AS (SELECT COUNT(*) AS n_candidates
+                FROM ({_signlsh_cand_sql(32, 8)})),
+    f8 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
+                FROM truth t
+                LEFT JOIN (SELECT id1, id2
+                           FROM ({_signlsh_pairs_sql("0.35", 32, 8)})
+                           WHERE id1 < 64) p USING (id1, id2)),
+    grid AS (
+          SELECT 'bands4x4' AS config, 4 AS band_bits,
+                 c.n_candidates, f.n_true, f.n_found,
+                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
+                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
+                      THEN 1 ELSE 0 END AS meets_floor
+          FROM c4 c CROSS JOIN f4 f
+          UNION ALL
+          SELECT 'bands4x6' AS config, 6 AS band_bits,
+                 c.n_candidates, f.n_true, f.n_found,
+                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
+                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
+                      THEN 1 ELSE 0 END AS meets_floor
+          FROM c6 c CROSS JOIN f6 f
+          UNION ALL
+          SELECT 'bands4x8' AS config, 8 AS band_bits,
+                 c.n_candidates, f.n_true, f.n_found,
+                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
+                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
+                      THEN 1 ELSE 0 END AS meets_floor
+          FROM c8 c CROSS JOIN f8 f),
+    win AS (SELECT config FROM grid
+            ORDER BY meets_floor DESC,
+                     CASE WHEN meets_floor = 1
+                          THEN CAST(n_candidates AS DOUBLE)
+                          ELSE -recall END,
+                     band_bits
+            LIMIT 1)
+    SELECT g.config, g.band_bits,
+           CAST(g.n_candidates AS BIGINT) AS n_candidates,
+           CAST(g.n_true AS BIGINT) AS n_true,
+           CAST(g.n_found AS BIGINT) AS n_found,
+           g.recall, g.meets_floor,
+           CASE WHEN w.config IS NOT NULL THEN 1 ELSE 0 END AS chosen
+    FROM grid g LEFT JOIN win w ON w.config = g.config
+"""
+
 
 ORACLE["q287_lsh_recall_audit"] = f"""
     WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -1711,3 +1934,87 @@ ORACLE["q93_semantic_contamination"] = f"""
            MAX(cosine) AS max_cosine
     FROM x GROUP BY test_id
 """
+
+# q289: the grid tuner — per pinned width, candidate COST (distinct
+# banded pairs, the quadratic term q289 exists to watch) and
+# probe-bounded RECALL vs exact brute truth; chosen = cheapest width
+# clearing the 0.45 integer floor (20·found ≥ 9·true), else max
+# recall. Winner selection is ORDER BY ... LIMIT 1 on the pre-rounded
+# keys (q197 argmin convention), so the tie order is engine-exact.
+ORACLE["q289_lsh_sizing_tuner"] = f"""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+              FROM e GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                    SUM(CAST(a.v * b.v AS DECIMAL(38,25))) AS dot
+             FROM e a JOIN e b ON b.pos = a.pos AND a.vec_id < b.vec_id
+             WHERE a.vec_id < 64
+             GROUP BY 1, 2),
+    truth AS (SELECT id1, id2
+              FROM (SELECT d.id1, d.id2,
+                           {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")}
+                               AS cosine
+                    FROM dots d
+                    JOIN norms na ON na.vec_id = d.id1
+                    JOIN norms nb ON nb.vec_id = d.id2)
+              WHERE cosine >= 0.35),
+    c4 AS (SELECT COUNT(*) AS n_candidates
+                FROM ({_signlsh_cand_sql(16, 4)})),
+    f4 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
+                FROM truth t
+                LEFT JOIN (SELECT id1, id2
+                           FROM ({_signlsh_pairs_sql("0.35", 16, 4)})
+                           WHERE id1 < 64) p USING (id1, id2)),
+    c6 AS (SELECT COUNT(*) AS n_candidates
+                FROM ({_signlsh_cand_sql(24, 6)})),
+    f6 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
+                FROM truth t
+                LEFT JOIN (SELECT id1, id2
+                           FROM ({_signlsh_pairs_sql("0.35", 24, 6)})
+                           WHERE id1 < 64) p USING (id1, id2)),
+    c8 AS (SELECT COUNT(*) AS n_candidates
+                FROM ({_signlsh_cand_sql(32, 8)})),
+    f8 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
+                FROM truth t
+                LEFT JOIN (SELECT id1, id2
+                           FROM ({_signlsh_pairs_sql("0.35", 32, 8)})
+                           WHERE id1 < 64) p USING (id1, id2)),
+    grid AS (
+          SELECT 'bands4x4' AS config, 4 AS band_bits,
+                 c.n_candidates, f.n_true, f.n_found,
+                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
+                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
+                      THEN 1 ELSE 0 END AS meets_floor
+          FROM c4 c CROSS JOIN f4 f
+          UNION ALL
+          SELECT 'bands4x6' AS config, 6 AS band_bits,
+                 c.n_candidates, f.n_true, f.n_found,
+                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
+                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
+                      THEN 1 ELSE 0 END AS meets_floor
+          FROM c6 c CROSS JOIN f6 f
+          UNION ALL
+          SELECT 'bands4x8' AS config, 8 AS band_bits,
+                 c.n_candidates, f.n_true, f.n_found,
+                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
+                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
+                      THEN 1 ELSE 0 END AS meets_floor
+          FROM c8 c CROSS JOIN f8 f),
+    win AS (SELECT config FROM grid
+            ORDER BY meets_floor DESC,
+                     CASE WHEN meets_floor = 1
+                          THEN CAST(n_candidates AS DOUBLE)
+                          ELSE -recall END,
+                     band_bits
+            LIMIT 1)
+    SELECT g.config, g.band_bits,
+           CAST(g.n_candidates AS BIGINT) AS n_candidates,
+           CAST(g.n_true AS BIGINT) AS n_true,
+           CAST(g.n_found AS BIGINT) AS n_found,
+           g.recall, g.meets_floor,
+           CASE WHEN w.config IS NOT NULL THEN 1 ELSE 0 END AS chosen
+    FROM grid g LEFT JOIN win w ON w.config = g.config
+"""
+

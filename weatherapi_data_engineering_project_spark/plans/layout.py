@@ -51,6 +51,24 @@ from pyspark.sql.window import Window
 from ..schemas import load_table
 
 
+# layout scratch dirs created by THIS process, removed at interpreter
+# exit (ADVICE r09: applicationId-keyed dirs are unique per session, so
+# without cleanup every CI/bench session leaves a fresh bucketed copy
+# of orders/lineitem under /tmp forever). Own-dirs-only by design —
+# pruning SIBLING dirs would reintroduce the r08 concurrency race this
+# keying exists to prevent (a live concurrent session's dir looks
+# identical to a stale one). A crashed session can still leak its dirs;
+# that leak is bounded by crash count, not by session count.
+_SESSION_LAYOUT_DIRS: set[str] = set()
+
+
+def _cleanup_session_layout_dirs() -> None:
+    import shutil
+
+    for d in _SESSION_LAYOUT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def session_layout_base(spark: SparkSession, family: str, sf_dir: str) -> str:
     """Per-session scratch root for the layout-op queries (q242/q257/
     q265/q278 convention). Keyed by the Spark applicationId AND the
@@ -59,14 +77,20 @@ def session_layout_base(spark: SparkSession, family: str, sf_dir: str) -> str:
     same sf_dir race each other's mode('overwrite') writes and the
     fixed /tmp name is squattable on multi-user hosts. Within one
     session the path is stable, keeping reruns idempotent (overwrite
-    replaces the previous run's layout)."""
+    replaces the previous run's layout); at process exit the dir is
+    removed (ADVICE r09 — see _cleanup_session_layout_dirs)."""
+    import atexit
     import hashlib
     import os
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId.replace("-", "")[-16:]
-    return os.path.join(tempfile.gettempdir(), f"{family}_{app}_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"{family}_{app}_{tag}")
+    if not _SESSION_LAYOUT_DIRS:
+        atexit.register(_cleanup_session_layout_dirs)
+    _SESSION_LAYOUT_DIRS.add(path)
+    return path
 
 
 # --- q106: Z-order (Morton) clustering --------------------------------

@@ -93,14 +93,18 @@ def q24_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → md5-minhash → band → candidate
-    join → exact Jaccard verify (the 100 TB-scale dedup path)."""
+    join → exact Jaccard verify (the 100 TB-scale dedup path). Band
+    depth is CORPUS-DERIVED (dedup.scaled_rows_per_band, r = 2 here;
+    oracle twin minhash_pairs_sql_scaled derives the same r from
+    COUNT(*)); q288 audits the pinned r = 2 recall and q290's grid
+    tuner measures the cost/recall trade per depth."""
     d = load_table(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
 
 
 def q288_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall audit of q25's MinHash banding (8 hashes × 4 bands of 2)
-    against exact brute-force Jaccard truth — the text-side twin of
+    """Recall audit of the PINNED 8-hash × 4-band (r = 2) MinHash
+    banding against exact brute-force Jaccard truth — the text-side twin of
     q287's embedding-LSH audit, and the measurement a dedup deployment
     runs before trusting banded MinHash at a new threshold. Output per
     Jaccard band: n_true, n_found, recall (found ⊆ true by
@@ -113,7 +117,10 @@ def q288_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     union for the 0.7/0.5 band edges) — no float ratio ever crosses an
     engine boundary. Any pair at Jaccard ≥ 0.4 shares a shingle, so
     the shingle join loses nothing. Scale: probes × corpus, never
-    corpus²; the found side is the real q25 pipeline output."""
+    corpus²; the found side is the real q25 pipeline shape with
+    rows_per_band pinned at 2 — the fixed-width comparator role (q287
+    convention); q25 itself derives the width from the corpus
+    (dedup.scaled_rows_per_band) and q290's grid prices each r."""
     from ..caching import persist_tracked
 
     d = load_table(spark, sf_dir, "documents")
@@ -146,7 +153,9 @@ def q288_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2", band.alias("jac_band")
     )
     found = (
-        DD.minhash_lsh_pairs(d, "text", "doc_id", JACCARD_THRESHOLD)
+        DD.minhash_lsh_pairs(
+            d, "text", "doc_id", JACCARD_THRESHOLD, rows_per_band=2
+        )
         .filter(F.col("id1") < 64)
         .select("id1", "id2", F.lit(1).alias("hit"))
     )
@@ -163,6 +172,111 @@ def q288_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_found",
             F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
         )
+    )
+
+
+def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band-depth AUTO-TUNER — q289's text-side twin (VERDICT
+    r09 #6). For each pinned grid depth (4 bands × r ∈ {2, 3} hashes,
+    i.e. 8 and 12 total hashes), MEASURES candidate mass (distinct
+    banded pairs — the n²·J_bg^r term dedup.scaled_rows_per_band
+    exists to bound) and probe-bounded recall vs exact shingle-Jaccard
+    truth (q288's integer construction: truth at 5·inter ≥ 2·union;
+    found = truth ∩ banded candidates, since the verifier applies the
+    same exact rule). Chosen = cheapest depth clearing the 0.45
+    integer recall floor (20·n_found ≥ 9·n_true), else max recall.
+    q25's default depth (dedup.scaled_rows_per_band) is the zero-cost
+    log(n) approximation of this measurement.
+
+    Scale: truth is probe-bounded (64 probes × corpus shingles); each
+    grid cell is one signature agg + one band equi-join + counts; the
+    winner is a 2-row TakeOrderedAndProject joined back broadcast."""
+    from ..caching import persist_tracked
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = persist_tracked(DD.shingle_sets(d, "text", "doc_id"))
+    pex = ex.select(
+        F.col("doc").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
+    ).filter(F.col("id1") < 64)
+    cex = ex.select(
+        F.col("doc").alias("id2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    inter = (
+        pex.join(cex, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+        )
+    )
+    u = F.col("n1") + F.col("n2") - F.col("inter")
+    truth = persist_tracked(
+        inter.filter(5 * F.col("inter") >= 2 * u).select("id1", "id2")
+    )
+    rows = []
+    for r in (2, 3):
+        n_hashes = 4 * r
+        sigs = DD.minhash_signatures_from_shingles(ex, n_hashes)
+        cands = persist_tracked(
+            DD.minhash_band_candidates(sigs, n_bands=4, n_hashes=n_hashes)
+        )
+        n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        found = cands.filter(F.col("id1") < 64).select(
+            "id1", "id2", F.lit(1).alias("hit")
+        )
+        counts = truth.join(found, ["id1", "id2"], "left").agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_found"),
+        )
+        rows.append(
+            counts.crossJoin(F.broadcast(n_cand)).select(
+                F.lit(f"bands4x{r}").alias("config"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                "n_found",
+                F.round(F.col("n_found") / F.col("n_true"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    grid = persist_tracked(
+        rows[0].unionByName(rows[1]).select(
+            "*",
+            F.when(20 * F.col("n_found") >= 9 * F.col("n_true"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("meets_floor"),
+        )
+    )
+    winner = (
+        grid.orderBy(
+            F.col("meets_floor").desc(),
+            F.when(
+                F.col("meets_floor") == 1,
+                F.col("n_candidates").cast("double"),
+            ).otherwise(-F.col("recall")),
+            F.col("rows_per_band"),
+        )
+        .limit(1)
+        .select(F.col("config").alias("win_config"))
+    )
+    return grid.join(
+        F.broadcast(winner),
+        grid["config"] == F.col("win_config"),
+        "left",
+    ).select(
+        "config",
+        "rows_per_band",
+        "n_candidates",
+        "n_true",
+        "n_found",
+        "recall",
+        "meets_floor",
+        F.when(F.col("win_config").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("chosen"),
     )
 
 
@@ -456,9 +570,12 @@ def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q29_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH candidates
-    + exact decimal-cosine verify >= 0.4."""
+    + exact decimal-cosine verify >= 0.4. Band width is CORPUS-DERIVED
+    (similarity.scaled_band_bits; oracle twin signlsh_pairs_sql_scaled)
+    — BENCH_SCALE_r09 measured the fixed-width failure mode; q287/q289
+    measure the recall/cost trade per width."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_neardup_pairs(e, threshold=0.4, n_bands=4, band_bits=4)
+    return SIM.cosine_neardup_pairs(e, threshold=0.4)
 
 
 def q154_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,9 +592,7 @@ def q154_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over the edge list; the left join against the full id set
     is dimension-sized and the output is one row per distinct degree."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_neardup_pairs(
-        e, threshold=0.4, n_bands=4, band_bits=4
-    ).select("id1", "id2")
+    pairs = SIM.cosine_neardup_pairs(e, threshold=0.4).select("id1", "id2")
     edges = pairs.select(F.col("id1").alias("id")).unionAll(
         pairs.select(F.col("id2").alias("id"))
     )
@@ -521,9 +636,9 @@ def q157_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     all shuffles key on node ids, never on the quadratic pair space."""
     e = load_table(spark, sf_dir, "embeddings")
     pairs = persist_tracked(
-        SIM.cosine_neardup_pairs(
-            e, threshold=0.25, n_bands=4, band_bits=4
-        ).select(F.col("id1").alias("i"), F.col("id2").alias("j"))
+        SIM.cosine_neardup_pairs(e, threshold=0.25).select(
+            F.col("id1").alias("i"), F.col("id2").alias("j")
+        )
     )
     deg = (
         pairs.select(F.col("i").alias("id"))
@@ -1380,6 +1495,7 @@ QUERIES = {
     "q241_split_leakage": q241_split_leakage,
     "q25_minhash_lsh": q25_minhash_lsh,
     "q288_minhash_recall_audit": q288_minhash_recall_audit,
+    "q290_minhash_sizing_tuner": q290_minhash_sizing_tuner,
     "q123_containment_dedup": q123_containment_dedup,
     "q141_dedup_savings": q141_dedup_savings,
     "q149_prefix_join": q149_prefix_join,
@@ -1697,17 +1813,12 @@ _Q29_SQL_TMPL = f"""
 _Q29_SQL = _Q29_SQL_TMPL.format(threshold="0.4")
 
 
-def signlsh_pairs_sql(
-    threshold: str, n_bits: int = 16, band_bits: int = 4
-) -> str:
-    """The q29 oracle shape with PARAMETERIZED LSH width — the corpus-
-    scaled configuration path BENCH_SCALE_r09 measured (fixed 4-bit
-    bands make candidates quadratic in corpus size; production sizing
-    raises band_bits with log n). Emits the same deterministic
-    md5-hyperplane banding as operators/similarity.signlsh_buckets for
-    any (n_bits, band_bits), so a wider-band Spark query keeps an
-    exact DuckDB twin (q286). The default arguments reproduce
-    _Q29_SQL's 16-bit/4-band text modulo this function's formatting."""
+def _signlsh_band_ctes(n_bits: int, band_bits: int) -> str:
+    """WITH-body fragment (e → proj → buckets → bands → cand) emitting
+    the deterministic md5-hyperplane banding of
+    operators/similarity.signlsh_buckets at a PINNED width — shared by
+    signlsh_pairs_sql (verified pairs) and signlsh_cand_sql (candidate
+    pairs only, the q289 cost measure)."""
     n_bands = n_bits // band_bits
     bucket = " || ".join(
         f"MAX(CASE WHEN bit = {i} THEN b END)" for i in range(n_bits)
@@ -1717,8 +1828,7 @@ def signlsh_pairs_sql(
         for b in range(n_bands)
     )
     band_idx = ", ".join(str(i) for i in range(n_bands))
-    return f"""
-        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+    return f"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                           CAST(unnest(embedding) AS DOUBLE) AS v
                    FROM embeddings),
         proj AS (SELECT vec_id, bit,
@@ -1733,6 +1843,85 @@ def signlsh_pairs_sql(
         bands AS (SELECT vec_id, unnest([{band_vals}]) AS band_val,
                          unnest([{band_idx}]) AS band_idx
                   FROM buckets),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.vec_id < b.vec_id)"""
+
+
+def signlsh_cand_sql(n_bits: int = 16, band_bits: int = 4) -> str:
+    """Distinct banded candidate pairs at a pinned width — the exact
+    twin of similarity.signlsh_band_candidates(...).distinct(), used
+    by the q289 sizing grid as the COST side (candidate mass is what
+    a width buys down; the verifier's work is proportional to it)."""
+    return f"""
+        WITH {_signlsh_band_ctes(n_bits, band_bits)}
+        SELECT id1, id2 FROM cand
+    """
+
+
+def signlsh_pairs_sql(
+    threshold: str, n_bits: int = 16, band_bits: int = 4
+) -> str:
+    """The q29 oracle shape with PARAMETERIZED LSH width — the corpus-
+    scaled configuration path BENCH_SCALE_r09 measured (fixed 4-bit
+    bands make candidates quadratic in corpus size; production sizing
+    raises band_bits with log n). Emits the same deterministic
+    md5-hyperplane banding as operators/similarity.signlsh_buckets for
+    any (n_bits, band_bits), so a wider-band Spark query keeps an
+    exact DuckDB twin (q286). The default arguments reproduce
+    _Q29_SQL's 16-bit/4-band text modulo this function's formatting."""
+    return f"""
+        WITH {_signlsh_band_ctes(n_bits, band_bits)},
+        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+                  FROM e GROUP BY vec_id),
+        dots AS (SELECT c.id1, c.id2, SUM(CAST(ae.v * be.v AS DECIMAL(38,25))) AS dot
+                 FROM cand c
+                 JOIN e ae ON ae.vec_id = c.id1
+                 JOIN e be ON be.vec_id = c.id2 AND be.pos = ae.pos
+                 GROUP BY c.id1, c.id2)
+        SELECT id1, id2, cosine FROM (
+            SELECT d.id1, d.id2,
+                   {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")} AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.id1
+            JOIN norms nb ON nb.vec_id = d.id2)
+        WHERE cosine >= {threshold}
+    """
+
+def signlsh_pairs_sql_scaled(threshold: str) -> str:
+    """The q29 oracle with the band width DERIVED IN SQL from the
+    corpus row count — the exact twin of similarity.scaled_band_bits
+    (band_bits = max(4, ⌈log2 n⌉ − 7), integer-exact on both sides:
+    Python uses (n−1).bit_length(), SQL uses LENGTH(bin(n − 1))).
+    Structure is width-independent: projections run over range(0,
+    4·bb) bits, the bucket is a string_agg ORDER BY bit (replacing the
+    fixed-width MAX(CASE) pivot), and the 4 band values are substr
+    slices at computed offsets. This keeps the oracle valid at ANY sf
+    — a static-width oracle is only correct while the engine's derived
+    width happens to match it (n ≤ 2048)."""
+    return f"""
+        WITH cfg AS (SELECT GREATEST(4, LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)
+                                AS bb
+                     FROM embeddings),
+        e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+        bits AS (SELECT unnest(range(0, 4 * bb)) AS bit FROM cfg),
+        proj AS (SELECT vec_id, bit,
+                        SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
+                                       THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
+                 FROM e CROSS JOIN bits
+                 GROUP BY vec_id, bit),
+        buckets AS (SELECT vec_id,
+                           string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END,
+                                      '' ORDER BY bit) AS bucket
+                    FROM proj GROUP BY vec_id),
+        bands AS (SELECT bu.vec_id, bi.band_idx,
+                         substr(bu.bucket, bi.band_idx * c.bb + 1, c.bb) AS band_val
+                  FROM buckets bu
+                  CROSS JOIN cfg c
+                  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) bi),
         cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
                  FROM bands a JOIN bands b
                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -1752,6 +1941,82 @@ def signlsh_pairs_sql(
             JOIN norms nb ON nb.vec_id = d.id2)
         WHERE cosine >= {threshold}
     """
+
+
+_Q29_SQL_SCALED = signlsh_pairs_sql_scaled("0.4")
+
+
+def minhash_pairs_sql_scaled(threshold) -> str:
+    """q25's oracle with the MinHash band depth DERIVED IN SQL from
+    the document count — the exact twin of dedup.scaled_rows_per_band
+    (r = max(2, (⌈log2 n⌉ − 5) // 3); (x+2)//3 = ⌈x/3⌉ keeps it
+    integer on both sides). Hash index becomes a range() dimension,
+    the per-(doc, hash) min a grouped aggregate, and the band key
+    md5(string_agg(min ORDER BY hash)) grouped by hash // r — the same
+    concat_ws('|') order the engine's minhash_band_frame emits. The
+    static _SIG_MIN/_BAND_LIST fragments used by the composite oracles
+    stay valid while the derived r = 2 (n ≤ 2^13 docs)."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        cfg AS (SELECT GREATEST(2, (LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 5) // 3)
+                           AS r
+                FROM documents),
+        hs AS (SELECT unnest(range(0, 4 * r)) AS i FROM cfg),
+        minv AS (SELECT e.doc_id, h.i,
+                        MIN(md5(h.i || '§' || e.shingle)) AS mv
+                 FROM ex e CROSS JOIN hs h
+                 GROUP BY e.doc_id, h.i),
+        bands AS (SELECT m.doc_id,
+                         md5(string_agg(m.mv, '|' ORDER BY m.i)) AS band_key
+                  FROM minv m CROSS JOIN cfg c
+                  GROUP BY m.doc_id, m.i // c.r),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        scored AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT s.id1, s.id2, s.jaccard
+        FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
+        WHERE s.jaccard >= {threshold}
+    """
+
+
+def _minhash_band_ctes(n_hashes: int, rows_per_band: int) -> str:
+    """WITH-body fragment (sigs → bands → cand) at a PINNED MinHash
+    depth — mirrors operators/dedup.minhash_band_frame's key layout
+    (md5 over the '|'-joined per-band signature block) for any
+    (n_hashes, rows_per_band); the q290 grid's per-cell banding."""
+    sig_min = ", ".join(
+        f"MIN(md5('{i}' || '§' || shingle)) AS sig{i}"
+        for i in range(n_hashes)
+    )
+    n_bands = n_hashes // rows_per_band
+    band_list = ", ".join(
+        "md5(" + " || '|' || ".join(
+            f"sig{b * rows_per_band + j}" for j in range(rows_per_band)
+        ) + ")"
+        for b in range(n_bands)
+    )
+    return f"""sigs AS (SELECT doc_id, {sig_min} FROM ex GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([{band_list}]) AS band_key FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+
+def minhash_cand_sql(n_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """Distinct banded MinHash candidate pairs at a pinned depth — the
+    q290 cost measure (exact twin of minhash_band_candidates)."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_band_ctes(n_hashes, rows_per_band)}
+        SELECT id1, id2 FROM cand
+    """
+
 
 # q20's marker-cascade prediction as a DuckDB CASE (shared by the q20
 # and q259 oracles)
@@ -2132,23 +2397,61 @@ ORACLE = {
         LEFT JOIN hits h ON h.id1 = t.id1 AND h.id2 = t.id2
         GROUP BY t.jac_band
     """,
-    "q25_minhash_lsh": f"""
+    "q25_minhash_lsh": minhash_pairs_sql_scaled(JACCARD_THRESHOLD),
+    "q290_minhash_sizing_tuner": f"""
         WITH {_SHINGLES_CTE},
-        sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
-        bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sigs),
-        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                 FROM bands a JOIN bands b
-                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        scored AS (
+        inter AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
-                   CAST(COUNT(*) AS DOUBLE)
-                       / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id)
-        SELECT s.id1, s.id2, s.jaccard
-        FROM scored s JOIN cand c ON s.id1 = c.id1 AND s.id2 = c.id2
-        WHERE s.jaccard >= {JACCARD_THRESHOLD}
+                   COUNT(*) AS inter,
+                   MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            WHERE a.doc_id < 64
+            GROUP BY 1, 2),
+        truth AS (SELECT id1, id2 FROM inter
+                  WHERE 5 * inter >= 2 * (n1 + n2 - inter)),
+        c2 AS (SELECT id1, id2 FROM ({minhash_cand_sql(8, 2)})),
+        g2 AS (SELECT (SELECT COUNT(*) FROM c2) AS n_candidates,
+                        COUNT(*) AS n_true, COUNT(x.id1) AS n_found
+                 FROM truth t
+                 LEFT JOIN (SELECT id1, id2 FROM c2 WHERE id1 < 64) x
+                        USING (id1, id2)),
+        c3 AS (SELECT id1, id2 FROM ({minhash_cand_sql(12, 3)})),
+        g3 AS (SELECT (SELECT COUNT(*) FROM c3) AS n_candidates,
+                        COUNT(*) AS n_true, COUNT(x.id1) AS n_found
+                 FROM truth t
+                 LEFT JOIN (SELECT id1, id2 FROM c3 WHERE id1 < 64) x
+                        USING (id1, id2)),
+        grid AS (
+              SELECT 'bands4x2' AS config, 2 AS rows_per_band,
+                     n_candidates, n_true, n_found,
+                     ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
+                     CASE WHEN 20 * n_found >= 9 * n_true
+                          THEN 1 ELSE 0 END AS meets_floor
+              FROM g2
+              UNION ALL
+              SELECT 'bands4x3' AS config, 3 AS rows_per_band,
+                     n_candidates, n_true, n_found,
+                     ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
+                     CASE WHEN 20 * n_found >= 9 * n_true
+                          THEN 1 ELSE 0 END AS meets_floor
+              FROM g3),
+        win AS (SELECT config FROM grid
+                ORDER BY meets_floor DESC,
+                         CASE WHEN meets_floor = 1
+                              THEN CAST(n_candidates AS DOUBLE)
+                              ELSE -recall END,
+                         rows_per_band
+                LIMIT 1)
+        SELECT g.config, g.rows_per_band,
+               CAST(g.n_candidates AS BIGINT) AS n_candidates,
+               CAST(g.n_true AS BIGINT) AS n_true,
+               CAST(g.n_found AS BIGINT) AS n_found,
+               g.recall, g.meets_floor,
+               CASE WHEN w.config IS NOT NULL THEN 1 ELSE 0 END AS chosen
+        FROM grid g LEFT JOIN win w ON w.config = g.config
     """,
+
     "q174_minhash_calibration": f"""
         WITH {_SHINGLES_CTE},
         sigs AS (SELECT doc_id, {_SIG_MIN} FROM ex GROUP BY doc_id),
@@ -2508,9 +2811,9 @@ ORACLE = {
             JOIN bits y ON y.doc_id = c.id2)
         WHERE hamming <= 6
     """,
-    "q29_embed_neardup": _Q29_SQL,
+    "q29_embed_neardup": _Q29_SQL_SCALED,
     "q154_neardup_degrees": f"""
-        WITH pairs AS (SELECT id1, id2 FROM ({_Q29_SQL}) q29),
+        WITH pairs AS (SELECT id1, id2 FROM ({_Q29_SQL_SCALED}) q29),
         edges AS (SELECT id1 AS id FROM pairs
                   UNION ALL
                   SELECT id2 AS id FROM pairs),
@@ -2534,7 +2837,7 @@ ORACLE = {
     "q157_graph_triangles": f"""
         WITH pairs AS MATERIALIZED (
             SELECT id1 AS i, id2 AS j
-            FROM ({_Q29_SQL_TMPL.format(threshold="0.25")}) p),
+            FROM ({signlsh_pairs_sql_scaled("0.25")}) p),
         deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
                 FROM (SELECT i AS id FROM pairs
                       UNION ALL SELECT j AS id FROM pairs)

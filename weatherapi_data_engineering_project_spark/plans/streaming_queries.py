@@ -65,10 +65,35 @@ def _audit_batch(tag: str, frame: DataFrame) -> None:
         )
 
 
+# per-batch state-store row counts of each drain's LAST run, keyed by
+# tag: [(batchId, numRowsTotal, numRowsRemoved), ...]. Written
+# unconditionally (cheap — recentProgress is already on the driver) so
+# eviction/boundedness assertions (tests/test_round9_queries.py, the
+# streaming scale bench) read real engine metrics instead of inferring
+# them from output: the differential proves the VALUES; this proves
+# state stayed watermark-bounded and actually SHRANK on eviction.
+LAST_STATE_METRICS: dict[str, list] = {}
+
+
 def _audit_stream(tag: str, q) -> None:
-    """Record the terminated query's final incremental physical plan."""
+    """Record the terminated query's final incremental physical plan
+    and its per-batch state-store row counts."""
     if os.environ.get("SPARK_GRAFT_CAPTURE_BATCH_PLANS"):
         LAST_BATCH_PLANS[f"{tag}/engine"] = q._jsq.explainInternal(False)
+    import json as _json
+
+    try:
+        LAST_STATE_METRICS[tag] = [
+            (
+                p["batchId"],
+                p["stateOperators"][0]["numRowsTotal"],
+                p["stateOperators"][0].get("numRowsRemoved", 0),
+            )
+            for p in (_json.loads(pp.json) for pp in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+    except Exception:  # noqa: BLE001 — metrics are best-effort evidence
+        LAST_STATE_METRICS[tag] = []
 
 
 def _work_dir(name: str, sf_dir: str) -> str:
@@ -946,12 +971,6 @@ def q266_stream_append_windows(
     )
 
 
-# per-batch state-store row counts of the last q285 drain, for the
-# eviction-metrics assertion (tests/test_round9_queries.py): the
-# differential proves the VALUES; this proves state actually SHRANK.
-LAST_STATE_METRICS: dict[str, list] = {}
-
-
 def q285_stream_timeout_flush(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -983,8 +1002,6 @@ def q285_stream_timeout_flush(
     result equals the batch GROUP BY user_id IFF eviction fired for
     every user — the differential hash-certifies the timeout path
     itself (integer-cent exactness, q42's argument)."""
-    import json as _json
-
     from pyspark.sql import functions as F
 
     from ..streaming.windows import idle_flush_totals
@@ -1031,18 +1048,6 @@ def q285_stream_timeout_flush(
     if q.isActive:
         q.stop()
     _audit_stream("q285", q)
-    try:
-        LAST_STATE_METRICS["q285"] = [
-            (
-                p["batchId"],
-                p["stateOperators"][0]["numRowsTotal"],
-                p["stateOperators"][0].get("numRowsRemoved", 0),
-            )
-            for p in (_json.loads(pp.json) for pp in q.recentProgress)
-            if p.get("stateOperators")
-        ]
-    except Exception:  # noqa: BLE001 — metrics are best-effort evidence
-        LAST_STATE_METRICS["q285"] = []
     if not os.path.exists(out):
         return spark.createDataFrame(
             [],
