@@ -206,3 +206,34 @@ def test_streaming_state_is_key_bounded_not_row_bounded(spark, tmp_path):
     # full user universe (every real user retired exactly once)
     removed5 = sum(m[2] for m in LAST_STATE_METRICS["q285"])
     assert removed5 >= len(out5)
+
+
+def test_state_budget_planner_bounds(spark):
+    """q291's sweep-line budget must obey the physical bounds: state
+    occupancy never exceeds the shard's event count, is at least 1
+    wherever events exist, the shard/side partition is exhaustive
+    (every event lands in exactly one row's count), and the modeled
+    lifetimes mean a side with MORE state time per row can never peak
+    below an equal-traffic side with less (clicks hold 3 h vs
+    purchases' 2 h — checked aggregate-level, not per shard, since
+    traffic splits are uneven)."""
+    from weatherapi_data_engineering_project_spark.plans.behavior import (
+        q291_stream_state_budget,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    rows = q291_stream_state_budget(spark, SF_DIR).collect()
+    n_total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == n_total
+    assert {r.side for r in rows} <= {"click", "purchase"}
+    for r in rows:
+        assert 0 <= r.shard < 32
+        assert 1 <= r.peak_state_rows <= r.n_events, r
+    clicks = sum(r.peak_state_rows for r in rows if r.side == "click")
+    purchases = sum(
+        r.peak_state_rows for r in rows if r.side == "purchase"
+    )
+    n_clicks = sum(r.n_events for r in rows if r.side == "click")
+    n_purch = sum(r.n_events for r in rows if r.side == "purchase")
+    # longer lifetime => proportionally more peak state per event
+    assert clicks / max(n_clicks, 1) >= purchases / max(n_purch, 1)

@@ -16,6 +16,15 @@ target queries read are replicated:
   q02_star_revenue    — orders + lineitem (60M rows at 100×) over 1× dims
   q23_exact_dedup     — documents (500k docs)
   q47_dedup_clusters  — documents (shingle→minhash→band→verify→closure)
+  q93_semantic_contamination — embeddings (200k vectors): the r09
+                        fixed-width scale-killer, now corpus-derived
+  q25_minhash_lsh     — documents (500k docs): the corpus-derived
+                        MinHash band depth at 100×
+
+Embeddings are replicated by per-copy rotation + (for replicas ≥ dim)
+alternate-sign flip — orthogonal transforms, so each replica's internal
+near-dup structure matches the base while cross-replica cosines are
+~random/zero (no artificial 100-way true-duplicate groups).
 
 Each query runs best-of-2 at sf0.1 and ONCE at 100× in the same warmed
 session; shuffle read/write bytes come from the Spark UI REST API
@@ -52,9 +61,18 @@ SCALE_DIR = os.environ.get(
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE100_REPLICAS", "100"))
 UI_PORT = int(os.environ.get("SPARK_GRAFT_SCALE100_UI_PORT", "4097"))
 
-TARGETS = ["q02_star_revenue", "q23_exact_dedup", "q47_dedup_clusters"]
+TARGETS = [
+    "q02_star_revenue",
+    "q23_exact_dedup",
+    "q47_dedup_clusters",
+    # the two corpus-derived-LSH paths (r09's fixed-width scale-killer
+    # finding): at 200k vectors / 500k docs the derived widths must
+    # keep candidate mass ~linear or the log(n) rule is wrong
+    "q93_semantic_contamination",
+    "q25_minhash_lsh",
+]
 COPY_1X = ["region", "nation", "customer", "supplier", "part"]
-REPLICATE = ["orders", "lineitem", "documents"]
+REPLICATE = ["orders", "lineitem", "documents", "embeddings"]
 
 
 def build_corpus(spark) -> None:
@@ -100,6 +118,37 @@ def build_corpus(spark) -> None:
                 "lang",
                 "source",
                 F.length(text).cast("long").alias("n_chars"),
+            )
+        elif t == "embeddings":
+            # 100 semantically-distinct replicas of 64-dim vectors:
+            # rotation alone gives only dim-1 distinct copies, so
+            # replicas 64+ also alternate-sign-flip. Both transforms
+            # are orthogonal — WITHIN a replica all inner products
+            # (and so the true near-dup structure) are preserved;
+            # ACROSS replicas cosine is ~random (different rotation)
+            # or ~0 (same rotation, one side sign-flipped).
+            emb = F.col("embedding")
+            dim = F.size(emb)
+            r = F.when(F.col("k") == 0, F.lit(0)).otherwise(
+                ((F.col("k") - 1) % (dim - 1)) + 1
+            )
+            rotated = F.when(r == 0, emb).otherwise(
+                F.concat(F.slice(emb, r + 1, dim - r), F.slice(emb, 1, r))
+            )
+            flip = ((F.col("k") - 1) / (dim - 1)).cast("int") >= 1
+            emb2 = F.when(
+                (F.col("k") > 0) & flip,
+                F.transform(
+                    rotated,
+                    lambda x, i: F.when(i % 2 == 1, -x).otherwise(x),
+                ),
+            ).otherwise(rotated)
+            big = big.select(
+                (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias(
+                    "vec_id"
+                ),
+                emb2.cast("array<float>").alias("embedding"),
+                "label",
             )
         big = big.drop("k")
         # spread the write across the session's parallelism: the

@@ -1750,6 +1750,83 @@ def q258_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q291 models q218's stream-stream interval join (clicks = even
+# event_id, purchases = odd, purchase in [click_ts, click_ts + 1 h],
+# 2 h watermark delay on both sides — plans/streaming_queries.py:351).
+# State lifetime per side follows the engine's eviction rule: a CLICK
+# is evictable once the purchase watermark passes the end of its match
+# window (click_ts + 1 h interval + 2 h delay = 3 h); a PURCHASE once
+# the click watermark passes its own ts (no look-ahead: it only
+# matches clicks at or before it, so 0 h interval + 2 h delay = 2 h).
+_SB_SHARDS = 32
+_SB_LIFE_US = {"click": 3 * 3_600_000_000, "purchase": 2 * 3_600_000_000}
+
+
+def q291_stream_state_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join STATE-BUDGET planner: for q218's click→purchase
+    stream-stream join, the peak number of rows each side would hold
+    in the state store, per key-hash shard — the table an engineer
+    reads to size executor memory BEFORE launching the stream.
+    BENCH_SCALE_r10.json measured why this planner must exist: q218's
+    peak state grew 100k → 1M rows at 10× events (stream-stream join
+    state is bounded by the WATERMARK WINDOW, so it scales with rows
+    per window, i.e. with throughput — unlike q285/q266's key-bounded
+    state, which stayed flat). The q145 watermark planner prices the
+    DROP side of a delay choice; this prices the MEMORY side.
+
+    Method: sweep-line over state lifetimes (the q184 peak-concurrency
+    pattern applied to eviction semantics). Each event contributes
+    (+1 at ts, −1 at ts + lifetime); a running sum ordered by time
+    (arrivals before evictions on ties — the conservative peak) gives
+    instantaneous state occupancy; MAX per (side, shard) is the
+    budget. Shard = user_id % 32 models the join-key hash partition,
+    so shard imbalance here IS the executor imbalance a real cluster
+    would see on this key distribution.
+
+    Scale shape: one narrow union doubling the rows, one shuffle by
+    (side, shard) for the window sort — each shard sorts
+    independently, so 1000 executors sort 1000 ways in parallel —
+    then a partial-agg MAX onto 64 rows. Never a self-join, never a
+    range probe per event."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("side"),
+        (F.col("user_id") % F.lit(_SB_SHARDS)).alias("shard"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+    ).withColumn(
+        "life_us",
+        F.when(
+            F.col("side") == "click", F.lit(_SB_LIFE_US["click"])
+        ).otherwise(F.lit(_SB_LIFE_US["purchase"])),
+    )
+    pts = base.select(
+        "side", "shard", F.col("t_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        base.select(
+            "side",
+            "shard",
+            (F.col("t_us") + F.col("life_us")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("side", "shard")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "side", "shard", "delta", F.sum("delta").over(w).alias("in_state")
+    )
+    return run.groupBy("side", "shard").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.max("in_state").cast("bigint").alias("peak_state_rows"),
+    )
+
+
 QUERIES = {
     "q97_funnel_depth": q97_funnel_depth,
     "q258_t_closeness": q258_t_closeness,
@@ -1778,9 +1855,37 @@ QUERIES = {
     "q181_daily_ohlc": q181_daily_ohlc,
     "q183_conversion_paths": q183_conversion_paths,
     "q188_cuped_lift": q188_cuped_lift,
+    "q291_stream_state_budget": q291_stream_state_budget,
 }
 
 ORACLE = {
+    "q291_stream_state_budget": """
+        WITH base AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'click'
+                        ELSE 'purchase' END AS side,
+                   user_id % 32 AS shard,
+                   epoch_us(ts) AS t_us,
+                   CASE WHEN event_id % 2 = 0 THEN 10800000000
+                        ELSE 7200000000 END AS life_us
+            FROM events),
+        pts AS (
+            SELECT side, shard, t_us AS t, 1 AS delta FROM base
+            UNION ALL
+            SELECT side, shard, t_us + life_us AS t, -1 AS delta FROM base),
+        run AS (
+            SELECT side, shard, delta,
+                   SUM(delta) OVER (PARTITION BY side, shard
+                                    ORDER BY t, delta DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS in_state
+            FROM pts)
+        SELECT side, shard,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events,
+               CAST(MAX(in_state) AS BIGINT) AS peak_state_rows
+        FROM run
+        GROUP BY side, shard
+    """,
     "q258_t_closeness": """
         WITH d AS (SELECT source, n_chars // 64 AS b FROM documents),
         cells AS (SELECT source, b, COUNT(*) AS c FROM d GROUP BY 1, 2),
