@@ -237,3 +237,109 @@ def test_state_budget_planner_bounds(spark):
     n_purch = sum(r.n_events for r in rows if r.side == "purchase")
     # longer lifetime => proportionally more peak state per event
     assert clicks / max(n_clicks, 1) >= purchases / max(n_purch, 1)
+
+
+def test_bounded_attribution_state_is_key_bounded(spark):
+    """q292's whole point, asserted from engine metrics: the streaming
+    state peaks at the COUNTER count (distinct (hour, user, side) keys
+    + the 2 sentinel groups), never at the event count — the contrast
+    with q218, whose interval-join state holds every event in the
+    watermark horizon (BENCH_SCALE_r10: 100k → 1M rows at 10×). Also
+    re-derives the pairing arithmetic as a batch twin in Spark so the
+    test stands without the DuckDB harness."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.plans.streaming_queries import (
+        LAST_STATE_METRICS,
+        q292_stream_bounded_attribution,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in q292_stream_bounded_attribution(spark, sf).collect()
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("side"),
+        "user_id",
+        (F.unix_micros("ts") / F.lit(3_600_000_000))
+        .cast("bigint")
+        .alias("b"),
+    )
+    n_keys = ev.select("side", "user_id", "b").distinct().count()
+    counts = ev.groupBy("side", "user_id", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = counts.filter(F.col("side") == "click")
+    p = counts.filter(F.col("side") == "purchase")
+    twin = (
+        c.alias("c")
+        .join(
+            p.alias("p1"),
+            (F.col("c.user_id") == F.col("p1.user_id"))
+            & (F.col("c.b") == F.col("p1.b")),
+            "left",
+        )
+        .join(
+            p.alias("p2"),
+            (F.col("c.user_id") == F.col("p2.user_id"))
+            & (F.col("c.b") + 1 == F.col("p2.b")),
+            "left",
+        )
+        .groupBy(F.col("c.b").alias("hour_idx"))
+        .agg(
+            F.sum("c.n").cast("bigint").alias("n_clicks"),
+            F.sum(
+                F.col("c.n")
+                * (
+                    F.coalesce(F.col("p1.n"), F.lit(0))
+                    + F.coalesce(F.col("p2.n"), F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("n_attr_pairs"),
+        )
+    )
+    want = sorted(tuple(r) for r in twin.collect())
+    assert got == want and len(got) > 0
+
+    metrics = LAST_STATE_METRICS["q292"]
+    assert metrics, "no state metrics recorded"
+    totals = [t for _bid, t, _rm in metrics]
+    # peak state = counters, bounded by distinct keys (+2 sentinel
+    # window groups), NOT by events
+    assert max(totals) <= n_keys + 2
+    # append-mode finalization actually RETIRES counters: by the last
+    # batch only the not-yet-final sentinel window group survives
+    assert totals[-1] <= 2
+
+
+def test_corpus_row_count_memo_is_filter_safe(spark):
+    """The sizing-rule count memo must key on plan SEMANTICS, not just
+    scan files: a filtered frame over the same parquet gets its own
+    count, repeated calls hit the memo (no second job), and distinct
+    directories never collide."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        _COUNT_MEMO,
+        corpus_row_count,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    d1 = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_all = corpus_row_count(d1)
+    assert n_all == d1.count() > 0
+    filtered = d1.filter(F.col("n_chars") > 200)
+    n_f = corpus_row_count(filtered)
+    assert n_f == filtered.count() < n_all
+    # repeat calls are memo hits returning the SAME values
+    size_before = len(_COUNT_MEMO)
+    assert corpus_row_count(d1) == n_all
+    assert corpus_row_count(filtered) == n_f
+    assert len(_COUNT_MEMO) == size_before
+    d2 = load_table(spark, SF_DIR, "documents")
+    assert corpus_row_count(d2) == d2.count()

@@ -86,6 +86,10 @@ STREAM_TARGETS = [
     "q285_stream_timeout_flush",
     "q266_stream_append_windows",
     "q218_stream_outer_interval_join",
+    # the bounded-state rewrite of q218's aggregate use-case: its peak
+    # state must stay at the counter count (flat at 10x events over
+    # the same user base) while q218's grows with rows-in-window
+    "q292_stream_bounded_attribution",
 ]
 
 DIMS = {"region", "nation", "customer", "supplier", "part"}

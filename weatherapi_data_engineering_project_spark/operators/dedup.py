@@ -37,7 +37,10 @@ from ..functions.text import fingerprint, shingles, tokens
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 
-from .similarity import ceil_log2  # noqa: E402 — shared integer log rule
+from .similarity import (  # noqa: E402 — shared integer log rule + memo
+    ceil_log2,
+    corpus_row_count,
+)
 
 
 def scaled_rows_per_band(n_docs: int, floor: int = 2) -> int:
@@ -677,7 +680,7 @@ def minhash_lsh_pairs(
     explicit value only where the fixed width is the point (q288's
     recall comparator, q174's calibration curve)."""
     if rows_per_band is None:
-        rows_per_band = scaled_rows_per_band(df.count())
+        rows_per_band = scaled_rows_per_band(corpus_row_count(df))
     n_hashes = n_bands * rows_per_band
     ex = persist_tracked(shingle_sets(df, text_col, id_col, k))
     sigs = minhash_signatures_from_shingles(ex, n_hashes)

@@ -135,6 +135,39 @@ def scaled_band_bits(n_rows: int, floor: int = 4) -> int:
     return max(floor, ceil_log2(n_rows) - _LSH_TARGET_LOG2)
 
 
+# (semantic plan hash, sorted scan file list) → row count. See
+# corpus_row_count.
+_COUNT_MEMO: dict[tuple, int] = {}
+
+
+def corpus_row_count(df: DataFrame) -> int:
+    """Row count for plan-build-time sizing rules, memoized by the
+    frame's (semantic plan hash, scan file list).
+
+    The sizing derivations (scaled_band_bits / scaled_rows_per_band)
+    need only the corpus CARDINALITY, which for lake tables is
+    invariant per file set — so paying a driver-blocking count() job
+    on EVERY plan build is pure overhead after the first invocation
+    (r10 bench: ~0.2 s per build at sf0.1 across q25/q47/q71/q72/...;
+    a real cluster pays a whole scan stage). The semantic plan hash in
+    the key makes the memo filter-safe: a filtered frame over the same
+    files hashes differently and gets its own count. Frames with no
+    scan files (in-memory fixtures) are never memoized — nothing in
+    the key would prove their data unchanged."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        sem = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover — py4j surface drift
+        files, sem = (), None
+    if not files:
+        return df.count()
+    key = (sem, files)
+    hit = _COUNT_MEMO.get(key)
+    if hit is None:
+        hit = _COUNT_MEMO[key] = df.count()
+    return hit
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Fan a thin scan out to the session's parallelism.
 
@@ -319,7 +352,7 @@ def cosine_neardup_pairs(
         cands = candidates
     else:
         if band_bits is None:
-            band_bits = scaled_band_bits(embeddings.count())
+            band_bits = scaled_band_bits(corpus_row_count(embeddings))
         cands = signlsh_band_candidates(
             embeddings, n_bands, band_bits, id_col, vec_col
         )

@@ -1057,8 +1057,152 @@ def q285_stream_timeout_flush(
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
+def q292_stream_bounded_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state streaming attribution: q218's click→purchase
+    pairing re-expressed so streaming state is O(active KEYS) instead
+    of O(events-in-window) — the RUNTIME answer to the growth term
+    BENCH_SCALE_r10 measured (q218's interval-join peak state grew
+    100k → 1M rows at 10× events) and q291 prices. When the question
+    downstream is an AGGREGATE (pairs per hour, not row-level pairs),
+    the raw stream-stream join is the wrong program at 100 TB: its
+    state holds every event inside the watermark horizon, so state
+    scales with THROUGHPUT. This plan holds one counter row per
+    (hour window × user × side) — at 10× throughput over the same
+    user base the counter count is unchanged.
+
+    Semantics trade (explicit, deterministic): the exact ±1 h interval
+    becomes hour-BUCKET adjacency — a purchase attributes to every
+    same-user click in its own or the previous hour bucket (a coverage
+    superset of the 1 h interval; the standard coarsening when
+    row-level pairing isn't required). The coarsening is what makes
+    the state collapse legal: pair counts become arithmetic over
+    counters, ``pairs[u,b] = clicks[u,b]·(purch[u,b] + purch[u,b+1])``,
+    so the stream never needs to retain individual rows.
+
+    Plan: ONE watermarked tumbling-window aggregation (append mode;
+    q266's sentinel-flush drain finalizes every real window before the
+    AvailableNow run stops), spilled per batch to parquet; the pairing
+    is batch-side over the tiny counter table — two equi left joins on
+    (user_id, hour_idx) then a per-hour rollup. Scale shape: the
+    streaming shuffle is by (window, user, side) with map-side partial
+    counts; the batch joins key on (user, hour) so 1000 executors
+    pair 1000 key ranges independently; nothing is ever O(events²) or
+    O(events-in-window) resident.
+
+    Sentinels ride as user_id −1 / event_id −2 (click parity; a lone
+    far-future counter group) and are filtered on READ-BACK by the
+    real max hour index and id sign — never on the streaming plan (the
+    q218 trap: a pre-aggregation filter would starve the watermark
+    node). Per-batch state-store rows land in ``LAST_STATE_METRICS``
+    so tests and the scale bench can assert peak state ≈ distinct
+    keys, not events."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    work = _work_dir("q292", sf_dir)
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    stats = ev.agg(
+        F.max("ts").alias("m"),
+        (F.max(F.unix_micros("ts")) / 3_600_000_000)
+        .cast("bigint")
+        .alias("max_hour"),
+    ).first()
+    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
+        time.sleep(1.0)
+        sent = spark.range(lo, hi, 1, nparts).select(
+            F.lit(-2).cast("bigint").alias("event_id"),
+            (F.lit(stats.m) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+        )
+        sent.write.mode("append").parquet(src)
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        _audit_batch("q292", batch)
+        batch.write.mode("append").parquet(out)
+
+    s2 = _cloned_session(spark)
+    stream = (
+        s2.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit("click"))
+            .otherwise(F.lit("purchase"))
+            .alias("side"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("window.start")) / F.lit(3_600_000_000))
+            .cast("bigint")
+            .alias("hour_idx"),
+            "user_id",
+            "side",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    _audit_stream("q292", q)
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [], "hour_idx bigint, n_clicks bigint, n_attr_pairs bigint"
+        )
+    counts = spark.read.parquet(out).filter(
+        (F.col("hour_idx") <= F.lit(int(stats.max_hour)))
+        & (F.col("user_id") >= 0)
+    )
+    clicks = counts.filter(F.col("side") == "click").select(
+        "user_id", "hour_idx", F.col("n").alias("n_c")
+    )
+    purch = counts.filter(F.col("side") == "purchase")
+    p_same = purch.select(
+        "user_id", "hour_idx", F.col("n").alias("n_p_same")
+    )
+    p_next = purch.select(
+        "user_id",
+        (F.col("hour_idx") - 1).alias("hour_idx"),
+        F.col("n").alias("n_p_next"),
+    )
+    paired = clicks.join(p_same, ["user_id", "hour_idx"], "left").join(
+        p_next, ["user_id", "hour_idx"], "left"
+    )
+    return paired.groupBy("hour_idx").agg(
+        F.sum("n_c").cast("bigint").alias("n_clicks"),
+        F.sum(
+            F.col("n_c")
+            * (
+                F.coalesce(F.col("n_p_same"), F.lit(0))
+                + F.coalesce(F.col("n_p_next"), F.lit(0))
+            )
+        )
+        .cast("bigint")
+        .alias("n_attr_pairs"),
+    )
+
+
 QUERIES = {
     "q285_stream_timeout_flush": q285_stream_timeout_flush,
+    "q292_stream_bounded_attribution": q292_stream_bounded_attribution,
     "q42_stateful_totals": q42_stateful_totals,
     "q256_stream_semi_join": q256_stream_semi_join,
     "q266_stream_append_windows": q266_stream_append_windows,
@@ -1104,6 +1248,34 @@ ORACLE: dict[str, str] = {
                    AS sum_cents,
                MAX(ts) AS last_ts
         FROM events GROUP BY user_id
+    """,
+    # q292: the batch twin of the counter program. The hash match
+    # certifies BOTH layers: the streamed per-(hour,user,side) counts
+    # equal the batch GROUP BY (append-mode finalization, q266's
+    # argument), and the bucket-adjacency pairing arithmetic matches
+    # the plain-SQL formulation.
+    "q292_stream_bounded_attribution": """
+        WITH e AS (
+            SELECT user_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'click'
+                        ELSE 'purchase' END AS side,
+                   epoch_us(ts) // 3600000000 AS b
+            FROM events),
+        c AS (SELECT user_id, b, COUNT(*) AS n_c FROM e
+              WHERE side = 'click' GROUP BY 1, 2),
+        p AS (SELECT user_id, b, COUNT(*) AS n_p FROM e
+              WHERE side = 'purchase' GROUP BY 1, 2),
+        j AS (
+            SELECT c.b AS hour_idx, c.n_c,
+                   c.n_c * (COALESCE(p1.n_p, 0) + COALESCE(p2.n_p, 0))
+                       AS np
+            FROM c
+            LEFT JOIN p p1 ON p1.user_id = c.user_id AND p1.b = c.b
+            LEFT JOIN p p2 ON p2.user_id = c.user_id AND p2.b = c.b + 1)
+        SELECT hour_idx,
+               CAST(SUM(n_c) AS BIGINT) AS n_clicks,
+               CAST(SUM(np) AS BIGINT) AS n_attr_pairs
+        FROM j GROUP BY hour_idx
     """,
     "q136_stream_sliding_window": """
         WITH slots AS (
