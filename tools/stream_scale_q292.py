@@ -81,15 +81,16 @@ def main() -> None:
     w10, peak10 = run(SCALE_DIR)
     row = {
         "wall_1x": w1,
-        "wall_10x": w10,
+        f"wall_{REPLICAS}x": w10,
         "ratio": round(w10 / w1, 2),
         "state_rows_peak_1x": peak1,
-        "state_rows_peak_10x": peak10,
+        f"state_rows_peak_{REPLICAS}x": peak10,
     }
     print(json.dumps({"query": "q292_stream_bounded_attribution", **row}))
     with open(artifact) as fh:
         data = json.load(fh)
-    data.setdefault("streaming", {})["q292_stream_bounded_attribution"] = row
+    section = "streaming" if REPLICAS == 10 else f"streaming_{REPLICAS}x"
+    data.setdefault(section, {})["q292_stream_bounded_attribution"] = row
     with open(artifact, "w") as fh:
         json.dump(data, fh, indent=1, sort_keys=True)
     print(json.dumps({"merged_into": artifact}))
