@@ -343,3 +343,127 @@ def test_corpus_row_count_memo_is_filter_safe(spark):
     assert len(_COUNT_MEMO) == size_before
     d2 = load_table(spark, SF_DIR, "documents")
     assert corpus_row_count(d2) == d2.count()
+
+
+def test_interval_join_state_model_matches_engine(spark, tmp_path):
+    """Validate q291's state-budget MODEL against the ENGINE, batch by
+    batch: replay sf0.001 events as 3 time-ordered files (one per
+    micro-batch) through the real q218-shaped interval join and assert
+    the state store's numRowsTotal brackets the sweep-line occupancy
+    evaluated under the engine's own eviction rule — a click held
+    while wm ≤ click_ts + 1 h, a purchase while wm ≤ p_ts, with wm =
+    (max event time through the PREVIOUS batch) − 2 h. q291 computes
+    that occupancy's continuous peak; this proves the engine follows
+    the modeled retention at batch granularity: it never holds FEWER
+    rows than the model (eviction is never premature) and at most a
+    small conservative boundary margin more (observed ≤3 of ~339),
+    plus end-to-end conservation — every arrived event not still
+    buffered was evicted exactly once (numRowsRemoved units are
+    half-events: each eviction releases two store rows)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+    from weatherapi_data_engineering_project_spark.session import (
+        cloned_session,
+    )
+    from weatherapi_data_engineering_project_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+    rows = sorted(ev.collect(), key=lambda r: r.ts)
+    K, n = 3, len(rows)
+    bounds = [i * n // K for i in range(K + 1)]
+    slices = [rows[bounds[i]:bounds[i + 1]] for i in range(K)]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    for sl in slices:
+        spark.createDataFrame(
+            sl, "event_id bigint, ts timestamp, user_id bigint"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.6)
+    mx = rows[-1].ts
+    spark.createDataFrame(
+        [(-2, None, -1), (-1, None, -1)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    ).withColumn("ts", F.lit(mx) + F.expr("INTERVAL 20 DAYS")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    s2 = cloned_session(spark)
+    stream = (
+        s2.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream_interval_join(
+        stream.filter(F.col("event_id") % 2 == 0),
+        stream.filter(F.col("event_id") % 2 != 0),
+        max_lag="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.foreachBatch(lambda b, i: b.count())
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    metrics = {}
+    for p in q.recentProgress:
+        d = _json.loads(p.json)
+        if d.get("stateOperators"):
+            so = d["stateOperators"][0]
+            metrics[d["batchId"]] = (
+                so["numRowsTotal"],
+                so["numRowsRemoved"],
+            )
+    assert set(metrics) >= {0, 1, 2, 3}, metrics
+
+    US = 1_000_000
+    H1, H2 = 3600 * US, 7200 * US
+
+    def us(t):
+        import calendar
+
+        return calendar.timegm(t.timetuple()) * US + t.microsecond
+
+    sent_us = us(mx) + 20 * 86400 * US
+    batches = [
+        [(us(r.ts), r.event_id % 2 == 0) for r in sl] for sl in slices
+    ] + [[(sent_us, True), (sent_us, False)]]
+    wm, arrived, pred = 0, [], {}
+    for k, b in enumerate(batches):
+        arrived.extend(b)
+        pred[k] = sum(
+            1 for (t, is_click) in arrived
+            if t + (H1 if is_click else 0) >= wm
+        )
+        wm = max(wm, max(t for (t, _c) in arrived) - H2)
+
+    # model vs engine, per batch: the engine must NEVER hold fewer rows
+    # than the modeled occupancy (eviction is never premature — the
+    # safety property q291's budget relies on), and holds at most a
+    # small conservative margin more (observed ≤3: ms-truncated
+    # watermark keys + the state-watermark's exclusive-boundary guard
+    # retain a handful of boundary rows the idealized continuous rule
+    # would already drop).
+    for k in range(K + 1):
+        total, _rm = metrics[k]
+        assert pred[k] <= total <= pred[k] + 5, (k, total, pred[k])
+    # batch 0 is exact: nothing evictable under wm=0
+    assert metrics[0][0] == pred[0] == len(batches[0])
+    # conservation at drain end: every arrived event not still buffered
+    # was evicted exactly once (numRowsRemoved units are half-events:
+    # each eviction releases two store rows)
+    totals_last = metrics[max(metrics)][0]
+    n_arrived = n + 2
+    n_evicted = 2 * sum(rm for (_t, rm) in metrics.values())
+    assert n_evicted == n_arrived - totals_last, (n_evicted, metrics)

@@ -1787,7 +1787,15 @@ def q291_stream_state_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (side, shard) for the window sort — each shard sorts
     independently, so 1000 executors sort 1000 ways in parallel —
     then a partial-agg MAX onto 64 rows. Never a self-join, never a
-    range probe per event."""
+    range probe per event.
+
+    Model validation: tests/test_round10_queries.py::
+    test_interval_join_state_model_matches_engine replays time-ordered
+    micro-batches through the REAL q218 join and asserts the engine's
+    per-batch numRowsTotal brackets this exact occupancy model — never
+    below it (no premature eviction), at most a small conservative
+    boundary margin above — so the budget this planner prints is a
+    floor the engine respects, not just oracle-checked arithmetic."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         F.when(F.col("event_id") % 2 == 0, F.lit("click"))
