@@ -323,3 +323,122 @@ def test_running_totals_accepts_all_two_decimal_money(cents):
     (out,) = W._update_running_totals((1,), iter([pdf]), state)
     assert out["n_events"][0] == len(cents)
     assert out["sum_value"][0] == sum(cents) / 100.0
+
+
+@given(n=st.integers(min_value=2, max_value=2**40))
+@example(n=8192)
+@example(n=8193)
+@example(n=2_000_000_000)
+@settings(max_examples=200, deadline=None)
+def test_scaled_width_rules_properties(n):
+    """The corpus-derived LSH sizing rules' contracts, generalized from
+    the round-9/10 point checks (pure integer arithmetic, no Spark):
+
+    sign-LSH ``scaled_band_bits``: floored at 4; above the floor the
+    width is the MINIMAL bits keeping expected bucket occupancy
+    n/2^bb ≤ 128; monotone in n (a growing corpus never narrows).
+
+    MinHash ``scaled_rows_per_band``: floored at 2; equals the integer
+    identity max(2, ⌈(⌈log2 n⌉−7)/3⌉); monotone; and the bound the
+    docstring CLAIMS holds for every n including the floor region —
+    false-candidate mass C(n,2)·J_bg^r ≤ 2^7·n at J_bg = 1/8."""
+    import math
+
+    from weatherapi_data_engineering_project_spark.operators.dedup import (
+        scaled_rows_per_band,
+    )
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        ceil_log2,
+        scaled_band_bits,
+    )
+
+    assert ceil_log2(n) == math.ceil(math.log2(n))
+    bb = scaled_band_bits(n)
+    assert bb >= 4
+    assert 2**bb >= n / 128 or bb == 4
+    if bb > 4:
+        assert 2 ** (bb - 1) < n / 128
+    assert scaled_band_bits(n + 1) >= bb  # monotone
+
+    r = scaled_rows_per_band(n)
+    assert r == max(2, math.ceil((ceil_log2(n) - 7) / 3))
+    assert scaled_rows_per_band(n + 1) >= r  # monotone
+    # claimed mass bound, exact in integers: n(n-1)/2 · 8^-r ≤ 128·n
+    # ⇔ (n-1) ≤ 256 · 8^r
+    assert (n - 1) <= 256 * 8**r
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=5),  # hour bucket
+            st.booleans(),  # is_click
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_bucket_adjacency_pairing_identity(events):
+    """q292's counter arithmetic equals brute-force pair enumeration:
+    pairs[u,b] = clicks[u,b]·(purch[u,b] + purch[u,b+1]) summed per
+    bucket must count exactly the (click, purchase) pairs of the same
+    user whose purchase bucket is the click's or the next — the
+    identity that lets the stream hold counters instead of rows."""
+    from collections import Counter
+
+    clicks = Counter((u, b) for (u, b, c) in events if c)
+    purch = Counter((u, b) for (u, b, c) in events if not c)
+    via_counters = Counter()
+    for (u, b), nc in clicks.items():
+        via_counters[b] += nc * (purch[(u, b)] + purch[(u, b + 1)])
+    brute = Counter()
+    for (u1, b1, c1) in events:
+        if not c1:
+            continue
+        for (u2, b2, c2) in events:
+            if c2 or u2 != u1:
+                continue
+            if b2 in (b1, b1 + 1):
+                brute[b1] += 1
+    assert via_counters == brute
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # arrival t
+            st.integers(min_value=0, max_value=10),  # lifetime
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sweep_line_peak_equals_brute_force(pts):
+    """q291's sweep-line (+1 at t, −1 at t+life, arrivals before
+    evictions on ties, running max) equals the brute-force maximum of
+    simultaneously-live intervals over all arrival instants — the
+    conservative-peak convention: an interval [t, t+life) is live at
+    its own arrival even when life = 0 evicts it in the same tick."""
+    deltas = sorted(
+        [(t, 0, +1) for (t, life) in pts]
+        + [(t + life, 1, -1) for (t, life) in pts]
+    )
+    run = peak = 0
+    for _t, _order, d in deltas:
+        run += d
+        peak = max(peak, run)
+    brute = max(
+        sum(1 for (t2, life2) in pts if t2 <= t1 <= t2 + life2 and
+            (t2 + life2 > t1 or t2 == t1))
+        for (t1, _l) in pts
+    )
+    assert peak >= brute  # sweep peak dominates every arrival snapshot
+    # and is achieved at SOME arrival instant under the tie rule
+    achieved = max(
+        sum(1 for (t2, life2) in pts if t2 <= t1 and t1 <= t2 + life2)
+        for (t1, _l) in pts
+    )
+    assert peak == achieved
