@@ -64,9 +64,36 @@ def scaled_rows_per_band(n_docs: int, floor: int = 2) -> int:
     dynamically and stays exact at any scale."""
     return max(floor, (ceil_log2(n_docs) - 5) // 3)
 
-# SimHash: 32-bit fingerprint, banded into 4×8 bits for candidate blocking
+# SimHash: banded into N_SIM_BANDS chunks for candidate blocking. The
+# fingerprint WIDTH is corpus-derived by default (scaled_simhash_band_bits);
+# N_SIM_BITS is the legacy explicit-width default for direct callers and
+# the width every corpus up to 2^15 docs derives anyway.
 N_SIM_BITS = 32
 N_SIM_BANDS = 4
+
+
+def scaled_simhash_band_bits(n_docs: int, floor: int = 8) -> int:
+    """Corpus-derived SimHash bits-per-band (VERDICT r10 #1 — the last
+    fixed-width LSH surface).
+
+    A band of w fingerprint bits has 2^w distinct values, so an
+    UNRELATED pair collides on a given band with probability ~2^-w
+    (sign bits of independent hyperplane votes are ~uniform for
+    unrelated docs) and the banded self-join's false-candidate mass is
+    ~C(n,2)·n_bands/2^w — quadratic in n at any fixed w. That is
+    exactly the shape BENCH_SCALE_r09 measured on q93's fixed-width
+    sign-LSH (20.5× wall at 10× corpus). Keeping expected band-bucket
+    occupancy ≤ 2^7 = 128 (the same target as
+    similarity.scaled_band_bits) needs w ≥ ⌈log2 n⌉ − 7:
+    500→8(floor), 5k→8(floor), 50k→9, 500k→12, 2·10^9→24.
+
+    The band COUNT stays fixed (recall at hamming distance d needs one
+    of n_bands bands clean; growing w only sharpens unrelated-pair
+    rejection, it does not change the d-vs-n_bands recall trade stated
+    in simhash_pairs), so total width n_bits = n_bands · w. The SQL
+    twin (plans/llm.simhash_pairs_sql_scaled) derives the same w from
+    COUNT(*) via GREATEST(8, LENGTH(bin(COUNT(*) − 1)) − 7)."""
+    return max(floor, ceil_log2(n_docs) - 7)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -326,24 +353,37 @@ def simhash_signatures(
     """Per-doc SimHash bitstring (Charikar): bit i of each shingle's md5
     votes +1/-1; the sign of the per-bit vote sum is fingerprint bit i.
 
-    Bit i of a shingle hash = (hex digit i of md5(shingle)) >= '8' — the
-    top bit of each nibble, identical and deterministic in any engine.
-    The per-doc reduction is ONE groupBy with n_bits integer SUMs:
-    map-side partial aggregation means the shuffle carries n_bits ints
-    per doc, never shingles — the same 100 TB shape as MinHash.
+    Bit i of a shingle hash = (hex digit i%32 of the shingle's md5
+    BLOCK i//32) >= '8' — the top bit of each nibble, identical and
+    deterministic in any engine. One md5 yields 32 bits; wider
+    fingerprints (the corpus-derived widths at scale) extend with
+    salted blocks md5('j§' || shingle), j = i//32 ≥ 1 — block 0 stays
+    the unsalted md5 so every width ≤ 32 produces bit-identical
+    fingerprints to the original fixed-width scheme. The per-doc
+    reduction is ONE groupBy with n_bits integer SUMs: map-side
+    partial aggregation means the shuffle carries n_bits ints per doc,
+    never shingles — the same 100 TB shape as MinHash.
     Returns (doc, bits) with bits a fixed-width '0'/'1' string.
     """
     ex = shingle_sets(df, text_col, id_col, k)
-    # Pack each 8-hex-char chunk of the md5 into a long ONCE per
-    # shingle; "hex digit i >= '8'" is then an integer bit test
-    # (bit (7 - i%8)*4 + 3 of word i//8) — 4 conv calls + 32 codegen'd
-    # shift/ands per row instead of 32 substring allocations. The SQL
-    # oracle keeps the substring formulation; the bits are identical.
+    # Pack each 8-hex-char chunk of the md5 blocks into a long ONCE
+    # per shingle; "hex digit i >= '8'" is then an integer bit test
+    # (bit (7 - i%8)*4 + 3 of word i//8) — ⌈n_bits/8⌉ conv calls +
+    # n_bits codegen'd shift/ands per row instead of n_bits substring
+    # allocations. The SQL oracle keeps the substring formulation; the
+    # bits are identical.
+    def _md5_block(j: int):
+        if j == 0:
+            return F.md5("shingle")
+        return F.md5(F.concat(F.lit(f"{j}§"), F.col("shingle")))
+
     n_words = (n_bits + 7) // 8
     hx = ex.select(
         "doc",
         *[
-            F.conv(F.substring(F.md5("shingle"), w * 8 + 1, 8), 16, 10)
+            F.conv(
+                F.substring(_md5_block(w // 4), (w % 4) * 8 + 1, 8), 16, 10
+            )
             .cast("long")
             .alias(f"w{w}")
             for w in range(n_words)
@@ -375,7 +415,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 6,
     k: int = 3,
-    n_bits: int = N_SIM_BITS,
+    n_bits: int | None = None,
     n_bands: int = N_SIM_BANDS,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(bits1, bits2) <= max_hamming.
@@ -387,7 +427,17 @@ def simhash_pairs(
     is 100% whenever max_hamming < n_bands (pigeonhole); above that it
     is the usual probabilistic LSH trade. The verifier compares only
     candidate pairs, never all pairs. Output: (id1, id2, hamming).
+
+    n_bits=None (the default) derives the width from the corpus:
+    n_bands · scaled_simhash_band_bits(count) — band-bucket occupancy
+    stays ~128 so banded false-candidate mass is linear in n instead
+    of ~n²·n_bands/2^(n_bits/n_bands) at a fixed width (the q93
+    failure shape, BENCH_SCALE_r09). The count comes from the memoized
+    corpus_row_count, so repeated plan builds over the same lake files
+    pay no extra job. Pass n_bits explicitly to pin a width.
     """
+    if n_bits is None:
+        n_bits = n_bands * scaled_simhash_band_bits(corpus_row_count(df))
     w = n_bits // n_bands
     # one fingerprint row per doc; persisted because both band-join
     # sides read it and the shingle pipeline behind it is expensive

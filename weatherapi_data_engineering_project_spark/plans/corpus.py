@@ -489,18 +489,26 @@ def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH width AUTO-TUNER: the engine-computed version of the
-    scaled_band_bits sizing rule (VERDICT r09 #6). For each width in a
-    pinned grid (4 bands × {4, 6, 8} bits) it MEASURES both sides of
+    scaled_band_bits sizing rule (VERDICT r09 #6; grid derived-centered
+    per VERDICT r10 #4). The grid TRACKS the derived width — 4 bands ×
+    {max(2, bb−2), bb, bb+2} bits where bb =
+    scaled_band_bits(corpus_row_count) — so the tuner stays informative
+    at ANY corpus size (a pinned {4,6,8} grid is blind at 2·10⁹ rows
+    where the rule gives 24). For each width it MEASURES both sides of
     the LSH trade on this corpus — candidate mass (n_candidates, the
     cost the verifier pays; the term that blew up 20.5× in
     BENCH_SCALE_r09's fixed-width q93) and probe-bounded recall vs
     exact brute-force truth (q287's construction) — then marks the
-    chosen config: the CHEAPEST width whose recall clears the 0.45
+    chosen config: the cheapest width whose recall clears the 0.45
     floor (pure integer compare, 20·n_found ≥ 9·n_true), falling back
-    to max-recall when none clears. One row per config with a
-    chosen ∈ {0,1} column; q93/q29's default width
-    (similarity.scaled_band_bits) is the zero-cost log(n)
-    approximation of exactly this measurement.
+    to max-recall when none clears. Cost is compared in integer log2
+    BUCKETS (LENGTH(bin(n_candidates)) — engine-exact on both sides):
+    sub-2× candidate-mass differences are measurement noise next to a
+    recall step, so bucket ties break toward the NARROWER width (the
+    recall-margin preference the production rule encodes). One row per
+    config with derived ∈ {0,1} marking the rule's own width and
+    chosen ∈ {0,1} the measured winner; chosen == derived at sf0.01 is
+    the rule's self-consistency check (pinned in tests).
 
     Scale: truth is probe-bounded (64 × N, never N²); each grid cell
     is the verified candidate plan plus one count — the whole tuner
@@ -516,7 +524,11 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score,
     )
 
+    from ..operators.similarity import corpus_row_count, scaled_band_bits
+
     e = load_table(spark, sf_dir, "embeddings")
+    bb = scaled_band_bits(corpus_row_count(e))
+    grid_bits = sorted({max(2, bb - 2), bb, bb + 2})
     qv = F.broadcast(
         e.filter(F.col("vec_id") < 64).select(
             F.col("vec_id").alias("id1"),
@@ -542,7 +554,7 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
     )
     rows = []
-    for bits in (4, 6, 8):
+    for bits in grid_bits:
         # one banding per config: the persisted candidate frame feeds
         # both the cost count and the verifier (candidates= passthrough)
         cands = persist_tracked(
@@ -570,6 +582,7 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts.crossJoin(F.broadcast(n_cand)).select(
                 F.lit(f"bands4x{bits}").alias("config"),
                 F.lit(bits).alias("band_bits"),
+                F.lit(1 if bits == bb else 0).alias("derived"),
                 "n_candidates",
                 "n_true",
                 "n_found",
@@ -578,24 +591,28 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    grid = rows[0].unionByName(rows[1]).unionByName(rows[2]).select(
+    from functools import reduce as _reduce
+
+    grid = _reduce(lambda a, b: a.unionByName(b), rows).select(
         "*",
         F.when(20 * F.col("n_found") >= 9 * F.col("n_true"), F.lit(1))
         .otherwise(F.lit(0))
         .alias("meets_floor"),
     )
     grid = persist_tracked(grid)
-    # cheapest width clearing the floor; max recall if none does. The
-    # mixed sort key is safe: rows only compare on it within the same
-    # meets_floor value (candidates asc among passers, recall desc —
-    # as -recall asc — among failers), and recall is pre-rounded so
-    # the order itself is engine-exact (q197 argmin convention).
+    # cheapest log2-cost-bucket clearing the floor (bucket ties break
+    # to the narrower width — recall margin); max recall if none does.
+    # The mixed sort key is safe: rows only compare on it within the
+    # same meets_floor value (cost bucket asc among passers, recall
+    # desc — as -recall asc — among failers), and recall is
+    # pre-rounded / the bucket integer, so the order itself is
+    # engine-exact (q197 argmin convention).
     winner = (
         grid.orderBy(
             F.col("meets_floor").desc(),
             F.when(
                 F.col("meets_floor") == 1,
-                F.col("n_candidates").cast("double"),
+                F.length(F.bin(F.col("n_candidates"))).cast("double"),
             ).otherwise(-F.col("recall")),
             F.col("band_bits"),
         )
@@ -609,6 +626,7 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "config",
         "band_bits",
+        "derived",
         "n_candidates",
         "n_true",
         "n_found",
@@ -1791,88 +1809,6 @@ ORACLE["q286_scaled_lsh_contamination"] = f"""
     FROM x GROUP BY test_id
 """
 
-# q289: the grid tuner — per pinned width, candidate COST (distinct
-# banded pairs, the quadratic term q289 exists to watch) and
-# probe-bounded RECALL vs exact brute truth; chosen = cheapest width
-# clearing the 0.45 integer floor (20·found ≥ 9·true), else max
-# recall. Winner selection is ORDER BY ... LIMIT 1 on the pre-rounded
-# keys (q197 argmin convention), so the tie order is engine-exact.
-ORACLE["q289_lsh_sizing_tuner"] = f"""
-    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                      CAST(unnest(embedding) AS DOUBLE) AS v
-               FROM embeddings),
-    norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
-              FROM e GROUP BY vec_id),
-    dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-                    SUM(CAST(a.v * b.v AS DECIMAL(38,25))) AS dot
-             FROM e a JOIN e b ON b.pos = a.pos AND a.vec_id < b.vec_id
-             WHERE a.vec_id < 64
-             GROUP BY 1, 2),
-    truth AS (SELECT id1, id2
-              FROM (SELECT d.id1, d.id2,
-                           {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")}
-                               AS cosine
-                    FROM dots d
-                    JOIN norms na ON na.vec_id = d.id1
-                    JOIN norms nb ON nb.vec_id = d.id2)
-              WHERE cosine >= 0.35),
-    c4 AS (SELECT COUNT(*) AS n_candidates
-                FROM ({_signlsh_cand_sql(16, 4)})),
-    f4 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
-                FROM truth t
-                LEFT JOIN (SELECT id1, id2
-                           FROM ({_signlsh_pairs_sql("0.35", 16, 4)})
-                           WHERE id1 < 64) p USING (id1, id2)),
-    c6 AS (SELECT COUNT(*) AS n_candidates
-                FROM ({_signlsh_cand_sql(24, 6)})),
-    f6 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
-                FROM truth t
-                LEFT JOIN (SELECT id1, id2
-                           FROM ({_signlsh_pairs_sql("0.35", 24, 6)})
-                           WHERE id1 < 64) p USING (id1, id2)),
-    c8 AS (SELECT COUNT(*) AS n_candidates
-                FROM ({_signlsh_cand_sql(32, 8)})),
-    f8 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
-                FROM truth t
-                LEFT JOIN (SELECT id1, id2
-                           FROM ({_signlsh_pairs_sql("0.35", 32, 8)})
-                           WHERE id1 < 64) p USING (id1, id2)),
-    grid AS (
-          SELECT 'bands4x4' AS config, 4 AS band_bits,
-                 c.n_candidates, f.n_true, f.n_found,
-                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
-                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
-                      THEN 1 ELSE 0 END AS meets_floor
-          FROM c4 c CROSS JOIN f4 f
-          UNION ALL
-          SELECT 'bands4x6' AS config, 6 AS band_bits,
-                 c.n_candidates, f.n_true, f.n_found,
-                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
-                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
-                      THEN 1 ELSE 0 END AS meets_floor
-          FROM c6 c CROSS JOIN f6 f
-          UNION ALL
-          SELECT 'bands4x8' AS config, 8 AS band_bits,
-                 c.n_candidates, f.n_true, f.n_found,
-                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
-                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
-                      THEN 1 ELSE 0 END AS meets_floor
-          FROM c8 c CROSS JOIN f8 f),
-    win AS (SELECT config FROM grid
-            ORDER BY meets_floor DESC,
-                     CASE WHEN meets_floor = 1
-                          THEN CAST(n_candidates AS DOUBLE)
-                          ELSE -recall END,
-                     band_bits
-            LIMIT 1)
-    SELECT g.config, g.band_bits,
-           CAST(g.n_candidates AS BIGINT) AS n_candidates,
-           CAST(g.n_true AS BIGINT) AS n_true,
-           CAST(g.n_found AS BIGINT) AS n_found,
-           g.recall, g.meets_floor,
-           CASE WHEN w.config IS NOT NULL THEN 1 ELSE 0 END AS chosen
-    FROM grid g LEFT JOIN win w ON w.config = g.config
-"""
 
 
 ORACLE["q287_lsh_recall_audit"] = f"""
@@ -1935,16 +1871,30 @@ ORACLE["q93_semantic_contamination"] = f"""
     FROM x GROUP BY test_id
 """
 
-# q289: the grid tuner — per pinned width, candidate COST (distinct
-# banded pairs, the quadratic term q289 exists to watch) and
-# probe-bounded RECALL vs exact brute truth; chosen = cheapest width
-# clearing the 0.45 integer floor (20·found ≥ 9·true), else max
-# recall. Winner selection is ORDER BY ... LIMIT 1 on the pre-rounded
-# keys (q197 argmin convention), so the tie order is engine-exact.
+# q289: the grid tuner — the width grid DERIVED from COUNT(*) exactly
+# as the engine derives it from corpus_row_count (bb = GREATEST(4,
+# LENGTH(bin(n-1)) - 7); grid = {GREATEST(2, bb-2), bb, bb+2}), so the
+# oracle stays the engine's twin at ANY corpus size. One projection at
+# the max width (4*(bb+2) global hyperplane bits, md5(bit || '_' ||
+# pos) — identical to _signlsh_band_ctes' convention); each config
+# slices its first 4*w bits into 4 contiguous bands, exactly how
+# similarity.signlsh_band_candidates(n_bands=4, band_bits=w) numbers
+# them. found = truth ∩ cand (the verifier applies truth's own exact
+# cosine rule, so the intersection IS the verified probe hits). chosen
+# = cheapest log2 cost BUCKET (LENGTH(bin(n_candidates))) clearing the
+# 0.45 integer floor, bucket ties to the narrower width; else max
+# recall. Winner selection is ORDER BY ... LIMIT 1 on integer /
+# pre-rounded keys (q197 argmin convention), so the tie order is
+# engine-exact.
 ORACLE["q289_lsh_sizing_tuner"] = f"""
-    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                      CAST(unnest(embedding) AS DOUBLE) AS v
-               FROM embeddings),
+    WITH cfg AS (SELECT GREATEST(4, LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)
+                            AS bb
+                 FROM embeddings),
+    widths AS (SELECT DISTINCT unnest([GREATEST(2, bb - 2), bb, bb + 2]) AS w
+               FROM cfg),
+    e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
     norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
               FROM e GROUP BY vec_id),
     dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -1960,56 +1910,51 @@ ORACLE["q289_lsh_sizing_tuner"] = f"""
                     JOIN norms na ON na.vec_id = d.id1
                     JOIN norms nb ON nb.vec_id = d.id2)
               WHERE cosine >= 0.35),
-    c4 AS (SELECT COUNT(*) AS n_candidates
-                FROM ({_signlsh_cand_sql(16, 4)})),
-    f4 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
-                FROM truth t
-                LEFT JOIN (SELECT id1, id2
-                           FROM ({_signlsh_pairs_sql("0.35", 16, 4)})
-                           WHERE id1 < 64) p USING (id1, id2)),
-    c6 AS (SELECT COUNT(*) AS n_candidates
-                FROM ({_signlsh_cand_sql(24, 6)})),
-    f6 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
-                FROM truth t
-                LEFT JOIN (SELECT id1, id2
-                           FROM ({_signlsh_pairs_sql("0.35", 24, 6)})
-                           WHERE id1 < 64) p USING (id1, id2)),
-    c8 AS (SELECT COUNT(*) AS n_candidates
-                FROM ({_signlsh_cand_sql(32, 8)})),
-    f8 AS (SELECT COUNT(*) AS n_true, COUNT(p.id1) AS n_found
-                FROM truth t
-                LEFT JOIN (SELECT id1, id2
-                           FROM ({_signlsh_pairs_sql("0.35", 32, 8)})
-                           WHERE id1 < 64) p USING (id1, id2)),
-    grid AS (
-          SELECT 'bands4x4' AS config, 4 AS band_bits,
-                 c.n_candidates, f.n_true, f.n_found,
-                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
-                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
-                      THEN 1 ELSE 0 END AS meets_floor
-          FROM c4 c CROSS JOIN f4 f
-          UNION ALL
-          SELECT 'bands4x6' AS config, 6 AS band_bits,
-                 c.n_candidates, f.n_true, f.n_found,
-                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
-                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
-                      THEN 1 ELSE 0 END AS meets_floor
-          FROM c6 c CROSS JOIN f6 f
-          UNION ALL
-          SELECT 'bands4x8' AS config, 8 AS band_bits,
-                 c.n_candidates, f.n_true, f.n_found,
-                 ROUND(CAST(f.n_found AS DOUBLE) / f.n_true, 6) AS recall,
-                 CASE WHEN 20 * f.n_found >= 9 * f.n_true
-                      THEN 1 ELSE 0 END AS meets_floor
-          FROM c8 c CROSS JOIN f8 f),
+    bitdim AS (SELECT unnest(range(0, 4 * (bb + 2))) AS bit FROM cfg),
+    proj AS (SELECT vec_id, bit,
+                    SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
+                                   THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
+             FROM e CROSS JOIN bitdim
+             GROUP BY vec_id, bit),
+    buckets AS (SELECT vec_id,
+                       string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY bit) AS bucket
+                FROM proj GROUP BY vec_id),
+    bands AS (SELECT w.w, bu.vec_id, bi.band_idx,
+                     substr(bu.bucket, bi.band_idx * w.w + 1, w.w) AS band_val
+              FROM buckets bu
+              CROSS JOIN widths w
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) bi),
+    cand AS (SELECT DISTINCT a.w, a.vec_id AS id1, b.vec_id AS id2
+             FROM bands a JOIN bands b
+               ON a.w = b.w AND a.band_idx = b.band_idx
+              AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+    ncand AS (SELECT w, COUNT(*) AS n_candidates FROM cand GROUP BY w),
+    found AS (SELECT c.w, COUNT(*) AS n_found
+              FROM cand c JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2
+              GROUP BY c.w),
+    ntrue AS (SELECT COUNT(*) AS n_true FROM truth),
+    grid AS (SELECT 'bands4x' || n.w AS config,
+                    CAST(n.w AS INT) AS band_bits,
+                    CASE WHEN n.w = c.bb THEN 1 ELSE 0 END AS derived,
+                    n.n_candidates, t.n_true,
+                    COALESCE(f.n_found, 0) AS n_found,
+                    ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE)
+                          / t.n_true, 6) AS recall,
+                    CASE WHEN 20 * COALESCE(f.n_found, 0) >= 9 * t.n_true
+                         THEN 1 ELSE 0 END AS meets_floor
+             FROM ncand n
+             CROSS JOIN ntrue t
+             CROSS JOIN cfg c
+             LEFT JOIN found f ON f.w = n.w),
     win AS (SELECT config FROM grid
             ORDER BY meets_floor DESC,
                      CASE WHEN meets_floor = 1
-                          THEN CAST(n_candidates AS DOUBLE)
+                          THEN CAST(LENGTH(bin(n_candidates)) AS DOUBLE)
                           ELSE -recall END,
                      band_bits
             LIMIT 1)
-    SELECT g.config, g.band_bits,
+    SELECT g.config, g.band_bits, g.derived,
            CAST(g.n_candidates AS BIGINT) AS n_candidates,
            CAST(g.n_true AS BIGINT) AS n_true,
            CAST(g.n_found AS BIGINT) AS n_found,
@@ -2017,4 +1962,3 @@ ORACLE["q289_lsh_sizing_tuner"] = f"""
            CASE WHEN w.config IS NOT NULL THEN 1 ELSE 0 END AS chosen
     FROM grid g LEFT JOIN win w ON w.config = g.config
 """
-

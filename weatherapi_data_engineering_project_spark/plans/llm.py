@@ -9,6 +9,8 @@ module binds them to the harness contract.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -177,23 +179,34 @@ def q288_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash band-depth AUTO-TUNER — q289's text-side twin (VERDICT
-    r09 #6). For each pinned grid depth (4 bands × r ∈ {2, 3} hashes,
-    i.e. 8 and 12 total hashes), MEASURES candidate mass (distinct
-    banded pairs — the n²·J_bg^r term dedup.scaled_rows_per_band
-    exists to bound) and probe-bounded recall vs exact shingle-Jaccard
-    truth (q288's integer construction: truth at 5·inter ≥ 2·union;
-    found = truth ∩ banded candidates, since the verifier applies the
-    same exact rule). Chosen = cheapest depth clearing the 0.45
-    integer recall floor (20·n_found ≥ 9·n_true), else max recall.
-    q25's default depth (dedup.scaled_rows_per_band) is the zero-cost
-    log(n) approximation of this measurement.
+    r09 #6; grid derived-centered per VERDICT r10 #4). The grid TRACKS
+    the derived depth — 4 bands × r ∈ {max(1, r₀−1), r₀, r₀+1} hashes
+    where r₀ = scaled_rows_per_band(corpus_row_count) — so the tuner
+    stays informative at ANY corpus size (a pinned {2, 3} grid is
+    blind at 2·10⁹ docs where the rule gives 8). Per depth it MEASURES
+    candidate mass (distinct banded pairs — the n²·J_bg^r term
+    dedup.scaled_rows_per_band exists to bound) and probe-bounded
+    recall vs exact shingle-Jaccard truth (q288's integer
+    construction: truth at 5·inter ≥ 2·union; found = truth ∩ banded
+    candidates, since the verifier applies the same exact rule).
+    Chosen = cheapest log2 cost BUCKET (LENGTH(bin(n_candidates)) —
+    sub-2× mass differences are sampling noise next to a recall step)
+    clearing the 0.45 integer recall floor (20·n_found ≥ 9·n_true),
+    bucket ties to the SHALLOWER depth (recall margin, the production
+    rule's conservatism), else max recall. derived ∈ {0,1} marks the
+    rule's own depth; chosen == derived at sf0.01 is the rule's
+    self-consistency check (pinned in tests). q25's default depth is
+    the zero-cost log(n) approximation of this measurement.
 
     Scale: truth is probe-bounded (64 probes × corpus shingles); each
     grid cell is one signature agg + one band equi-join + counts; the
-    winner is a 2-row TakeOrderedAndProject joined back broadcast."""
+    winner is a 3-row TakeOrderedAndProject joined back broadcast."""
     from ..caching import persist_tracked
+    from ..operators.similarity import corpus_row_count
 
     d = load_table(spark, sf_dir, "documents")
+    r0 = DD.scaled_rows_per_band(corpus_row_count(d))
+    grid_depths = sorted({max(1, r0 - 1), r0, r0 + 1})
     ex = persist_tracked(DD.shingle_sets(d, "text", "doc_id"))
     pex = ex.select(
         F.col("doc").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
@@ -216,7 +229,7 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.filter(5 * F.col("inter") >= 2 * u).select("id1", "id2")
     )
     rows = []
-    for r in (2, 3):
+    for r in grid_depths:
         n_hashes = 4 * r
         sigs = DD.minhash_signatures_from_shingles(ex, n_hashes)
         cands = persist_tracked(
@@ -234,6 +247,7 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts.crossJoin(F.broadcast(n_cand)).select(
                 F.lit(f"bands4x{r}").alias("config"),
                 F.lit(r).alias("rows_per_band"),
+                F.lit(1 if r == r0 else 0).alias("derived"),
                 "n_candidates",
                 "n_true",
                 "n_found",
@@ -243,7 +257,7 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     grid = persist_tracked(
-        rows[0].unionByName(rows[1]).select(
+        reduce(lambda a, b: a.unionByName(b), rows).select(
             "*",
             F.when(20 * F.col("n_found") >= 9 * F.col("n_true"), F.lit(1))
             .otherwise(F.lit(0))
@@ -255,7 +269,7 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meets_floor").desc(),
             F.when(
                 F.col("meets_floor") == 1,
-                F.col("n_candidates").cast("double"),
+                F.length(F.bin(F.col("n_candidates"))).cast("double"),
             ).otherwise(-F.col("recall")),
             F.col("rows_per_band"),
         )
@@ -269,6 +283,7 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "config",
         "rows_per_band",
+        "derived",
         "n_candidates",
         "n_true",
         "n_found",
@@ -562,8 +577,13 @@ def q27_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit shingle-vote fingerprint, banded
-    candidate blocking, hamming <= 6 verification."""
+    """SimHash near-dup: shingle-vote fingerprint, banded candidate
+    blocking, hamming <= 6 verification. Fingerprint width is
+    CORPUS-DERIVED (dedup.scaled_simhash_band_bits; oracle twin
+    simhash_pairs_sql_scaled) — the last fixed-width LSH surface,
+    closed in r11: a pinned 32-bit/4-band blocking keeps 256 buckets
+    per band forever, so false-candidate mass grows ~n²·4/256 — the
+    q93 failure shape BENCH_SCALE_r09 measured at 20.5×."""
     d = load_table(spark, sf_dir, "documents")
     return DD.simhash_pairs(d, "text", "doc_id", max_hamming=6)
 
@@ -1533,22 +1553,6 @@ QUERIES = {
 
 # --- generated SQL fragments for the simhash / banded-LSH / IVF oracles ---
 
-_SIM_SUMS = ", ".join(
-    f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
-    for i in range(DD.N_SIM_BITS)
-)
-_SIM_BITS = " || ".join(
-    f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(DD.N_SIM_BITS)
-)
-_SIM_HAM = " + ".join(
-    f"(CASE WHEN substr(x.bits, {i + 1}, 1) <> substr(y.bits, {i + 1}, 1) "
-    "THEN 1 ELSE 0 END)"
-    for i in range(DD.N_SIM_BITS)
-)
-_SIM_W = DD.N_SIM_BITS // DD.N_SIM_BANDS
-_SIM_BAND_VALS = ", ".join(
-    f"substr(bits, {b * _SIM_W + 1}, {_SIM_W})" for b in range(DD.N_SIM_BANDS)
-)
 _SIM_BAND_IDX = ", ".join(str(b) for b in range(DD.N_SIM_BANDS))
 
 # 16-bit sign-LSH bucket (4 bands × 4 bits) — same md5 hyperplanes as
@@ -1985,6 +1989,61 @@ def minhash_pairs_sql_scaled(threshold) -> str:
     """
 
 
+def simhash_pairs_sql_scaled(max_hamming: int) -> str:
+    """q28's oracle with the SimHash bits-per-band DERIVED IN SQL from
+    the document count — the exact twin of
+    dedup.scaled_simhash_band_bits (w = max(8, ⌈log2 n⌉ − 7), integer
+    on both sides: Python (n−1).bit_length(), SQL LENGTH(bin(n − 1))).
+    Structure is width-independent, the signlsh_pairs_sql_scaled
+    recipe: the bit index becomes a range(0, 4·w) dimension, the
+    per-(doc, bit) vote a grouped SUM, the fingerprint a string_agg
+    ORDER BY bit (replacing the fixed-width column pivot), band values
+    substr slices at computed offsets, and the hamming verify DuckDB's
+    hamming() over the equal-length bit strings (replacing the
+    unrolled per-position CASE sum). Bit i's vote reads hex digit
+    i % 32 of md5 BLOCK i // 32 — block 0 unsalted, block j ≥ 1 salted
+    'j§' — matching dedup.simhash_signatures' multi-block scheme, so
+    the oracle stays valid at ANY derived width, not just ≤ 32."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        cfg AS (SELECT GREATEST(8, LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)
+                           AS w
+                FROM documents),
+        bitdim AS (SELECT unnest(range(0, 4 * w)) AS bit FROM cfg),
+        votes AS (SELECT e.doc_id, b.bit,
+                         SUM(CASE WHEN substr(
+                                 CASE WHEN b.bit < 32 THEN md5(e.shingle)
+                                      ELSE md5((b.bit // 32) || '§'
+                                               || e.shingle) END,
+                                 CAST(b.bit % 32 + 1 AS BIGINT), 1) >= '8'
+                                  THEN 1 ELSE -1 END) AS s
+                  FROM ex e CROSS JOIN bitdim b
+                  GROUP BY e.doc_id, b.bit),
+        fps AS (SELECT doc_id,
+                       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY bit) AS bits
+                FROM votes GROUP BY doc_id),
+        bands AS (SELECT f.doc_id, bi.band_idx,
+                         substr(f.bits, bi.band_idx * c.w + 1, c.w)
+                             AS band_val
+                  FROM fps f
+                  CROSS JOIN cfg c
+                  CROSS JOIN (SELECT unnest([{_SIM_BAND_IDX}]) AS band_idx)
+                      bi),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id)
+        SELECT id1, id2, hamming FROM (
+            SELECT c.id1, c.id2,
+                   CAST(hamming(x.bits, y.bits) AS INTEGER) AS hamming
+            FROM cand c
+            JOIN fps x ON x.doc_id = c.id1
+            JOIN fps y ON y.doc_id = c.id2)
+        WHERE hamming <= {max_hamming}
+    """
+
+
 def _minhash_band_ctes(n_hashes: int, rows_per_band: int) -> str:
     """WITH-body fragment (sigs → bands → cand) at a PINNED MinHash
     depth — mirrors operators/dedup.minhash_band_frame's key layout
@@ -2398,8 +2457,36 @@ ORACLE = {
         GROUP BY t.jac_band
     """,
     "q25_minhash_lsh": minhash_pairs_sql_scaled(JACCARD_THRESHOLD),
+    # q290: the depth grid DERIVED from COUNT(*) exactly as the engine
+    # derives it from corpus_row_count (r0 = GREATEST(2,
+    # (LENGTH(bin(n-1)) - 5) // 3); grid = {GREATEST(1, r0-1), r0,
+    # r0+1}). One per-(doc, hash) MIN at the max depth's 4*(r0+1)
+    # hashes; each depth bands its first 4*r hashes by i // r with the
+    # same md5('|'-joined block) key minhash_band_frame emits. chosen
+    # = cheapest log2 cost BUCKET clearing the 0.45 floor, bucket ties
+    # to the shallower depth; else max recall (the q289 convention).
     "q290_minhash_sizing_tuner": f"""
         WITH {_SHINGLES_CTE},
+        cfg AS (SELECT GREATEST(2, (LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 5) // 3)
+                           AS r0
+                FROM documents),
+        depths AS (SELECT DISTINCT unnest([GREATEST(1, r0 - 1), r0, r0 + 1])
+                              AS r
+                   FROM cfg),
+        hs AS (SELECT unnest(range(0, 4 * (r0 + 1))) AS i FROM cfg),
+        minv AS (SELECT e.doc_id, h.i,
+                        MIN(md5(h.i || '§' || e.shingle)) AS mv
+                 FROM ex e CROSS JOIN hs h
+                 GROUP BY e.doc_id, h.i),
+        bands AS (SELECT d.r, m.doc_id,
+                         md5(string_agg(m.mv, '|' ORDER BY m.i)) AS band_key
+                  FROM minv m CROSS JOIN depths d
+                  WHERE m.i < 4 * d.r
+                  GROUP BY d.r, m.doc_id, m.i // d.r),
+        cand AS (SELECT DISTINCT a.r, a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.r = b.r AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
         inter AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
                    COUNT(*) AS inter,
@@ -2410,40 +2497,33 @@ ORACLE = {
             GROUP BY 1, 2),
         truth AS (SELECT id1, id2 FROM inter
                   WHERE 5 * inter >= 2 * (n1 + n2 - inter)),
-        c2 AS (SELECT id1, id2 FROM ({minhash_cand_sql(8, 2)})),
-        g2 AS (SELECT (SELECT COUNT(*) FROM c2) AS n_candidates,
-                        COUNT(*) AS n_true, COUNT(x.id1) AS n_found
-                 FROM truth t
-                 LEFT JOIN (SELECT id1, id2 FROM c2 WHERE id1 < 64) x
-                        USING (id1, id2)),
-        c3 AS (SELECT id1, id2 FROM ({minhash_cand_sql(12, 3)})),
-        g3 AS (SELECT (SELECT COUNT(*) FROM c3) AS n_candidates,
-                        COUNT(*) AS n_true, COUNT(x.id1) AS n_found
-                 FROM truth t
-                 LEFT JOIN (SELECT id1, id2 FROM c3 WHERE id1 < 64) x
-                        USING (id1, id2)),
-        grid AS (
-              SELECT 'bands4x2' AS config, 2 AS rows_per_band,
-                     n_candidates, n_true, n_found,
-                     ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
-                     CASE WHEN 20 * n_found >= 9 * n_true
-                          THEN 1 ELSE 0 END AS meets_floor
-              FROM g2
-              UNION ALL
-              SELECT 'bands4x3' AS config, 3 AS rows_per_band,
-                     n_candidates, n_true, n_found,
-                     ROUND(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
-                     CASE WHEN 20 * n_found >= 9 * n_true
-                          THEN 1 ELSE 0 END AS meets_floor
-              FROM g3),
+        ncand AS (SELECT r, COUNT(*) AS n_candidates FROM cand GROUP BY r),
+        found AS (SELECT c.r, COUNT(*) AS n_found
+                  FROM cand c JOIN truth t
+                    ON t.id1 = c.id1 AND t.id2 = c.id2
+                  GROUP BY c.r),
+        ntrue AS (SELECT COUNT(*) AS n_true FROM truth),
+        grid AS (SELECT 'bands4x' || n.r AS config,
+                        CAST(n.r AS INT) AS rows_per_band,
+                        CASE WHEN n.r = c.r0 THEN 1 ELSE 0 END AS derived,
+                        n.n_candidates, t.n_true,
+                        COALESCE(f.n_found, 0) AS n_found,
+                        ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE)
+                              / t.n_true, 6) AS recall,
+                        CASE WHEN 20 * COALESCE(f.n_found, 0) >= 9 * t.n_true
+                             THEN 1 ELSE 0 END AS meets_floor
+                 FROM ncand n
+                 CROSS JOIN ntrue t
+                 CROSS JOIN cfg c
+                 LEFT JOIN found f ON f.r = n.r),
         win AS (SELECT config FROM grid
                 ORDER BY meets_floor DESC,
                          CASE WHEN meets_floor = 1
-                              THEN CAST(n_candidates AS DOUBLE)
+                              THEN CAST(LENGTH(bin(n_candidates)) AS DOUBLE)
                               ELSE -recall END,
                          rows_per_band
                 LIMIT 1)
-        SELECT g.config, g.rows_per_band,
+        SELECT g.config, g.rows_per_band, g.derived,
                CAST(g.n_candidates AS BIGINT) AS n_candidates,
                CAST(g.n_true AS BIGINT) AS n_true,
                CAST(g.n_found AS BIGINT) AS n_found,
@@ -2792,25 +2872,7 @@ ORACLE = {
                            - n_tokens) / 4096.0) AS BIGINT) AS bin_id
         FROM f
     """,
-    "q28_simhash": f"""
-        WITH {_SHINGLES_CTE},
-        hx AS (SELECT doc_id, md5(shingle) AS h FROM ex),
-        sums AS (SELECT doc_id, {_SIM_SUMS} FROM hx GROUP BY doc_id),
-        bits AS (SELECT doc_id, {_SIM_BITS} AS bits FROM sums),
-        bands AS (SELECT doc_id, unnest([{_SIM_BAND_VALS}]) AS band_val,
-                         unnest([{_SIM_BAND_IDX}]) AS band_idx
-                  FROM bits),
-        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                 FROM bands a JOIN bands b
-                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                  AND a.doc_id < b.doc_id)
-        SELECT id1, id2, hamming FROM (
-            SELECT c.id1, c.id2, ({_SIM_HAM}) AS hamming
-            FROM cand c
-            JOIN bits x ON x.doc_id = c.id1
-            JOIN bits y ON y.doc_id = c.id2)
-        WHERE hamming <= 6
-    """,
+    "q28_simhash": simhash_pairs_sql_scaled(6),
     "q29_embed_neardup": _Q29_SQL_SCALED,
     "q154_neardup_degrees": f"""
         WITH pairs AS (SELECT id1, id2 FROM ({_Q29_SQL_SCALED}) q29),
