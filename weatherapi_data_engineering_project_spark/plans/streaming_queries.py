@@ -1097,22 +1097,74 @@ def q292_stream_bounded_attribution(
     q218 trap: a pre-aggregation filter would starve the watermark
     node). Per-batch state-store rows land in ``LAST_STATE_METRICS``
     so tests and the scale bench can assert peak state ≈ distinct
-    keys, not events."""
+    keys, not events.
+
+    Since r11 this is a thin wrapper over the REUSABLE operator pair
+    streaming/windows.bucketed_side_counts +
+    bounded_interval_counts (VERDICT r10 #5); q293 runs the same
+    program at a different interval/bucket ratio (m = 4)."""
+    return _bounded_attribution(
+        spark, sf_dir, "q292",
+        interval_seconds=3600, bucket_seconds=3600,
+        out_cols=("hour_idx", "n_clicks", "n_attr_pairs"),
+    )
+
+
+def q293_stream_fine_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q292's bounded-state attribution at a DIFFERENT interval/bucket
+    ratio: a 2-hour attribution interval over 30-minute buckets, so
+    m = ⌈7200/1800⌉ = 4 adjacent buckets (q292 is the degenerate
+    m = 1 case). Exercises the generalized coverage rule of
+    streaming/windows.bounded_interval_counts: finer buckets buy a
+    tighter superset of the exact interval (overshoot ≤ one bucket =
+    30 min instead of 1 h) at 2× the counter rows and m+1 = 5
+    batch-side joins — the knob a 100 TB deployment turns to trade
+    counter-state for attribution precision. State stays O(keys ×
+    buckets-in-watermark), throughput-independent, like q292."""
+    return _bounded_attribution(
+        spark, sf_dir, "q293",
+        interval_seconds=7200, bucket_seconds=1800,
+        out_cols=("bucket_idx", "n_clicks", "n_attr_pairs"),
+    )
+
+
+def _bounded_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    interval_seconds: int,
+    bucket_seconds: int,
+    out_cols: tuple,
+) -> DataFrame:
+    """Shared q292/q293 harness: replay events through the
+    bounded-state counter aggregation (streaming half), spill per
+    batch, then run the bucket-adjacency pairing arithmetic (batch
+    half) on read-back. Both halves are the reusable operators in
+    streaming/windows; only sentinels, spill plumbing and column
+    naming live here."""
     from pyspark.sql import functions as F
+
+    from ..streaming.windows import (
+        bounded_interval_counts,
+        bucketed_side_counts,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id"
     )
-    work = _work_dir("q292", sf_dir)
+    work = _work_dir(name, sf_dir)
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     stats = ev.agg(
         F.max("ts").alias("m"),
-        (F.max(F.unix_micros("ts")) / 3_600_000_000)
+        (F.max(F.unix_micros("ts")) / (bucket_seconds * 1_000_000))
         .cast("bigint")
-        .alias("max_hour"),
+        .alias("max_bucket"),
     ).first()
     for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
         time.sleep(1.0)
@@ -1124,7 +1176,7 @@ def q292_stream_bounded_attribution(
         sent.write.mode("append").parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
-        _audit_batch("q292", batch)
+        _audit_batch(name, batch)
         batch.write.mode("append").parquet(out)
 
     s2 = _cloned_session(spark)
@@ -1133,24 +1185,11 @@ def q292_stream_bounded_attribution(
         .option("maxFilesPerTrigger", 8)
         .parquet(src)
     )
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(
-            F.window("ts", "1 hour"),
-            "user_id",
-            F.when(F.col("event_id") % 2 == 0, F.lit("click"))
-            .otherwise(F.lit("purchase"))
-            .alias("side"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            (F.unix_micros(F.col("window.start")) / F.lit(3_600_000_000))
-            .cast("bigint")
-            .alias("hour_idx"),
-            "user_id",
-            "side",
-            F.col("n").cast("bigint").alias("n"),
-        )
+    side = F.when(F.col("event_id") % 2 == 0, F.lit("click")).otherwise(
+        F.lit("purchase")
+    )
+    agg = bucketed_side_counts(
+        stream, bucket_seconds, side, watermark="2 hours"
     )
     q = (
         agg.writeStream.foreachBatch(sink)
@@ -1162,47 +1201,29 @@ def q292_stream_bounded_attribution(
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
-    _audit_stream("q292", q)
+    _audit_stream(name, q)
+    b_col, left_col, pairs_col = out_cols
     if not os.path.exists(out):
         return spark.createDataFrame(
-            [], "hour_idx bigint, n_clicks bigint, n_attr_pairs bigint"
+            [], f"{b_col} bigint, {left_col} bigint, {pairs_col} bigint"
         )
     counts = spark.read.parquet(out).filter(
-        (F.col("hour_idx") <= F.lit(int(stats.max_hour)))
+        (F.col("bucket_idx") <= F.lit(int(stats.max_bucket)))
         & (F.col("user_id") >= 0)
     )
-    clicks = counts.filter(F.col("side") == "click").select(
-        "user_id", "hour_idx", F.col("n").alias("n_c")
-    )
-    purch = counts.filter(F.col("side") == "purchase")
-    p_same = purch.select(
-        "user_id", "hour_idx", F.col("n").alias("n_p_same")
-    )
-    p_next = purch.select(
-        "user_id",
-        (F.col("hour_idx") - 1).alias("hour_idx"),
-        F.col("n").alias("n_p_next"),
-    )
-    paired = clicks.join(p_same, ["user_id", "hour_idx"], "left").join(
-        p_next, ["user_id", "hour_idx"], "left"
-    )
-    return paired.groupBy("hour_idx").agg(
-        F.sum("n_c").cast("bigint").alias("n_clicks"),
-        F.sum(
-            F.col("n_c")
-            * (
-                F.coalesce(F.col("n_p_same"), F.lit(0))
-                + F.coalesce(F.col("n_p_next"), F.lit(0))
-            )
-        )
-        .cast("bigint")
-        .alias("n_attr_pairs"),
+    return bounded_interval_counts(
+        counts, interval_seconds, bucket_seconds
+    ).select(
+        F.col("bucket_idx").alias(b_col),
+        F.col("n_left").alias(left_col),
+        F.col("n_pairs").alias(pairs_col),
     )
 
 
 QUERIES = {
     "q285_stream_timeout_flush": q285_stream_timeout_flush,
     "q292_stream_bounded_attribution": q292_stream_bounded_attribution,
+    "q293_stream_fine_attribution": q293_stream_fine_attribution,
     "q42_stateful_totals": q42_stateful_totals,
     "q256_stream_semi_join": q256_stream_semi_join,
     "q266_stream_append_windows": q266_stream_append_windows,
@@ -1276,6 +1297,36 @@ ORACLE: dict[str, str] = {
                CAST(SUM(n_c) AS BIGINT) AS n_clicks,
                CAST(SUM(np) AS BIGINT) AS n_attr_pairs
         FROM j GROUP BY hour_idx
+    """,
+    # q293: same certification at m = ceil(7200/1800) = 4 — the batch
+    # twin replays the generalized bucket-adjacency rule with 5
+    # purchase-offset joins over 30-minute buckets.
+    "q293_stream_fine_attribution": """
+        WITH e AS (
+            SELECT user_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'click'
+                        ELSE 'purchase' END AS side,
+                   epoch_us(ts) // 1800000000 AS b
+            FROM events),
+        c AS (SELECT user_id, b, COUNT(*) AS n_c FROM e
+              WHERE side = 'click' GROUP BY 1, 2),
+        p AS (SELECT user_id, b, COUNT(*) AS n_p FROM e
+              WHERE side = 'purchase' GROUP BY 1, 2),
+        j AS (
+            SELECT c.b AS bucket_idx, c.n_c,
+                   c.n_c * (COALESCE(p0.n_p, 0) + COALESCE(p1.n_p, 0)
+                            + COALESCE(p2.n_p, 0) + COALESCE(p3.n_p, 0)
+                            + COALESCE(p4.n_p, 0)) AS np
+            FROM c
+            LEFT JOIN p p0 ON p0.user_id = c.user_id AND p0.b = c.b
+            LEFT JOIN p p1 ON p1.user_id = c.user_id AND p1.b = c.b + 1
+            LEFT JOIN p p2 ON p2.user_id = c.user_id AND p2.b = c.b + 2
+            LEFT JOIN p p3 ON p3.user_id = c.user_id AND p3.b = c.b + 3
+            LEFT JOIN p p4 ON p4.user_id = c.user_id AND p4.b = c.b + 4)
+        SELECT bucket_idx,
+               CAST(SUM(n_c) AS BIGINT) AS n_clicks,
+               CAST(SUM(np) AS BIGINT) AS n_attr_pairs
+        FROM j GROUP BY bucket_idx
     """,
     "q136_stream_sliding_window": """
         WITH slots AS (

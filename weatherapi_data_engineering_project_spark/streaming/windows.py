@@ -381,3 +381,108 @@ def idle_flush_totals(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def bucketed_side_counts(
+    events: DataFrame,
+    bucket_seconds: int,
+    side,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """One counter per (time bucket × key × side) — the bounded-state
+    half of the interval-join rewrite (q292's program, generalized;
+    VERDICT r10 #5).
+
+    ONE watermarked tumbling-window aggregation: streaming state is
+    O(active keys × buckets inside the watermark horizon) — independent
+    of THROUGHPUT, which is the whole point. BENCH_SCALE100_r10
+    measured the contrast on q218's raw interval join vs this shape:
+    10M state rows / 2,195.6 s at 100× events vs 97,795 rows flat at
+    1×/10×/100×. ``side`` is any Column labeling each event's role
+    (e.g. click/purchase parity). Works identically on a batch frame
+    (watermark skipped), which is what the batch-parity oracles
+    exploit. Returns (bucket_idx, <key_col>, side, n) with
+    bucket_idx = floor(epoch_seconds / bucket_seconds).
+    """
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if watermark and events.isStreaming
+        else events
+    )
+    return (
+        src.groupBy(
+            F.window(ts_col, f"{bucket_seconds} seconds"),
+            key_col,
+            side.alias("side"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (
+                F.unix_micros(F.col("window.start"))
+                / F.lit(bucket_seconds * 1_000_000)
+            )
+            .cast("bigint")
+            .alias("bucket_idx"),
+            key_col,
+            "side",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def bounded_interval_counts(
+    counts: DataFrame,
+    interval_seconds: int,
+    bucket_seconds: int,
+    *,
+    key_col: str = "user_id",
+    left_side: str = "click",
+    right_side: str = "purchase",
+) -> DataFrame:
+    """Bucket-adjacency pair counting over (bucket_idx, key, side, n)
+    counters — the batch half of the bounded-state interval-join
+    rewrite (extracted from q292 per VERDICT r10 #5).
+
+    Semantics (the explicit coverage trade): the exact pairing "right
+    event within [0, interval] AFTER a same-key left event" is
+    coarsened to bucket adjacency — a left event in bucket b pairs
+    with every same-key right event in buckets b .. b+m, where
+    m = ⌈interval / bucket⌉. This is a coverage SUPERSET of the exact
+    interval pairing: a true pair with 0 ≤ t_right − t_left ≤ interval
+    has bucket offset ≤ ⌈interval/bucket⌉ always (worst case: left at
+    the end of its bucket). It EQUALS the exact pairing when events
+    are bucket-aligned (timestamps multiples of bucket_seconds) and
+    interval = m · bucket — both properties are pinned in
+    tests/test_round11_queries.py. The coarsening is what makes the
+    streaming state collapse legal: pair counts become arithmetic over
+    counters — pairs[k,b] = left[k,b] · Σ_{j=0..m} right[k,b+j] — so
+    the stream never retains individual rows.
+
+    Plan shape: m+1 equi left-joins on (key, bucket) over the tiny
+    counter table, then a per-bucket rollup — at 100 TB the joins key
+    on (key, bucket) so 1000 executors pair key ranges independently;
+    nothing is O(events²) or O(events-in-window) resident. Returns
+    (bucket_idx, n_left, n_pairs).
+    """
+    m = -(-int(interval_seconds) // int(bucket_seconds))  # ceil
+    lefts = counts.filter(F.col("side") == left_side).select(
+        key_col, "bucket_idx", F.col("n").alias("n_l")
+    )
+    rights = counts.filter(F.col("side") == right_side)
+    paired = lefts
+    rsum = F.lit(0)
+    for j in range(m + 1):
+        rj = rights.select(
+            key_col,
+            (F.col("bucket_idx") - j).alias("bucket_idx"),
+            F.col("n").alias(f"n_r{j}"),
+        )
+        paired = paired.join(rj, [key_col, "bucket_idx"], "left")
+        rsum = rsum + F.coalesce(F.col(f"n_r{j}"), F.lit(0))
+    return paired.groupBy("bucket_idx").agg(
+        F.sum("n_l").cast("bigint").alias("n_left"),
+        F.sum(F.col("n_l") * rsum).cast("bigint").alias("n_pairs"),
+    )
