@@ -59,6 +59,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10x")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 
+# Replica key offset for events/orders/lineitem. q292/q218 assign the
+# click/purchase side by event_id PARITY, so this stride MUST stay even
+# or replication would flip sides on odd copies and silently change
+# both scale claims (ADVICE r10; stream_scale_q292 imports this).
+EVENT_ID_STRIDE = 100_000_000
+assert EVENT_ID_STRIDE % 2 == 0, "event parity defines q292/q218 sides"
+
 # the 10 slowest non-streaming queries of bench_full_r08.json
 TARGETS = [
     "q89_pagerank",
@@ -152,15 +159,15 @@ def build_scale_corpus(spark) -> None:
                 )
             elif t == "events":
                 c = c.withColumn(
-                    "event_id", F.col("event_id") + F.lit(k * 100_000_000)
+                    "event_id", F.col("event_id") + F.lit(k * EVENT_ID_STRIDE)
                 )
             elif t == "orders":
                 c = c.withColumn(
-                    "o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000)
+                    "o_orderkey", F.col("o_orderkey") + F.lit(k * EVENT_ID_STRIDE)
                 )
             elif t == "lineitem":
                 c = c.withColumn(
-                    "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+                    "l_orderkey", F.col("l_orderkey") + F.lit(k * EVENT_ID_STRIDE)
                 )
             copies.append(c)
         big = copies[0]

@@ -30,6 +30,10 @@ from weatherapi_data_engineering_project_spark.session import get_spark  # noqa:
 from weatherapi_data_engineering_project_spark.schemas import load_table  # noqa: E402
 from weatherapi_data_engineering_project_spark.caching import release_all  # noqa: E402
 
+# shared with the full-table replicator: even stride = parity-stable
+# side assignment for q292/q218 (ADVICE r10)
+from scale_bench import EVENT_ID_STRIDE  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_DIR = os.environ.get(
     "SPARK_GRAFT_STREAM_SCALE_DIR", "/tmp/spark_graft_scale10x_events"
@@ -48,7 +52,7 @@ def main() -> None:
         base = load_table(spark, SF_DIR, "events")
         copies = [
             base.withColumn(
-                "event_id", F.col("event_id") + F.lit(k * 100_000_000)
+                "event_id", F.col("event_id") + F.lit(k * EVENT_ID_STRIDE)
             )
             for k in range(REPLICAS)
         ]

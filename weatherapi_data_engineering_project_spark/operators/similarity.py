@@ -153,13 +153,29 @@ def corpus_row_count(df: DataFrame) -> int:
     the key makes the memo filter-safe: a filtered frame over the same
     files hashes differently and gets its own count. Frames with no
     scan files (in-memory fixtures) are never memoized — nothing in
-    the key would prove their data unchanged."""
+    the key would prove their data unchanged — and neither are plans
+    containing NON-DETERMINISTIC expressions (rand()-based sampling
+    would hash identically across invocations while counting
+    differently; ADVICE r10). Files rewritten IN PLACE under identical
+    names remain outside the guard — Spark's own writers emit
+    UUID-part names, and the lake-scan contract below is the
+    documented boundary."""
     try:
         files = tuple(sorted(df.inputFiles()))
-        sem = df._jdf.queryExecution().analyzed().semanticHash()
+        analyzed = df._jdf.queryExecution().analyzed()
+        sem = analyzed.semanticHash()
+        # textual probe for the standard non-deterministic expression
+        # families; .analyzed() prints them with these exact tokens
+        plan_txt = analyzed.toString().lower()
     except Exception:  # pragma: no cover — py4j surface drift
-        files, sem = (), None
-    if not files:
+        files, sem, plan_txt = (), None, ""
+    if not files or any(
+        tok in plan_txt
+        for tok in (
+            "rand(", "randn(", "uuid()", "shuffle(",
+            "monotonically_increasing_id",
+        )
+    ):
         return df.count()
     key = (sem, files)
     hit = _COUNT_MEMO.get(key)
