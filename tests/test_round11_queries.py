@@ -231,3 +231,21 @@ def test_bounded_interval_counts_m1_matches_q292_arithmetic(spark):
     # user 2: click@b0 pairs purch@b0(1) = 1
     base = int(_EPOCH.timestamp()) // 3600
     assert got == {base: 3, base + 1: 2}
+
+
+def test_simhash_recall_audit_pigeonhole_floor(spark):
+    """q294: with 4 bands, a pair within hamming 3 differs in at most
+    3 bits, so at least one band is untouched and MUST collide —
+    recall at hamming <= n_bands - 1 is 1.0 by construction, not
+    probabilistically. The hamming 4-6 tail is the measured price."""
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        q294_simhash_recall_audit,
+    )
+
+    rows = q294_simhash_recall_audit(spark, SF_DIR).collect()
+    assert rows, "audit found no hamming<=6 probe pairs"
+    for r in rows:
+        assert 0 <= r.hamming <= 6
+        assert 0 <= r.n_found <= r.n_true
+        if r.hamming <= 3:
+            assert r.n_found == r.n_true, r

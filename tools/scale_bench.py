@@ -66,7 +66,13 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 EVENT_ID_STRIDE = 100_000_000
 assert EVENT_ID_STRIDE % 2 == 0, "event parity defines q292/q218 sides"
 
-# the 10 slowest non-streaming queries of bench_full_r08.json
+# the 10 slowest non-streaming queries of bench_full_r08.json.
+# SPARK_GRAFT_SCALE_TARGETS / _STREAM_TARGETS (comma-separated)
+# override both lists for focused per-round rows (r11: q28's
+# corpus-derived SimHash width); SPARK_GRAFT_SCALE_BUILD_ONLY=1 builds
+# the replica corpus and exits so the measurement can run in a FRESH
+# session (building and measuring in one session inflates 1x walls up
+# to 4x — r10 curve-bench lesson).
 TARGETS = [
     "q89_pagerank",
     "q87_semantic_dedup",
@@ -100,6 +106,13 @@ STREAM_TARGETS = [
 ]
 
 DIMS = {"region", "nation", "customer", "supplier", "part"}
+
+_t_env = os.environ.get("SPARK_GRAFT_SCALE_TARGETS")
+if _t_env is not None:
+    TARGETS = [t for t in _t_env.split(",") if t]
+_st_env = os.environ.get("SPARK_GRAFT_SCALE_STREAM_TARGETS")
+if _st_env is not None:
+    STREAM_TARGETS = [t for t in _st_env.split(",") if t]
 
 
 def build_scale_corpus(spark) -> None:
@@ -187,6 +200,9 @@ def main() -> None:
     t0 = time.perf_counter()
     build_scale_corpus(spark)
     build_s = round(time.perf_counter() - t0, 1)
+    if os.environ.get("SPARK_GRAFT_SCALE_BUILD_ONLY"):
+        print(json.dumps({"built": SCALE_DIR, "build_seconds": build_s}))
+        return
 
     queries = registry.all_queries()
     # warmup (bench.py recipe)

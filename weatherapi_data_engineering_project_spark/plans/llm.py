@@ -295,6 +295,98 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q294_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding recall audit — q287/q288's third sibling (those
+    price sign-LSH and MinHash banding; SimHash's recall price was the
+    one unmeasured LSH surface after r11 derived its width). Truth is
+    probe-bounded brute force: for probe docs (doc_id < 64), ALL pairs
+    with fingerprint hamming ≤ 6 computed WITHOUT banding (64 × N
+    hamming comparisons over the derived-width fingerprints — linear,
+    never N²). Found = the banded candidate pairs among them. Output
+    per exact hamming distance: n_true, n_found, recall — which makes
+    the pigeonhole boundary VISIBLE: with 4 bands, every pair at
+    hamming ≤ 3 must collide on some band (recall 1.0 by construction,
+    asserted in tests); at 4–6 the banding is probabilistic and this
+    audit is the measurement.
+
+    Scale shape: signatures are the same one-groupBy reduction q28
+    uses (shuffle carries n_bits ints per doc); truth is a broadcast
+    of 64 probe fingerprints against the corpus; the banded candidates
+    are an equi-join on (band_idx, band_val). The fingerprint frame is
+    persisted once and feeds probes, truth, and bands."""
+    from functools import reduce as _reduce
+
+    from ..operators.dedup import (
+        N_SIM_BANDS,
+        scaled_simhash_band_bits,
+        simhash_signatures,
+    )
+    from ..operators.similarity import corpus_row_count
+
+    d = load_table(spark, sf_dir, "documents")
+    w = scaled_simhash_band_bits(corpus_row_count(d))
+    n_bits = N_SIM_BANDS * w
+    sigs = persist_tracked(
+        simhash_signatures(d, "text", "doc_id", n_bits=n_bits)
+    )
+    probes = F.broadcast(
+        sigs.filter(F.col("doc") < 64).select(
+            F.col("doc").alias("id1"), F.col("bits").alias("bits1")
+        )
+    )
+    corpus = sigs.select(
+        F.col("doc").alias("id2"), F.col("bits").alias("bits2")
+    )
+    ham = _reduce(
+        lambda x, y: x + y,
+        [
+            F.when(
+                F.substring("bits1", i + 1, 1)
+                != F.substring("bits2", i + 1, 1),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for i in range(n_bits)
+        ],
+    )
+    truth = persist_tracked(
+        probes.crossJoin(corpus)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+    band_arr = F.array(
+        *[F.substring("bits", b * w + 1, w) for b in range(N_SIM_BANDS)]
+    )
+    bands = sigs.select(
+        "doc", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    cand = (
+        bands.select(F.col("doc").alias("id1"), "band_idx", "band_val")
+        .join(
+            bands.select(F.col("doc").alias("id2"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .select("id1", "id2", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.join(cand, ["id1", "id2"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_found"),
+        )
+        .select(
+            "hamming",
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.6  # containment >= jaccard, so this widens q25
 
 
@@ -1516,6 +1608,7 @@ QUERIES = {
     "q25_minhash_lsh": q25_minhash_lsh,
     "q288_minhash_recall_audit": q288_minhash_recall_audit,
     "q290_minhash_sizing_tuner": q290_minhash_sizing_tuner,
+    "q294_simhash_recall_audit": q294_simhash_recall_audit,
     "q123_containment_dedup": q123_containment_dedup,
     "q141_dedup_savings": q141_dedup_savings,
     "q149_prefix_join": q149_prefix_join,
@@ -1989,24 +2082,19 @@ def minhash_pairs_sql_scaled(threshold) -> str:
     """
 
 
-def simhash_pairs_sql_scaled(max_hamming: int) -> str:
-    """q28's oracle with the SimHash bits-per-band DERIVED IN SQL from
-    the document count — the exact twin of
-    dedup.scaled_simhash_band_bits (w = max(8, ⌈log2 n⌉ − 7), integer
-    on both sides: Python (n−1).bit_length(), SQL LENGTH(bin(n − 1))).
-    Structure is width-independent, the signlsh_pairs_sql_scaled
-    recipe: the bit index becomes a range(0, 4·w) dimension, the
-    per-(doc, bit) vote a grouped SUM, the fingerprint a string_agg
-    ORDER BY bit (replacing the fixed-width column pivot), band values
-    substr slices at computed offsets, and the hamming verify DuckDB's
-    hamming() over the equal-length bit strings (replacing the
-    unrolled per-position CASE sum). Bit i's vote reads hex digit
-    i % 32 of md5 BLOCK i // 32 — block 0 unsalted, block j ≥ 1 salted
-    'j§' — matching dedup.simhash_signatures' multi-block scheme, so
-    the oracle stays valid at ANY derived width, not just ≤ 32."""
-    return f"""
-        WITH {_SHINGLES_CTE},
-        cfg AS (SELECT GREATEST(8, LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)
+# Derived-width SimHash oracle fragments (shared by q28 and the q294
+# recall audit): the bit index is a range(0, 4·w) dimension with w
+# derived from COUNT(*) — the exact twin of
+# dedup.scaled_simhash_band_bits (w = max(8, ⌈log2 n⌉ − 7), integer on
+# both sides: Python (n−1).bit_length(), SQL LENGTH(bin(n − 1))). Bit
+# i's vote reads hex digit i % 32 of md5 BLOCK i // 32 — block 0
+# unsalted, block j ≥ 1 salted 'j§' — matching
+# dedup.simhash_signatures' multi-block scheme, so the fragments stay
+# valid at ANY derived width, not just ≤ 32. The fingerprint is a
+# string_agg ORDER BY bit; bands are substr slices at computed offsets;
+# hamming verification is DuckDB's hamming() over the equal-length bit
+# strings.
+_SIMHASH_FPS_CTES = f"""cfg AS (SELECT GREATEST(8, LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)
                            AS w
                 FROM documents),
         bitdim AS (SELECT unnest(range(0, 4 * w)) AS bit FROM cfg),
@@ -2033,7 +2121,15 @@ def simhash_pairs_sql_scaled(max_hamming: int) -> str:
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
                  FROM bands a JOIN bands b
                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                  AND a.doc_id < b.doc_id)
+                  AND a.doc_id < b.doc_id)"""
+
+
+def simhash_pairs_sql_scaled(max_hamming: int) -> str:
+    """q28's oracle at the COUNT(*)-derived width — the
+    signlsh_pairs_sql_scaled recipe over _SIMHASH_FPS_CTES."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        {_SIMHASH_FPS_CTES}
         SELECT id1, id2, hamming FROM (
             SELECT c.id1, c.id2,
                    CAST(hamming(x.bits, y.bits) AS INTEGER) AS hamming
@@ -2873,6 +2969,28 @@ ORACLE = {
         FROM f
     """,
     "q28_simhash": simhash_pairs_sql_scaled(6),
+    # q294: probe-bounded truth = all hamming<=6 pairs over the SAME
+    # derived-width fingerprints WITHOUT banding; found = the banded
+    # candidates among them (the verifier applies truth's own hamming
+    # rule, so the intersection IS the banded recall).
+    "q294_simhash_recall_audit": f"""
+        WITH {_SHINGLES_CTE},
+        {_SIMHASH_FPS_CTES},
+        probes AS (SELECT doc_id, bits FROM fps WHERE doc_id < 64),
+        truth AS (SELECT id1, id2, hamming FROM (
+                    SELECT p.doc_id AS id1, f.doc_id AS id2,
+                           CAST(hamming(p.bits, f.bits) AS INTEGER)
+                               AS hamming
+                    FROM probes p JOIN fps f ON p.doc_id < f.doc_id)
+                  WHERE hamming <= 6)
+        SELECT t.hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COUNT(c.id1) AS BIGINT) AS n_found,
+               ROUND(CAST(COUNT(c.id1) AS DOUBLE) / COUNT(*), 6) AS recall
+        FROM truth t
+        LEFT JOIN cand c ON c.id1 = t.id1 AND c.id2 = t.id2
+        GROUP BY t.hamming
+    """,
     "q29_embed_neardup": _Q29_SQL_SCALED,
     "q154_neardup_degrees": f"""
         WITH pairs AS (SELECT id1, id2 FROM ({_Q29_SQL_SCALED}) q29),
