@@ -95,7 +95,17 @@ def main() -> int:
     report: dict[str, dict] = {}
     failures = 0
 
-    for qi, name in enumerate(sorted(queries)):
+    # SPARK_GRAFT_DIFF_ONLY=q1,q2 re-runs just those queries and MERGES
+    # their rows into an existing out_path artifact (a "rerun" note is
+    # recorded per merged row). Codifies the r07+ wall-flag protocol:
+    # one long sweep inflates a contiguous alphabetical block that
+    # un-flags isolated — re-measure the block, don't re-pay the sweep.
+    only = [
+        q for q in os.environ.get("SPARK_GRAFT_DIFF_ONLY", "").split(",")
+        if q
+    ]
+    names = [q for q in sorted(queries) if not only or q in only]
+    for qi, name in enumerate(names):
         if qi and qi % _SESSION_SPAN == 0:
             spark.stop()
             spark = fresh_session()
@@ -196,6 +206,23 @@ def main() -> int:
             status += " WALL-GATE"
         print(f"{name}: {status} ({row['wall_s']}s)", flush=True)
 
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        for name, row in report.items():
+            row["rerun"] = "isolated re-measure (wall-flag protocol)"
+            merged[name] = row
+        report = merged
+        failures = sum(
+            1 for r in report.values()
+            if isinstance(r, dict)
+            and (
+                (r.get("err") not in (None, "no_oracle"))
+                or r.get("hash_match") is False
+                or r.get("bound_match") is False
+                or r.get("wall_flag")
+            )
+        )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     n_hash = sum(1 for r in report.values() if r["hash_match"])

@@ -71,6 +71,13 @@ TARGETS = [
     "q93_semantic_contamination",
     "q25_minhash_lsh",
 ]
+# SPARK_GRAFT_SCALE100_TARGETS (comma-separated) overrides for focused
+# per-round rows; SPARK_GRAFT_SCALE100_BUILD_ONLY=1 builds the corpus
+# and exits so the measurement runs in a fresh session.
+_t_env = os.environ.get("SPARK_GRAFT_SCALE100_TARGETS")
+if _t_env is not None:
+    TARGETS = [t for t in _t_env.split(",") if t]
+
 COPY_1X = ["region", "nation", "customer", "supplier", "part"]
 REPLICATE = ["orders", "lineitem", "documents", "embeddings"]
 
@@ -186,6 +193,9 @@ def main() -> None:
     t0 = time.perf_counter()
     build_corpus(spark)
     build_s = round(time.perf_counter() - t0, 1)
+    if os.environ.get("SPARK_GRAFT_SCALE100_BUILD_ONLY"):
+        print(json.dumps({"built": SCALE_DIR, "build_seconds": build_s}))
+        return
 
     queries = registry.all_queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -1,0 +1,132 @@
+"""SimHash candidate-mass curve (round 11): count the banded candidate
+pairs at 1x / 10x / 100x documents under BOTH the corpus-derived width
+and the old fixed 32-bit width, and merge the section into an existing
+BENCH_SCALE JSON artifact.
+
+This is the same validation BENCH_SCALE10_r10_curve.json ran for
+MinHash/sign-LSH after round 10 derived their widths: the quadratic
+term the width rule exists to bound is the banded self-join's
+candidate count, so the direct evidence for the rule is that measured
+candidates grow ~linearly per decade at the derived width while the
+fixed width's grow ~quadratically (the q93 shape that cost 20.5x wall
+before r10). Counts are exact (COUNT over the distinct banded pairs),
+not walls — immune to box drift.
+
+Usage: python tools/simhash_curve.py [artifact.json]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_SCALE_DIR (10x corpus, default /tmp/spark_graft_scale10x),
+     SPARK_GRAFT_SCALE100_DIR (100x corpus, default /tmp/spark_graft_scale100x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from weatherapi_data_engineering_project_spark.session import get_spark  # noqa: E402
+from weatherapi_data_engineering_project_spark.schemas import load_table  # noqa: E402
+from weatherapi_data_engineering_project_spark.operators import dedup as DD  # noqa: E402
+from weatherapi_data_engineering_project_spark.caching import release_all  # noqa: E402
+
+SCALES = [
+    ("1x", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+    ("10x", os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10x")),
+    ("100x", os.environ.get(
+        "SPARK_GRAFT_SCALE100_DIR", "/tmp/spark_graft_scale100x"
+    )),
+]
+
+
+def _banded_candidates(sigs, w: int) -> int:
+    band_arr = F.array(
+        *[F.substring("bits", b * w + 1, w) for b in range(DD.N_SIM_BANDS)]
+    )
+    bands = sigs.select(
+        "doc", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    a = bands.select(F.col("doc").alias("id1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc").alias("id2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .count()
+    )
+
+
+def main() -> None:
+    artifact = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r11.json"
+    spark = get_spark(
+        app_name="simhash-curve",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = {}
+    for tag, sf_dir in SCALES:
+        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            rows[tag] = {"skipped": f"no corpus at {sf_dir}"}
+            continue
+        d = load_table(spark, sf_dir, "documents")
+        n = d.count()
+        w = DD.scaled_simhash_band_bits(n)
+        # ONE signature pass at the max width; both band layouts slice
+        # their own prefix (derived uses its first 4*w bits, fixed-32
+        # its first 32 — block 0 compatibility makes the wider
+        # fingerprint's prefix bit-identical to the 32-bit scheme)
+        n_bits = max(DD.N_SIM_BANDS * w, 32)
+        from weatherapi_data_engineering_project_spark.caching import (
+            persist_tracked,
+        )
+
+        sigs = persist_tracked(
+            DD.simhash_signatures(d, "text", "doc_id", n_bits=n_bits)
+        )
+        derived_cand = _banded_candidates(sigs, w)
+        fixed_cand = (
+            derived_cand
+            if w == 8
+            else _banded_candidates(
+                sigs.select("doc", F.substring("bits", 1, 32).alias("bits")),
+                8,
+            )
+        )
+        rows[tag] = {
+            "n_docs": n,
+            "derived_band_bits": w,
+            "candidates_derived": derived_cand,
+            "cands_per_doc_derived": round(derived_cand / n, 2),
+            "candidates_fixed32": fixed_cand,
+            "cands_per_doc_fixed32": round(fixed_cand / n, 2),
+        }
+        print(json.dumps({"scale": tag, **rows[tag]}), flush=True)
+        release_all()
+
+    try:
+        with open(artifact) as fh:
+            data = json.load(fh)
+    except OSError:
+        data = {}
+    data["simhash_candidate_mass"] = {
+        "note": (
+            "distinct banded candidate pairs (exact counts, not walls) "
+            "under the corpus-derived width vs the old fixed 32-bit/"
+            "4-band width; the rule is validated when derived "
+            "cands/doc stays ~occupancy-bounded per decade while "
+            "fixed32 grows ~10x/decade"
+        ),
+        "scales": rows,
+    }
+    with open(artifact, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps({"merged_into": artifact}))
+
+
+if __name__ == "__main__":
+    main()
