@@ -42,13 +42,31 @@ SCALES = [
 ]
 
 
-def _banded_candidates(sigs, w: int) -> int:
+def _bands(sigs, w: int):
     band_arr = F.array(
         *[F.substring("bits", b * w + 1, w) for b in range(DD.N_SIM_BANDS)]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc", F.posexplode(band_arr).alias("band_idx", "band_val")
     )
+
+
+def _collision_mass(sigs, w: int) -> int:
+    """Exact banded collision mass WITHOUT materializing pairs:
+    sum over (band_idx, band_val) buckets of C(count, 2) — one groupBy
+    over n*n_bands rows, O(n) at any corpus size. This is the join's
+    build cost; the distinct-pair count (verifier cost) is <= it."""
+    return int(
+        _bands(sigs, w)
+        .groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
+        .first()["m"]
+    )
+
+
+def _banded_candidates(sigs, w: int) -> int:
+    bands = _bands(sigs, w)
     a = bands.select(F.col("doc").alias("id1"), "band_idx", "band_val")
     b = bands.select(F.col("doc").alias("id2"), "band_idx", "band_val")
     return (
@@ -58,6 +76,13 @@ def _banded_candidates(sigs, w: int) -> int:
         .distinct()
         .count()
     )
+
+
+# materializing the distinct banded pairs is itself quadratic work for
+# a bad width — cap it (the 100x fixed-32 join OOMed a 128 GiB driver
+# at ~1e9+ collisions, which IS the finding; the histogram mass states
+# it without dying)
+_PAIR_COUNT_CAP = 200_000_000
 
 
 def main() -> None:
@@ -88,22 +113,32 @@ def main() -> None:
         sigs = persist_tracked(
             DD.simhash_signatures(d, "text", "doc_id", n_bits=n_bits)
         )
-        derived_cand = _banded_candidates(sigs, w)
+        sigs32 = sigs.select("doc", F.substring("bits", 1, 32).alias("bits"))
+        mass_derived = _collision_mass(sigs, w)
+        mass_fixed = mass_derived if w == 8 else _collision_mass(sigs32, 8)
+        derived_cand = (
+            _banded_candidates(sigs, w)
+            if mass_derived <= _PAIR_COUNT_CAP
+            else None
+        )
         fixed_cand = (
             derived_cand
             if w == 8
-            else _banded_candidates(
-                sigs.select("doc", F.substring("bits", 1, 32).alias("bits")),
-                8,
+            else (
+                _banded_candidates(sigs32, 8)
+                if mass_fixed <= _PAIR_COUNT_CAP
+                else None
             )
         )
         rows[tag] = {
             "n_docs": n,
             "derived_band_bits": w,
-            "candidates_derived": derived_cand,
-            "cands_per_doc_derived": round(derived_cand / n, 2),
-            "candidates_fixed32": fixed_cand,
-            "cands_per_doc_fixed32": round(fixed_cand / n, 2),
+            "collision_mass_derived": mass_derived,
+            "mass_per_doc_derived": round(mass_derived / n, 2),
+            "collision_mass_fixed32": mass_fixed,
+            "mass_per_doc_fixed32": round(mass_fixed / n, 2),
+            "distinct_pairs_derived": derived_cand,
+            "distinct_pairs_fixed32": fixed_cand,
         }
         print(json.dumps({"scale": tag, **rows[tag]}), flush=True)
         release_all()
@@ -115,11 +150,14 @@ def main() -> None:
         data = {}
     data["simhash_candidate_mass"] = {
         "note": (
-            "distinct banded candidate pairs (exact counts, not walls) "
-            "under the corpus-derived width vs the old fixed 32-bit/"
-            "4-band width; the rule is validated when derived "
-            "cands/doc stays ~occupancy-bounded per decade while "
-            "fixed32 grows ~10x/decade"
+            "exact banded collision mass (sum of C(bucket,2) per band — "
+            "the join's build cost, O(n) to compute at any scale) and, "
+            "where feasible (mass <= 2e8), the distinct candidate-pair "
+            "count, under the corpus-derived width vs the old fixed "
+            "32-bit/4-band width; the rule is validated when derived "
+            "mass/doc grows far below fixed32's ~10x/decade (a null "
+            "distinct_pairs_* means materializing the pairs would "
+            "itself be the quadratic blow-up)"
         ),
         "scales": rows,
     }
