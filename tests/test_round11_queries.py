@@ -249,3 +249,31 @@ def test_simhash_recall_audit_pigeonhole_floor(spark):
         assert 0 <= r.n_found <= r.n_true
         if r.hamming <= 3:
             assert r.n_found == r.n_true, r
+
+
+def test_simhash_bucket_skew_structure(spark):
+    """q295: one row per band; histogram identities hold (buckets
+    bounded by the 2^w keyspace, hot bucket bounded by the corpus,
+    mass at least the hot bucket's own C(c,2), skew positive)."""
+    from weatherapi_data_engineering_project_spark.operators.dedup import (
+        N_SIM_BANDS,
+        scaled_simhash_band_bits,
+    )
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        corpus_row_count,
+    )
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        q295_simhash_bucket_skew,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    n = corpus_row_count(d)
+    w = scaled_simhash_band_bits(n)
+    rows = q295_simhash_bucket_skew(spark, SF_DIR).collect()
+    assert sorted(r.band_idx for r in rows) == list(range(N_SIM_BANDS))
+    for r in rows:
+        assert 1 <= r.n_buckets <= 2**w
+        assert 1 <= r.max_bucket <= n
+        assert r.collision_mass >= r.max_bucket * (r.max_bucket - 1) // 2
+        assert r.skew_vs_uniform > 0

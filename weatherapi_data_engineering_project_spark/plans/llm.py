@@ -387,6 +387,73 @@ def q294_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q295_simhash_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-bucket SKEW audit — the instrument behind round
+    11's curve finding (BENCH_SCALE_r11.json::simhash_candidate_mass):
+    the width rule sizes for ~uniform buckets (expected occupancy
+    n/2^w ≤ 128), but SimHash band values on natural text are
+    CORRELATED bits, so real buckets are skewed and the measured
+    collision mass ran 5× the uniform estimate at 10× docs (41 →
+    204/doc). This query measures that skew per band from the bucket
+    histogram — exact integer arithmetic, O(n), no pair
+    materialization (the same sum-of-C(c,2) trick that let the curve
+    state the fixed-32 width's 2.0B-collision mass without OOMing):
+
+      band_idx, n_buckets, max_bucket (the hot-bucket size a stop-
+      bucket cap would act on), collision_mass = Σ C(c,2), and
+      skew_vs_uniform = mass / the uniform-occupancy mass C(n,2)/2^w
+      (rounded; > 1 quantifies how much the correlated bits cost over
+      the rule's assumption).
+
+    At 100 TB this is the pre-flight check before running q28: a
+    band whose max_bucket ≫ 128 names the stop-bucket to cap or the
+    extra bits to add — AQE's skew-join split keeps the JOIN stages
+    balanced, but no join strategy un-quadratics a hot bucket's
+    candidate mass."""
+    from ..operators.dedup import (
+        N_SIM_BANDS,
+        scaled_simhash_band_bits,
+        simhash_signatures,
+    )
+    from ..operators.similarity import corpus_row_count
+
+    d = load_table(spark, sf_dir, "documents")
+    n = corpus_row_count(d)
+    w = scaled_simhash_band_bits(n)
+    sigs = simhash_signatures(d, "text", "doc_id", n_bits=N_SIM_BANDS * w)
+    band_arr = F.array(
+        *[F.substring("bits", b * w + 1, w) for b in range(N_SIM_BANDS)]
+    )
+    bands = sigs.select(
+        "doc", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mass = (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+    # uniform-occupancy mass per band: C(n_sig, 2) / 2^w, with n_sig
+    # the number of fingerprinted docs (zero-shingle docs drop out of
+    # the signature pipeline on both engines)
+    n_sig = F.sum("c")  # each band partitions the fingerprinted docs
+    per_band = buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.sum(mass).alias("collision_mass"),
+        (
+            (n_sig * (n_sig - 1) / 2) / F.pow(F.lit(2.0), F.lit(w))
+        ).alias("uniform_mass"),
+    )
+    return per_band.select(
+        "band_idx",
+        "n_buckets",
+        "max_bucket",
+        "collision_mass",
+        F.round(F.col("collision_mass") / F.col("uniform_mass"), 6).alias(
+            "skew_vs_uniform"
+        ),
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.6  # containment >= jaccard, so this widens q25
 
 
@@ -1609,6 +1676,7 @@ QUERIES = {
     "q288_minhash_recall_audit": q288_minhash_recall_audit,
     "q290_minhash_sizing_tuner": q290_minhash_sizing_tuner,
     "q294_simhash_recall_audit": q294_simhash_recall_audit,
+    "q295_simhash_bucket_skew": q295_simhash_bucket_skew,
     "q123_containment_dedup": q123_containment_dedup,
     "q141_dedup_savings": q141_dedup_savings,
     "q149_prefix_join": q149_prefix_join,
@@ -2973,6 +3041,25 @@ ORACLE = {
     # derived-width fingerprints WITHOUT banding; found = the banded
     # candidates among them (the verifier applies truth's own hamming
     # rule, so the intersection IS the banded recall).
+    # q295: per-band bucket histogram from the same derived-width
+    # fingerprints; skew = measured sum C(c,2) over the uniform
+    # C(n,2)/2^w (both sides double-divide in the same order).
+    "q295_simhash_bucket_skew": f"""
+        WITH {_SHINGLES_CTE},
+        {_SIMHASH_FPS_CTES},
+        bcnt AS (SELECT band_idx, band_val, COUNT(*) AS c
+                 FROM bands GROUP BY band_idx, band_val)
+        SELECT b.band_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(b.c) AS BIGINT) AS max_bucket,
+               CAST(SUM(b.c * (b.c - 1) // 2) AS BIGINT) AS collision_mass,
+               ROUND(CAST(SUM(b.c * (b.c - 1) // 2) AS BIGINT)
+                     / ((SUM(b.c) * (SUM(b.c) - 1) / 2)
+                        / POWER(2.0, (SELECT w FROM cfg))), 6)
+                   AS skew_vs_uniform
+        FROM bcnt b
+        GROUP BY b.band_idx
+    """,
     "q294_simhash_recall_audit": f"""
         WITH {_SHINGLES_CTE},
         {_SIMHASH_FPS_CTES},
