@@ -2208,39 +2208,6 @@ def simhash_pairs_sql_scaled(max_hamming: int) -> str:
     """
 
 
-def _minhash_band_ctes(n_hashes: int, rows_per_band: int) -> str:
-    """WITH-body fragment (sigs → bands → cand) at a PINNED MinHash
-    depth — mirrors operators/dedup.minhash_band_frame's key layout
-    (md5 over the '|'-joined per-band signature block) for any
-    (n_hashes, rows_per_band); the q290 grid's per-cell banding."""
-    sig_min = ", ".join(
-        f"MIN(md5('{i}' || '§' || shingle)) AS sig{i}"
-        for i in range(n_hashes)
-    )
-    n_bands = n_hashes // rows_per_band
-    band_list = ", ".join(
-        "md5(" + " || '|' || ".join(
-            f"sig{b * rows_per_band + j}" for j in range(rows_per_band)
-        ) + ")"
-        for b in range(n_bands)
-    )
-    return f"""sigs AS (SELECT doc_id, {sig_min} FROM ex GROUP BY doc_id),
-        bands AS (SELECT doc_id, unnest([{band_list}]) AS band_key FROM sigs),
-        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                 FROM bands a JOIN bands b
-                   ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
-
-
-def minhash_cand_sql(n_hashes: int = 8, rows_per_band: int = 2) -> str:
-    """Distinct banded MinHash candidate pairs at a pinned depth — the
-    q290 cost measure (exact twin of minhash_band_candidates)."""
-    return f"""
-        WITH {_SHINGLES_CTE},
-        {_minhash_band_ctes(n_hashes, rows_per_band)}
-        SELECT id1, id2 FROM cand
-    """
-
-
 # q20's marker-cascade prediction as a DuckDB CASE (shared by the q20
 # and q259 oracles)
 _LANGID_CASE = """
