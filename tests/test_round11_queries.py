@@ -277,3 +277,34 @@ def test_simhash_bucket_skew_structure(spark):
         assert 1 <= r.max_bucket <= n
         assert r.collision_mass >= r.max_bucket * (r.max_bucket - 1) // 2
         assert r.skew_vs_uniform > 0
+
+
+def test_stop_bucket_cap_rule_and_subset(spark):
+    """q296: the derived cap is twice the uniform expected occupancy
+    (integer-exact), and capping can only REMOVE pairs — the capped
+    pair set is a strict subset at SF_DIR (the fixture has hot buckets
+    above the cap, so the filter demonstrably fires)."""
+    from weatherapi_data_engineering_project_spark.operators.dedup import (
+        scaled_simhash_band_bits,
+        scaled_stop_bucket_cap,
+    )
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        q28_simhash,
+        q296_simhash_capped,
+    )
+
+    assert scaled_stop_bucket_cap(500, 8) == 4  # 2 * ceil(500/256)
+    assert scaled_stop_bucket_cap(5000, 8) == 40
+    assert scaled_stop_bucket_cap(50_000, 9) == 196
+    assert scaled_stop_bucket_cap(2_000_000_000, 24) == 240
+
+    uncapped = {
+        (r.id1, r.id2, r.hamming)
+        for r in q28_simhash(spark, SF_DIR).collect()
+    }
+    capped = {
+        (r.id1, r.id2, r.hamming)
+        for r in q296_simhash_capped(spark, SF_DIR).collect()
+    }
+    assert capped <= uncapped
+    assert capped and len(capped) < len(uncapped)

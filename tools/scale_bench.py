@@ -276,6 +276,16 @@ def main() -> None:
         "queries": rows,
         "streaming": srows,
     }
+    # focused re-runs (SPARK_GRAFT_SCALE_TARGETS) merge their rows into
+    # an existing artifact instead of clobbering the earlier sweep
+    if (_t_env is not None or _st_env is not None) and os.path.exists(
+        out_path
+    ):
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        prior.setdefault("queries", {}).update(rows)
+        prior.setdefault("streaming", {}).update(srows)
+        result = prior
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps({"written": out_path, "n": len(rows)}))

@@ -96,6 +96,22 @@ def scaled_simhash_band_bits(n_docs: int, floor: int = 8) -> int:
     return max(floor, ceil_log2(n_docs) - 7)
 
 
+def scaled_stop_bucket_cap(n_docs: int, band_bits: int) -> int:
+    """Derived stop-bucket cap for simhash_pairs(max_bucket_size=...):
+    TWICE the uniform expected band-bucket occupancy, 2·⌈n/2^w⌉.
+
+    The width rule bounds candidate mass under ~uniform buckets; the
+    measured skew (BENCH_SCALE_r11::simhash_candidate_mass: 5× the
+    uniform collision mass at 10× docs) concentrates in buckets far
+    above the expectation — band values acting as stopwords of the
+    fingerprint space. Anything past 2× the uniform expectation is,
+    by Poisson tail, dominated by correlated-bit pileup rather than
+    genuine near-dup clusters, and one bucket of size c costs C(c,2)
+    pairs. Integer-exact SQL twin:
+    ``2 * (COUNT(*) + (1 << w) - 1) // (1 << w)``."""
+    return 2 * -(-int(n_docs) // (1 << band_bits))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group by content fingerprint; keep min-id representative.
 
@@ -417,6 +433,7 @@ def simhash_pairs(
     k: int = 3,
     n_bits: int | None = None,
     n_bands: int = N_SIM_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(bits1, bits2) <= max_hamming.
 
@@ -435,6 +452,22 @@ def simhash_pairs(
     failure shape, BENCH_SCALE_r09). The count comes from the memoized
     corpus_row_count, so repeated plan builds over the same lake files
     pay no extra job. Pass n_bits explicitly to pin a width.
+
+    max_bucket_size (opt-in, the stop-bucket cap): drop every
+    (band_idx, band_value) bucket holding more than this many docs
+    from CANDIDATE GENERATION. The width rule sizes for ~uniform
+    buckets, but SimHash band bits on natural text are correlated, so
+    real bucket distributions are skewed — BENCH_SCALE_r11's curve
+    measured 5× the uniform collision mass at 10× docs, concentrated
+    in hot buckets (q295 is the per-corpus instrument). A bucket of
+    size c costs C(c,2) candidate pairs while carrying almost no
+    near-dup signal (its band value is effectively a stopword of the
+    fingerprint space); capping trades those pairs away — a pair
+    dropped from a hot bucket is still found through any of its other
+    n_bands − 1 bands, so recall degrades gracefully rather than
+    cliff-dropping (q296's audit measures the price). Deterministic
+    and oracle-replicable: the cap is a plain filter on the bucket
+    histogram, not sampling.
     """
     if n_bits is None:
         n_bits = n_bands * scaled_simhash_band_bits(corpus_row_count(df))
@@ -446,6 +479,17 @@ def simhash_pairs(
     bands = sigs.select(
         "doc", "bits", F.posexplode(band_arr).alias("band_idx", "band_val")
     )
+    if max_bucket_size is not None:
+        # stop-bucket filter: the keep-list is the bucket histogram
+        # (tiny — one row per occupied bucket), left-semi joined back;
+        # AQE broadcasts it from runtime size
+        keep = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= max_bucket_size)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(keep, ["band_idx", "band_val"], "left_semi")
     a = bands.select(
         F.col("doc").alias("id1"), F.col("bits").alias("bits1"), "band_idx", "band_val"
     )

@@ -295,6 +295,34 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q296_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28 with the STOP-BUCKET cap — the action the q295 skew audit
+    and the r11 candidate-mass curve point at. Hot (band_idx, band_val)
+    buckets above the derived cap 2·⌈n/2^w⌉
+    (dedup.scaled_stop_bucket_cap — twice the uniform expected
+    occupancy) are dropped from candidate generation: a bucket of size
+    c costs C(c,2) pairs while its band value is effectively a
+    stopword of the fingerprint space, and a pair dropped there is
+    still found through any of its other 3 bands, so recall degrades
+    gracefully (the q28-vs-q296 diff at any scale IS the price — pairs
+    whose EVERY matching band is hot). Deterministic and
+    oracle-replicable: the cap is a filter on the bucket histogram,
+    not sampling."""
+    from ..operators.dedup import (
+        scaled_simhash_band_bits,
+        scaled_stop_bucket_cap,
+    )
+    from ..operators.similarity import corpus_row_count
+
+    d = load_table(spark, sf_dir, "documents")
+    n = corpus_row_count(d)
+    w = scaled_simhash_band_bits(n)
+    return DD.simhash_pairs(
+        d, "text", "doc_id", max_hamming=6,
+        max_bucket_size=scaled_stop_bucket_cap(n, w),
+    )
+
+
 def q294_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding recall audit — q287/q288's third sibling (those
     price sign-LSH and MinHash banding; SimHash's recall price was the
@@ -1677,6 +1705,7 @@ QUERIES = {
     "q290_minhash_sizing_tuner": q290_minhash_sizing_tuner,
     "q294_simhash_recall_audit": q294_simhash_recall_audit,
     "q295_simhash_bucket_skew": q295_simhash_bucket_skew,
+    "q296_simhash_capped": q296_simhash_capped,
     "q123_containment_dedup": q123_containment_dedup,
     "q141_dedup_savings": q141_dedup_savings,
     "q149_prefix_join": q149_prefix_join,
@@ -2192,16 +2221,40 @@ _SIMHASH_FPS_CTES = f"""cfg AS (SELECT GREATEST(8, LENGTH(bin(GREATEST(COUNT(*),
                   AND a.doc_id < b.doc_id)"""
 
 
-def simhash_pairs_sql_scaled(max_hamming: int) -> str:
+def simhash_pairs_sql_scaled(max_hamming: int, capped: bool = False) -> str:
     """q28's oracle at the COUNT(*)-derived width — the
-    signlsh_pairs_sql_scaled recipe over _SIMHASH_FPS_CTES."""
+    signlsh_pairs_sql_scaled recipe over _SIMHASH_FPS_CTES. With
+    ``capped``, candidates route through the stop-bucket filter at the
+    derived cap 2·⌈n/2^w⌉ (dedup.scaled_stop_bucket_cap's integer
+    twin) — the q296 variant."""
+    cand_src = "cand"
+    cap_ctes = ""
+    if capped:
+        cand_src = "candc"
+        cap_ctes = """,
+        capv AS (SELECT 2 * ((SELECT COUNT(*) FROM documents)
+                             + (1 << w) - 1) // (1 << w) AS cap
+                 FROM cfg),
+        keep AS (SELECT b.band_idx, b.band_val
+                 FROM (SELECT band_idx, band_val, COUNT(*) AS c
+                       FROM bands GROUP BY band_idx, band_val) b
+                 CROSS JOIN capv
+                 WHERE b.c <= capv.cap),
+        kept AS (SELECT f.doc_id, f.band_idx, f.band_val
+                 FROM bands f
+                 JOIN keep k ON k.band_idx = f.band_idx
+                            AND k.band_val = f.band_val),
+        candc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                  FROM kept a JOIN kept b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id)"""
     return f"""
         WITH {_SHINGLES_CTE},
-        {_SIMHASH_FPS_CTES}
+        {_SIMHASH_FPS_CTES}{cap_ctes}
         SELECT id1, id2, hamming FROM (
             SELECT c.id1, c.id2,
                    CAST(hamming(x.bits, y.bits) AS INTEGER) AS hamming
-            FROM cand c
+            FROM {cand_src} c
             JOIN fps x ON x.doc_id = c.id1
             JOIN fps y ON y.doc_id = c.id2)
         WHERE hamming <= {max_hamming}
@@ -3004,6 +3057,7 @@ ORACLE = {
         FROM f
     """,
     "q28_simhash": simhash_pairs_sql_scaled(6),
+    "q296_simhash_capped": simhash_pairs_sql_scaled(6, capped=True),
     # q294: probe-bounded truth = all hamming<=6 pairs over the SAME
     # derived-width fingerprints WITHOUT banding; found = the banded
     # candidates among them (the verifier applies truth's own hamming
