@@ -108,7 +108,9 @@ def scaled_stop_bucket_cap(n_docs: int, band_bits: int) -> int:
     by Poisson tail, dominated by correlated-bit pileup rather than
     genuine near-dup clusters, and one bucket of size c costs C(c,2)
     pairs. Integer-exact SQL twin:
-    ``2 * (COUNT(*) + (1 << w) - 1) // (1 << w)``."""
+    ``2 * ((COUNT(*) + (1 << w) - 1) // (1 << w))`` (the inner
+    parens matter: ``*`` and ``//`` are same-precedence left-assoc in
+    SQL)."""
     return 2 * -(-int(n_docs) // (1 << band_bits))
 
 

@@ -2232,8 +2232,8 @@ def simhash_pairs_sql_scaled(max_hamming: int, capped: bool = False) -> str:
     if capped:
         cand_src = "candc"
         cap_ctes = """,
-        capv AS (SELECT 2 * ((SELECT COUNT(*) FROM documents)
-                             + (1 << w) - 1) // (1 << w) AS cap
+        capv AS (SELECT 2 * (((SELECT COUNT(*) FROM documents)
+                              + (1 << w) - 1) // (1 << w)) AS cap
                  FROM cfg),
         keep AS (SELECT b.band_idx, b.band_val
                  FROM (SELECT band_idx, band_val, COUNT(*) AS c
