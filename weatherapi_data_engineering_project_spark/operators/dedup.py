@@ -482,9 +482,13 @@ def simhash_pairs(
         "doc", "bits", F.posexplode(band_arr).alias("band_idx", "band_val")
     )
     if max_bucket_size is not None:
-        # stop-bucket filter: the keep-list is the bucket histogram
-        # (tiny — one row per occupied bucket), left-semi joined back;
-        # AQE broadcasts it from runtime size
+        # stop-bucket filter: the keep-list is the bucket HISTOGRAM
+        # (one row per occupied bucket — broadcast-tiny at sampling
+        # scale; at the 2e9-doc design point it is up to
+        # n_bands * 2^w ≈ 6.7e7 rows, where the unhinted left-semi
+        # join is an ordinary co-partitioned shuffle on the same
+        # (band_idx, band_val) key the candidate join shuffles on
+        # anyway — AQE picks broadcast vs shuffle from runtime size)
         keep = (
             bands.groupBy("band_idx", "band_val")
             .agg(F.count(F.lit(1)).alias("c"))
