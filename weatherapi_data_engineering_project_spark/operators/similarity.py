@@ -301,6 +301,7 @@ def signlsh_band_candidates(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Banded sign-LSH candidate pairs (id1 < id2), NOT deduped.
 
@@ -311,11 +312,23 @@ def signlsh_band_candidates(
     duplicate — the final distinct runs on the survivors only.
     Measured 2x faster at bench scale. Audit consumers (q289) that
     need the true candidate COUNT apply their own distinct on this
-    (bucket-bounded) frame."""
+    (bucket-bounded) frame.
+
+    ``buckets`` (optional): a precomputed (id_col, bucket) frame whose
+    bucket string is AT LEAST n_bands·band_bits chars — hyperplanes
+    are indexed 0..bit, so a wider bucket's prefix IS the narrower
+    bucket bit-for-bit. Grid callers (q289) compute ONE projection at
+    the widest config and slice per cell instead of paying the
+    per-row decimal dot products once per width — at the 2e9-row
+    design point that is |grid| − 1 corpus passes saved."""
     n_bits = n_bands * band_bits
-    # buckets are tiny (one short string per vector) and feed BOTH sides
-    # of the self-join — cache so the projection runs once, not twice
-    buckets = persist_tracked(signlsh_buckets(embeddings, n_bits, id_col, vec_col))
+    if buckets is None:
+        # buckets are tiny (one short string per vector) and feed BOTH
+        # sides of the self-join — cache so the projection runs once,
+        # not twice
+        buckets = persist_tracked(
+            signlsh_buckets(embeddings, n_bits, id_col, vec_col)
+        )
     band_arr = F.array(
         *[F.substring("bucket", b * band_bits + 1, band_bits) for b in range(n_bands)]
     )

@@ -553,12 +553,20 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("id1", "id2")
     )
+    # ONE projection at the widest config, sliced per cell (hyperplane
+    # bits are index-stable, so the wide bucket's prefix IS each
+    # narrower config's bucket) — saves |grid|−1 full corpus passes
+    shared_buckets = persist_tracked(
+        SIM.signlsh_buckets(e, 4 * grid_bits[-1])
+    )
     rows = []
     for bits in grid_bits:
         # one banding per config: the persisted candidate frame feeds
         # both the cost count and the verifier (candidates= passthrough)
         cands = persist_tracked(
-            SIM.signlsh_band_candidates(e, n_bands=4, band_bits=bits)
+            SIM.signlsh_band_candidates(
+                e, n_bands=4, band_bits=bits, buckets=shared_buckets
+            )
         )
         n_cand = cands.distinct().agg(
             F.count(F.lit(1)).alias("n_candidates")

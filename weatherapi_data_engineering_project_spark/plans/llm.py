@@ -228,12 +228,20 @@ def q290_minhash_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = persist_tracked(
         inter.filter(5 * F.col("inter") >= 2 * u).select("id1", "id2")
     )
+    # ONE signature aggregation at the deepest config (hash indices are
+    # depth-stable: depth r bands over sig0..sig(4r−1), a column subset
+    # of the max-depth signatures) — saves |grid|−1 min-agg passes over
+    # the exploded shingles
+    sigs_max = persist_tracked(
+        DD.minhash_signatures_from_shingles(ex, 4 * grid_depths[-1])
+    )
     rows = []
     for r in grid_depths:
         n_hashes = 4 * r
-        sigs = DD.minhash_signatures_from_shingles(ex, n_hashes)
         cands = persist_tracked(
-            DD.minhash_band_candidates(sigs, n_bands=4, n_hashes=n_hashes)
+            DD.minhash_band_candidates(
+                sigs_max, n_bands=4, n_hashes=n_hashes
+            )
         )
         n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
         found = cands.filter(F.col("id1") < 64).select(
