@@ -458,11 +458,18 @@ def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("id1", "id2", band.alias("cos_band"))
     )
+    # one projection at the wider config; the 32-bit bucket's prefix IS
+    # the 16-bit config's bucket (the q289 shared-projection pattern)
+    shared_buckets = persist_tracked(SIM.signlsh_buckets(e, 4 * 8))
     outs = []
     for bits in (4, 8):
+        cands = SIM.signlsh_band_candidates(
+            e, n_bands=4, band_bits=bits, buckets=shared_buckets
+        )
         found = (
             SIM.cosine_neardup_pairs(
-                e, threshold=0.35, n_bands=4, band_bits=bits
+                e, threshold=0.35, n_bands=4, band_bits=bits,
+                candidates=cands,
             )
             .filter(F.col("id1") < 64)
             .select("id1", "id2", F.lit(1).alias("hit"))
