@@ -1223,7 +1223,7 @@ def ivfpq_topk(
 def signlsh_topk(
     embeddings: DataFrame,
     k: int = 3,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     max_query_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1232,7 +1232,19 @@ def signlsh_topk(
 
     Returns (query_id, vec_id, cosine, rn ≤ k). ``max_query_id`` bounds
     the query set (for tests/oracle); None means all-vs-bucket.
-    """
+
+    n_bits=None derives the bucket width from the corpus:
+    max(8, ⌈log2 n⌉ − 7), i.e. expected bucket occupancy ≤ 128 — the
+    same rule as the banded paths (a pinned 8-bit bucket holds n/256
+    vectors forever, so per-query candidate work grows linearly with
+    the corpus; 2·10⁹ vectors derive 24 bits ≈ 119/bucket). The
+    recall trade of a narrower bucket at scale is inherent to
+    single-bucket ANN — IVF (q30/q60/q73) is the tunable-recall scale
+    path; this is the baseline it is judged against. The floor keeps
+    every corpus up to 2^15 vectors on the historical 8-bit bucket,
+    and the SQL twin derives the same width from COUNT(*)."""
+    if n_bits is None:
+        n_bits = scaled_band_bits(corpus_row_count(embeddings), floor=8)
     buckets = signlsh_buckets(embeddings, n_bits, id_col, vec_col)
 
     qb = buckets.select(F.col(id_col).alias("qid"), "bucket")

@@ -766,9 +766,12 @@ def q222_dimension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q27_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: top-3 same-bucket neighbors for queries
-    vec_id < 20 (deterministic md5 hyperplanes)."""
+    vec_id < 20 (deterministic md5 hyperplanes). Bucket width is
+    CORPUS-DERIVED (r11: max(8, ⌈log2 n⌉ − 7), occupancy ≤ 128 — a
+    pinned 8-bit bucket makes per-query candidate work linear in the
+    corpus); the oracle derives the same width from COUNT(*)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.signlsh_topk(e, k=3, n_bits=8, max_query_id=20)
+    return SIM.signlsh_topk(e, k=3, max_query_id=20)
 
 
 def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2898,22 +2901,27 @@ ORACLE = {
             FROM scored)
         WHERE rn <= 10
     """,
+    # q27: bucket width derived from COUNT(*) exactly as
+    # similarity.signlsh_topk derives it (max(8, ceil_log2(n) - 7));
+    # width-independent formulation — bit dimension + string_agg
+    # fingerprint (the signlsh_pairs_sql_scaled recipe).
     "q27_ann_signlsh": """
-        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                          CAST(unnest(embedding) AS DOUBLE) AS v
-                   FROM embeddings),
+        WITH cfg AS (SELECT GREATEST(8, LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) - 7)
+                                AS nb
+                     FROM embeddings),
+        e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+        bits AS (SELECT unnest(range(0, nb)) AS bit FROM cfg),
         proj AS (SELECT vec_id, bit,
                         SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
                                        THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
-                 FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS bit)
+                 FROM e CROSS JOIN bits
                  GROUP BY vec_id, bit),
         buckets AS (SELECT vec_id,
-                           MAX(CASE WHEN bit = 0 THEN b END) || MAX(CASE WHEN bit = 1 THEN b END)
-                        || MAX(CASE WHEN bit = 2 THEN b END) || MAX(CASE WHEN bit = 3 THEN b END)
-                        || MAX(CASE WHEN bit = 4 THEN b END) || MAX(CASE WHEN bit = 5 THEN b END)
-                        || MAX(CASE WHEN bit = 6 THEN b END) || MAX(CASE WHEN bit = 7 THEN b END)
-                               AS bucket
-                    FROM (SELECT vec_id, bit, CASE WHEN p >= 0 THEN '1' ELSE '0' END AS b FROM proj)
+                           string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END,
+                                      '' ORDER BY bit) AS bucket
+                    FROM proj
                     GROUP BY vec_id),
         cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
                  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
