@@ -1756,16 +1756,6 @@ QUERIES = {
 
 _SIM_BAND_IDX = ", ".join(str(b) for b in range(DD.N_SIM_BANDS))
 
-# 16-bit sign-LSH bucket (4 bands × 4 bits) — same md5 hyperplanes as
-# signlsh_buckets; bucket string assembled bit 0 .. bit 15.
-_NEARDUP_BITS = 16
-_ND_BUCKET = " || ".join(
-    f"MAX(CASE WHEN bit = {i} THEN b END)" for i in range(_NEARDUP_BITS)
-)
-_ND_BAND_VALS = ", ".join(
-    f"substr(bucket, {b * 4 + 1}, 4)" for b in range(4)
-)
-
 _SCORE = (
     "ROUND(CAST(CAST({dot} AS DECIMAL(30,12)) AS DOUBLE)"
     " / (sqrt(CAST(CAST({n1} AS DECIMAL(30,12)) AS DOUBLE))"
@@ -1976,46 +1966,6 @@ _CLUSTER_CTES = f"""
             SELECT e.a, reach.x FROM e JOIN reach ON reach.id = e.b),
         l4 AS (SELECT id, MIN(x) AS rep FROM reach GROUP BY id)"""
 
-# Banded sign-LSH near-dup pair SQL, shared by q29/q154/q157 — the
-# verify threshold is the only free parameter (candidates are
-# threshold-independent), injected via .format on the post-f-string.
-_Q29_SQL_TMPL = f"""
-        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                          CAST(unnest(embedding) AS DOUBLE) AS v
-                   FROM embeddings),
-        proj AS (SELECT vec_id, bit,
-                        SUM(CAST((CASE WHEN substr(md5(bit || '_' || pos), 1, 1) >= '8'
-                                       THEN 1.0 ELSE -1.0 END) * v AS DECIMAL(38,25))) AS p
-                 FROM e CROSS JOIN (SELECT unnest(range(0, {_NEARDUP_BITS})) AS bit)
-                 GROUP BY vec_id, bit),
-        buckets AS (SELECT vec_id, {_ND_BUCKET} AS bucket
-                    FROM (SELECT vec_id, bit,
-                                 CASE WHEN p >= 0 THEN '1' ELSE '0' END AS b FROM proj)
-                    GROUP BY vec_id),
-        bands AS (SELECT vec_id, unnest([{_ND_BAND_VALS}]) AS band_val,
-                         unnest([0, 1, 2, 3]) AS band_idx
-                  FROM buckets),
-        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-                 FROM bands a JOIN bands b
-                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                  AND a.vec_id < b.vec_id),
-        norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
-                  FROM e GROUP BY vec_id),
-        dots AS (SELECT c.id1, c.id2, SUM(CAST(ae.v * be.v AS DECIMAL(38,25))) AS dot
-                 FROM cand c
-                 JOIN e ae ON ae.vec_id = c.id1
-                 JOIN e be ON be.vec_id = c.id2 AND be.pos = ae.pos
-                 GROUP BY c.id1, c.id2)
-        SELECT id1, id2, cosine FROM (
-            SELECT d.id1, d.id2,
-                   {_SCORE.format(dot="d.dot", n1="na.n2", n2="nb.n2")} AS cosine
-            FROM dots d
-            JOIN norms na ON na.vec_id = d.id1
-            JOIN norms nb ON nb.vec_id = d.id2)
-        WHERE cosine >= {{threshold}}
-    """
-
-_Q29_SQL = _Q29_SQL_TMPL.format(threshold="0.4")
 
 
 def _signlsh_band_ctes(n_bits: int, band_bits: int) -> str:
@@ -2074,8 +2024,8 @@ def signlsh_pairs_sql(
     raises band_bits with log n). Emits the same deterministic
     md5-hyperplane banding as operators/similarity.signlsh_buckets for
     any (n_bits, band_bits), so a wider-band Spark query keeps an
-    exact DuckDB twin (q286). The default arguments reproduce
-    _Q29_SQL's 16-bit/4-band text modulo this function's formatting."""
+    exact DuckDB twin (q286). The default arguments reproduce the
+    historical 16-bit/4-band formulation."""
     return f"""
         WITH {_signlsh_band_ctes(n_bits, band_bits)},
         norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
