@@ -1,0 +1,226 @@
+"""Round-12 unit tests: ADVICE r11 hardening (the JVM
+deterministic-flag walk behind corpus_row_count's memo guard, the
+integer-exact q295 collision mass) plus the salted-block fingerprint
+prefix-stability property (VERDICT r11 #6) and the corpus-derived IVF
+geometry (VERDICT r11 #1 — the round's `weak`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+
+
+def test_count_memo_rejects_asnondeterministic_udf(spark):
+    """ADVICE r11 #4: the memo guard must catch non-deterministic
+    sources whose printed plan lacks the rand()/uuid() tokens — a
+    Python UDF marked asNondeterministic() is the canonical case. The
+    JVM walk reads Catalyst's own Expression.deterministic flag, so
+    such a frame is never memoized (two calls = two count jobs, and a
+    mutated in-memory view can't serve a stale count)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        _COUNT_MEMO,
+        _plan_has_nondeterministic,
+        corpus_row_count,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    udf = F.udf(lambda: 1, IntegerType()).asNondeterministic()
+    tainted = d.withColumn("u", udf()).filter(F.col("u") >= 0)
+
+    jp = tainted._jdf.queryExecution().analyzed()
+    txt = jp.toString().lower()
+    tokens = (
+        "rand(", "randn(", "uuid()", "shuffle(",
+        "monotonically_increasing_id",
+    )
+    # precondition: the token probe alone genuinely misses this plan
+    assert not any(t in txt for t in tokens)
+    assert _plan_has_nondeterministic(jp)
+
+    size_before = len(_COUNT_MEMO)
+    assert corpus_row_count(tainted) == d.count()
+    assert len(_COUNT_MEMO) == size_before, "non-deterministic plan memoized"
+
+    # and the deterministic sibling still memoizes (guard is not
+    # over-broad): same files, pure-function filter
+    clean = d.filter(F.length("text") >= 0)
+    n1 = corpus_row_count(clean)
+    size_mid = len(_COUNT_MEMO)
+    assert corpus_row_count(clean) == n1
+    assert len(_COUNT_MEMO) == size_mid
+
+
+# --- corpus-derived IVF geometry (VERDICT r11 #1) -------------------
+
+
+def test_scaled_ivf_geometry_rule_points():
+    """log2(nlist) = max(4, ⌈⌈log2 n⌉/2⌉ − 4): the 16-list floor holds
+    exactly through 2^16 vectors (every historical corpus runs 16/2
+    bit-identically), √n-class lists beyond; n_probe = max(2,
+    log2(nlist) − 2) grows logarithmically so probed rows/query are
+    O(√n·log n), not the pinned geometry's n/8."""
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        scaled_ivf_nlist,
+        scaled_ivf_nprobe,
+    )
+
+    # floor plateau, boundary, and beyond
+    assert scaled_ivf_nlist(2) == 16
+    assert scaled_ivf_nlist(500) == 16    # sf0.001/sf0.01 embeddings
+    assert scaled_ivf_nlist(2_000) == 16  # sf0.1 embeddings
+    assert scaled_ivf_nlist(65_536) == 16  # last floor corpus
+    assert scaled_ivf_nlist(65_537) == 32
+    assert scaled_ivf_nlist(5_000_000) == 256
+    assert scaled_ivf_nlist(2_000_000_000) == 4096  # the 100 TB point
+    assert scaled_ivf_nprobe(16) == 2  # floor → the historical probe 2
+    assert scaled_ivf_nprobe(32) == 3
+    assert scaled_ivf_nprobe(4096) == 10
+    # probed fraction shrinks monotonically above the floor:
+    # n_probe/nlist at 2e9 = 10/4096 ≈ 0.24%, vs the pinned 2/16=12.5%
+    assert 10 / 4096 < 2 / 16 / 10
+
+
+def test_ivf_cfg_sql_twin_matches_python_rule():
+    """The oracle's ivfcfg CTE (plans/llm._IVF_CFG_CTE) must derive the
+    SAME nlist/np as the Python rule at ANY corpus size — sweep n
+    across the floor boundary, decade points, and powers of two, and
+    evaluate the exact SQL arithmetic in DuckDB over a synthetic
+    n-row relation."""
+    import duckdb
+
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        scaled_ivf_nlist,
+        scaled_ivf_nprobe,
+    )
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        _IVF_LOG2_NLIST_SQL,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 2, 3, 16, 255, 256, 257, 500, 2_000, 65_535, 65_536,
+              65_537, 131_072, 131_073, 10**6, 5 * 10**6, 10**8,
+              2 * 10**9):
+        # COUNT(*) over an n-row relation = the oracle's exact idiom
+        # (range() keeps the sweep instant even at n=2e9: DuckDB
+        # computes the count from the range bounds)
+        expr = _IVF_LOG2_NLIST_SQL.replace(
+            "COUNT(*)", f"(SELECT COUNT(*) FROM range({n}))"
+        )
+        nlist_sql, np_sql = con.execute(
+            f"SELECT (1 << {expr}), GREATEST(2, {expr} - 2)"
+        ).fetchone()
+        assert nlist_sql == scaled_ivf_nlist(n), n
+        assert np_sql == scaled_ivf_nprobe(int(nlist_sql)), n
+
+
+def test_ivf_derived_defaults_match_explicit_floor(spark):
+    """Wiring proof at test scale: ivf_topk / ivf_topk_kmeans /
+    ivfpq_topk with derived (None) geometry return EXACTLY the pinned
+    16/2 results — the floor guarantee the oracles rely on."""
+    from weatherapi_data_engineering_project_spark.operators import (
+        similarity as SIM,
+    )
+    from weatherapi_data_engineering_project_spark.schemas import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = sorted(map(tuple, SIM.ivf_topk(e, k=3, max_query_id=10).collect()))
+    want = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(
+                e, n_centroids=16, n_probe=2, k=3, max_query_id=10
+            ).collect(),
+        )
+    )
+    assert got == want
+    got_pq = sorted(
+        map(tuple, SIM.ivfpq_topk(e, query_id=0, k=5).collect())
+    )
+    want_pq = sorted(
+        map(
+            tuple,
+            SIM.ivfpq_topk(
+                e, query_id=0, k=5, n_centroids=16, n_probe=2
+            ).collect(),
+        )
+    )
+    assert got_pq == want_pq
+
+
+def test_ivf_derived_geometry_above_floor(spark):
+    """Above the floor the derived geometry must actually engage: a
+    synthetic 70k-vector corpus (> 2^16) derives nlist=32 / np=2, and
+    ivf_topk with derived defaults equals ivf_topk explicitly pinned
+    at those derived values — proving the derivation reaches the
+    centroid selection and the probe slice, not just the docstring."""
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.operators import (
+        similarity as SIM,
+    )
+
+    n = 70_000
+    assert SIM.scaled_ivf_nlist(n) == 32
+    # deterministic dim-4 vectors, spread across partitions
+    e = (
+        spark.range(0, n, 1, 8)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        (F.col("id") * (i + 3) % 97).cast("float") / 97.0
+                        - 0.5
+                    )
+                    for i in range(4)
+                ]
+            ).alias("embedding"),
+        )
+    )
+    got = sorted(
+        map(tuple, SIM.ivf_topk(e, k=2, max_query_id=5).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(
+                e, n_centroids=32, n_probe=2, k=2, max_query_id=5
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_sizing_tuner_mechanics(spark):
+    """q297's measured-winner mechanics at the floor corpus: the grid
+    is {16, 32} (the halved cell collapses into the floor), derived
+    marks the rule's 16/2 cell, exactly one cell is chosen, and —
+    since neither cell clears the 0.9 ANN floor under the
+    deterministic quantizer at this corpus — the winner is the
+    max-recall cell (the honest fallback), with candidate volume
+    strictly SMALLER at the wider cell (finer lists = fewer rows per
+    probe, the whole point of deriving nlist)."""
+    from weatherapi_data_engineering_project_spark.plans.corpus import (
+        q297_ivf_sizing_tuner,
+    )
+
+    rows = {
+        r["config"]: r
+        for r in q297_ivf_sizing_tuner(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"ivf16x2", "ivf32x3"}
+    assert rows["ivf16x2"]["derived"] == 1
+    assert rows["ivf32x3"]["derived"] == 0
+    assert sum(r["chosen"] for r in rows.values()) == 1
+    assert all(r["meets_floor"] == 0 for r in rows.values())
+    best = max(rows.values(), key=lambda r: r["recall"])
+    assert best["chosen"] == 1
+    assert (
+        rows["ivf32x3"]["n_candidates"] < rows["ivf16x2"]["n_candidates"]
+    )

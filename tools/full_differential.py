@@ -104,6 +104,15 @@ def main() -> int:
         q for q in os.environ.get("SPARK_GRAFT_DIFF_ONLY", "").split(",")
         if q
     ]
+    # Fail fast on names the registry doesn't know: a typo'd list would
+    # otherwise run zero queries, rewrite the artifact unchanged, and
+    # exit as a pass — silently no-op'ing the focused re-run protocol
+    # (ADVICE r11 #3).
+    unknown = sorted(set(only) - set(queries))
+    if unknown:
+        print(f"SPARK_GRAFT_DIFF_ONLY names not in registry: {unknown}")
+        print(f"RESULT: BAD_ONLY ({len(unknown)} unknown)")
+        sys.exit(2)
     names = [q for q in sorted(queries) if not only or q in only]
     for qi, name in enumerate(names):
         if qi and qi % _SESSION_SPAN == 0:

@@ -135,9 +135,87 @@ def scaled_band_bits(n_rows: int, floor: int = 4) -> int:
     return max(floor, ceil_log2(n_rows) - _LSH_TARGET_LOG2)
 
 
+# IVF geometry floor: 16 lists / 2 probes — the historical defaults,
+# held exactly through 2^16 = 65,536 vectors so every test-scale corpus
+# (and every pre-round-12 result) is bit-identical (the q27/q28 floor
+# discipline).
+_IVF_FLOOR_LOG2_NLIST = 4
+_IVF_FLOOR_NPROBE = 2
+
+
+def scaled_ivf_nlist(n_rows: int) -> int:
+    """Corpus-derived IVF list count (VERDICT r11 #1 — the last pinned
+    sizing surface on the ANN path):
+
+        log2(nlist) = max(4, ⌈⌈log2 n⌉ / 2⌉ − 4)
+        i.e. nlist ≈ √n / 16 above the floor (occupancy ~16·√n).
+
+    Why the √n CLASS and not constant occupancy (nlist ∝ n, which
+    would make probed rows/query exactly flat like q27's single-bucket
+    width): the coarse quantizer is TRAINED — Lloyd's cost is
+    n·nlist·iters distance folds, so nlist ∝ n is O(n²) training and
+    never ships at 2·10⁹ vectors, while nlist ∝ √n keeps training
+    O(n^1.5) row-local folds (the FAISS nlist guidance). The −4 shift
+    pins the historical 16-list floor through 2^16 vectors; beyond it
+    the pinned geometry's probe work was n·(n_probe/nlist) = n/8 per
+    query — LINEAR in the corpus (the q27 shape) — versus
+    ~n_probe·16·√n here: 2·10⁹ vectors probe ~5·10⁶ rows/query
+    (0.24 %) instead of 2.5·10⁸ (12.5 %).
+
+    SQL twin (_IVF oracle cfg, plans/llm.py): nlist = 1 <<
+    GREATEST(4, (((LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) + 1) // 2)
+    - 4)) — same integer arithmetic, derived from COUNT(*) at oracle
+    runtime, so engine and oracle agree at ANY corpus size."""
+    return 1 << max(_IVF_FLOOR_LOG2_NLIST, (ceil_log2(n_rows) + 1) // 2 - 4)
+
+
+def scaled_ivf_nprobe(nlist: int) -> int:
+    """Probe count scaled with the derived list count:
+
+        n_probe = max(2, log2(nlist) − 2)
+
+    Fixed n_probe at growing nlist shrinks the probed corpus fraction
+    as 1/√n and the recall class with it; a fixed probe FRACTION
+    (n_probe/nlist = 1/8) restores the pinned geometry's linear
+    per-query work. Logarithmic growth is the standard middle ground:
+    probed rows/query = n_probe·n/nlist ≈ (½·log2 n − 6)·16·√n —
+    O(√n·log n), still ~3.5× per decade versus the pinned geometry's
+    exact 10×. At the 16-list floor this is exactly the historical 2,
+    so every floor corpus is bit-identical. Recall per config is
+    priced by the q103 audit and the q297 sizing tuner."""
+    return max(_IVF_FLOOR_NPROBE, nlist.bit_length() - 1 - 2)
+
+
 # (semantic plan hash, sorted scan file list) → row count. See
 # corpus_row_count.
 _COUNT_MEMO: dict[tuple, int] = {}
+
+
+def _plan_has_nondeterministic(jplan) -> bool:
+    """True if any node in the analyzed plan tree carries a
+    non-deterministic expression, per Catalyst's own
+    ``QueryPlan.deterministic`` flag (each node's flag folds over its
+    expressions' ``Expression.deterministic``).
+
+    This is the authoritative check the textual token probe
+    approximates: it also catches sources whose printed form lacks the
+    rand()/uuid() tokens — e.g. Python UDFs registered with
+    ``asNondeterministic()`` — which would otherwise memoize a stale
+    count (ADVICE r11 #4). The token probe stays as a fallback for
+    py4j surface drift; a walk failure returns False so behavior
+    degrades to the pre-existing probe, never to a crash."""
+    try:
+        stack = [jplan]
+        while stack:
+            node = stack.pop()
+            if not node.deterministic():
+                return True
+            kids = node.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+    except Exception:  # pragma: no cover — py4j surface drift
+        return False
+    return False
 
 
 def corpus_row_count(df: DataFrame) -> int:
@@ -167,9 +245,10 @@ def corpus_row_count(df: DataFrame) -> int:
         # textual probe for the standard non-deterministic expression
         # families; .analyzed() prints them with these exact tokens
         plan_txt = analyzed.toString().lower()
+        nondet = _plan_has_nondeterministic(analyzed)
     except Exception:  # pragma: no cover — py4j surface drift
-        files, sem, plan_txt = (), None, ""
-    if not files or any(
+        files, sem, plan_txt, nondet = (), None, "", False
+    if not files or nondet or any(
         tok in plan_txt
         for tok in (
             "rand(", "randn(", "uuid()", "shuffle(",
@@ -428,7 +507,7 @@ _KMEANS_MAX_LITERAL_TERMS = 131_072
 
 def kmeans_centroids(
     embeddings: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -471,6 +550,8 @@ def kmeans_centroids(
 
     import numpy as np
 
+    if k is None:
+        k = scaled_ivf_nlist(corpus_row_count(embeddings))
     spark = embeddings.sparkSession
     corpus = persist_tracked(
         _ensure_parallelism(embeddings).select(
@@ -569,16 +650,22 @@ def kmeans_centroids(
 
 def ivf_topk_kmeans(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_iters: int = 3,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     k: int = 3,
     max_query_id: int | None = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Production IVF: Lloyd's-refined centroids + the standard probe/
-    re-rank plan of ``ivf_topk``. Same output contract as ivf_topk."""
+    re-rank plan of ``ivf_topk``. Same output contract as ivf_topk.
+    ``None`` geometry derives from the corpus (scaled_ivf_nlist /
+    scaled_ivf_nprobe — 16/2 through 2^16 vectors)."""
+    if n_centroids is None:
+        n_centroids = scaled_ivf_nlist(corpus_row_count(embeddings))
+    if n_probe is None:
+        n_probe = scaled_ivf_nprobe(n_centroids)
     cents = kmeans_centroids(embeddings, n_centroids, n_iters, id_col, vec_col)
     return ivf_topk(
         embeddings,
@@ -608,7 +695,7 @@ _DA_DEC = "CAST(da AS DECIMAL(18,6))"
 
 def centroid_silhouette(
     embeddings: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -766,14 +853,15 @@ def _probe_lists(
 
 def ivf_topk(
     embeddings: DataFrame,
-    n_centroids: int = 16,
-    n_probe: int = 2,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     k: int = 3,
     max_query_id: int | None = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     assign_exact: bool = True,
+    quant: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize to centroid lists, probe a few.
 
@@ -811,16 +899,33 @@ def ivf_topk(
     ~5x cheaper; final candidate scores stay decimal-exact) — right for
     production paths; the oracle-matched q30 keeps the exact default so
     its probe lists are engine-reproducible.
+
+    ``n_centroids=None`` / ``n_probe=None`` (the defaults since round
+    12) derive the geometry from the corpus cardinality via
+    ``scaled_ivf_nlist`` / ``scaled_ivf_nprobe`` — 16/2 at every
+    corpus through 2^16 vectors (bit-identical to the historical
+    pinned defaults), √n-class growth beyond. ``quant`` passes a
+    pre-computed (vid, probe_cids) frame (the signlsh ``buckets=``
+    passthrough convention) — the q297 sizing tuner slices ONE widest
+    scoring pass into every grid cell with it.
     """
-    if centroids is None:
-        centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    if quant is None:
+        if n_centroids is None:
+            n_centroids = scaled_ivf_nlist(corpus_row_count(embeddings))
+        if n_probe is None:
+            n_probe = scaled_ivf_nprobe(n_centroids)
+        if centroids is None:
+            centroids = embeddings.filter(
+                F.col(id_col) < n_centroids
+            ).select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+            )
+        quant = persist_tracked(
+            _probe_lists(
+                embeddings, centroids, n_probe, assign_exact, id_col,
+                vec_col,
+            )
         )
-    quant = persist_tracked(
-        _probe_lists(
-            embeddings, centroids, n_probe, assign_exact, id_col, vec_col
-        )
-    )
 
     # assignment == first probe (crn == 1); both read one projection
     assign = quant.select(
@@ -1147,8 +1252,8 @@ def ivfpq_topk(
     embeddings: DataFrame,
     query_id: int = 0,
     k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 2,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     m: int = 4,
     k_sub: int = 16,
     n_iters: int = 2,
@@ -1178,7 +1283,17 @@ def ivfpq_topk(
     centroid-residuals) trades a little recall for a codes table that
     is SHARED with plain PQ retrieval (q73/q74) instead of one per
     coarse list — a documented, SQL-expressible design point.
+
+    ``None`` coarse geometry derives from the corpus
+    (scaled_ivf_nlist / scaled_ivf_nprobe — 16/2 through 2^16
+    vectors). ``m``/``k_sub`` stay pinned by design: they set the PQ
+    code size (m·log2(k_sub) bits/vector — a storage-budget choice,
+    constant per-row work at any corpus), not a per-query occupancy.
     """
+    if n_centroids is None:
+        n_centroids = scaled_ivf_nlist(corpus_row_count(embeddings))
+    if n_probe is None:
+        n_probe = scaled_ivf_nprobe(n_centroids)
     books, codes = pq_codebooks_and_codes(
         embeddings, m, k_sub, n_iters, id_col, vec_col
     )
@@ -1315,7 +1430,7 @@ def _cluster_cells(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_iters: int = 3,
     threshold: float = 0.4,
     max_cluster: int = 4096,

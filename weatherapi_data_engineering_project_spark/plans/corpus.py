@@ -43,7 +43,7 @@ from ..functions import text as TX
 from ..operators import graph as G
 from ..operators import similarity as SIM
 from ..schemas import load_table
-from .llm import _KM_CTES, _SCORE
+from .llm import _IVF_LOG2_NLIST_SQL, _KM_CTES, _SCORE
 
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -136,7 +136,7 @@ def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle so both engines agree whenever it fires). Per-cluster
     accounting output."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(e, n_clusters=16, n_iters=3, threshold=0.4)
+    return SIM.semantic_dedup(e, n_iters=3, threshold=0.4)
 
 
 def q88_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +653,194 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q297_ivf_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF geometry AUTO-TUNER — q289's recipe applied to the round-12
+    corpus-derived nlist/n_probe rule (VERDICT r11 #1): the grid TRACKS
+    the derived list count — {max(16, nlist0/2), nlist0, 2·nlist0}
+    with nlist0 = scaled_ivf_nlist(corpus_row_count), each cell paired
+    with ITS derived probe count scaled_ivf_nprobe(nlist) — so the
+    tuner stays informative at any corpus size (at the 16-list floor
+    the halved cell collapses into the floor and the grid is
+    {16, 32}). For each cell it MEASURES both sides of the IVF trade
+    on this corpus: probe candidate volume (n_candidates — the rows
+    the exact re-rank pays, the term that is n/8 per query FOREVER
+    under the old pinned 16/2) and recall@3 vs exact brute-force truth
+    for the probe query set (vec_id < 64). chosen = the cheapest
+    integer-log2 candidate bucket whose recall clears the 0.9 floor
+    (20·n_found ≥ 18·n_true — the ANN recall class, vs q289's 0.45
+    pair-recall floor), bucket ties to the SMALLER nlist (larger lists
+    probed = more recall margin), max recall if none clears.
+
+    ONE scoring pass trick (the q289/q290 shared-projection pattern,
+    adapted from prefix-stable bits to prefix-nested centroid sets):
+    the deterministic quantizer's centroid set at nlist is ids <
+    nlist, so every cell's centroids are a PREFIX of the widest
+    cell's. _probe_lists runs once at max(grid) with the full sorted
+    centroid ranking per vector; each cell filters its prefix (cid <
+    nlist — array filter keeps score order) and slices its own
+    n_probe. |grid|−1 corpus×centroid scoring passes saved at any
+    scale; results bit-identical to per-cell passes because the
+    filtered array IS the cell's sorted ranking.
+
+    Scale: truth is probe-bounded (64 × N exact scores, never N²);
+    each cell adds one candidate count + a 64-query exact re-rank over
+    probed lists. Measured honesty note: at sf0.01 NEITHER floor cell
+    clears 0.9 with the deterministic (unrefined) quantizer — recall
+    0.52 at 16/2, 0.65 at 32/3 — so chosen falls to max-recall
+    (ivf32x3), one step wider than derived; that gap is exactly the
+    information the tuner exists to surface (quantizer quality, priced
+    separately by q103/q60's Lloyd refinement), and the fallback
+    mechanics are pinned in tests instead of a chosen==derived
+    self-consistency that would misstate the data."""
+    from functools import reduce as _reduce
+
+    from ..caching import persist_tracked
+    from ..operators.similarity import (
+        _dot_arrays,
+        _ensure_parallelism,
+        _norm2_array,
+        _probe_lists,
+        _score,
+        corpus_row_count,
+        scaled_ivf_nlist,
+        scaled_ivf_nprobe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nlist0 = scaled_ivf_nlist(corpus_row_count(e))
+    grid_nlist = sorted({max(16, nlist0 // 2), nlist0, 2 * nlist0})
+    max_nlist = grid_nlist[-1]
+
+    # exact brute-force truth: top-3 per probe query (self excluded)
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            _norm2_array(F.col("embedding")).alias("qn2"),
+        )
+    )
+    cv = _ensure_parallelism(e).select(
+        F.col("vec_id").alias("cid2"),
+        F.col("embedding").alias("cvec"),
+        _norm2_array(F.col("embedding")).alias("cn2"),
+    )
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        F.col("qn2"),
+        F.col("cn2"),
+    )
+    from pyspark.sql.window import Window
+
+    tw = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid2")
+    )
+    truth = persist_tracked(
+        qv.crossJoin(cv)
+        .filter(F.col("qid") != F.col("cid2"))
+        .select("qid", "cid2", cos.alias("cosine"))
+        .withColumn("trn", F.row_number().over(tw))
+        .filter(F.col("trn") <= 3)
+        .select("qid", "cid2")
+    )
+
+    # ONE widest-config quantizer pass: full sorted centroid ranking
+    cent_max = e.filter(F.col("vec_id") < max_nlist).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    quant_full = persist_tracked(
+        _probe_lists(e, cent_max, max_nlist, True, "vec_id", "embedding")
+    )
+
+    rows = []
+    for nlist in grid_nlist:
+        np_ = scaled_ivf_nprobe(nlist)
+        cell_quant = quant_full.select(
+            "vid",
+            F.slice(
+                F.filter(
+                    "probe_cids", lambda c: c < F.lit(nlist)
+                ),
+                1,
+                np_,
+            ).alias("probe_cids"),
+        )
+        # candidate volume the cell's exact re-rank pays: each probe
+        # query's probed lists, self excluded (ivf_topk's cands shape)
+        assign = cell_quant.select(
+            F.col("vid").alias("cand_id"),
+            F.element_at("probe_cids", 1).alias("cid"),
+        )
+        probes = cell_quant.filter(F.col("vid") < 64).select(
+            F.col("vid").alias("qid"), F.explode("probe_cids").alias("cid")
+        )
+        n_cand = (
+            probes.join(assign, on="cid")
+            .filter(F.col("qid") != F.col("cand_id"))
+            .agg(F.count(F.lit(1)).alias("n_candidates"))
+        )
+        ivf = SIM.ivf_topk(e, k=3, max_query_id=64, quant=cell_quant)
+        found = ivf.select(
+            F.col("query_id").alias("qid"),
+            F.col("vec_id").alias("cid2"),
+            F.lit(1).alias("hit"),
+        )
+        counts = truth.join(found, ["qid", "cid2"], "left").agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_found"),
+        )
+        rows.append(
+            counts.crossJoin(F.broadcast(n_cand)).select(
+                F.lit(f"ivf{nlist}x{np_}").alias("config"),
+                F.lit(nlist).alias("nlist"),
+                F.lit(np_).alias("n_probe"),
+                F.lit(1 if nlist == nlist0 else 0).alias("derived"),
+                "n_candidates",
+                "n_true",
+                "n_found",
+                F.round(F.col("n_found") / F.col("n_true"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    grid = _reduce(lambda a, b: a.unionByName(b), rows).select(
+        "*",
+        F.when(20 * F.col("n_found") >= 18 * F.col("n_true"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("meets_floor"),
+    )
+    grid = persist_tracked(grid)
+    winner = (
+        grid.orderBy(
+            F.col("meets_floor").desc(),
+            F.when(
+                F.col("meets_floor") == 1,
+                F.length(F.bin(F.col("n_candidates"))).cast("double"),
+            ).otherwise(-F.col("recall")),
+            F.col("nlist"),
+        )
+        .limit(1)
+        .select(F.col("config").alias("win_config"))
+    )
+    return grid.join(
+        F.broadcast(winner),
+        grid["config"] == F.col("win_config"),
+        "left",
+    ).select(
+        "config",
+        "nlist",
+        "n_probe",
+        "derived",
+        "n_candidates",
+        "n_true",
+        "n_found",
+        "recall",
+        "meets_floor",
+        F.when(F.col("win_config").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("chosen"),
+    )
+
+
 def q94_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q86's ACTIONABLE twin (q72 is to q47 what this is to q86):
     actually remove the cross-document duplicated spans. A token is
@@ -829,7 +1017,7 @@ def q170_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    ivf = SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
+    ivf = SIM.ivf_topk(e, k=3, max_query_id=20)
     qv = F.broadcast(
         e.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("query_id"),
@@ -906,7 +1094,7 @@ def q103_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    ivf = SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
+    ivf = SIM.ivf_topk(e, k=3, max_query_id=20)
     # Both norms are hoisted OUT of the pair expression: in a 20xN
     # cross join each candidate row is scored 20 times and each query
     # N times, so an inline norm would redo the interpreted decimal
@@ -1188,6 +1376,7 @@ QUERIES = {
     "q286_scaled_lsh_contamination": q286_scaled_lsh_contamination,
     "q287_lsh_recall_audit": q287_lsh_recall_audit,
     "q289_lsh_sizing_tuner": q289_lsh_sizing_tuner,
+    "q297_ivf_sizing_tuner": q297_ivf_sizing_tuner,
     "q94_span_scrub": q94_span_scrub,
     "q95_exact_quantiles": q95_exact_quantiles,
     "q103_ann_recall_audit": q103_ann_recall_audit,
@@ -1949,19 +2138,24 @@ ORACLE["q289_lsh_sizing_tuner"] = f"""
               FROM cand c JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2
               GROUP BY c.w),
     ntrue AS (SELECT COUNT(*) AS n_true FROM truth),
-    grid AS (SELECT 'bands4x' || n.w AS config,
-                    CAST(n.w AS INT) AS band_bits,
-                    CASE WHEN n.w = c.bb THEN 1 ELSE 0 END AS derived,
-                    n.n_candidates, t.n_true,
+    -- grid drives from the widths CTE (not ncand), so a config whose
+    -- banding yields ZERO candidates still emits its row with
+    -- n_candidates = 0 — mirroring the engine's counts.crossJoin(n_cand)
+    -- which always materializes all grid cells (ADVICE r11 #1).
+    grid AS (SELECT 'bands4x' || w.w AS config,
+                    CAST(w.w AS INT) AS band_bits,
+                    CASE WHEN w.w = c.bb THEN 1 ELSE 0 END AS derived,
+                    COALESCE(n.n_candidates, 0) AS n_candidates, t.n_true,
                     COALESCE(f.n_found, 0) AS n_found,
                     ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE)
                           / t.n_true, 6) AS recall,
                     CASE WHEN 20 * COALESCE(f.n_found, 0) >= 9 * t.n_true
                          THEN 1 ELSE 0 END AS meets_floor
-             FROM ncand n
+             FROM widths w
              CROSS JOIN ntrue t
              CROSS JOIN cfg c
-             LEFT JOIN found f ON f.w = n.w),
+             LEFT JOIN ncand n ON n.w = w.w
+             LEFT JOIN found f ON f.w = w.w),
     win AS (SELECT config FROM grid
             ORDER BY meets_floor DESC,
                      CASE WHEN meets_floor = 1
@@ -1970,6 +2164,127 @@ ORACLE["q289_lsh_sizing_tuner"] = f"""
                      band_bits
             LIMIT 1)
     SELECT g.config, g.band_bits, g.derived,
+           CAST(g.n_candidates AS BIGINT) AS n_candidates,
+           CAST(g.n_true AS BIGINT) AS n_true,
+           CAST(g.n_found AS BIGINT) AS n_found,
+           g.recall, g.meets_floor,
+           CASE WHEN w.config IS NOT NULL THEN 1 ELSE 0 END AS chosen
+    FROM grid g LEFT JOIN win w ON w.config = g.config
+"""
+
+# q297: the IVF tuner's exact twin. gcfg derives the SAME grid the
+# engine builds — nlist0 = 1 << _IVF_LOG2_NLIST_SQL (the
+# scaled_ivf_nlist twin), cells {GREATEST(16, nlist0//2), nlist0,
+# 2·nlist0} each with np = GREATEST(2, log2(nlist) − 2) (power-of-two
+# nlist, so log2 = LENGTH(bin(nlist−1))) — from COUNT(*) at oracle
+# runtime, so the twin holds at any corpus size. One centroid scoring
+# pass at MAX(nlist) ranked per cell by a (nlist, vid)-partitioned
+# window over cid < nlist — the window-over-subset IS the engine's
+# filtered-prefix slice of its widest sorted array (array filter keeps
+# score order). truth / re-rank reuse the q30 decimal-exact _SCORE.
+# grid drives from gcfg with LEFT JOINs + COALESCE (the ADVICE r11 #1
+# zero-candidates discipline, applied from birth). Winner = ORDER BY
+# ... LIMIT 1 on integer/pre-rounded keys (q197 argmin convention),
+# bucket ties to the SMALLER nlist.
+ORACLE["q297_ivf_sizing_tuner"] = f"""
+    WITH cfg AS (SELECT {_IVF_LOG2_NLIST_SQL} AS l0 FROM embeddings),
+    gcfg AS (SELECT nlist, GREATEST(2, LENGTH(bin(nlist - 1)) - 2) AS np
+             FROM (SELECT DISTINCT
+                          unnest([GREATEST(16, ((1 << l0) // 2)),
+                                  (1 << l0), 2 * (1 << l0)]) AS nlist
+                   FROM cfg)),
+    e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+    norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
+              FROM e GROUP BY vec_id),
+    adots AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
+                     SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
+              FROM e JOIN e c ON c.pos = e.pos
+               AND c.vec_id < (SELECT MAX(nlist) FROM gcfg)
+              GROUP BY e.vec_id, c.vec_id),
+    cscore AS (SELECT a.vid, a.cid,
+                      {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")}
+                          AS cs
+               FROM adots a
+               JOIN norms nv ON nv.vec_id = a.vid
+               JOIN norms nc ON nc.vec_id = a.cid),
+    ranked_cent AS (
+        SELECT g.nlist, g.np, s.vid, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY g.nlist, s.vid
+                                  ORDER BY s.cs DESC, s.cid) AS crn
+        FROM cscore s JOIN gcfg g ON s.cid < g.nlist),
+    assign AS (SELECT nlist, vid AS cand_id, cid
+               FROM ranked_cent WHERE crn = 1),
+    probes AS (SELECT nlist, np, vid AS qid, cid FROM ranked_cent
+               WHERE crn <= np AND vid < 64),
+    cands AS (SELECT p.nlist, p.qid, a.cand_id
+              FROM probes p
+              JOIN assign a ON a.nlist = p.nlist AND a.cid = p.cid
+              WHERE p.qid <> a.cand_id),
+    ncand AS (SELECT nlist, COUNT(*) AS n_candidates
+              FROM cands GROUP BY nlist),
+    tdots AS (SELECT q.vec_id AS qid, c.vec_id AS cid2,
+                     SUM(CAST(q.v * c.v AS DECIMAL(38,25))) AS dot
+              FROM e q JOIN e c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+              WHERE q.vec_id < 64
+              GROUP BY 1, 2),
+    truth AS (SELECT qid, cid2 FROM (
+                SELECT d.qid, d.cid2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.qid
+                           ORDER BY {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} DESC,
+                                    d.cid2) AS trn
+                FROM tdots d
+                JOIN norms nq ON nq.vec_id = d.qid
+                JOIN norms nc ON nc.vec_id = d.cid2)
+              WHERE trn <= 3),
+    cdots AS (SELECT c.nlist, c.qid, c.cand_id,
+                     SUM(CAST(qe.v * ce.v AS DECIMAL(38,25))) AS dot
+              FROM cands c
+              JOIN e qe ON qe.vec_id = c.qid
+              JOIN e ce ON ce.vec_id = c.cand_id AND ce.pos = qe.pos
+              GROUP BY 1, 2, 3),
+    annk AS (SELECT nlist, qid, cand_id FROM (
+               SELECT d.nlist, d.qid, d.cand_id,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY d.nlist, d.qid
+                          ORDER BY {_SCORE.format(dot="d.dot", n1="nq.n2", n2="nc.n2")} DESC,
+                                   d.cand_id) AS rn
+               FROM cdots d
+               JOIN norms nq ON nq.vec_id = d.qid
+               JOIN norms nc ON nc.vec_id = d.cand_id)
+             WHERE rn <= 3),
+    hits AS (SELECT a.nlist, COUNT(*) AS n_found
+             FROM annk a
+             JOIN truth t ON t.qid = a.qid AND t.cid2 = a.cand_id
+             GROUP BY a.nlist),
+    ntrue AS (SELECT COUNT(*) AS n_true FROM truth),
+    grid AS (SELECT 'ivf' || g.nlist || 'x' || g.np AS config,
+                    CAST(g.nlist AS INT) AS nlist,
+                    CAST(g.np AS INT) AS n_probe,
+                    CASE WHEN g.nlist = (1 << c.l0) THEN 1 ELSE 0 END
+                        AS derived,
+                    COALESCE(n.n_candidates, 0) AS n_candidates,
+                    t.n_true,
+                    COALESCE(h.n_found, 0) AS n_found,
+                    ROUND(CAST(COALESCE(h.n_found, 0) AS DOUBLE)
+                          / t.n_true, 6) AS recall,
+                    CASE WHEN 20 * COALESCE(h.n_found, 0) >= 18 * t.n_true
+                         THEN 1 ELSE 0 END AS meets_floor
+             FROM gcfg g
+             CROSS JOIN ntrue t
+             CROSS JOIN cfg c
+             LEFT JOIN ncand n ON n.nlist = g.nlist
+             LEFT JOIN hits h ON h.nlist = g.nlist),
+    win AS (SELECT config FROM grid
+            ORDER BY meets_floor DESC,
+                     CASE WHEN meets_floor = 1
+                          THEN CAST(LENGTH(bin(n_candidates)) AS DOUBLE)
+                          ELSE -recall END,
+                     nlist
+            LIMIT 1)
+    SELECT g.config, g.nlist, g.n_probe, g.derived,
            CAST(g.n_candidates AS BIGINT) AS n_candidates,
            CAST(g.n_true AS BIGINT) AS n_true,
            CAST(g.n_found AS BIGINT) AS n_found,

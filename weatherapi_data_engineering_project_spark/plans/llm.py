@@ -466,7 +466,10 @@ def q295_simhash_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = bands.groupBy("band_idx", "band_val").agg(
         F.count(F.lit(1)).alias("c")
     )
-    mass = (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+    # `div` is Spark's integer division — `/` is double division and
+    # loses exactness once c*(c-1) exceeds 2^53 (bucket ≳1.3e8 docs);
+    # the oracle's `//` twin is exact at any bucket size (ADVICE r11 #2)
+    mass = F.expr("c * (c - 1) div 2")
     # uniform-occupancy mass per band: C(n_sig, 2) / 2^w, with n_sig
     # the number of fingerprinted docs (zero-shingle docs drop out of
     # the signature pipeline on both engines)
@@ -961,10 +964,13 @@ def q156_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: 16 deterministic centroid lists, probe top-2,
-    exact top-3 re-rank within probed lists for queries vec_id < 20."""
+    """IVF-flat ANN: corpus-derived geometry (scaled_ivf_nlist /
+    scaled_ivf_nprobe — 16 lists / 2 probes at every corpus through
+    2^16 vectors, √n-class beyond), exact top-3 re-rank within probed
+    lists for queries vec_id < 20. The oracle derives the SAME
+    nlist/np from COUNT(*) (_IVF_CFG_CTE)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(e, n_centroids=16, n_probe=2, k=3, max_query_id=20)
+    return SIM.ivf_topk(e, k=3, max_query_id=20)
 
 
 def q60_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,9 +984,7 @@ def q60_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer's invariants are additionally pinned by
     tests/test_llm_queries.py::test_ivf_kmeans_*."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk_kmeans(
-        e, n_centroids=16, n_iters=3, n_probe=2, k=3, max_query_id=20
-    )
+    return SIM.ivf_topk_kmeans(e, n_iters=3, k=3, max_query_id=20)
 
 
 def q73_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,10 +1024,7 @@ def q83_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Fully oracle-verified — the oracle composes
     the q30 assignment CTEs with the q73 unrolled-trainer CTEs."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.ivfpq_topk(
-        e, query_id=0, k=5, n_centroids=16, n_probe=2, m=4, k_sub=16,
-        n_iters=2,
-    )
+    return SIM.ivfpq_topk(e, query_id=0, k=5, m=4, k_sub=16, n_iters=2)
 
 
 def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1434,10 +1435,11 @@ def q167_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup/IVF whether "same cluster" is trustworthy BEFORE they pay
     for within-cluster pairing — clusters scoring near 0 sit in
     overlap regions and deserve a re-split or probe widening. Shares
-    the q60 trainer (same k=16, 3 Lloyd rounds, so the oracle reuses
+    the q60 trainer (same corpus-derived k — 16 at every floor
+    corpus — 3 Lloyd rounds, so the oracle reuses
     _KM_CTES verbatim) and the q30 decimal-exact scoring."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.centroid_silhouette(e, k=16, n_iters=3)
+    return SIM.centroid_silhouette(e, n_iters=3)
 
 
 # q174 shared term strings (q132 snap convention). `jaccard` is an
@@ -1829,22 +1831,43 @@ def _km_iter(i: int, prev: str) -> str:
                       ON m.cid = p.cid AND m.pos = p.pos)"""
 
 
+# Corpus-derived IVF geometry — the SQL twin of
+# similarity.scaled_ivf_nlist / scaled_ivf_nprobe (VERDICT r11 #1).
+# LENGTH(bin(GREATEST(n,2)-1)) is the shared ceil_log2 idiom (q28/q289
+# cfg convention); log2(nlist) = max(4, ⌈ceil_log2(n)/2⌉ − 4) keeps the
+# 16-list floor exactly through 2^16 vectors, √n-class lists beyond;
+# np = max(2, log2(nlist) − 2). Every integer-ceil is parenthesized
+# (the q296 `*`/`//` same-precedence lesson). Derived from COUNT(*) at
+# oracle runtime, so the twin holds at ANY corpus size.
+_IVF_LOG2_NLIST_SQL = (
+    "GREATEST(4, (((LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) + 1) // 2) - 4))"
+)
+_IVF_CFG_CTE = (
+    f"ivfcfg AS (SELECT (1 << {_IVF_LOG2_NLIST_SQL}) AS nlist,\n"
+    f"                  GREATEST(2, {_IVF_LOG2_NLIST_SQL} - 2) AS np\n"
+    f"           FROM embeddings)"
+)
+
+
 # Unrolled k-means IVF (q60): 3 spherical-Lloyd rounds as CTEs (the
 # same fixed-iteration unrolling as the PQ trainer below), then the
 # fast-assignment probe step (double dot / double norms — mirroring
 # ivf_topk's assign_exact=False) and q30's exact decimal re-rank over
-# the probed lists. init = vectors with vec_id < 16.
+# the probed lists. init = vectors with vec_id < nlist (ivfcfg-derived;
+# 16 at every floor corpus).
 _KM_CTES = (
     # e and every unrolled-round centroid CTE are MATERIALIZED: DuckDB
     # inlines CTEs by default, so the multi-round references otherwise
     # re-derive each prior round per consumer (q87's appendix made the
     # un-materialized form cost 8.3 s vs 0.6 s at sf0.01).
-    """
-        WITH e AS MATERIALIZED (
+    f"""
+        WITH {_IVF_CFG_CTE},
+        e AS MATERIALIZED (
                    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                           CAST(unnest(embedding) AS DOUBLE) AS v
                    FROM embeddings),
-        cent0 AS (SELECT vec_id AS cid, pos, v FROM e WHERE vec_id < 16),"""
+        cent0 AS (SELECT vec_id AS cid, pos, v FROM e
+                  WHERE vec_id < (SELECT nlist FROM ivfcfg)),"""
     + _km_iter(1, "cent0")
     + ","
     + _km_iter(2, "cent1")
@@ -2648,19 +2671,26 @@ ORACLE = {
                     ON t.id1 = c.id1 AND t.id2 = c.id2
                   GROUP BY c.r),
         ntrue AS (SELECT COUNT(*) AS n_true FROM truth),
-        grid AS (SELECT 'bands4x' || n.r AS config,
-                        CAST(n.r AS INT) AS rows_per_band,
-                        CASE WHEN n.r = c.r0 THEN 1 ELSE 0 END AS derived,
-                        n.n_candidates, t.n_true,
+        -- grid drives from the depths CTE (not ncand), so a config whose
+        -- banding yields ZERO candidates still emits its row with
+        -- n_candidates = 0 — mirroring the engine's
+        -- counts.crossJoin(n_cand), which always materializes all grid
+        -- cells (ADVICE r11 #1).
+        grid AS (SELECT 'bands4x' || d.r AS config,
+                        CAST(d.r AS INT) AS rows_per_band,
+                        CASE WHEN d.r = c.r0 THEN 1 ELSE 0 END AS derived,
+                        COALESCE(n.n_candidates, 0) AS n_candidates,
+                        t.n_true,
                         COALESCE(f.n_found, 0) AS n_found,
                         ROUND(CAST(COALESCE(f.n_found, 0) AS DOUBLE)
                               / t.n_true, 6) AS recall,
                         CASE WHEN 20 * COALESCE(f.n_found, 0) >= 9 * t.n_true
                              THEN 1 ELSE 0 END AS meets_floor
-                 FROM ncand n
+                 FROM depths d
                  CROSS JOIN ntrue t
                  CROSS JOIN cfg c
-                 LEFT JOIN found f ON f.r = n.r),
+                 LEFT JOIN ncand n ON n.r = d.r
+                 LEFT JOIN found f ON f.r = d.r),
         win AS (SELECT config FROM grid
                 ORDER BY meets_floor DESC,
                          CASE WHEN meets_floor = 1
@@ -3111,14 +3141,16 @@ ORACLE = {
     """,
 
     "q30_ivf_ann": f"""
-        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        WITH {_IVF_CFG_CTE},
+        e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                           CAST(unnest(embedding) AS DOUBLE) AS v
                    FROM embeddings),
         norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
                   FROM e GROUP BY vec_id),
         adots AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
                          SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
-                  FROM e JOIN e c ON c.pos = e.pos AND c.vec_id < 16
+                  FROM e JOIN e c ON c.pos = e.pos
+                   AND c.vec_id < (SELECT nlist FROM ivfcfg)
                   GROUP BY e.vec_id, c.vec_id),
         ranked_cent AS (
             SELECT vid, cid,
@@ -3132,7 +3164,7 @@ ORACLE = {
             JOIN norms nc ON nc.vec_id = a.cid),
         assign AS (SELECT vid AS cand_id, cid FROM ranked_cent WHERE crn = 1),
         probes AS (SELECT vid AS qid, cid FROM ranked_cent
-                   WHERE crn <= 2 AND vid < 20),
+                   WHERE crn <= (SELECT np FROM ivfcfg) AND vid < 20),
         cands AS (SELECT p.qid, a.cand_id AS cid2
                   FROM probes p JOIN assign a ON a.cid = p.cid
                   WHERE p.qid <> a.cand_id),
@@ -3176,7 +3208,7 @@ ORACLE = {
             JOIN cn ON cn.cid = d.cid),
         kassign AS (SELECT vid AS cand_id, cid FROM pranked WHERE crn = 1),
         kprobes AS (SELECT vid AS qid, cid FROM pranked
-                    WHERE crn <= 2 AND vid < 20),
+                    WHERE crn <= (SELECT np FROM ivfcfg) AND vid < 20),
         kcands AS (SELECT p.qid, a.cand_id AS cid2
                    FROM kprobes p JOIN kassign a ON a.cid = p.cid
                    WHERE p.qid <> a.cand_id),
@@ -3266,6 +3298,7 @@ ORACLE = {
     """,
     "q83_ivfpq_ann": _PQ_CTES
     + f""",
+        {_IVF_CFG_CTE},
         e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                      CAST(unnest(embedding) AS DOUBLE) AS v
               FROM embeddings),
@@ -3273,7 +3306,8 @@ ORACLE = {
                   FROM e GROUP BY vec_id),
         adots AS (SELECT e.vec_id AS avid, c.vec_id AS acid,
                          SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
-                  FROM e JOIN e c ON c.pos = e.pos AND c.vec_id < 16
+                  FROM e JOIN e c ON c.pos = e.pos
+                   AND c.vec_id < (SELECT nlist FROM ivfcfg)
                   GROUP BY e.vec_id, c.vec_id),
         ranked_cent AS (
             SELECT avid, acid,
@@ -3287,7 +3321,7 @@ ORACLE = {
         assignc AS (SELECT avid AS cand_id, acid
                     FROM ranked_cent WHERE crn = 1),
         qprobes AS (SELECT acid FROM ranked_cent
-                    WHERE crn <= 2 AND avid = 0),
+                    WHERE crn <= (SELECT np FROM ivfcfg) AND avid = 0),
         pq_cand AS (SELECT a.cand_id
                     FROM assignc a JOIN qprobes p ON p.acid = a.acid
                     WHERE a.cand_id <> 0),
