@@ -197,6 +197,94 @@ def test_ivf_derived_geometry_above_floor(spark):
     assert got == want and len(got) > 0
 
 
+# --- salted-block fingerprint prefix-stability (VERDICT r11 #6) ----
+
+
+_VOCAB = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu common tail words here other suffix text"
+).split()
+
+
+def _sigs_all_widths(spark, docs, widths):
+    """{w: {doc: bits}} for every band width, via ONE Spark action —
+    each width's fingerprint is computed independently by the engine
+    (the property under test), then unioned; a per-width collect would
+    pay ~9 Spark jobs per hypothesis example."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from weatherapi_data_engineering_project_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), ["doc_id", "text"]
+    )
+    frames = [
+        simhash_signatures(df, "text", "doc_id", n_bits=4 * w).select(
+            F.lit(w).alias("w"), "doc", "bits"
+        )
+        for w in widths
+    ]
+    out: dict[int, dict] = {w: {} for w in widths}
+    for r in reduce(lambda a, b: a.unionByName(b), frames).collect():
+        out[r["w"]][r["doc"]] = r["bits"]
+    return out
+
+
+def test_salted_block_prefix_stability_property(spark):
+    """Property behind the q289/q290/q287 prefix-slicing trick and the
+    q28 floor guarantee (VERDICT r11 #6): for random word docs and
+    every band width w ∈ {8..16}, the 4·w-bit fingerprint's first 32
+    bits ARE the fixed-32 fingerprint (bit i depends only on md5 block
+    i//32 — block 0 unsalted, blocks j ≥ 1 salted 'j§'||shingle), and
+    floor-width band membership sliced from ANY wider fingerprint is
+    invariant. Hypothesis drives the doc corpus; widths are swept
+    exhaustively per example (a sampled width would leave untested
+    widths per run)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    docs_strategy = st.lists(
+        st.lists(
+            st.sampled_from(_VOCAB), min_size=3, max_size=10
+        ).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(docs=docs_strategy)
+    def prop(docs):
+        widths = list(range(8, 17))
+        sigs = _sigs_all_widths(spark, docs, widths)
+        base = sigs[8]   # 4·8 = 32 bits — the historical fixed width
+        wide = sigs[16]  # the widest grid cell
+        assert set(wide) == set(base) and base
+        for w in widths:
+            for doc, bits in sigs[w].items():
+                assert len(bits) == 4 * w
+                # prefix-stability against BOTH neighbours: the fixed-32
+                # fingerprint and the widest fingerprint
+                assert bits[:32] == base[doc]
+                assert wide[doc][: 4 * w] == bits
+                # floor-width band membership is invariant when sliced
+                # from any wider fingerprint (the q289 slicing trick)
+                floor_bands = [
+                    base[doc][8 * b : 8 * b + 8] for b in range(4)
+                ]
+                sliced = [bits[8 * b : 8 * b + 8] for b in range(4)]
+                assert sliced == floor_bands
+
+    prop()
+
+
 def test_ivf_sizing_tuner_mechanics(spark):
     """q297's measured-winner mechanics at the floor corpus: the grid
     is {16, 32} (the halved cell collapses into the floor), derived
