@@ -285,6 +285,34 @@ def test_salted_block_prefix_stability_property(spark):
     prop()
 
 
+def test_capped_recall_audit_dominated_by_uncapped(spark):
+    """q298 (capped) against q294 (uncapped) on the same corpus: truth
+    is IDENTICAL (brute hamming, no banding), so per hamming distance
+    n_true must match exactly and the cap can only LOSE candidates
+    (n_found ≤ uncapped). The uncapped pigeonhole guarantee (recall
+    1.0 at hamming ≤ 3 with 4 bands) must still hold — it is the
+    baseline the cap's price is measured against."""
+    from weatherapi_data_engineering_project_spark.plans.llm import (
+        q294_simhash_recall_audit,
+        q298_simhash_capped_recall_audit,
+    )
+
+    u = {
+        r["hamming"]: r
+        for r in q294_simhash_recall_audit(spark, SF_DIR).collect()
+    }
+    c = {
+        r["hamming"]: r
+        for r in q298_simhash_capped_recall_audit(spark, SF_DIR).collect()
+    }
+    assert set(c) == set(u) and u
+    for h, ur in u.items():
+        assert c[h]["n_true"] == ur["n_true"]
+        assert c[h]["n_found"] <= ur["n_found"]
+        if h <= 3:
+            assert ur["recall"] == 1.0
+
+
 def test_ivf_sizing_tuner_mechanics(spark):
     """q297's measured-winner mechanics at the floor corpus: the grid
     is {16, 32} (the halved cell collapses into the floor), derived

@@ -331,36 +331,30 @@ def q296_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q294_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding recall audit — q287/q288's third sibling (those
-    price sign-LSH and MinHash banding; SimHash's recall price was the
-    one unmeasured LSH surface after r11 derived its width). Truth is
-    probe-bounded brute force: for probe docs (doc_id < 64), ALL pairs
-    with fingerprint hamming ≤ 6 computed WITHOUT banding (64 × N
-    hamming comparisons over the derived-width fingerprints — linear,
-    never N²). Found = the banded candidate pairs among them. Output
-    per exact hamming distance: n_true, n_found, recall — which makes
-    the pigeonhole boundary VISIBLE: with 4 bands, every pair at
-    hamming ≤ 3 must collide on some band (recall 1.0 by construction,
-    asserted in tests); at 4–6 the banding is probabilistic and this
-    audit is the measurement.
-
-    Scale shape: signatures are the same one-groupBy reduction q28
-    uses (shuffle carries n_bits ints per doc); truth is a broadcast
-    of 64 probe fingerprints against the corpus; the banded candidates
-    are an equi-join on (band_idx, band_val). The fingerprint frame is
-    persisted once and feeds probes, truth, and bands."""
+def _simhash_recall_audit(
+    spark: SparkSession, sf_dir: str, capped: bool
+) -> DataFrame:
+    """Shared body of q294 (uncapped) and q298 (stop-bucket-capped):
+    per-hamming-distance banding recall vs probe-bounded brute truth.
+    With ``capped``, candidate generation drops band buckets above the
+    derived cap 2·⌈n/2^w⌉ before the band join — exactly
+    simhash_pairs(max_bucket_size=scaled_stop_bucket_cap(...))'s
+    filter, so q298 prices the recall the cap costs at each exact
+    hamming distance. Truth is IDENTICAL on both paths (brute
+    hamming, no banding) — only `found` changes."""
     from functools import reduce as _reduce
 
     from ..operators.dedup import (
         N_SIM_BANDS,
         scaled_simhash_band_bits,
+        scaled_stop_bucket_cap,
         simhash_signatures,
     )
     from ..operators.similarity import corpus_row_count
 
     d = load_table(spark, sf_dir, "documents")
-    w = scaled_simhash_band_bits(corpus_row_count(d))
+    n = corpus_row_count(d)
+    w = scaled_simhash_band_bits(n)
     n_bits = N_SIM_BANDS * w
     sigs = persist_tracked(
         simhash_signatures(d, "text", "doc_id", n_bits=n_bits)
@@ -396,6 +390,15 @@ def q294_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc", F.posexplode(band_arr).alias("band_idx", "band_val")
     )
+    if capped:
+        cap = scaled_stop_bucket_cap(n, w)
+        keep = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= cap)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(keep, ["band_idx", "band_val"], "left_semi")
     cand = (
         bands.select(F.col("doc").alias("id1"), "band_idx", "band_val")
         .join(
@@ -421,6 +424,44 @@ def q294_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
         )
     )
+
+
+def q294_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding recall audit — q287/q288's third sibling (those
+    price sign-LSH and MinHash banding; SimHash's recall price was the
+    one unmeasured LSH surface after r11 derived its width). Truth is
+    probe-bounded brute force: for probe docs (doc_id < 64), ALL pairs
+    with fingerprint hamming ≤ 6 computed WITHOUT banding (64 × N
+    hamming comparisons over the derived-width fingerprints — linear,
+    never N²). Found = the banded candidate pairs among them. Output
+    per exact hamming distance: n_true, n_found, recall — which makes
+    the pigeonhole boundary VISIBLE: with 4 bands, every pair at
+    hamming ≤ 3 must collide on some band (recall 1.0 by construction,
+    asserted in tests); at 4–6 the banding is probabilistic and this
+    audit is the measurement.
+
+    Scale shape: signatures are the same one-groupBy reduction q28
+    uses (shuffle carries n_bits ints per doc); truth is a broadcast
+    of 64 probe fingerprints against the corpus; the banded candidates
+    are an equi-join on (band_idx, band_val). The fingerprint frame is
+    persisted once and feeds probes, truth, and bands."""
+    return _simhash_recall_audit(spark, sf_dir, capped=False)
+
+
+def q298_simhash_capped_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q294 WITH the stop-bucket cap — the recall side of the q296
+    decision (VERDICT r11 #3): candidate generation drops band buckets
+    above the derived cap 2·⌈n/2^w⌉ (q296's filter), truth stays the
+    same brute-force hamming set, so each row prices what the cap
+    costs at that exact hamming distance. The pigeonhole guarantee
+    (recall 1.0 at hamming ≤ 3) does NOT survive the cap — a pair
+    whose every shared band is a stop-bucket is lost — but a hot
+    bucket carries almost no near-dup signal, so the measured price
+    stays near zero at low hamming (pinned loosely in tests; measured
+    at 10×/100× in BENCH_SCALE100_r12)."""
+    return _simhash_recall_audit(spark, sf_dir, capped=True)
 
 
 def q295_simhash_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1717,6 +1758,7 @@ QUERIES = {
     "q288_minhash_recall_audit": q288_minhash_recall_audit,
     "q290_minhash_sizing_tuner": q290_minhash_sizing_tuner,
     "q294_simhash_recall_audit": q294_simhash_recall_audit,
+    "q298_simhash_capped_recall_audit": q298_simhash_capped_recall_audit,
     "q295_simhash_bucket_skew": q295_simhash_bucket_skew,
     "q296_simhash_capped": q296_simhash_capped,
     "q123_containment_dedup": q123_containment_dedup,
@@ -2205,17 +2247,12 @@ _SIMHASH_FPS_CTES = f"""cfg AS (SELECT GREATEST(8, LENGTH(bin(GREATEST(COUNT(*),
                   AND a.doc_id < b.doc_id)"""
 
 
-def simhash_pairs_sql_scaled(max_hamming: int, capped: bool = False) -> str:
-    """q28's oracle at the COUNT(*)-derived width — the
-    signlsh_pairs_sql_scaled recipe over _SIMHASH_FPS_CTES. With
-    ``capped``, candidates route through the stop-bucket filter at the
-    derived cap 2·⌈n/2^w⌉ (dedup.scaled_stop_bucket_cap's integer
-    twin) — the q296 variant."""
-    cand_src = "cand"
-    cap_ctes = ""
-    if capped:
-        cand_src = "candc"
-        cap_ctes = """,
+# Stop-bucket cap over _SIMHASH_FPS_CTES' bands: drop buckets above
+# the derived cap 2·⌈n/2^w⌉ (dedup.scaled_stop_bucket_cap's integer
+# twin), emit candc = the capped candidate pairs. Shared by the q296
+# oracle (via simhash_pairs_sql_scaled(capped=True)) and the q298
+# capped recall audit.
+_SIMHASH_CAP_CTES = """,
         capv AS (SELECT 2 * (((SELECT COUNT(*) FROM documents)
                               + (1 << w) - 1) // (1 << w)) AS cap
                  FROM cfg),
@@ -2232,6 +2269,19 @@ def simhash_pairs_sql_scaled(max_hamming: int, capped: bool = False) -> str:
                   FROM kept a JOIN kept b
                     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                    AND a.doc_id < b.doc_id)"""
+
+
+def simhash_pairs_sql_scaled(max_hamming: int, capped: bool = False) -> str:
+    """q28's oracle at the COUNT(*)-derived width — the
+    signlsh_pairs_sql_scaled recipe over _SIMHASH_FPS_CTES. With
+    ``capped``, candidates route through the stop-bucket filter at the
+    derived cap 2·⌈n/2^w⌉ (dedup.scaled_stop_bucket_cap's integer
+    twin) — the q296 variant."""
+    cand_src = "cand"
+    cap_ctes = ""
+    if capped:
+        cand_src = "candc"
+        cap_ctes = _SIMHASH_CAP_CTES
     return f"""
         WITH {_SHINGLES_CTE},
         {_SIMHASH_FPS_CTES}{cap_ctes}
@@ -3093,6 +3143,26 @@ ORACLE = {
                ROUND(CAST(COUNT(c.id1) AS DOUBLE) / COUNT(*), 6) AS recall
         FROM truth t
         LEFT JOIN cand c ON c.id1 = t.id1 AND c.id2 = t.id2
+        GROUP BY t.hamming
+    """,
+    # q298: q294's audit with candidates routed through the stop-bucket
+    # cap (the shared _SIMHASH_CAP_CTES fragment) — found reads candc
+    "q298_simhash_capped_recall_audit": f"""
+        WITH {_SHINGLES_CTE},
+        {_SIMHASH_FPS_CTES}{_SIMHASH_CAP_CTES},
+        probes AS (SELECT doc_id, bits FROM fps WHERE doc_id < 64),
+        truth AS (SELECT id1, id2, hamming FROM (
+                    SELECT p.doc_id AS id1, f.doc_id AS id2,
+                           CAST(hamming(p.bits, f.bits) AS INTEGER)
+                               AS hamming
+                    FROM probes p JOIN fps f ON p.doc_id < f.doc_id)
+                  WHERE hamming <= 6)
+        SELECT t.hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COUNT(c.id1) AS BIGINT) AS n_found,
+               ROUND(CAST(COUNT(c.id1) AS DOUBLE) / COUNT(*), 6) AS recall
+        FROM truth t
+        LEFT JOIN candc c ON c.id1 = t.id1 AND c.id2 = t.id2
         GROUP BY t.hamming
     """,
     "q29_embed_neardup": _Q29_SQL_SCALED,
