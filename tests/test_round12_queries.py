@@ -285,6 +285,37 @@ def test_salted_block_prefix_stability_property(spark):
     prop()
 
 
+def test_scaled_bloom_m_rule_and_sql_twin():
+    """q108's Bloom width rule: m = 1 << max(8, ⌈log2 n⌉ + 2) — the
+    256-bit floor holds through 64 build keys (every test-scale build
+    side), m ∈ [4n, 8n) beyond so the fill factor (k=3 seeds) stays
+    ≤ 3/4 and the FPR never saturates; the oracle's bcfg CTE derives
+    the identical value from COUNT(*) (DuckDB-evaluated here across
+    the floor boundary and decade points)."""
+    import duckdb
+
+    from weatherapi_data_engineering_project_spark.plans.layout import (
+        scaled_bloom_m,
+    )
+
+    assert scaled_bloom_m(1) == 256
+    assert scaled_bloom_m(12) == 256   # sf0.01/sf0.1 build side
+    assert scaled_bloom_m(64) == 256   # last floor build side
+    assert scaled_bloom_m(65) == 512
+    assert scaled_bloom_m(1000) == 4096
+    assert scaled_bloom_m(2_000_000_000) == 2**33
+    con = duckdb.connect()
+    for n in (1, 2, 63, 64, 65, 128, 129, 1000, 10**6, 2 * 10**9):
+        m_sql = con.execute(
+            "SELECT (1 << GREATEST(8, LENGTH(bin(GREATEST("
+            f"(SELECT COUNT(*) FROM range({n})), 2) - 1)) + 2))"
+        ).fetchone()[0]
+        assert m_sql == scaled_bloom_m(n), n
+        # occupancy band above the floor: 4n <= m < 8n
+        if scaled_bloom_m(n) > 256:
+            assert 4 * n <= scaled_bloom_m(n) < 8 * n
+
+
 def test_capped_recall_audit_dominated_by_uncapped(spark):
     """q298 (capped) against q294 (uncapped) on the same corpus: truth
     is IDENTICAL (brute hamming, no banding), so per hamming distance

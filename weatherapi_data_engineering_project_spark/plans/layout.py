@@ -231,8 +231,34 @@ def q107_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q108: Bloom-filter join pruning ----------------------------------
 
 _BLOOM_SEEDS = ((0, 433, 97), (1, 877, 241), (2, 1987, 659))
-_BLOOM_M = 256  # bit positions
+# Floor bit-count: 256 positions — every test-scale build side (≤64
+# members) runs the historical sketch bit-identically.
+_BLOOM_FLOOR_LOG2_M = 8
 _BLOOM_K = len(_BLOOM_SEEDS)
+
+
+def scaled_bloom_m(n_members: int) -> int:
+    """Corpus-derived Bloom width (round 12 — the q27/q28/IVF
+    occupancy discipline applied to the last pinned sketch width):
+
+        m = 1 << max(8, ⌈log2 n⌉ + 2),  i.e. m ∈ [4n, 8n)
+
+    A pinned m=256 saturates as the build side grows — at 2·10⁹ build
+    keys every bit is set, false-positive rate → 1, and the "prune"
+    passes everything (per-probe work degrades to the unfiltered
+    join). With k=3 seeds and m ≥ 4n the fill factor k·n/m stays in
+    (3/8, 3/4], so the bit-set probability is ≤ 1−e^(−3/4) ≈ 0.53 and
+    the FPR stays in the ~5–15% band at ANY build size — false
+    positives remain VISIBLE (the query's pedagogical contract) while
+    the filter keeps pruning. Unlike the CMS width (q107), which pins
+    a fixed ADDITIVE-error share ε = e/w of the total stream and is
+    therefore scale-correct when pinned, a Bloom filter's guarantee
+    is occupancy-relative — its width must track n. Integer-exact SQL
+    twin (the ceil_log2 idiom): ``1 << GREATEST(8,
+    LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) + 2)``."""
+    from ..operators.similarity import ceil_log2
+
+    return 1 << max(_BLOOM_FLOOR_LOG2_M, ceil_log2(n_members) + 2)
 
 
 def _bloom_seed_array():
@@ -255,18 +281,24 @@ def q108_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ALL k of its buckets hit. Output is every key that passes the
     bloom with its true membership — a superset of the semi-join with
     zero false negatives; is_member=false rows are the sketch's false
-    positives (m=256 keeps a few visible at test scale). This is
-    Spark's runtime bloom-join rewrite expressed as a plan the
-    optimizer can't decline."""
+    positives. m is corpus-derived (scaled_bloom_m — 256 at every
+    test-scale build side, m ∈ [4n, 8n) beyond, keeping the FPR in
+    the visible ~5–15% band at any scale instead of saturating to 1);
+    the oracle derives the same m from COUNT(*). This is Spark's
+    runtime bloom-join rewrite expressed as a plan the optimizer
+    can't decline."""
+    from ..operators.similarity import corpus_row_count
+
     sup = load_table(spark, sf_dir, "supplier")
     members = sup.filter(F.col("s_nationkey") <= 2).select("s_suppkey")
+    bloom_m = scaled_bloom_m(corpus_row_count(members))
     bset = (
         members.select(F.explode(_bloom_seed_array()).alias("s"), "s_suppkey")
         .select(
             F.col("s.si").alias("si"),
             (
                 ((F.col("s.a") * F.col("s_suppkey") + F.col("s.b")) % _CMS_P)
-                % _BLOOM_M
+                % bloom_m
             ).alias("bucket"),
         )
         .distinct()
@@ -282,7 +314,7 @@ def q108_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.si").alias("si"),
         (
             ((F.col("s.a") * F.col("l_suppkey") + F.col("s.b")) % _CMS_P)
-            % _BLOOM_M
+            % bloom_m
         ).alias("bucket"),
     )
     hits = (
@@ -1575,15 +1607,20 @@ ORACLE = {
         WITH seeds(si, a, b) AS (VALUES {_DUCK_BLOOM_SEEDS}),
         members AS (
             SELECT s_suppkey FROM supplier WHERE s_nationkey <= 2),
+        bcfg AS (
+            SELECT (1 << GREATEST(8,
+                        LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) + 2)) AS m
+            FROM members),
         bset AS (
             SELECT DISTINCT si,
-                   ((a * s_suppkey + b) % {_CMS_P}) % {_BLOOM_M} AS bucket
+                   ((a * s_suppkey + b) % {_CMS_P})
+                       % (SELECT m FROM bcfg) AS bucket
             FROM members CROSS JOIN seeds),
         cand AS (SELECT DISTINCT l_suppkey FROM lineitem),
         pairs AS (
             SELECT c.l_suppkey, s.si,
-                   ((s.a * c.l_suppkey + s.b) % {_CMS_P}) % {_BLOOM_M}
-                       AS bucket
+                   ((s.a * c.l_suppkey + s.b) % {_CMS_P})
+                       % (SELECT m FROM bcfg) AS bucket
             FROM cand c CROSS JOIN seeds s),
         hits AS (
             SELECT p.l_suppkey,
