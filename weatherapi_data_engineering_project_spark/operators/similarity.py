@@ -860,7 +860,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
-    assign_exact: bool = True,
+    assign_exact: bool = False,
     quant: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize to centroid lists, probe a few.
@@ -894,11 +894,18 @@ def ivf_topk(
     id < max_query_id, self-matches excluded. ``centroids`` (cid, cvec)
     overrides the deterministic quantizer — pass
     ``kmeans_centroids(...)`` for the production path (or use
-    ``ivf_topk_kmeans``). ``assign_exact=False`` ranks the assignment/
-    probe step with the double-precision row-local fold (deterministic,
-    ~5x cheaper; final candidate scores stay decimal-exact) — right for
-    production paths; the oracle-matched q30 keeps the exact default so
-    its probe lists are engine-reproducible.
+    ``ivf_topk_kmeans``). ``assign_exact=False`` (the default since
+    round 12) ranks the assignment/probe step with the
+    double-precision row-local fold — deterministic IEEE arithmetic
+    with a cid tiebreak, so probe lists stay engine-reproducible (the
+    q60 oracle has ranked its probes with the identical double
+    formula, hash-exact, since r4) at ~5x less probe cost than the
+    decimal fold (BENCH_SCALE100_r12 measured the decimal variant's
+    10×→100× decade at 9.6× vs q60's 4.8×; the probe step is the
+    whole difference). Final candidate scores stay decimal-exact
+    either way. ``assign_exact=True`` keeps the decimal probe ranking
+    — q83's composite retains it (its oracle ranks with the decimal
+    _SCORE).
 
     ``n_centroids=None`` / ``n_probe=None`` (the defaults since round
     12) derive the geometry from the corpus cardinality via

@@ -1007,9 +1007,12 @@ def q156_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus-derived geometry (scaled_ivf_nlist /
     scaled_ivf_nprobe — 16 lists / 2 probes at every corpus through
-    2^16 vectors, √n-class beyond), exact top-3 re-rank within probed
-    lists for queries vec_id < 20. The oracle derives the SAME
-    nlist/np from COUNT(*) (_IVF_CFG_CTE)."""
+    2^16 vectors, √n-class beyond), double-precision probe ranking
+    (the production assignment; q60's oracle has ranked probes with
+    the identical formula hash-exact since r4), exact decimal top-3
+    re-rank within probed lists for queries vec_id < 20. The oracle
+    derives the SAME nlist/np from COUNT(*) (_IVF_CFG_CTE) and ranks
+    probes with the same double formula."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(e, k=3, max_query_id=20)
 
@@ -3218,16 +3221,22 @@ ORACLE = {
         norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
                   FROM e GROUP BY vec_id),
         adots AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
-                         SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
+                         CAST(SUM(CAST(e.v * c.v AS DECIMAL(38,25)))
+                              AS DOUBLE) AS dot
                   FROM e JOIN e c ON c.pos = e.pos
                    AND c.vec_id < (SELECT nlist FROM ivfcfg)
                   GROUP BY e.vec_id, c.vec_id),
+        -- probe ranking by the double formula (ivf_topk's
+        -- assign_exact=False default since round 12) — identical to
+        -- q60's pranked, hash-exact there since r4; the final
+        -- candidate re-rank below stays decimal-exact
         ranked_cent AS (
             SELECT vid, cid,
-                   {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")} AS cscore,
                    ROW_NUMBER() OVER (
                        PARTITION BY vid
-                       ORDER BY {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")} DESC,
+                       ORDER BY a.dot / (sqrt(CAST(nv.n2 AS DOUBLE))
+                                         * sqrt(CAST(nc.n2 AS DOUBLE)))
+                                    DESC,
                                 cid) AS crn
             FROM adots a
             JOIN norms nv ON nv.vec_id = a.vid
