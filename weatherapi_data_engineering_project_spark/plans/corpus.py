@@ -422,7 +422,9 @@ def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..caching import persist_tracked
     from ..operators.similarity import (
+        _PREFILTER_EPS,
         _dot_arrays,
+        _dot_arrays_fast,
         _ensure_parallelism,
         _norm2_array,
         _score,
@@ -446,6 +448,15 @@ def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qn2"),
         F.col("cn2"),
     )
+    # double prefilter + exact rescore (cosine_neardup_pairs'
+    # convention, r12): the interpreted decimal fold runs only on the
+    # ~threshold survivors, not all 64 × N probe pairs; the 1e-6 slack
+    # dwarfs the ~1e-15 double-vs-decimal gap AND the round-6 snap, so
+    # no true pair is lost and results are bit-identical
+    approx = _dot_arrays_fast(F.col("qvec"), F.col("cvec")) / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double"))
+    )
     band = (
         F.when(F.col("cosine") >= 0.7, F.lit("high_0.70+"))
         .when(F.col("cosine") >= 0.5, F.lit("mid_0.50"))
@@ -454,6 +465,7 @@ def q287_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = persist_tracked(
         qv.crossJoin(cv)
         .filter(F.col("id1") < F.col("id2"))
+        .filter(approx >= 0.35 - _PREFILTER_EPS)
         .select("id1", "id2", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .select("id1", "id2", band.alias("cos_band"))
@@ -525,7 +537,9 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window."""
     from ..caching import persist_tracked
     from ..operators.similarity import (
+        _PREFILTER_EPS,
         _dot_arrays,
+        _dot_arrays_fast,
         _ensure_parallelism,
         _norm2_array,
         _score,
@@ -553,9 +567,17 @@ def q289_lsh_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qn2"),
         F.col("cn2"),
     )
+    # double prefilter + exact rescore (cosine_neardup_pairs'
+    # convention, r12): decimal folds only on ~threshold survivors —
+    # bit-identical truth at a fraction of the 64 × N decimal cost
+    approx = _dot_arrays_fast(F.col("qvec"), F.col("cvec")) / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double"))
+    )
     truth = persist_tracked(
         qv.crossJoin(cv)
         .filter(F.col("id1") < F.col("id2"))
+        .filter(approx >= 0.35 - _PREFILTER_EPS)
         .select("id1", "id2", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .select("id1", "id2")
