@@ -728,12 +728,25 @@ def q297_ivf_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_ivf_nprobe,
     )
 
+    from ..operators.similarity import _dot_arrays_fast
+
     e = load_table(spark, sf_dir, "embeddings")
     nlist0 = scaled_ivf_nlist(corpus_row_count(e))
     grid_nlist = sorted({max(16, nlist0 // 2), nlist0, 2 * nlist0})
     max_nlist = grid_nlist[-1]
 
-    # exact brute-force truth: top-3 per probe query (self excluded)
+    # exact brute-force truth: top-3 per probe query (self excluded).
+    # Double TOP-K prefilter (the r12 q287/q289 threshold-prefilter
+    # argument extended to top-k): rank all pairs by the double score
+    # (thin rows — vectors dropped before the window shuffle), keep
+    # each query's double-top-3 plus every row within 2e-6 of its
+    # 3rd-best double, then decimal-rescore ONLY the survivors.
+    # Provably lossless: |double − exact-preround| ≤ e ≈ 1e-12, so an
+    # excluded row's preround sits > 2e-6 − 2e below ≥ 3 kept rows' —
+    # after the ROUND(,6) snap (quantum 1e-6) its cosine is STRICTLY
+    # smaller than ≥ 3 others', so it cannot reach the exact top-3
+    # even via the id tiebreak. Queries with < 3 neighbours keep all
+    # rows (the 3rd-best is NULL and the margin filter is vacuous).
     qv = F.broadcast(
         e.filter(F.col("vec_id") < 64).select(
             F.col("vec_id").alias("qid"),
@@ -746,20 +759,51 @@ def q297_ivf_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cvec"),
         _norm2_array(F.col("embedding")).alias("cn2"),
     )
-    cos = _score(
-        _dot_arrays(F.col("qvec"), F.col("cvec")),
-        F.col("qn2"),
-        F.col("cn2"),
+    fast = _dot_arrays_fast(F.col("qvec"), F.col("cvec")) / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double"))
     )
     from pyspark.sql.window import Window
 
+    thin = (
+        qv.crossJoin(cv)
+        .filter(F.col("qid") != F.col("cid2"))
+        .select("qid", "cid2", fast.alias("fcos"))
+    )
+    fw = Window.partitionBy("qid").orderBy(
+        F.col("fcos").desc(), F.col("cid2")
+    )
+    third = F.max(F.when(F.col("frn") == 3, F.col("fcos"))).over(
+        Window.partitionBy("qid")
+    )
+    surv = (
+        thin.withColumn("frn", F.row_number().over(fw))
+        .withColumn("f3", third)
+        .filter(
+            (F.col("frn") <= 3) | (F.col("fcos") >= F.col("f3") - 2e-6)
+        )
+        .select("qid", "cid2")
+    )
     tw = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("cid2")
     )
     truth = persist_tracked(
-        qv.crossJoin(cv)
-        .filter(F.col("qid") != F.col("cid2"))
-        .select("qid", "cid2", cos.alias("cosine"))
+        F.broadcast(surv.join(qv, on="qid"))
+        .join(
+            cv.withColumnRenamed("cvec", "cvec2").withColumnRenamed(
+                "cn2", "cn2b"
+            ),
+            on="cid2",
+        )
+        .select(
+            "qid",
+            "cid2",
+            _score(
+                _dot_arrays(F.col("qvec"), F.col("cvec2")),
+                F.col("qn2"),
+                F.col("cn2b"),
+            ).alias("cosine"),
+        )
         .withColumn("trn", F.row_number().over(tw))
         .filter(F.col("trn") <= 3)
         .select("qid", "cid2")
@@ -770,7 +814,9 @@ def q297_ivf_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     quant_full = persist_tracked(
-        _probe_lists(e, cent_max, max_nlist, True, "vec_id", "embedding")
+        # double probe ranking — ivf_topk's r12 production default;
+        # the oracle ranks with the identical formula (q60 precedent)
+        _probe_lists(e, cent_max, max_nlist, False, "vec_id", "embedding")
     )
 
     rows = []
@@ -2221,13 +2267,15 @@ ORACLE["q297_ivf_sizing_tuner"] = f"""
     norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
               FROM e GROUP BY vec_id),
     adots AS (SELECT e.vec_id AS vid, c.vec_id AS cid,
-                     SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
+                     CAST(SUM(CAST(e.v * c.v AS DECIMAL(38,25)))
+                          AS DOUBLE) AS dot
               FROM e JOIN e c ON c.pos = e.pos
                AND c.vec_id < (SELECT MAX(nlist) FROM gcfg)
               GROUP BY e.vec_id, c.vec_id),
+    -- double probe ranking, the q30/q60 convention (r12 flip)
     cscore AS (SELECT a.vid, a.cid,
-                      {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")}
-                          AS cs
+                      a.dot / (sqrt(CAST(nv.n2 AS DOUBLE))
+                               * sqrt(CAST(nc.n2 AS DOUBLE))) AS cs
                FROM adots a
                JOIN norms nv ON nv.vec_id = a.vid
                JOIN norms nc ON nc.vec_id = a.cid),
