@@ -376,3 +376,91 @@ def test_ivf_sizing_tuner_mechanics(spark):
     assert (
         rows["ivf32x3"]["n_candidates"] < rows["ivf16x2"]["n_candidates"]
     )
+
+
+def test_exact_topk_prefilter_lossless_property(spark):
+    """The production ANN re-rank prefilter
+    (``_exact_topk_from_candidates``, late r12 — now the tail of
+    q27/q30/q60/q297) must be bit-identical to decimal-scoring EVERY
+    candidate. Hypothesis corpora from a tiny integer domain force the
+    adversarial paths on purpose: duplicate vectors create exact
+    cosine ties (the id tiebreak and the ±2e-6 margin band both
+    engage), and k can exceed a query's candidate count (the NULL
+    k-th-double vacuous-margin path). The reference arm is the exact
+    pre-r12 plan: decimal fold on all pairs, one ranking window."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from weatherapi_data_engineering_project_spark.operators.similarity import (
+        _dot_arrays,
+        _exact_topk_from_candidates,
+        _norm2_array,
+        _score,
+    )
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.integers(min_value=-2, max_value=2),
+                min_size=3,
+                max_size=3,
+            ),
+            min_size=2,
+            max_size=9,
+        ),
+        k=st.integers(min_value=1, max_value=4),
+    )
+    def run(vecs, k):
+        # trailing constant component: no zero vectors, denser ties
+        rows = [(i, [float(x) for x in v] + [1.0]) for i, v in enumerate(vecs)]
+        e = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<double>"
+        )
+        qv = e.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cv = e.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        cands = (
+            qv.select("qid")
+            .crossJoin(cv.select("cid"))
+            .filter(F.col("qid") != F.col("cid"))
+        )
+        got = sorted(
+            map(tuple, _exact_topk_from_candidates(cands, qv, cv, k).collect())
+        )
+        cos = _score(
+            _dot_arrays(F.col("qvec"), F.col("cvec")),
+            _norm2_array(F.col("qvec")),
+            _norm2_array(F.col("cvec")),
+        )
+        ref = (
+            cands.join(qv, "qid")
+            .join(cv, "cid")
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("cid").alias("vec_id"),
+                cos.alias("cosine"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("cosine").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= k)
+        )
+        want = sorted(map(tuple, ref.collect()))
+        assert got == want
+
+    run()

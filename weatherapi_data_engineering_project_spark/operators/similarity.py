@@ -410,6 +410,83 @@ def exact_brute_topk(
     )
 
 
+def _exact_topk_from_candidates(
+    cands: DataFrame,
+    qv: DataFrame,
+    cv: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Exact decimal-cosine top-k per query over a PRECOMPUTED candidate
+    frame — the shared re-rank tail of the ANN operators (signlsh_topk /
+    ivf_topk and everything built on them), with ``exact_brute_topk``'s
+    lossless double top-k prefilter applied to the candidate set instead
+    of a cross join.
+
+    ``cands`` carries (qid, cid) with at most one row per pair; ``qv``
+    carries (qid, qvec); ``cv`` carries (cid, cvec). Returns (query_id,
+    vec_id, cosine, rn ≤ k) ranked by (round-6 decimal cosine DESC,
+    vec_id ASC) — bit-identical to decimal-scoring every candidate.
+
+    Why: the decimal fold is the exactness contract but costs ~5-10× the
+    double fold per pair (interpreted HighPrecision decimal adds vs
+    codegen'd IEEE), and before round 12 it ran on EVERY probed
+    candidate — √n-class rows per query under the derived IVF geometry,
+    the measured residual of q30's 10×→100× decade (9.9×). Here all
+    candidates are scored with the double fold on thin rows (vectors
+    dropped before the window shuffle); each query keeps its double
+    top-k plus every row within 2e-6 of its k-th-best double, and only
+    those ~k survivors pay the interpreted decimal rescore that defines
+    the output. Same proof as exact_brute_topk: per-score double error
+    ≤ e ≈ 1e-12, so an excluded row's pre-round exact cosine sits
+    > 2e-6 − 2e below ≥ k kept rows'; after the ROUND(,6) snap (quantum
+    1e-6) it is STRICTLY smaller than ≥ k others' and cannot reach the
+    exact top-k even via the id tiebreak. Queries with < k candidates
+    keep all rows (their k-th double is NULL, the margin filter is
+    vacuous, and frn ≤ k keeps everything)."""
+    fast = _dot_arrays_fast(F.col("qvec"), F.col("cvec")) / (
+        F.sqrt(_dot_arrays_fast(F.col("qvec"), F.col("qvec")))
+        * F.sqrt(_dot_arrays_fast(F.col("cvec"), F.col("cvec")))
+    )
+    thin = (
+        cands.join(qv, on="qid")
+        .join(cv, on="cid")
+        .select("qid", "cid", fast.alias("fcos"))
+    )
+    fw = Window.partitionBy("qid").orderBy(F.col("fcos").desc(), F.col("cid"))
+    kth = F.max(F.when(F.col("frn") == k, F.col("fcos"))).over(
+        Window.partitionBy("qid")
+    )
+    surv = (
+        thin.withColumn("frn", F.row_number().over(fw))
+        .withColumn("fk", kth)
+        .filter((F.col("frn") <= k) | (F.col("fcos") >= F.col("fk") - 2e-6))
+        .select("qid", "cid")
+    )
+    cos = _score(
+        _dot_arrays(F.col("qvec"), F.col("cvec")),
+        _norm2_array(F.col("qvec")),
+        _norm2_array(F.col("cvec")),
+    )
+    return (
+        F.broadcast(surv.join(qv, on="qid"))
+        .join(cv, on="cid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("vec_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
 def signlsh_buckets(
     embeddings: DataFrame,
     n_bits: int = 8,
@@ -799,6 +876,12 @@ def centroid_silhouette(
             _norm2_array(F.col(vec_col)).alias("nx2"),
         )
     )
+    # NOTE (late r12): the re-rank paths' lossless double top-k
+    # prefilter was tried here too (top-2 per vid) and REVERTED on
+    # measurement — at the floor k=16 the trainer dominates and the
+    # extra window/rejoin stages cost more than the saved decimal
+    # folds (sf0.01 warm 3.7→7.7s, sf0.1 ~equal). Revisit only if a
+    # corpus big enough to derive k ≥ ~256 becomes a tracked target.
     scored = corpus.crossJoin(F.broadcast(cent)).select(
         "vid",
         "cid",
@@ -975,6 +1058,13 @@ def ivf_topk(
     — q83's composite retains it (its oracle ranks with the decimal
     _SCORE).
 
+    Candidate re-rank (late round 12): the exact decimal fold runs only
+    on each query's double top-k (+2e-6 margin) survivors via the
+    shared ``_exact_topk_from_candidates`` — provably lossless (its
+    docstring), so hash-identical output at ~k decimal scores per query
+    instead of the full √n-class probed candidate set (the measured
+    residual of q30's 100× decade before this change).
+
     ``n_centroids=None`` / ``n_probe=None`` (the defaults since round
     12) derive the geometry from the corpus cardinality via
     ``scaled_ivf_nlist`` / ``scaled_ivf_nprobe`` — 16/2 at every
@@ -1015,35 +1105,13 @@ def ivf_topk(
     cands = (
         probes.join(assign, on="cid")
         .filter(F.col("qid") != F.col("cand_id"))
-        .select("qid", F.col("cand_id").alias("cid2"))
+        .select("qid", F.col("cand_id").alias("cid"))
     )
     qv = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     if max_query_id is not None:
         qv = F.broadcast(qv.filter(F.col("qid") < max_query_id))
-    cv = embeddings.select(F.col(id_col).alias("cid2"), F.col(vec_col).alias("cvec2"))
-    cos = _score(
-        _dot_arrays(F.col("qvec"), F.col("cvec2")),
-        _norm2_array(F.col("qvec")),
-        _norm2_array(F.col("cvec2")),
-    )
-    ranked = (
-        cands.join(qv, on="qid")
-        .join(cv, on="cid2")
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid2").alias("vec_id"),
-            cos.alias("cosine"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cosine").desc(), F.col("vec_id")
-                )
-            ),
-        )
-    )
-    return ranked.filter(F.col("rn") <= k)
+    cv = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    return _exact_topk_from_candidates(cands, qv, cv, k)
 
 
 def pq_codebooks_and_codes(
@@ -1432,7 +1500,13 @@ def signlsh_topk(
     single-bucket ANN — IVF (q30/q60/q73) is the tunable-recall scale
     path; this is the baseline it is judged against. The floor keeps
     every corpus up to 2^15 vectors on the historical 8-bit bucket,
-    and the SQL twin derives the same width from COUNT(*)."""
+    and the SQL twin derives the same width from COUNT(*).
+
+    The re-rank runs through the shared lossless double-prefilter tail
+    (``_exact_topk_from_candidates``, late r12): only each query's
+    double top-k (+margin) survivors pay the decimal fold — output
+    hash-identical, per-query decimal work ~k instead of the full
+    same-bucket candidate set (~128 rows/bucket by the width rule)."""
     if n_bits is None:
         n_bits = scaled_band_bits(corpus_row_count(embeddings), floor=8)
     buckets = signlsh_buckets(embeddings, n_bits, id_col, vec_col)
@@ -1450,29 +1524,7 @@ def signlsh_topk(
     if max_query_id is not None:
         qv = F.broadcast(qv.filter(F.col("qid") < max_query_id))
     cv = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    cos = _score(
-        _dot_arrays(F.col("qvec"), F.col("cvec")),
-        _norm2_array(F.col("qvec")),
-        _norm2_array(F.col("cvec")),
-    )
-    ranked = (
-        cands.join(qv, on="qid")
-        .join(cv, on="cid")
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("vec_id"),
-            cos.alias("cosine"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cosine").desc(), F.col("vec_id")
-                )
-            ),
-        )
-    )
-    return ranked.filter(F.col("rn") <= k)
+    return _exact_topk_from_candidates(cands, qv, cv, k)
 
 
 # Giant-cluster split geometry (VERDICT r04 #3): clusters above
