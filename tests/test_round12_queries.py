@@ -464,3 +464,53 @@ def test_exact_topk_prefilter_lossless_property(spark):
         assert got == want
 
     run()
+
+
+def test_neardup_ride_join_shape_equivalence(spark, monkeypatch):
+    """The corpus-derived join-shape switch (late r12,
+    ``_VECTOR_BROADCAST_MAX_ROWS``) must be a pure PLAN choice: forcing
+    the above-threshold ride-along shape (vectors enter the band/cell
+    self-join, shuffle-hash, flood streamed) on a small corpus must
+    reproduce the broadcast-lookup path's rows exactly, for both
+    cosine_neardup_pairs and semantic_dedup. Guards the 100×-safe
+    shape against semantic drift from the historical plan."""
+    from pyspark.sql import functions as F
+
+    import weatherapi_data_engineering_project_spark.operators.similarity as S
+
+    e = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            ((F.col("id") * 3) % 5).cast("double"),
+            F.lit(1.0),
+            (F.col("id") % 2).cast("double"),
+        ).alias("embedding"),
+    )
+    small_pairs = sorted(
+        map(tuple, S.cosine_neardup_pairs(e, threshold=0.9).collect())
+    )
+    small_dedup = sorted(
+        map(
+            tuple,
+            S.semantic_dedup(
+                e, n_clusters=4, n_iters=2, threshold=0.9
+            ).collect(),
+        )
+    )
+    assert small_pairs, "fixture produced no near-dup pairs"
+
+    monkeypatch.setattr(S, "_VECTOR_BROADCAST_MAX_ROWS", 10)
+    big_pairs = sorted(
+        map(tuple, S.cosine_neardup_pairs(e, threshold=0.9).collect())
+    )
+    big_dedup = sorted(
+        map(
+            tuple,
+            S.semantic_dedup(
+                e, n_clusters=4, n_iters=2, threshold=0.9
+            ).collect(),
+        )
+    )
+    assert big_pairs == small_pairs
+    assert big_dedup == small_dedup

@@ -571,6 +571,52 @@ def signlsh_band_candidates(
     )
 
 
+# Corpus-size bound for shipping the whole vector side to every task
+# as a broadcast-hash lookup: 2^17 rows of 64-float vectors + norms is
+# ~40 MB serialized — comfortably broadcastable, and every historical
+# test/bench corpus (sf0.001–sf0.1, the 10× scale runs) sits under it,
+# so the small-corpus plans are bit- and shape-identical to pre-r12.
+# Above it the pair-verification operators switch to the ride-along
+# shape (vectors enter the cell/band self-join; the candidate flood is
+# streamed join output, never shuffled) — the 100 TB-safe plan.
+_VECTOR_BROADCAST_MAX_ROWS = 1 << 17
+
+
+def _flood_verify_by_id(
+    embeddings: DataFrame,
+    cands: DataFrame,
+    approx,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    force_broadcast: bool = False,
+) -> DataFrame:
+    """Attach vectors to a thin (id1, id2) candidate frame by id and
+    run the double prefilter. With ``force_broadcast`` the two vector
+    lookups are explicit broadcast-hash joins (small-corpus path — the
+    flood streams through in-task hash probes and is never shuffled);
+    without it the join strategy is the planner's (audit passthrough
+    frames at audit scales)."""
+    v1 = embeddings.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("vec1"),
+        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_1"),
+    )
+    v2 = embeddings.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("vec2"),
+        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_2"),
+    )
+    if force_broadcast:
+        v1 = F.broadcast(v1)
+        v2 = F.broadcast(v2)
+    return (
+        cands.join(v1, on="id1")
+        .join(v2, on="id2")
+        .filter(approx >= threshold - _PREFILTER_EPS)
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -599,39 +645,111 @@ def cosine_neardup_pairs(
     n, while the derived width held ~linear (q286: 2.11×). Pass an
     explicit band_bits only where the fixed width IS the point (the
     q287 recall/cost comparator, the q289 sizing grid)."""
-    if candidates is not None:
-        # audit callers (q289) already built the banded frame for the
-        # candidate-count side — verify theirs instead of re-banding
-        cands = candidates
-    else:
-        if band_bits is None:
-            band_bits = scaled_band_bits(corpus_row_count(embeddings))
-        cands = signlsh_band_candidates(
-            embeddings, n_bands, band_bits, id_col, vec_col
-        )
-
     # Two-phase scoring — the 100 TB shape: a cheap double-precision
     # cosine prunes the candidate flood (primitive arithmetic, no
     # BigDecimal allocation per element), then ONLY the ~threshold
     # survivors get the exact decimal score that defines the answer.
-    v1 = embeddings.select(
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("vec1"),
-        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_1"),
-    )
-    v2 = embeddings.select(
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("vec2"),
-        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_2"),
-    )
     approx = _dot_arrays_fast(F.col("vec1"), F.col("vec2")) / (
         F.sqrt("n2d_1") * F.sqrt("n2d_2")
     )
-    survivors = (
-        cands.join(v1, on="id1")
-        .join(v2, on="id2")
-        .filter(approx >= threshold - _PREFILTER_EPS)
-    )
+    if candidates is not None:
+        # audit callers (q289) already built the banded frame for the
+        # candidate-count side — verify theirs instead of re-banding.
+        # Their thin (id1, id2) frame forces the join-by-id shape.
+        survivors = _flood_verify_by_id(
+            embeddings, candidates, approx, threshold, id_col, vec_col
+        )
+    else:
+        n = corpus_row_count(embeddings)
+        if band_bits is None:
+            band_bits = scaled_band_bits(n)
+        if n <= _VECTOR_BROADCAST_MAX_ROWS:
+            # small-corpus floor (every historical test/bench scale):
+            # thin candidate pairs + explicitly-broadcast vector
+            # lookups — the flood never shuffles because the joins are
+            # broadcast-hash, and nothing wide gets exchanged. Forcing
+            # the broadcast keeps the shape under the driver's vanilla
+            # 10 MB autoBroadcast threshold too.
+            cands = signlsh_band_candidates(
+                embeddings, n_bands, band_bits, id_col, vec_col
+            )
+            survivors = _flood_verify_by_id(
+                embeddings,
+                cands,
+                approx,
+                threshold,
+                id_col,
+                vec_col,
+                force_broadcast=True,
+            )
+            cos = _score(
+                _dot_arrays(F.col("vec1"), F.col("vec2")),
+                _norm2_array(F.col("vec1")),
+                _norm2_array(F.col("vec2")),
+            )
+            return (
+                survivors.select("id1", "id2", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold)
+                .distinct()
+            )
+        # Above the broadcast bound the vector side cannot ship to
+        # every task, and joining the flood BY id would re-shuffle
+        # every candidate pair with vectors attached (~occupancy·n
+        # wide rows — measured as a disk-filling sort spill on q87's
+        # 100× sibling). Instead vectors ride INTO the band self-join:
+        # each side shuffles n_bands·n vector rows keyed on
+        # (band_idx, band_val) and the candidate flood is join OUTPUT
+        # streamed straight into the double prefilter — never
+        # shuffled. Multi-band duplicate pairs still appear once per
+        # matching band, exactly like signlsh_band_candidates; the
+        # final distinct collapses them (same contract, same oracle).
+        buckets = persist_tracked(
+            signlsh_buckets(
+                embeddings, n_bands * band_bits, id_col, vec_col
+            )
+        )
+        base = buckets.join(
+            embeddings.select(
+                id_col,
+                F.col(vec_col).alias("vec"),
+                _norm2_array(F.col(vec_col)).cast("double").alias("n2d"),
+            ),
+            on=id_col,
+        )
+        band_arr = F.array(
+            *[
+                F.substring("bucket", b * band_bits + 1, band_bits)
+                for b in range(n_bands)
+            ]
+        )
+        bands = base.select(
+            F.col(id_col).alias("vid"),
+            "vec",
+            "n2d",
+            F.posexplode(band_arr).alias("band_idx", "band_val"),
+        )
+        left = bands.select(
+            F.col("vid").alias("id1"),
+            "band_idx",
+            "band_val",
+            F.col("vec").alias("vec1"),
+            F.col("n2d").alias("n2d_1"),
+        )
+        right = bands.select(
+            F.col("vid").alias("id2"),
+            "band_idx",
+            "band_val",
+            F.col("vec").alias("vec2"),
+            F.col("n2d").alias("n2d_2"),
+        )
+        # SHUFFLE_HASH: sort-merge would SORT both sides' wide vector
+        # rows; hashing one side's partition (~n·n_bands/shuffle-
+        # partitions rows) streams the other side through it unsorted.
+        survivors = (
+            left.join(right.hint("shuffle_hash"), ["band_idx", "band_val"])
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(approx >= threshold - _PREFILTER_EPS)
+        )
     cos = _score(
         _dot_arrays(F.col("vec1"), F.col("vec2")),
         _norm2_array(F.col("vec1")),
@@ -1055,8 +1173,8 @@ def ivf_topk(
     10×→100× decade at 9.6× vs q60's 4.8×; the probe step is the
     whole difference). Final candidate scores stay decimal-exact
     either way. ``assign_exact=True`` keeps the decimal probe ranking
-    — q83's composite retains it (its oracle ranks with the decimal
-    _SCORE).
+    for callers that need it (no registry query does since late r12 —
+    q83's composite co-flipped with its oracle).
 
     Candidate re-rank (late round 12): the exact decimal fold runs only
     on each query's double top-k (+2e-6 margin) survivors via the
@@ -1443,9 +1561,13 @@ def ivfpq_topk(
     centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
+    # assign_exact=False since late r12: the probe ranking uses the
+    # production double formula (q30/q60 convention; q83's oracle
+    # co-flipped) — the decimal variant paid corpus×nlist interpreted
+    # folds for a ranking the output never exposes.
     quant = persist_tracked(
         _probe_lists(
-            embeddings, centroids, n_probe, True, id_col, vec_col
+            embeddings, centroids, n_probe, False, id_col, vec_col
         )
     )
     assign = quant.select(
@@ -1585,9 +1707,17 @@ def semantic_dedup(
     within a cell only (<= ~max_cluster rows each, any skew). Scoring
     is the q29 two-phase plan: a double-precision prefilter prunes
     candidate pairs, only ~threshold survivors get the exact decimal
-    score that defines the answer. Centroid state is k x dim driver
-    scalars (kmeans_centroids contract); everything else is joins +
-    partial aggs.
+    score that defines the answer. The pair flood itself never
+    shuffles, by a corpus-derived switch (late r12,
+    ``_VECTOR_BROADCAST_MAX_ROWS``): small corpora keep the historical
+    thin-pairs + broadcast-vector-lookup plan (flood streams through
+    in-task hash probes); above the broadcast bound vectors ride INTO
+    the cell self-join (each side shuffles n vector rows keyed on the
+    cell) and the flood is streamed join output — the
+    thin-pairs-then-join-vectors-by-id shape at that scale shuffled
+    ~400M wide pair rows and filled the box's disk with sort spill.
+    Centroid state is k x dim driver scalars (kmeans_centroids
+    contract); everything else is joins + partial aggs.
     """
     cents = kmeans_centroids(embeddings, n_clusters, n_iters, id_col, vec_col)
     assign = persist_tracked(
@@ -1596,32 +1726,70 @@ def semantic_dedup(
         )
     )
     cells = _cluster_cells(assign, max_cluster)
-    cands = (
-        cells.select(F.col("vid").alias("id1"), "cid", "sub")
-        .join(
-            cells.select(F.col("vid").alias("id2"), "cid", "sub"),
-            ["cid", "sub"],
-        )
-        .filter(F.col("id1") < F.col("id2"))
-    )
-    v1 = embeddings.select(
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("vec1"),
-        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_1"),
-    )
-    v2 = embeddings.select(
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("vec2"),
-        _norm2_array(F.col(vec_col)).cast("double").alias("n2d_2"),
-    )
     approx = _dot_arrays_fast(F.col("vec1"), F.col("vec2")) / (
         F.sqrt("n2d_1") * F.sqrt("n2d_2")
     )
-    survivors = (
-        cands.join(v1, on="id1")
-        .join(v2, on="id2")
-        .filter(approx >= threshold - _PREFILTER_EPS)
-    )
+    if corpus_row_count(embeddings) <= _VECTOR_BROADCAST_MAX_ROWS:
+        # small-corpus floor: thin within-cell pairs + broadcast
+        # vector lookups (the flood streams through in-task hash
+        # probes, nothing wide is exchanged) — bit- and
+        # shape-identical to the historical plan at every test scale.
+        cands = (
+            cells.select(F.col("vid").alias("id1"), "cid", "sub")
+            .join(
+                cells.select(F.col("vid").alias("id2"), "cid", "sub"),
+                ["cid", "sub"],
+            )
+            .filter(F.col("id1") < F.col("id2"))
+        )
+        survivors = _flood_verify_by_id(
+            embeddings,
+            cands,
+            approx,
+            threshold,
+            id_col,
+            vec_col,
+            force_broadcast=True,
+        )
+    else:
+        # Above the broadcast bound, vectors attach BEFORE the cell
+        # self-join: each side shuffles n vector rows keyed on
+        # (cid, sub), and the ~n·max_cluster/2 pair flood is join
+        # OUTPUT streamed straight into the prefilter — never
+        # shuffled or sorted. The thin-pairs-then-join-vectors-by-id
+        # shape at this scale shuffled ~400M pair rows with vectors
+        # attached at the 100× replica corpus and filled a 76 GB
+        # disk with sort spill before any result row.
+        cellv = cells.join(
+            embeddings.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).alias("vec"),
+                _norm2_array(F.col(vec_col)).cast("double").alias("n2d"),
+            ),
+            on="vid",
+        )
+        left = cellv.select(
+            F.col("vid").alias("id1"),
+            "cid",
+            "sub",
+            F.col("vec").alias("vec1"),
+            F.col("n2d").alias("n2d_1"),
+        )
+        right = cellv.select(
+            F.col("vid").alias("id2"),
+            "cid",
+            "sub",
+            F.col("vec").alias("vec2"),
+            F.col("n2d").alias("n2d_2"),
+        )
+        # SHUFFLE_HASH (not sort-merge): hashing one side's cell rows
+        # avoids sorting wide vector rows on both sides of the
+        # exchange.
+        survivors = (
+            left.join(right.hint("shuffle_hash"), ["cid", "sub"])
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(approx >= threshold - _PREFILTER_EPS)
+        )
     cos = _score(
         _dot_arrays(F.col("vec1"), F.col("vec2")),
         _norm2_array(F.col("vec1")),

@@ -3384,15 +3384,21 @@ ORACLE = {
         norms AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,25))) AS n2
                   FROM e GROUP BY vec_id),
         adots AS (SELECT e.vec_id AS avid, c.vec_id AS acid,
-                         SUM(CAST(e.v * c.v AS DECIMAL(38,25))) AS dot
+                         CAST(SUM(CAST(e.v * c.v AS DECIMAL(38,25)))
+                              AS DOUBLE) AS dot
                   FROM e JOIN e c ON c.pos = e.pos
                    AND c.vec_id < (SELECT nlist FROM ivfcfg)
                   GROUP BY e.vec_id, c.vec_id),
+        -- probe ranking by the double formula (ivfpq_topk's
+        -- assign_exact=False since late round 12 — the q30/q60
+        -- convention); the ADC scan below is unaffected
         ranked_cent AS (
             SELECT avid, acid,
                    ROW_NUMBER() OVER (
                        PARTITION BY avid
-                       ORDER BY {_SCORE.format(dot="a.dot", n1="nv.n2", n2="nc.n2")} DESC,
+                       ORDER BY a.dot / (sqrt(CAST(nv.n2 AS DOUBLE))
+                                         * sqrt(CAST(nc.n2 AS DOUBLE)))
+                                    DESC,
                                 acid) AS crn
             FROM adots a
             JOIN norms nv ON nv.vec_id = a.avid
