@@ -163,10 +163,14 @@ def test_label_centroids_partial_agg_no_vector_shuffle(spark):
 
 def test_ivf_probe_has_no_window_below_the_probe_join(spark):
     """q30 (VERDICT r02 #1): the quantization step must be a row-local
-    projection — the ONLY Window in the plan is the final per-query
-    re-rank (partitioned by query_id), and the whole query runs on one
-    hash exchange. The old plan ranked corpus×centroids through a
-    row_number window: a 16×-amplified shuffle."""
+    projection — every Window in the plan is PER-QUERY (partitioned by
+    qid/query_id), never a rank over corpus×centroids (the old
+    16×-amplified shuffle this test was written against). Since the
+    late-r12 re-rank prefilter the contract is exactly three such
+    windows — the double prefilter's row_number + k-th-score max on
+    THIN (qid, cid, fcos) rows, then the final decimal re-rank on the
+    ~k survivors — and two hash exchanges (the thin qid shuffle feeds
+    both prefilter windows; the survivor re-rank adds one)."""
     from weatherapi_data_engineering_project_spark.plans import llm
 
     plan = _plan(llm.q30_ivf_ann(spark, SF_DIR))
@@ -175,9 +179,13 @@ def test_ivf_probe_has_no_window_below_the_probe_join(spark):
         for ln in plan.splitlines()
         if re.search(r"\bWindow \[", ln)  # WindowGroupLimit excluded
     ]
-    assert len(windows) == 1, windows
-    assert "query_id" in windows[0]
-    assert _shuffles(plan) == 1, f"{_shuffles(plan)} shuffles"
+    assert len(windows) == 3, windows
+    # every window is per-query — none partitioned by the corpus side
+    for w in windows:
+        assert re.search(r"\[(qid|query_id)#\d+L\]", w), w
+    # exactly one window ranks the decimal cosine (the output contract)
+    assert sum("cosine" in w for w in windows) == 1, windows
+    assert _shuffles(plan) == 2, f"{_shuffles(plan)} shuffles"
 
 
 def test_cosine_topk_is_take_ordered_not_global_window(spark):

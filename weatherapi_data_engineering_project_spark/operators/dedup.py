@@ -478,8 +478,21 @@ def simhash_pairs(
     # sides read it and the shingle pipeline behind it is expensive
     sigs = persist_tracked(simhash_signatures(df, text_col, id_col, k, n_bits))
     band_arr = F.array(*[F.substring("bits", b * w + 1, w) for b in range(n_bands)])
+    # per-band fingerprint words (w ≤ 63 bits each): hamming between
+    # two docs is Σ bit_count(xor) over the n_bands word pairs — a few
+    # codegen'd integer ops per candidate instead of n_bits substring
+    # comparisons (late r12, what makes streaming the duplicated flood
+    # through the verifier cheaper than deduping it first)
+    word_arr = F.array(
+        *[
+            F.conv(F.substring("bits", b * w + 1, w), 2, 10).cast("long")
+            for b in range(n_bands)
+        ]
+    )
     bands = sigs.select(
-        "doc", "bits", F.posexplode(band_arr).alias("band_idx", "band_val")
+        "doc",
+        word_arr.alias("fw"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
     if max_bucket_size is not None:
         # stop-bucket filter: the keep-list is the bucket HISTOGRAM
@@ -497,30 +510,36 @@ def simhash_pairs(
         )
         bands = bands.join(keep, ["band_idx", "band_val"], "left_semi")
     a = bands.select(
-        F.col("doc").alias("id1"), F.col("bits").alias("bits1"), "band_idx", "band_val"
+        F.col("doc").alias("id1"), F.col("fw").alias("fw1"), "band_idx", "band_val"
     )
     b = bands.select(
-        F.col("doc").alias("id2"), F.col("bits").alias("bits2"), "band_idx", "band_val"
+        F.col("doc").alias("id2"), F.col("fw").alias("fw2"), "band_idx", "band_val"
     )
+    # NO distinct on the raw flood (late r12 — the signlsh convention,
+    # signlsh_band_candidates' docstring): a pair matching in m bands
+    # appears m times, and deduping HERE would shuffle every candidate
+    # row with BOTH fingerprints attached. Instead every duplicate
+    # pays the (now trivial) hamming fold in the join's output stage,
+    # and the distinct runs on the ≤ max_hamming SURVIVORS —
+    # identical rows, near-dup-sized shuffle.
     cand = (
         a.join(b, on=["band_idx", "band_val"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "bits1", "id2", "bits2")
-        .distinct()
+        .select("id1", "fw1", "id2", "fw2")
     )
     ham = reduce(
         lambda x, y: x + y,
         [
-            F.when(
-                F.substring("bits1", i + 1, 1) != F.substring("bits2", i + 1, 1),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for i in range(n_bits)
+            F.bit_count(
+                F.col("fw1")[i].bitwiseXOR(F.col("fw2")[i])
+            ).cast("int")
+            for i in range(n_bands)
         ],
     )
     return (
         cand.select("id1", "id2", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
