@@ -514,3 +514,49 @@ def test_neardup_ride_join_shape_equivalence(spark, monkeypatch):
     )
     assert big_pairs == small_pairs
     assert big_dedup == small_dedup
+
+
+def test_packed_word_hamming_equals_string_hamming(spark):
+    """The late-r12 SimHash verifier computes hamming as
+    Σ bit_count(xor) over per-band longs packed with conv(bits, 2, 10)
+    — pin it against the definitional per-character count on
+    adversarial fingerprints: all-zero bands (leading-zero conv),
+    all-one bands, single-bit diffs at both ends, and random strings
+    at every deployed band width."""
+    import random
+
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(12)
+    rows = []
+    for w in (8, 12, 16, 24):
+        cases = [
+            ("0" * w, "0" * w),
+            ("1" * w, "1" * w),
+            ("0" * w, "1" * w),
+            ("1" + "0" * (w - 1), "0" * w),
+            ("0" * (w - 1) + "1", "0" * w),
+        ] + [
+            (
+                "".join(rng.choice("01") for _ in range(w)),
+                "".join(rng.choice("01") for _ in range(w)),
+            )
+            for _ in range(10)
+        ]
+        rows += [(w, x, y) for x, y in cases]
+    df = spark.createDataFrame(rows, "w: int, bits1: string, bits2: string")
+    packed = (
+        F.bit_count(
+            F.conv("bits1", 2, 10)
+            .cast("long")
+            .bitwiseXOR(F.conv("bits2", 2, 10).cast("long"))
+        )
+    ).alias("ham_packed")
+    got = df.select(
+        "w", "bits1", "bits2", packed,
+    ).collect()
+    for r in got:
+        want = sum(a != b for a, b in zip(r.bits1, r.bits2))
+        assert r.ham_packed == want, (r.w, r.bits1, r.bits2, r.ham_packed)
