@@ -662,25 +662,28 @@ def q201_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         SIM._norm2_array(F.col("embedding")).alias("cn2"),
     )
-    scored = corpus.crossJoin(F.broadcast(probes)).select(
+    # top-5 via the shared prefiltered brute truth-builder (late r12):
+    # exact_brute_topk's double top-k (+margin) prefilter makes the
+    # interpreted decimal fold a per-survivor cost instead of
+    # corpus×probes — provably the same top-5 set (its docstring), so
+    # the votes below are unchanged; labels rejoin on the tiny result.
+    # Measured trade: ~+0.3s at sf0.1 (extra window/join stages) for a
+    # decimal cost that stops growing with the corpus — the scoring
+    # term was this query's only corpus-proportional interpreted work.
+    top = SIM.exact_brute_topk(
+        probes.select("qid", "qvec", "qn2"),
+        corpus.select(
+            "cid", F.col("embedding").alias("cvec"), "cn2"
+        ),
+        5,
         "qid",
-        "true_label",
         "cid",
-        "cand_label",
-        SIM._score(
-            SIM._dot_arrays(F.col("embedding"), F.col("qvec")),
-            F.col("cn2"),
-            F.col("qn2"),
-        ).alias("cosine"),
     )
-    wk = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col("cid")
-    )
-    top = scored.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= 5
-    )
-    votes = top.groupBy("qid", "true_label", "cand_label").agg(
-        F.count(F.lit(1)).alias("n_votes")
+    votes = (
+        top.join(F.broadcast(probes.select("qid", "true_label")), "qid")
+        .join(corpus.select("cid", "cand_label"), "cid")
+        .groupBy("qid", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     wv = Window.partitionBy("qid").orderBy(
         F.col("n_votes").desc(), F.col("cand_label")
