@@ -509,6 +509,13 @@ def signlsh_buckets(
     weights = _hyperplane_weights(n_bits, dim)
     src = _ensure_parallelism(embeddings)
     bit_chars = []
+    # NOTE (late r12): a double-sign fast path (double fold decides
+    # outside ±1e-6, decimal fold only near zero) was tried here and
+    # REVERTED on measurement — the CASE keeps BOTH folds in every
+    # bit's expression, doubling the projection's expression tree, and
+    # measured ~1.3-1.6× SLOWER across q27/q93/q289 at sf0.1. The
+    # decimal projection is not this family's bottleneck; the flood
+    # paths downstream were (fixed separately).
     for bit in range(n_bits):
         warr = F.array(*[F.lit(w) for w in weights[bit]])
         proj = _dot_arrays(F.col(vec_col), warr)
