@@ -109,6 +109,26 @@ def _work_dir(name: str, sf_dir: str) -> str:
     return work
 
 
+def _order_new_files(src: str, seen: set, when: float) -> None:
+    """Deterministic file-source arrival order WITHOUT wall-clock
+    sleeps (late r12): stamp every file under ``src`` not yet in
+    ``seen`` with mtime ``when``. Spark's FileStreamSource batches
+    files in modification-time order, so a sentinel wave only needs
+    mtimes strictly above the previous wave's — the 1 s sleep per
+    wave this replaces paid ~2 s real wall per drain query (7+ bench
+    queries in the streaming class) and still depended on filesystem
+    timestamp granularity; an explicit ``os.utime`` is exact and
+    free. Ties within one wave fall to path order, which is
+    irrelevant because each wave fits one micro-batch by
+    construction (maxFilesPerTrigger)."""
+    for dirpath, _dirs, files in os.walk(src):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if p not in seen:
+                os.utime(p, (when, when))
+                seen.add(p)
+
+
 def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events through the stateful per-user totals operator.
 
@@ -293,9 +313,13 @@ def _drain_sentinel_interval_join(
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
     ev.repartition(8).write.mode("overwrite").parquet(src)
+    seen: set = set()
+    base = time.time()
+    _order_new_files(src, seen, base)
     max_ts = ev.agg(F.max("ts").alias("m")).first().m
-    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
-        time.sleep(1.0)
+    for wave, (days, lo, hi, nparts) in enumerate(
+        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+    ):
         sent = spark.range(lo, hi, 1, nparts).select(
             (-F.col("id")).alias("event_id"),
             (
@@ -304,6 +328,7 @@ def _drain_sentinel_interval_join(
             F.lit(-1).cast("bigint").alias("user_id"),
         )
         sent.write.mode("append").parquet(src)
+        _order_new_files(src, seen, base + wave)
 
     def sink(batch: DataFrame, bid: int) -> None:
         _audit_batch(tag, batch)
@@ -381,7 +406,8 @@ def q218_stream_outer_interval_join(
     Watermarks advance only BETWEEN micro-batches and AvailableNow
     runs no trailing no-data batch, so wave 2 (8 single-row files at
     +10 d) evicts under wave 1's watermark and wave 3 (+20 d) flushes
-    the rest. 1 s sleeps keep wave mod-times strictly ordered;
+    the rest. Wave mod-times are stamped explicitly
+    (_order_new_files — late r12; replaced the 1 s sleeps per wave);
     spark.range(lo, hi, 1, n) yields n non-empty files in ONE job."""
     return _drain_sentinel_interval_join(spark, sf_dir, "q218", "left_outer")
 
@@ -908,8 +934,12 @@ def q266_stream_append_windows(
         .cast("bigint")
         .alias("max_day"),
     ).first()
-    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
-        time.sleep(1.0)
+    seen: set = set()
+    base = time.time()
+    _order_new_files(src, seen, base)
+    for wave, (days, lo, hi, nparts) in enumerate(
+        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+    ):
         sent = spark.range(lo, hi, 1, nparts).select(
             (
                 F.lit(stats.m) + F.expr(f"INTERVAL {days} DAYS")
@@ -918,6 +948,7 @@ def q266_stream_append_windows(
             F.lit(0.0).alias("value"),
         )
         sent.write.mode("append").parquet(src)
+        _order_new_files(src, seen, base + wave)
 
     def sink(batch: DataFrame, bid: int) -> None:
         _audit_batch("q266", batch)
@@ -1015,14 +1046,19 @@ def q285_stream_timeout_flush(
     out = os.path.join(work, "out")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     max_ts = ev.agg(F.max("ts").alias("m")).first().m
-    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
-        time.sleep(1.0)
+    seen: set = set()
+    base = time.time()
+    _order_new_files(src, seen, base)
+    for wave, (days, lo, hi, nparts) in enumerate(
+        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+    ):
         sent = spark.range(lo, hi, 1, nparts).select(
             F.lit(-1).cast("bigint").alias("user_id"),
             (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
             F.lit(0.0).alias("value"),
         )
         sent.write.mode("append").parquet(src)
+        _order_new_files(src, seen, base + wave)
 
     def sink(batch: DataFrame, bid: int) -> None:
         _audit_batch("q285", batch)
@@ -1166,14 +1202,19 @@ def _bounded_attribution(
         .cast("bigint")
         .alias("max_bucket"),
     ).first()
-    for days, lo, hi, nparts in [(10, 1, 9, 8), (20, 17, 19, 1)]:
-        time.sleep(1.0)
+    seen: set = set()
+    base = time.time()
+    _order_new_files(src, seen, base)
+    for wave, (days, lo, hi, nparts) in enumerate(
+        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+    ):
         sent = spark.range(lo, hi, 1, nparts).select(
             F.lit(-2).cast("bigint").alias("event_id"),
             (F.lit(stats.m) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
             F.lit(-1).cast("bigint").alias("user_id"),
         )
         sent.write.mode("append").parquet(src)
+        _order_new_files(src, seen, base + wave)
 
     def sink(batch: DataFrame, bid: int) -> None:
         _audit_batch(name, batch)
