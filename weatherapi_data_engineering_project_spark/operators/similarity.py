@@ -508,7 +508,6 @@ def signlsh_buckets(
     dim = dim_row.d if dim_row else 0
     weights = _hyperplane_weights(n_bits, dim)
     src = _ensure_parallelism(embeddings)
-    bit_chars = []
     # NOTE (late r12): a double-sign fast path (double fold decides
     # outside ±1e-6, decimal fold only near zero) was tried here and
     # REVERTED on measurement — the CASE keeps BOTH folds in every
@@ -516,13 +515,31 @@ def signlsh_buckets(
     # measured ~1.3-1.6× SLOWER across q27/q93/q289 at sf0.1. The
     # decimal projection is not this family's bottleneck; the flood
     # paths downstream were (fixed separately).
+    #
+    # The whole projection is built as ONE F.expr string (r12
+    # optimization — the kmeans_centroids literal pattern): the
+    # previous per-element F.array(*[F.lit(w) ...]) construction cost
+    # n_bits·dim driver→JVM calls per invocation (~1.9 s of pure
+    # plan-build at 24×64, paid by every signlsh/cosine_neardup
+    # caller); one SQL string is a single parse. The parsed
+    # zip_with/aggregate lambdas are the same Catalyst nodes as the
+    # Python-lambda builders, so buckets are bit-identical (pinned by
+    # the existing differentials).
+    dec = "DECIMAL(38,25)"
+    parts = []
     for bit in range(n_bits):
-        warr = F.array(*[F.lit(w) for w in weights[bit]])
-        proj = _dot_arrays(F.col(vec_col), warr)
-        bit_chars.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        arr = "array(" + ",".join(
+            "1.0D" if w > 0 else "-1.0D" for w in weights[bit]
+        ) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) ->"
+            f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {dec})),"
+            f" CAST(0 AS {dec}), (acc, x) -> CAST(acc + x AS {dec}))"
+        )
+        parts.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
     return src.select(
         F.col(id_col),
-        F.concat(*bit_chars).alias("bucket"),
+        F.expr("concat(" + ",".join(parts) + ")").alias("bucket"),
     )
 
 
