@@ -218,6 +218,40 @@ def _plan_has_nondeterministic(jplan) -> bool:
     return False
 
 
+# (semantic plan hash, sorted scan file list, vec col) → array length.
+# See corpus_dim.
+_DIM_MEMO: dict[tuple, int] = {}
+
+
+def corpus_dim(df: DataFrame, vec_col: str) -> int:
+    """First-row array length of ``vec_col``, memoized exactly like
+    corpus_row_count (r12 optimization): the dim probe is a
+    driver-blocking ``first()`` job paid on EVERY plan build by
+    signlsh_buckets / the PQ trainer / the probe-list builder, while
+    the dimension is invariant per (semantic plan, file set) for lake
+    tables. Frames with no scan files or with non-deterministic
+    expressions are never memoized — same boundary as the count memo."""
+
+    def _probe() -> int:
+        head = df.select(F.size(vec_col).alias("d")).first()
+        return int(head["d"]) if head is not None and head["d"] is not None else 0
+
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        analyzed = df._jdf.queryExecution().analyzed()
+        sem = analyzed.semanticHash()
+        nondet = _plan_has_nondeterministic(analyzed)
+    except Exception:  # pragma: no cover — py4j surface drift
+        files, sem, nondet = (), None, True
+    if not files or nondet:
+        return _probe()
+    key = (sem, files, vec_col)
+    hit = _DIM_MEMO.get(key)
+    if hit is None:
+        hit = _DIM_MEMO[key] = _probe()
+    return hit
+
+
 def corpus_row_count(df: DataFrame) -> int:
     """Row count for plan-build-time sizing rules, memoized by the
     frame's (semantic plan hash, scan file list).
@@ -504,8 +538,7 @@ def signlsh_buckets(
     decimal so the sign (hence the bucket) is partitioning-independent
     and engine-independent.
     """
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row.d if dim_row else 0
+    dim = corpus_dim(embeddings, vec_col)
     weights = _hyperplane_weights(n_bits, dim)
     src = _ensure_parallelism(embeddings)
     # NOTE (late r12): a double-sign fast path (double fold decides
@@ -929,10 +962,18 @@ def kmeans_centroids(
             # float32 rounding mirrors the array<float> storage type
             cents[cid] = [float(np.float32(poses[p])) for p in range(dim)]
 
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         sorted((cid, vec) for cid, vec in cents.items()),
         schema="cid long, cvec array<float>",
     )
+    # The centroids were computed ON the driver; hand consumers the
+    # rows so _probe_lists can embed them as plan literals without
+    # round-tripping driver data through a dim probe + collect job
+    # (r12 optimization; the DataFrame stays the public contract).
+    out._kmeans_driver_rows = sorted(
+        (cid, vec) for cid, vec in cents.items()
+    )
+    return out
 
 
 def ivf_topk_kmeans(
@@ -1092,25 +1133,52 @@ def _probe_lists(
             F.sqrt(F.col("vn2").cast("double")) * F.sqrt(cn2.cast("double"))
         )
 
-    # probe the dim from one row, then collect at most (cap/dim)+1 rows
-    # — a too-large centroid set is detected without ever shipping it
-    # to the driver
-    head = cent.select(F.size("cvec").alias("d")).first()
-    dim = int(head["d"]) if head else 0
-    max_rows = (_KMEANS_MAX_LITERAL_TERMS // dim) if dim else 0
-    cent_rows = cent.limit(max_rows + 1).collect() if dim else []
-    if cent_rows and len(cent_rows) <= max_rows:
-        # plan-literal quantizer: cn2 embedded as the EXACT decimal the
-        # Spark-side norm fold produced (str(Decimal) round-trips), so
-        # scores are bit-identical to the joined formulation
-        parts = []
-        for r in sorted(cent_rows, key=lambda r: int(r["cid"])):
-            vtxt = ",".join(f"{float(x)!r}D" for x in r["cvec"])
-            parts.append(
-                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT), "
-                f"'cvec', array({vtxt}), "
-                f"'cn2', CAST('{r['cn2']}' AS DECIMAL(38,25)))"
-            )
+    # Trainer-produced centroids never round-trip through the executors
+    # (r12 optimization): kmeans_centroids computed them ON the driver
+    # and createDataFrame'd them, so the dim probe and the limit+collect
+    # below were two jobs shipping driver data back to the driver. The
+    # trainer attaches its rows; cn2 is embedded as the SAME decimal
+    # norm fold over the literal array, which Catalyst constant-folds
+    # at plan time — bit-identical to the collected formulation (same
+    # expression, same engine).
+    driver_rows = getattr(centroids, "_kmeans_driver_rows", None)
+    parts = []
+    if driver_rows:
+        dim = len(driver_rows[0][1])
+        if len(driver_rows) * dim <= _KMEANS_MAX_LITERAL_TERMS:
+            dec = "DECIMAL(38,25)"
+            for cid, vec in sorted(driver_rows):
+                vtxt = ",".join(f"{float(x)!r}D" for x in vec)
+                n2 = (
+                    f"aggregate(zip_with(array({vtxt}), array({vtxt}),"
+                    f" (x, y) -> CAST(CAST(x AS DOUBLE) *"
+                    f" CAST(y AS DOUBLE) AS {dec})), CAST(0 AS {dec}),"
+                    f" (acc, x) -> CAST(acc + x AS {dec}))"
+                )
+                parts.append(
+                    f"named_struct('cid', CAST({int(cid)} AS BIGINT), "
+                    f"'cvec', array({vtxt}), 'cn2', {n2})"
+                )
+    if not parts:
+        # probe the dim from one row, then collect at most (cap/dim)+1
+        # rows — a too-large centroid set is detected without ever
+        # shipping it to the driver
+        dim = corpus_dim(cent, "cvec")
+        max_rows = (_KMEANS_MAX_LITERAL_TERMS // dim) if dim else 0
+        cent_rows = cent.limit(max_rows + 1).collect() if dim else []
+        if cent_rows and len(cent_rows) <= max_rows:
+            # plan-literal quantizer: cn2 embedded as the EXACT decimal
+            # the Spark-side norm fold produced (str(Decimal)
+            # round-trips), so scores are bit-identical to the joined
+            # formulation
+            for r in sorted(cent_rows, key=lambda r: int(r["cid"])):
+                vtxt = ",".join(f"{float(x)!r}D" for x in r["cvec"])
+                parts.append(
+                    f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT), "
+                    f"'cvec', array({vtxt}), "
+                    f"'cn2', CAST('{r['cn2']}' AS DECIMAL(38,25)))"
+                )
+    if parts:
         arr = F.expr("array(" + ",".join(parts) + ")")
         scored = F.transform(
             arr,
@@ -1290,8 +1358,7 @@ def pq_codebooks_and_codes(
     """
     import numpy as np
 
-    head = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(head["d"]) if head else 0
+    dim = corpus_dim(embeddings, vec_col)
     if dim == 0 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     d_sub = dim // m
