@@ -117,3 +117,19 @@ def test_corpus_dim_memoizes_scan_frames_only(spark):
     )
     assert SIM.corpus_dim(local, "embedding") == 3
     assert len(SIM._DIM_MEMO) == n_keys
+
+
+def test_prefix_verify_broadcast_and_exploded_paths_agree(spark, monkeypatch):
+    """The corpus-bound switch in prefix_filter_pairs must be a pure
+    plan choice: forcing the above-bound (exploded candidate-driven)
+    verify on a small corpus yields row-identical output to the
+    broadcast array_intersect path."""
+    d = load_table(spark, SF_DIR, "documents")
+    fast = sorted(
+        map(tuple, DD.prefix_filter_pairs(d, "text", "doc_id").collect())
+    )
+    monkeypatch.setattr(DD, "_SHINGLE_SET_BROADCAST_MAX_DOCS", 0)
+    slow = sorted(
+        map(tuple, DD.prefix_filter_pairs(d, "text", "doc_id").collect())
+    )
+    assert fast == slow

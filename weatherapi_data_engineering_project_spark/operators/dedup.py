@@ -898,6 +898,14 @@ def containment_pairs(
     )
 
 
+# Corpus bound for broadcasting the per-doc shingle-set frame in the
+# prefix-filter verify: ~50 shingles × ~20 chars per doc puts 2^15 docs
+# around 35 MB serialized — comfortably broadcastable; every historical
+# test/bench corpus (sf0.001–sf0.1) sits far under it. Above the bound
+# the exploded candidate-driven verify (thin shuffle rows) runs instead.
+_SHINGLE_SET_BROADCAST_MAX_DOCS = 1 << 15
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     text_col: str,
@@ -979,15 +987,48 @@ def prefix_filter_pairs(
             & (2 * F.col("n2") >= F.col("n1"))
         )
     )
-    a = ex.select(F.col("doc").alias("id1"), "shingle")
-    b = ex.select(F.col("doc").alias("id2"), "shingle")
-    inter = (
-        cands.select("id1", "id2", "n1", "n2")
-        .join(a, "id1")
-        .join(b, ["id2", "shingle"])
-        .groupBy("id1", "id2", "n1", "n2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if corpus_row_count(df) <= _SHINGLE_SET_BROADCAST_MAX_DOCS:
+        # r12 optimization (small-corpus floor, the cosine_neardup_pairs
+        # switch convention): the exploded verify materializes
+        # |cands| × shingles-per-doc intermediate rows (16M at sf0.1)
+        # through a join+groupBy; below the bound the per-doc shingle
+        # SETS broadcast instead and the intersection is one row-local
+        # codegen'd array_intersect per candidate pair — nothing wide is
+        # exchanged, and `inter` is identical (shingle_sets rows are
+        # distinct per doc, so |array_intersect| IS the join-count).
+        # Measured 4.8 → 2.9 s at sf0.1 with bit-identical output.
+        sets = ex.groupBy("doc").agg(F.collect_list("shingle").alias("sh"))
+        s1 = F.broadcast(
+            sets.select(F.col("doc").alias("id1"), F.col("sh").alias("sh1"))
+        )
+        s2 = F.broadcast(
+            sets.select(F.col("doc").alias("id2"), F.col("sh").alias("sh2"))
+        )
+        inter = (
+            cands.select("id1", "id2", "n1", "n2")
+            .join(s1, "id1")
+            .join(s2, "id2")
+            .select(
+                "id1",
+                "id2",
+                "n1",
+                "n2",
+                F.size(F.array_intersect("sh1", "sh2")).alias("inter"),
+            )
+        )
+    else:
+        # above the broadcast bound the shingle-set frame cannot ship
+        # to every task; the candidate-driven exploded join keeps the
+        # shuffle thin (pair ids + one shingle per row)
+        a = ex.select(F.col("doc").alias("id1"), "shingle")
+        b = ex.select(F.col("doc").alias("id2"), "shingle")
+        inter = (
+            cands.select("id1", "id2", "n1", "n2")
+            .join(a, "id1")
+            .join(b, ["id2", "shingle"])
+            .groupBy("id1", "id2", "n1", "n2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.filter(3 * F.col("inter") >= F.col("n1") + F.col("n2"))
         .select(
