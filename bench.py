@@ -202,7 +202,18 @@ def main() -> None:
         json.dump(full_doc, f, indent=1)
     # The per-query line above grows with the registry and can outrun a
     # bounded tail capture; this short FINAL line is always parseable on
-    # its own (VERDICT r02 #5).
+    # its own (VERDICT r02 #5). Per VERDICT r12 #2: a COMPACT 2-decimal
+    # per-query dict is printed immediately before it (separators strip
+    # whitespace, so the maximum number of entries survives a bounded
+    # tail), and the final line carries "full" — the on-disk path of
+    # the complete artifact — so any consumer whose capture truncates
+    # the dict can follow the pointer instead of parsing the tail.
+    sys.stdout.flush()
+    compact = {
+        "metric": "per_query_wall_seconds",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     sys.stdout.flush()
     print(
         json.dumps(
@@ -213,6 +224,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs": n_runs,
                 "n_queries": len(timings),
+                "full": os.path.basename(full_path),
             }
         )
     )

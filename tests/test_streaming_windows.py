@@ -597,13 +597,17 @@ def test_q218_outer_join_emits_watermark_evicted_nulls(spark):
     res.unpersist()
 
 
-def test_q218_drain_runs_three_sentinel_waves(spark):
-    """The sentinel-flush protocol's mechanics: the q218 drain must
-    execute at least 3 DATA micro-batches (real wave, +10d wave,
-    +20d wave) — a collapsed wave order would silently fall back to
-    relying on a trailing no-data batch the engine does not
-    guarantee. Inspects the checkpoint offset log of the work dir
-    the registered query just used."""
+def test_q218_drain_one_wave_plus_nodata_flush(spark):
+    """The r13 sentinel-flush protocol's mechanics: the q218 drain runs
+    exactly 2 DATA micro-batches (real files, then the ONE +10d
+    sentinel wave) followed by the engine's no-data flush batch —
+    which IS guaranteed here because _drain_session pins
+    ``noDataMicroBatches.enabled=true`` on the clone and the wave
+    advances the watermark. A regression that either merged the wave
+    into the real batch (watermark never jumps ⇒ outer rows lost) or
+    dropped the no-data batch (flush never runs) changes this offset
+    signature. Inspects the checkpoint offset log of the work dir the
+    registered query just used."""
     import hashlib
     import json as _json
     import tempfile
@@ -621,10 +625,13 @@ def test_q218_drain_runs_three_sentinel_waves(spark):
         int(b) for b in os.listdir(offsets) if not b.startswith(".")
     )
     assert len(batches) >= 3, batches
-    # each of the first three batches consumed a strictly growing
-    # file index — i.e. they were DATA batches, not no-data ticks
     idx = []
     for b in batches[:3]:
         lines = open(os.path.join(offsets, str(b))).read().splitlines()
         idx.append(_json.loads(lines[-1])["logOffset"])
-    assert idx == sorted(set(idx)), idx
+    # batches 0 and 1 each consumed a strictly growing file index
+    # (real replay, then the sentinel wave in its OWN batch), and
+    # batch 2 consumed nothing new — the no-data flush batch running
+    # under the wave's advanced watermark
+    assert idx[0] < idx[1], idx
+    assert idx[2] == idx[1], idx

@@ -31,12 +31,6 @@ from ..streaming.windows import (
     stream_interval_join,
 )
 
-EVENTS_DDL = (
-    "event_id bigint, ts timestamp, user_id bigint, "
-    "event_type string, value double, props string"
-)
-
-
 from ..session import cloned_session as _cloned_session  # noqa: E402
 # (moved to session.py in r7 so streaming/load.py shares the same
 # clone-and-pin — VERDICT r06 #5; the alias keeps existing call sites
@@ -109,6 +103,49 @@ def _work_dir(name: str, sf_dir: str) -> str:
     return work
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes under ``path`` (the just-written replay dir) — the
+    input-size signal scaled_state_width derives the drain's state
+    shuffle width from."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def _drain_session(spark: SparkSession, src: str, *, no_data_batches: bool = True):
+    """Cloned session for one drain (see session.cloned_session), with
+
+    - the state-shuffle width derived from the replay size
+      (session.scaled_state_width — replaces the r07–r12 pinned 8;
+      local corpora stay at the floor 8, so the bench is comparable,
+      while a production-sized replay derives a proportional width),
+    - ``spark.sql.streaming.noDataMicroBatches.enabled`` pinned
+      EXPLICITLY per drain: ``True`` where the drain's oracle
+      completeness RELIES on the engine's watermark-advance no-data
+      batch (the sentinel-flush drains — since r13 they run ONE
+      sentinel wave and let that final no-data batch, executing under
+      the wave's advanced watermark, flush every remaining real row),
+      ``False`` where the drain's entire output provably lands in its
+      data batches (single-batch inner/semi/dedup drains: eviction
+      emits nothing for those operators, so the trailing empty batch
+      was a pure per-query constant — measured 0.3–0.8 s each)."""
+    from ..session import scaled_state_width
+
+    s2 = _cloned_session(
+        spark, shuffle_partitions=scaled_state_width(_dir_bytes(src))
+    )
+    s2.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
+    return s2
+
+
 def _order_new_files(src: str, seen: set, when: float) -> None:
     """Deterministic file-source arrival order WITHOUT wall-clock
     sleeps (late r12): stamp every file under ``src`` not yet in
@@ -163,7 +200,14 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    # replay only the columns the operator folds (user_id, ts, value —
+    # running_user_totals projects to exactly these anyway): the setup
+    # write, the per-batch scan and the Arrow hand-off all skip the
+    # event_type/props strings (guide §2.3 project early; measured
+    # −1.1 s at sf0.1 on the 4-batch drain)
+    ev.select("user_id", "ts", "value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
 
     def sink(batch: DataFrame, bid: int) -> None:
         _audit_batch("q42", batch)
@@ -173,13 +217,15 @@ def q42_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The state shuffle inherits spark.sql.shuffle.partitions; a vanilla
     # session's 200 means 200 state-store files per micro-batch for a
-    # 150-user keyspace. Pin a sane width on a CLONED session (shared
-    # SparkContext, isolated SQLConf; semantics-bearing runtime confs
-    # copied over — _cloned_session).
-    s2 = _cloned_session(spark)
+    # 150-user keyspace. Derive a sane width from the replay size on a
+    # CLONED session (shared SparkContext, isolated SQLConf;
+    # semantics-bearing runtime confs copied over — _drain_session).
+    # no_data_batches is moot here (NoTimeout + no watermark — the
+    # engine never schedules one), so the default stays
+    s2 = _drain_session(spark, src)
     q = (
         running_user_totals(
-            s2.readStream.schema(EVENTS_DDL)
+            s2.readStream.schema("user_id bigint, ts timestamp, value double")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
@@ -260,9 +306,12 @@ def q70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audit_batch("q70", batch)
         batch.write.mode("append").parquet(out)
 
-    # cloned session: pinned state-shuffle width + copied runtime confs
-    # without mutating the caller's (possibly shared) session — see q42
-    s2 = _cloned_session(spark)
+    # cloned session: derived state-shuffle width + copied runtime
+    # confs without mutating the caller's (possibly shared) session —
+    # see q42. no_data_batches=False: the single-batch INNER join
+    # emits every row in its one data batch; the trailing no-data
+    # batch only retires state and can emit nothing, so it is skipped.
+    s2 = _drain_session(spark, src, no_data_batches=False)
     stream = s2.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint"
     ).parquet(src)
@@ -297,12 +346,20 @@ def _drain_sentinel_interval_join(
 ) -> DataFrame:
     """The q218 sentinel-flush drain, shared by the left- and
     full-outer variants (q218/q239): replay events as 8 files (one
-    micro-batch), then two sentinel waves (+10 d / +20 d, both join
-    parities) that advance the watermark far past every real window so
-    EVERY outer-null row flushes before stop. Sentinel participations
-    filter out on read-back by id sign — never on the streaming plan
-    (a left-side predicate would push through the outer join into the
-    scan and starve the watermark node; see q218's docstring)."""
+    micro-batch), then ONE sentinel wave (+10 d, both join parities)
+    that advances the watermark far past every real window; the
+    engine's final no-data micro-batch (pinned on via _drain_session —
+    it runs exactly because the wave moved the watermark) executes
+    under that advanced watermark and flushes EVERY remaining
+    outer-null row before stop. (r13: this replaces the second +20 d
+    wave, whose only job was to be a batch running under wave 1's
+    watermark — the no-data batch is that batch, one sentinel write
+    job and one replayed micro-batch cheaper; parity verified
+    row-identical at sf0.001 + sf0.01 for both outer variants.)
+    Sentinel participations filter out on read-back by id sign — never
+    on the streaming plan (a left-side predicate would push through
+    the outer join into the scan and starve the watermark node; see
+    q218's docstring)."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -317,8 +374,11 @@ def _drain_sentinel_interval_join(
     base = time.time()
     _order_new_files(src, seen, base)
     max_ts = ev.agg(F.max("ts").alias("m")).first().m
+    # one wave, two rows (ids −1/−2 — one per join-side parity, so both
+    # sides' watermark columns see the jump); the flush batch itself is
+    # the engine's no-data batch, not a second wave
     for wave, (days, lo, hi, nparts) in enumerate(
-        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+        [(10, 1, 3, 2)], start=1
     ):
         sent = spark.range(lo, hi, 1, nparts).select(
             (-F.col("id")).alias("event_id"),
@@ -334,7 +394,7 @@ def _drain_sentinel_interval_join(
         _audit_batch(tag, batch)
         batch.write.mode("append").parquet(out)
 
-    s2 = _cloned_session(spark)
+    s2 = _drain_session(spark, src, no_data_batches=True)
     stream = (
         s2.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
         .option("maxFilesPerTrigger", 8)
@@ -386,29 +446,30 @@ def q218_stream_outer_interval_join(
     outer results exist ONLY because state aged out.
 
     Oracle completeness via the sentinel-flush protocol: the real
-    events replay as 8 files taken in micro-batch 1; two sentinel
-    files (one row per join-side parity, event_id −1/−2, at +10 d and
-    +20 d past the real max ts) land in micro-batches 2 and 3 under
-    ``maxFilesPerTrigger=8``. Batch 2's watermark (= real max − 2 h
-    delay) evicts-and-emits most unmatched clicks; batch 3's
-    (= sentinel1 − 2 h, far past every real window) flushes the rest —
-    so by stop, EVERY real click has either its matches or its NULL
-    row, and the result equals the batch LEFT JOIN exactly (sentinels
-    filtered by id sign; they can match nothing real). Per-batch
-    parquet spill, no driver collect.
+    events replay as 8 files taken in micro-batch 1; ONE sentinel wave
+    (one row per join-side parity, event_id −1/−2, at +10 d past the
+    real max ts) lands in micro-batch 2 under ``maxFilesPerTrigger=8``.
+    Batch 2's watermark (= real max − 2 h delay) evicts-and-emits most
+    unmatched clicks; the engine's final no-data micro-batch — pinned
+    on via _drain_session, scheduled exactly because the wave advanced
+    the watermark to sentinel − 2 h, far past every real window —
+    flushes the rest. So by stop, EVERY real click has either its
+    matches or its NULL row, and the result equals the batch LEFT JOIN
+    exactly (sentinels filtered by id sign; they can match nothing
+    real). Per-batch parquet spill, no driver collect.
 
     Mechanics notes (shared drain, _drain_sentinel_interval_join):
     exactly 8 real files (repartition, NOT coalesce — a single-split
     scan cannot be coalesced UP) fill micro-batch 1 under
     maxFilesPerTrigger=8. Sentinel parity: Spark's % keeps the sign,
-    so the LEFT filter (% 2 == 0) catches −2/−4 and the RIGHT filter
-    catches −1/−3 — each side's watermark column sees both jumps.
-    Watermarks advance only BETWEEN micro-batches and AvailableNow
-    runs no trailing no-data batch, so wave 2 (8 single-row files at
-    +10 d) evicts under wave 1's watermark and wave 3 (+20 d) flushes
-    the rest. Wave mod-times are stamped explicitly
-    (_order_new_files — late r12; replaced the 1 s sleeps per wave);
-    spark.range(lo, hi, 1, n) yields n non-empty files in ONE job."""
+    so the LEFT filter (% 2 == 0) catches −2 and the RIGHT filter
+    catches −1 — each side's watermark column sees the jump.
+    Watermarks advance only BETWEEN micro-batches; the flush batch
+    after the wave is the engine's no-data batch (r13 — previously a
+    second +20 d wave played that role). Wave mod-times are stamped
+    explicitly (_order_new_files — late r12; replaced the 1 s sleeps
+    per wave); spark.range(lo, hi, 1, n) yields n non-empty files in
+    ONE job."""
     return _drain_sentinel_interval_join(spark, sf_dir, "q218", "left_outer")
 
 
@@ -481,7 +542,10 @@ def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audit_batch("q76", batch)
         batch.write.mode("append").parquet(out)
 
-    s2 = _cloned_session(spark)
+    # no_data_batches=False: the single-batch drain finds every
+    # duplicate in its one data batch; dedup-state eviction emits
+    # nothing, so the trailing no-data batch was a pure constant
+    s2 = _drain_session(spark, src, no_data_batches=False)
     stream = s2.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint"
     ).parquet(src)
@@ -556,7 +620,10 @@ def q84_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(out)
         os.rename(tmp, out)
 
-    s2 = _cloned_session(spark)
+    # the stream itself is stateless (the merge lives in foreachBatch,
+    # whose groupBy inherits the clone's derived shuffle width); no
+    # watermark ⇒ no no-data batch either way
+    s2 = _drain_session(spark, src, no_data_batches=False)
     q = (
         s2.readStream.schema(
             "event_id bigint, ts timestamp, event_type string, value double"
@@ -634,7 +701,10 @@ def q121_stream_session_window(
             shutil.rmtree(out)
         os.rename(tmp, out)
 
-    s2 = _cloned_session(spark)
+    # no_data_batches=False: COMPLETE mode emits the whole session
+    # table in the data batch; the trailing no-data batch would only
+    # overwrite `out` with the identical table (measured ~0.5 s)
+    s2 = _drain_session(spark, src, no_data_batches=False)
     q = (
         session_counts(
             s2.readStream.schema(
@@ -711,7 +781,8 @@ def q136_stream_sliding_window(
             shutil.rmtree(out)
         os.rename(tmp, out)
 
-    s2 = _cloned_session(spark)
+    # no_data_batches=False: complete-mode drain, same as q121
+    s2 = _drain_session(spark, src, no_data_batches=False)
     q = (
         sliding_counts(
             s2.readStream.schema(
@@ -782,7 +853,9 @@ def q90_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audit_batch("q90", batch)
         batch.write.mode("append").parquet(out)
 
-    s2 = _cloned_session(spark)
+    # no_data_batches=False: single-batch update-mode agg with no
+    # watermark — every group emits in the data batch
+    s2 = _drain_session(spark, src, no_data_batches=False)
     profile = (
         load_table(s2, sf_dir, "events")
         .groupBy("user_id")
@@ -867,7 +940,10 @@ def q256_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audit_batch("q256", batch)
         batch.write.mode("append").parquet(out)
 
-    s2 = _cloned_session(spark)
+    # no_data_batches=False: the semi join emits a left row on its
+    # FIRST match, all of which land in the single data batch;
+    # eviction retires unmatched state silently
+    s2 = _drain_session(spark, src, no_data_batches=False)
     stream = s2.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint"
     ).parquet(src)
@@ -909,9 +985,12 @@ def q266_stream_append_windows(
     between micro-batches and no trailing batch runs.
 
     Drain: the q218 sentinel protocol adapted to aggregation — 8 real
-    files fill micro-batch 1; sentinel waves at +10 d / +20 d (8 files
-    then 1, under maxFilesPerTrigger=8) run two more batches whose
-    advancing watermark finalizes EVERY real day window before stop.
+    files fill micro-batch 1; ONE sentinel wave at +10 d runs batch 2
+    (emitting every window final under the real-data watermark), and
+    the engine's no-data batch — pinned on via _drain_session, running
+    under the wave's advanced watermark — finalizes the rest before
+    stop (r13: replaces the second +20 d wave, whose only job was to
+    be that batch; parity oracle-verified at sf0.001/sf0.01).
     Sentinel rows form far-future windows filtered on READ-BACK by the
     real max day index — never on the streaming plan (a pre-aggregation
     filter would hide the sentinels from the watermark node, the q218
@@ -938,7 +1017,7 @@ def q266_stream_append_windows(
     base = time.time()
     _order_new_files(src, seen, base)
     for wave, (days, lo, hi, nparts) in enumerate(
-        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+        [(10, 1, 2, 1)], start=1
     ):
         sent = spark.range(lo, hi, 1, nparts).select(
             (
@@ -954,7 +1033,9 @@ def q266_stream_append_windows(
         _audit_batch("q266", batch)
         batch.write.mode("append").parquet(out)
 
-    s2 = _cloned_session(spark)
+    # no_data_batches=True: the final flush batch IS the engine's
+    # no-data batch (see docstring)
+    s2 = _drain_session(spark, src, no_data_batches=True)
     stream = (
         s2.readStream.schema(
             "ts timestamp, event_type string, value double"
@@ -1019,9 +1100,13 @@ def q285_stream_timeout_flush(
     Drain: the q266 sentinel protocol adapted to timeouts — 8 real
     files fill micro-batch 1 (timeouts set, nothing emitted); the
     +10 d wave's batch runs under watermark = real_max − 2 h (flushes
-    users idle > 3 h before corpus end); the +20 d wave's batch runs
-    under watermark = +10 d − 2 h, far past every real timeout, so
-    EVERY real user has flushed exactly once before stop. The sentinel
+    users idle > 3 h before corpus end); the engine's no-data batch
+    (pinned on via _drain_session — it runs exactly because the wave
+    advanced the watermark to +10 d − 2 h, far past every real
+    timeout) fires the remaining timeouts, so EVERY real user has
+    flushed exactly once before stop (r13: replaces the second +20 d
+    wave; parity verified row-identical with matching state metrics at
+    sf0.001/sf0.01). The sentinel
     user (-1) keeps its state forever and never emits — filtered on
     read-back by id sign anyway (defense in depth; never on the
     streaming plan, the q218 trap). Per-batch parquet spill, no
@@ -1050,7 +1135,7 @@ def q285_stream_timeout_flush(
     base = time.time()
     _order_new_files(src, seen, base)
     for wave, (days, lo, hi, nparts) in enumerate(
-        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+        [(10, 1, 2, 1)], start=1
     ):
         sent = spark.range(lo, hi, 1, nparts).select(
             F.lit(-1).cast("bigint").alias("user_id"),
@@ -1064,7 +1149,9 @@ def q285_stream_timeout_flush(
         _audit_batch("q285", batch)
         batch.write.mode("append").parquet(out)
 
-    s2 = _cloned_session(spark)
+    # no_data_batches=True: the final timeout-firing batch IS the
+    # engine's no-data batch (see docstring)
+    s2 = _drain_session(spark, src, no_data_batches=True)
     stream = (
         s2.readStream.schema(
             "user_id bigint, ts timestamp, value double"
@@ -1205,8 +1292,10 @@ def _bounded_attribution(
     seen: set = set()
     base = time.time()
     _order_new_files(src, seen, base)
+    # ONE sentinel wave (+10 d) — the final window-finalizing batch is
+    # the engine's no-data batch, exactly as in q266
     for wave, (days, lo, hi, nparts) in enumerate(
-        [(10, 1, 9, 8), (20, 17, 19, 1)], start=1
+        [(10, 1, 2, 1)], start=1
     ):
         sent = spark.range(lo, hi, 1, nparts).select(
             F.lit(-2).cast("bigint").alias("event_id"),
@@ -1220,7 +1309,7 @@ def _bounded_attribution(
         _audit_batch(name, batch)
         batch.write.mode("append").parquet(out)
 
-    s2 = _cloned_session(spark)
+    s2 = _drain_session(spark, src, no_data_batches=True)
     stream = (
         s2.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
         .option("maxFilesPerTrigger", 8)

@@ -72,6 +72,28 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def scaled_state_width(n_bytes: int, floor: int = 8, cap: int = 4096) -> int:
+    """State-shuffle width for a streaming drain, derived from the
+    REPLAY SIZE instead of a pinned constant (VERDICT r12 #1): one
+    state partition per ~64 MB of replay input, clamped to
+    [floor, cap].
+
+    Rationale: a stateful stream's state store inherits
+    ``spark.sql.shuffle.partitions``; the right width tracks how much
+    state/input each partition must hold, which scales with the data,
+    not with the local core count. The floor keeps every local corpus
+    (sf0.001–sf0.1 replays are ≤ 2 MB) on the historical width 8 —
+    measured at sf0.1 as the best point (width 2 ran q42 2.3× slower
+    serializing the per-group pandas work, width 16 was within noise
+    on q42 and slower on q218) and bench-comparable across rounds —
+    while a 100 TB replay derives ~1.6 M → capped 4096 partitions
+    instead of committing 100 TB of join state through 8 stores. Input
+    bytes is the proxy (free to compute from the just-written replay
+    dir); stream-stream join state is O(bytes in the watermark
+    horizon), and for key-bounded operators it is an upper bound."""
+    return max(floor, min(cap, n_bytes // (64 << 20)))
+
+
 def cloned_session(spark: SparkSession, shuffle_partitions: int = 8):
     """Clone-and-pin (ADVICE r03, VERDICT r06 #5): ``newSession()``
     initializes SQLConf from builder-time options only, so
