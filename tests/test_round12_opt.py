@@ -128,7 +128,7 @@ def test_prefix_verify_broadcast_and_exploded_paths_agree(spark, monkeypatch):
     fast = sorted(
         map(tuple, DD.prefix_filter_pairs(d, "text", "doc_id").collect())
     )
-    monkeypatch.setattr(DD, "_SHINGLE_SET_BROADCAST_MAX_DOCS", 0)
+    monkeypatch.setattr(DD, "_SHINGLE_SET_BROADCAST_MAX_ROWS", 0)
     slow = sorted(
         map(tuple, DD.prefix_filter_pairs(d, "text", "doc_id").collect())
     )

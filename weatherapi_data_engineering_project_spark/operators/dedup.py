@@ -691,6 +691,16 @@ def label_propagation_clusters_converged(
             pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
         )
     )
+    if max_rounds <= 0:
+        # parameter contract (ADVICE r12 #1): the guard bounds work to
+        # ZERO rounds — the identity labeling, not round-1 labels
+        # (round 1 below is computed before the range(max_rounds - 1)
+        # loop, so it would otherwise run unconditionally)
+        return (
+            e.select(F.col("a").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("cluster_rep"))
+        )
     n_slots = _label_slots(e)
     # localCheckpoint, not persist: persist caches DATA but the logical
     # plan still nests (labels appears twice per round — once directly,
@@ -898,12 +908,18 @@ def containment_pairs(
     )
 
 
-# Corpus bound for broadcasting the per-doc shingle-set frame in the
-# prefix-filter verify: ~50 shingles × ~20 chars per doc puts 2^15 docs
-# around 35 MB serialized — comfortably broadcastable; every historical
-# test/bench corpus (sf0.001–sf0.1) sits far under it. Above the bound
-# the exploded candidate-driven verify (thin shuffle rows) runs instead.
-_SHINGLE_SET_BROADCAST_MAX_DOCS = 1 << 15
+# Bound for broadcasting the per-doc shingle-set frame in the
+# prefix-filter verify, in total SHINGLE ROWS — the quantity broadcast
+# size actually scales with (ADVICE r12 #4: a doc-count bound lets a
+# sub-32k corpus of very long documents blow past the size estimate).
+# 2^21 rows × ~20-char shingles ≈ 40 MB serialized — comfortably
+# broadcastable; every historical test/bench corpus (sf0.001–sf0.1,
+# ≤ ~0.5M shingle rows) sits far under it, so the bench path is
+# unchanged. Above the bound the exploded candidate-driven verify
+# (thin shuffle rows) runs instead. The count is the memoized
+# corpus_row_count of the shingle frame itself — one job on first
+# invocation, free after.
+_SHINGLE_SET_BROADCAST_MAX_ROWS = 1 << 21
 
 
 def prefix_filter_pairs(
@@ -987,7 +1003,7 @@ def prefix_filter_pairs(
             & (2 * F.col("n2") >= F.col("n1"))
         )
     )
-    if corpus_row_count(df) <= _SHINGLE_SET_BROADCAST_MAX_DOCS:
+    if corpus_row_count(ex) <= _SHINGLE_SET_BROADCAST_MAX_ROWS:
         # r12 optimization (small-corpus floor, the cosine_neardup_pairs
         # switch convention): the exploded verify materializes
         # |cands| × shingles-per-doc intermediate rows (16M at sf0.1)

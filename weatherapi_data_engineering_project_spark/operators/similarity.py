@@ -223,29 +223,53 @@ def _plan_has_nondeterministic(jplan) -> bool:
 _DIM_MEMO: dict[tuple, int] = {}
 
 
+def _memo_key(df: DataFrame) -> tuple | None:
+    """(semantic plan hash, sorted scan file list) memo key shared by
+    corpus_row_count and corpus_dim (ADVICE r12 #5 — one guard, probe
+    parity), or None when the frame must never be memoized: no lake
+    scan files (in-memory fixtures — nothing in the key would prove
+    their data unchanged), a non-deterministic expression anywhere in
+    the analyzed plan (Catalyst's own ``deterministic`` walk), or —
+    the fallback for py4j drift where the walk fails open — the
+    textual rand()/uuid() token probe (.analyzed() prints the standard
+    non-deterministic families with these exact tokens)."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        analyzed = df._jdf.queryExecution().analyzed()
+        sem = analyzed.semanticHash()
+        plan_txt = analyzed.toString().lower()
+        nondet = _plan_has_nondeterministic(analyzed)
+    except Exception:  # pragma: no cover — py4j surface drift
+        return None
+    if not files or nondet or any(
+        tok in plan_txt
+        for tok in (
+            "rand(", "randn(", "uuid()", "shuffle(",
+            "monotonically_increasing_id",
+        )
+    ):
+        return None
+    return (sem, files)
+
+
 def corpus_dim(df: DataFrame, vec_col: str) -> int:
     """First-row array length of ``vec_col``, memoized exactly like
     corpus_row_count (r12 optimization): the dim probe is a
     driver-blocking ``first()`` job paid on EVERY plan build by
     signlsh_buckets / the PQ trainer / the probe-list builder, while
     the dimension is invariant per (semantic plan, file set) for lake
-    tables. Frames with no scan files or with non-deterministic
-    expressions are never memoized — same boundary as the count memo."""
+    tables. The memo boundary is the SHARED ``_memo_key`` guard —
+    including the token-probe fallback corpus_row_count keeps for the
+    case where the Catalyst walk fails open (ADVICE r12 #5 parity)."""
 
     def _probe() -> int:
         head = df.select(F.size(vec_col).alias("d")).first()
         return int(head["d"]) if head is not None and head["d"] is not None else 0
 
-    try:
-        files = tuple(sorted(df.inputFiles()))
-        analyzed = df._jdf.queryExecution().analyzed()
-        sem = analyzed.semanticHash()
-        nondet = _plan_has_nondeterministic(analyzed)
-    except Exception:  # pragma: no cover — py4j surface drift
-        files, sem, nondet = (), None, True
-    if not files or nondet:
+    key = _memo_key(df)
+    if key is None:
         return _probe()
-    key = (sem, files, vec_col)
+    key = key + (vec_col,)
     hit = _DIM_MEMO.get(key)
     if hit is None:
         hit = _DIM_MEMO[key] = _probe()
@@ -263,34 +287,15 @@ def corpus_row_count(df: DataFrame) -> int:
     (r10 bench: ~0.2 s per build at sf0.1 across q25/q47/q71/q72/...;
     a real cluster pays a whole scan stage). The semantic plan hash in
     the key makes the memo filter-safe: a filtered frame over the same
-    files hashes differently and gets its own count. Frames with no
-    scan files (in-memory fixtures) are never memoized — nothing in
-    the key would prove their data unchanged — and neither are plans
-    containing NON-DETERMINISTIC expressions (rand()-based sampling
-    would hash identically across invocations while counting
-    differently; ADVICE r10). Files rewritten IN PLACE under identical
-    names remain outside the guard — Spark's own writers emit
-    UUID-part names, and the lake-scan contract below is the
-    documented boundary."""
-    try:
-        files = tuple(sorted(df.inputFiles()))
-        analyzed = df._jdf.queryExecution().analyzed()
-        sem = analyzed.semanticHash()
-        # textual probe for the standard non-deterministic expression
-        # families; .analyzed() prints them with these exact tokens
-        plan_txt = analyzed.toString().lower()
-        nondet = _plan_has_nondeterministic(analyzed)
-    except Exception:  # pragma: no cover — py4j surface drift
-        files, sem, plan_txt, nondet = (), None, "", False
-    if not files or nondet or any(
-        tok in plan_txt
-        for tok in (
-            "rand(", "randn(", "uuid()", "shuffle(",
-            "monotonically_increasing_id",
-        )
-    ):
+    files hashes differently and gets its own count. The memo boundary
+    (no scan files / non-deterministic expressions, Catalyst walk +
+    token-probe fallback) is the shared ``_memo_key`` guard. Files
+    rewritten IN PLACE under identical names remain outside the guard
+    — Spark's own writers emit UUID-part names, and the lake-scan
+    contract is the documented boundary."""
+    key = _memo_key(df)
+    if key is None:
         return df.count()
-    key = (sem, files)
     hit = _COUNT_MEMO.get(key)
     if hit is None:
         hit = _COUNT_MEMO[key] = df.count()
@@ -561,8 +566,11 @@ def signlsh_buckets(
     dec = "DECIMAL(38,25)"
     parts = []
     for bit in range(n_bits):
+        # emit the ACTUAL weight (ADVICE r12 #2) — today ±1.0 so the
+        # text is unchanged, but a future weight rule can't silently
+        # produce wrong buckets through a hard-coded sign pair
         arr = "array(" + ",".join(
-            "1.0D" if w > 0 else "-1.0D" for w in weights[bit]
+            f"{float(w)!r}D" for w in weights[bit]
         ) + ")"
         dot = (
             f"aggregate(zip_with({vec_col}, {arr}, (x, y) ->"
@@ -865,6 +873,15 @@ def kmeans_centroids(
     happens later inside ivf_topk (fast dots here are ~5x cheaper —
     decimal folds are interpreted per element, see module header).
     Returns (cid, cvec) — plug into ``ivf_topk(centroids=...)``.
+
+    Attribute contract (ADVICE r12 #3): the returned DataFrame carries
+    ``_kmeans_driver_rows`` — the sorted (cid, cvec) python rows the
+    driver computed — which ``_probe_lists`` reads to embed centroids
+    as plan literals without an executor round trip. The attribute is
+    an OPTIMIZATION HINT only: any transformation (select / persist /
+    checkpoint) drops it and consumers fall back to the collect path
+    with identical results; nothing may attach the attribute to a
+    frame whose rows it does not describe.
     """
     import math
 

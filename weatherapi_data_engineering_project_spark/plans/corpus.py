@@ -74,6 +74,8 @@ def q86_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dup_span_stats(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
     """Core of q86 over any (doc_id, text, source) frame."""
+    from ..caching import persist_tracked
+
     toks = d.select("doc_id", "source", TX.tokens("text").alias("t"))
     n = F.size("t")
     span_arr = F.when(
@@ -83,17 +85,24 @@ def dup_span_stats(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = (
+    # persisted (r13, guide §2.4 multi-consumer): BOTH the dup-hash agg
+    # and the join back consume this frame — unpersisted, the tokenize +
+    # per-window md5 pass (the query's dominant per-row work) runs twice
+    spans = persist_tracked(
         toks.select("doc_id", "source", span_arr.alias("sp"))
         .select("doc_id", "source", F.explode_outer("sp").alias("h"))
         .filter(F.col("h").isNotNull())
     )
     # cross-doc duplicated span hashes; data-dependent size -> no
-    # broadcast hint, AQE decides from runtime stats
+    # broadcast hint, AQE decides from runtime stats.
+    # "≥ 2 distinct docs" is exactly min(doc_id) != max(doc_id) — a
+    # plain partial-agg pair instead of count_distinct's two-shuffle
+    # dedup plan (r13, guide §2.3 aggregate-before-shuffle; the span
+    # set is provably identical)
     dup = (
         spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("h", F.lit(1).alias("isdup"))
     )
     per_doc = (
@@ -881,6 +890,8 @@ def q94_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token array (coverage test per token against the tiny per-doc
     position list) — the corpus text itself never shuffles; only
     affected docs re-materialize."""
+    from ..caching import persist_tracked
+
     d = load_table(spark, sf_dir, "documents")
     k = _SPAN_K
     toks = d.select("doc_id", TX.tokens("text").alias("t"))
@@ -892,15 +903,18 @@ def q94_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = (
+    # persisted + min/max dup test (r13): same rewrite as
+    # dup_span_stats — the span frame feeds both the dup agg and the
+    # semi join, and "≥ 2 distinct docs" ⇔ min(doc_id) != max(doc_id)
+    spans = persist_tracked(
         toks.select("doc_id", F.posexplode_outer(span_arr).alias("pos0", "h"))
         .filter(F.col("h").isNotNull())
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
     dup = (
         spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("h")
     )
     flagged = spans.join(dup, "h", "left_semi").groupBy("doc_id").agg(
@@ -1395,6 +1409,8 @@ def q96_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything); span scrub shuffles only 16-byte hashes of the
     surviving corpus; the rollup is a partial agg on (source, split).
     """
+    from ..caching import persist_tracked
+
     d = load_table(spark, sf_dir, "documents")
     k = _SPAN_K
     kept_docs = d.filter(_quality_prob() >= 0.5)
@@ -1409,15 +1425,19 @@ def q96_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = (
+    # persisted + min/max dup test (r13): same rewrite as
+    # dup_span_stats / q94 — see dup_span_stats for the rationale
+    # (interleaved same-session A/B: base 2.49 / minmax 2.25 /
+    # minmax+persist 1.96 s best-of-4 at sf0.1)
+    spans = persist_tracked(
         toks.select("doc_id", F.posexplode_outer(span_arr).alias("pos0", "h"))
         .filter(F.col("h").isNotNull())
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
     dup = (
         spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("h")
     )
     flagged = spans.join(dup, "h", "left_semi").groupBy("doc_id").agg(
