@@ -1035,15 +1035,42 @@ def prefix_filter_pairs(
     else:
         # above the broadcast bound the shingle-set frame cannot ship
         # to every task; the candidate-driven exploded join keeps the
-        # shuffle thin (pair ids + one shingle per row)
+        # shuffle thin (pair ids + one shingle per row). Two r13 scale
+        # fixes, measured on the 100× instrument (BENCH_SCALE100_r13):
+        # (a) n1/n2 are NOT carried through the exploded exchanges —
+        #     the |cands|·shingles-per-doc intermediate (~60 rows per
+        #     shingle row at every measured scale) shuffles only
+        #     (id1, id2, shingle); sizes re-attach to the aggregated
+        #     inter frame, which is candidate-sized (guide §2.3).
+        # (b) the (id2, shingle) exchange width derives from the
+        #     shingle-row count (one partition per ~2^16 shingle rows
+        #     ≈ 2^22 exploded rows ≈ 128 MB of thin rows), floored at
+        #     the session width so every local/bench plan keeps its
+        #     historical shape: at 32 session partitions the 100×
+        #     corpus's ~1.6e9-row sort was ~50M rows per task — an
+        #     OOM at local heap sizes and a straggler anywhere
+        #     (guide §5 "more partitions, smaller per-task state");
+        #     the derived width caps at 4096 like scaled_state_width.
+        try:
+            sess_w = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:  # pragma: no cover — non-numeric conf
+            sess_w = 200
+        n_sh = corpus_row_count(ex)
+        width = max(sess_w, min(4096, n_sh // (1 << 16)))
         a = ex.select(F.col("doc").alias("id1"), "shingle")
         b = ex.select(F.col("doc").alias("id2"), "shingle")
-        inter = (
-            cands.select("id1", "id2", "n1", "n2")
+        inter0 = (
+            cands.select("id1", "id2")
             .join(a, "id1")
+            .repartition(width, "id2", "shingle")
             .join(b, ["id2", "shingle"])
-            .groupBy("id1", "id2", "n1", "n2")
+            .groupBy("id1", "id2")
             .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        inter = inter0.join(n1, "id1").join(n2, "id2").select(
+            "id1", "id2", "n1", "n2", "inter"
         )
     return (
         inter.filter(3 * F.col("inter") >= F.col("n1") + F.col("n2"))
